@@ -1,0 +1,188 @@
+"""Document preparation: manual markup, mention detection, alignment.
+
+Replaces the reference's Preparator flow
+(src/mpi/aida/preparator/Preparator.java:71-123):
+  - ManualFilter parses ``[[...]]`` spans
+    (preparation/mentionrecognition/ManualFilter.java:31-60)
+  - the automatic tagger is a dictionary-trie tagger (the deterministic
+    analogue of ner/taggers/TernaryTreeDictionary.java chosen over the
+    Stanford CRF, see SURVEY.md §7.2)
+  - HybridFilter merges manual + automatic, manual wins on overlap
+    (preparation/mentionrecognition/HybridFilter.java)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from aida_ray.kb.kb import KB
+from aida_ray.text.tokenizer import Token, conflate_token, normalize_whitespace, tokenize
+
+
+@dataclass
+class Mention:
+    mention: str                 # surface string
+    char_offset: int
+    char_length: int
+    start_token: int = -1
+    end_token: int = -1
+    sentence: int = -1
+    manual: bool = False
+    candidates: list[tuple[int, float]] = field(default_factory=list)  # (entity, prior)
+    priors: dict[int, float] = field(default_factory=dict)
+
+    @property
+    def key(self) -> tuple[str, int, int]:
+        return (self.mention, self.char_offset, self.char_length)
+
+    def normalized(self) -> str:
+        return normalize_whitespace(self.mention)
+
+
+@dataclass
+class PreparedDoc:
+    doc_id: str
+    text: str                    # cleaned text (markup removed)
+    tokens: list[Token]
+    token_ids: list[int]         # context word ids (unknown -> 0)
+    mentions: list[Mention]
+
+
+START_TAG = "[["
+END_TAG = "]]"
+_TAG = len(START_TAG)
+
+
+def manual_filter(text: str) -> tuple[str, list[Mention]]:
+    """Strip ``[[...]]`` markup, return cleaned text + mention char spans."""
+    out: list[str] = []
+    mentions: list[Mention] = []
+    s = 0
+    e = text.find(START_TAG)
+    removed = 0
+    while e >= 0:
+        out.append(text[s:e])
+        s = e
+        e = text.find(END_TAG, s)
+        if e == -1:
+            out.append(text[s:])
+            s = len(text)
+            break
+        name = text[s + _TAG:e]
+        if name.strip():
+            mentions.append(Mention(
+                mention=name,
+                char_offset=s - removed,
+                char_length=e - (s + _TAG),
+                manual=True,
+            ))
+        removed += 2 * _TAG
+        out.append(name)
+        s = e + _TAG
+        e = text.find(START_TAG, s)
+    out.append(text[s:])
+    return "".join(out), mentions
+
+
+def align_mentions_to_tokens(mentions: list[Mention], tokens: list[Token]) -> list[Mention]:
+    """Keep mentions whose char span matches token boundaries exactly
+    (ManualFilter.tokenize drops misaligned mentions)."""
+    begin_index = {t.begin: t for t in tokens}
+    end_index = {t.end: t for t in tokens}
+    kept = []
+    for m in mentions:
+        start = begin_index.get(m.char_offset)
+        end = end_index.get(m.char_offset + m.char_length)
+        if start is None or end is None or end.token_id < start.token_id:
+            continue
+        m.start_token = start.token_id
+        m.end_token = end.token_id
+        m.sentence = start.sentence
+        kept.append(m)
+    return kept
+
+
+def _looks_like_name(tok: Token) -> bool:
+    t = tok.text
+    return len(t) > 1 and (t[0].isupper() or t[0].isdigit())
+
+
+def dictionary_tag(text: str, tokens: list[Token], kb: KB) -> list[Mention]:
+    """Greedy longest-match dictionary tagging over conflated surfaces.
+
+    Tags token spans (up to the longest dictionary surface) whose
+    conflated surface text is a dictionary key and whose first token is
+    name-like.  Deterministic; replaces Stanford NER.  Single-character
+    names are dropped (NERManager.java:103-160).
+    """
+    max_len = kb.mention_max_tokens
+    found: list[Mention] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        if not _looks_like_name(tokens[i]):
+            i += 1
+            continue
+        match = None
+        for L in range(min(max_len, n - i), 0, -1):
+            surface = text[tokens[i].begin:tokens[i + L - 1].end]
+            if "\n" in surface:
+                continue
+            conflated = conflate_token(normalize_whitespace(surface))
+            if conflated in kb.dictionary:
+                match = (L, surface)
+                break
+        if match is None:
+            i += 1
+            continue
+        L, surface = match
+        found.append(Mention(
+            mention=surface,
+            char_offset=tokens[i].begin,
+            char_length=tokens[i + L - 1].end - tokens[i].begin,
+            start_token=tokens[i].token_id,
+            end_token=tokens[i + L - 1].token_id,
+            sentence=tokens[i].sentence,
+        ))
+        i += L
+    return found
+
+
+def hybrid_merge(manual: list[Mention], automatic: list[Mention]) -> list[Mention]:
+    """Merge manual + automatic mentions; manual wins on overlap
+    (HybridFilter.java)."""
+    out = list(manual)
+    for a in automatic:
+        a_lo, a_hi = a.char_offset, a.char_offset + a.char_length
+        overlaps = any(
+            not (a_hi <= m.char_offset or a_lo >= m.char_offset + m.char_length)
+            for m in manual)
+        if not overlaps:
+            out.append(a)
+    out.sort(key=lambda m: (m.char_offset, m.char_length))
+    return out
+
+
+def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
+            min_mention_occurrence: int = 1) -> PreparedDoc:
+    """Full preparation: markup filter → tokenize → tag → align → context ids."""
+    cleaned, manual = manual_filter(raw_text)
+    tokens = tokenize(cleaned)
+    manual = align_mentions_to_tokens(manual, tokens)
+    if detection == "manual":
+        mentions = manual
+    else:
+        automatic = dictionary_tag(cleaned, tokens, kb)
+        if detection == "automatic":
+            mentions = automatic
+        else:
+            mentions = hybrid_merge(manual, automatic)
+    if min_mention_occurrence > 1:
+        counts: dict[str, int] = {}
+        for m in mentions:
+            counts[m.mention] = counts.get(m.mention, 0) + 1
+        mentions = [m for m in mentions if counts[m.mention] >= min_mention_occurrence]
+    token_ids = [kb.word_id(t.text) for t in tokens]
+    mentions.sort(key=lambda m: (m.char_offset, m.char_length))
+    return PreparedDoc(doc_id=doc_id, text=cleaned, tokens=tokens,
+                       token_ids=token_ids, mentions=mentions)

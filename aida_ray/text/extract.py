@@ -1,0 +1,54 @@
+"""Deterministic HTML → text extraction.
+
+The north rule requires byte-identical extracted text per url.  We define
+the extraction contract ourselves (the reference has no HTML input; its
+closest analogue is the XML input-format dispatch at
+src/mpi/aida/preparator/Preparator.java:73-95): a small, fully
+deterministic rule set — strip <script>/<style>, drop tags, unescape the
+five standard XML entities, collapse runs of whitespace around block
+tags into single newlines, and trim.
+
+``aida_ray.pipelines.corpus`` generates pages whose ``text`` column is
+exactly ``extract_text(html)``, and the invariant is tested per url.
+"""
+
+from __future__ import annotations
+
+import re
+
+_SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_BLOCK_TAG_RE = re.compile(
+    r"</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|title|head|body|html|article|section|header|footer)\b[^>]*>",
+    re.I,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
+
+
+def extract_text(html: bytes | str) -> str:
+    """Deterministic text extraction. html bytes are decoded as UTF-8 (strict)."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8")
+    s = _COMMENT_RE.sub("", html)
+    s = _SCRIPT_RE.sub("", s)
+    s = _BLOCK_TAG_RE.sub("\n", s)
+    s = _TAG_RE.sub("", s)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    # Collapse horizontal whitespace; collapse blank-line runs to one \n.
+    lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in s.split("\n")]
+    return "\n".join(ln for ln in lines if ln)
+
+
+def wrap_text_as_html(text: str, title: str = "") -> bytes:
+    """Inverse generator used by the synthetic corpus: produces html whose
+    extract_text() is exactly ``text`` (given text has no blank/edge whitespace)."""
+    esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    paras = "".join(f"<p>{p}</p>\n" for p in esc.split("\n"))
+    doc = (
+        "<html><head><title>" + title + "</title>"
+        "<script>var x = 1 < 2;</script><style>.a{color:red}</style></head>\n"
+        "<body>\n<!-- synthetic page -->\n" + paras + "</body></html>\n"
+    )
+    return doc.encode("utf-8")
