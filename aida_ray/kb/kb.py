@@ -73,6 +73,10 @@ def compute_mi(a: int, b: int, ab: int, total: int, normalize: bool = False) -> 
     for num, px, py in ((n_dk, p_d, p_k), (n_ndk, p_nd, p_k),
                         (n_dnk, p_d, p_nk), (n_ndnk, p_nd, p_nk)):
         p = num / pc
+        if p <= 0.0:
+            # java: Math.log(negative) == NaN, caught by the caller and
+            # zeroed (KeyphrasesContext.computeMIweights "borked" branch)
+            return float("nan")
         score += p * _log2(p / (px * py))
 
     if normalize:
@@ -129,9 +133,10 @@ class KB:
                 for kw in self.kp_tokens.get(kp, ()):
                     if kw in kw2mi:
                         continue
-                    kw2mi[kw] = compute_mi(
+                    mi = compute_mi(
                         e_count, self.kw_df.get(kw, 0), kwc.get(kw, 0),
                         self.collection_size, False)
+                    kw2mi[kw] = 0.0 if math.isnan(mi) else mi
             self.kw_mi[eid] = kw2mi
         self.stop_ids = frozenset(stopword_ids(self.word2id))
         if self.dictionary:

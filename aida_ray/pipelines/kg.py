@@ -1,0 +1,294 @@
+"""The flagship Ray-Data pipeline: pages → entity-linked triples.
+
+    read_parquet(pages)                       # column-pruned, streaming
+      → map_batches(extract_batch)            # stateless: html → text (byte-stable)
+      → map_batches(NedActor, concurrency=N)  # actor pool pinning the KB
+            emits (subj, pred, obj, url, warc_ts, score, sentence) rows:
+              (entity, "mentionedIn",  url)   per linked mention
+              (e1,     "coOccursWith", e2)    per sentence-level entity pair
+      → canonicalize_entities(...)            # salted two-phase groupby (G11)
+      → dedup_triples(...)                    # groupby (s,p,o) with partial agg
+      → write partitioned parquet + manifests (aida_ray.io.sink)
+
+Scale notes (the design assumptions, per SURVEY.md §4/§7.4):
+  - everything upstream of the final aggregations is map-side only; the
+    dictionary/keyphrase state travels once per actor via ``ray.put``;
+  - per-batch partial aggregation bounds shuffle volume by
+    #distinct-keys-per-batch, and head entities (countries/persons) are
+    additionally salted so no single reducer key receives the whole head;
+  - heavy columns (html) are dropped at the first stage; shuffles only
+    ever see narrow mention/triple rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from aida_ray.kb.kb import OOKBE, KB
+from aida_ray.ned.disambiguator import disambiguate_document
+from aida_ray.ned.settings import DisambiguationSettings
+from aida_ray.state.broadcast import resolve
+from aida_ray.text.extract import extract_text
+
+TRIPLE_SCHEMA = pa.schema([
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("url", pa.string()),
+    ("warc_ts", pa.timestamp("ms")),
+    ("score", pa.float64()),
+])
+
+MENTION_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("mention", pa.string()),
+    ("begin", pa.int32()),
+    ("len", pa.int32()),
+    ("entity", pa.string()),
+    ("score", pa.float64()),
+    ("sentence", pa.int32()),
+])
+
+
+def read_pages(path: str, need_html: bool = False) -> ray.data.Dataset:
+    """Column-pruned read of the pages table (input_hint shape)."""
+    cols = ["url", "warc_ts", "text", "lang"]
+    if need_html:
+        cols.insert(2, "html")
+    return ray.data.read_parquet(path, columns=cols)
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """Stateless html→text extraction (byte-identical per url).
+
+    If the batch already carries extracted text, it is passed through
+    untouched; otherwise text is derived from html.  html is dropped so
+    downstream stages never ship the heavy column.
+    """
+    if "text" in batch.column_names and batch["text"].null_count == 0:
+        out = batch
+    else:
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        out = batch.set_column(batch.column_names.index("text"),
+                               "text", pa.array(texts, pa.string()))
+    if "html" in out.column_names:
+        out = out.drop_columns(["html"])
+    return out
+
+
+class NedActor:
+    """Actor-pool stage: per-document disambiguation with pinned KB.
+
+    __init__ runs once per actor (KB deserialization + derived indexes);
+    __call__ processes one Arrow batch of pages and emits triple rows.
+    """
+
+    def __init__(self, kb_ref, settings: DisambiguationSettings | None = None,
+                 emit: str = "triples", lang_filter: str | None = "en"):
+        self.kb: KB = resolve(kb_ref)
+        self.settings = settings or DisambiguationSettings()
+        self.emit = emit
+        self.lang_filter = lang_filter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
+        tss = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names else [None] * len(urls)
+
+        if self.emit == "mentions":
+            cols: dict[str, list] = {k: [] for k in
+                                     ("url", "mention", "begin", "len",
+                                      "entity", "score", "sentence")}
+            for url, text, lang in zip(urls, texts, langs):
+                if self.lang_filter and lang and lang != self.lang_filter:
+                    continue
+                for r in disambiguate_document(url, text, self.kb, self.settings):
+                    cols["url"].append(url)
+                    cols["mention"].append(r.mention)
+                    cols["begin"].append(r.char_offset)
+                    cols["len"].append(r.char_length)
+                    cols["entity"].append(r.entity)
+                    cols["score"].append(r.score)
+                    cols["sentence"].append(r.sentence)
+            return pa.table(
+                {k: pa.array(v, MENTION_SCHEMA.field(k).type) for k, v in cols.items()})
+
+        cols = {k: [] for k in ("subj", "pred", "obj", "url", "warc_ts", "score")}
+        for url, text, lang, ts in zip(urls, texts, langs, tss):
+            if self.lang_filter and lang and lang != self.lang_filter:
+                continue
+            results = disambiguate_document(url, text, self.kb, self.settings)
+            linked = [r for r in results if r.entity != OOKBE]
+            for r in linked:
+                cols["subj"].append(r.entity)
+                cols["pred"].append("mentionedIn")
+                cols["obj"].append(url)
+                cols["url"].append(url)
+                cols["warc_ts"].append(ts)
+                cols["score"].append(r.score)
+            # sentence-level co-occurrence triples, deduped per document
+            by_sentence: dict[int, list] = {}
+            for r in linked:
+                by_sentence.setdefault(r.sentence, []).append(r)
+            seen: set[tuple[str, str]] = set()
+            for sent, rs in sorted(by_sentence.items()):
+                ents = sorted({r.entity for r in rs})
+                for i in range(len(ents)):
+                    for j in range(i + 1, len(ents)):
+                        if (ents[i], ents[j]) in seen:
+                            continue
+                        seen.add((ents[i], ents[j]))
+                        s1 = min(r.score for r in rs if r.entity == ents[i])
+                        s2 = min(r.score for r in rs if r.entity == ents[j])
+                        cols["subj"].append(ents[i])
+                        cols["pred"].append("coOccursWith")
+                        cols["obj"].append(ents[j])
+                        cols["url"].append(url)
+                        cols["warc_ts"].append(ts)
+                        cols["score"].append(min(s1, s2))
+        return pa.table(
+            {k: pa.array(v, TRIPLE_SCHEMA.field(k).type) for k, v in cols.items()})
+
+
+def link_pages(pages: ray.data.Dataset, kb_ref,
+               settings: DisambiguationSettings | None = None,
+               emit: str = "triples",
+               concurrency: int | tuple[int, int] = 4,
+               batch_size: int = 64) -> ray.data.Dataset:
+    """pages → extraction → NED actor pool → triple/mention rows."""
+    return (pages
+            .map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(NedActor,
+                         fn_constructor_kwargs={"kb_ref": kb_ref,
+                                                "settings": settings,
+                                                "emit": emit},
+                         batch_format="pyarrow",
+                         batch_size=batch_size,
+                         concurrency=concurrency,
+                         num_cpus=1))
+
+
+# --------------------------------------------------------------- aggregation
+
+def _salt_of(key_arr: pa.Array, n_salts: int) -> np.ndarray:
+    # cheap deterministic hash → salt bucket
+    h = np.frompyfunc(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16), 1, 1)
+    return (h(np.asarray(key_arr.to_pylist(), dtype=object)).astype(np.uint64)
+            % np.uint64(n_salts)).astype(np.int32)
+
+
+def canonicalize_entities(triples: ray.data.Dataset,
+                          n_salts: int = 16) -> ray.data.Dataset:
+    """G11: cross-document entity canonicalization.
+
+    Two-phase salted aggregation over ``mentionedIn`` triples:
+      phase 0 (map-side): per-batch partial counts per (entity, salt) —
+        bounds shuffle rows by distinct-entities-per-batch;
+      phase 1: groupby(entity, salt) partial sums (the salt spreads head
+        entities over n_salts reducers);
+      phase 2: groupby(entity) final merge — input is already tiny.
+
+    Returns (entity, mention_count, page_count, score_sum).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["pred"], "mentionedIn"))
+        if t.num_rows == 0:
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "salt": pa.array([], pa.int32()),
+                             "mention_count": pa.array([], pa.int64()),
+                             "page_count": pa.array([], pa.int64()),
+                             "score_sum": pa.array([], pa.float64())})
+        df = t.select(["subj", "obj", "score"]).to_pandas()
+        grouped = df.groupby("subj").agg(
+            mention_count=("obj", "size"),
+            page_count=("obj", "nunique"),
+            score_sum=("score", "sum")).reset_index()
+        ent = pa.array(grouped["subj"], pa.string())
+        return pa.table({
+            "entity": ent,
+            "salt": pa.array(_salt_of(ent, n_salts), pa.int32()),
+            "mention_count": pa.array(grouped["mention_count"], pa.int64()),
+            "page_count": pa.array(grouped["page_count"], pa.int64()),
+            "score_sum": pa.array(grouped["score_sum"], pa.float64()),
+        })
+
+    partials = triples.map_batches(partial, batch_format="pyarrow")
+    phase1 = partials.groupby(["entity", "salt"]).sum(
+        ["mention_count", "page_count", "score_sum"])
+    phase2 = phase1.groupby("entity").sum(
+        ["sum(mention_count)", "sum(page_count)", "sum(score_sum)"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["entity", "mention_count", "page_count", "score_sum"])
+
+    return phase2.map_batches(rename, batch_format="pyarrow")
+
+
+def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (subj, pred, obj) with support counts (SURVEY §7.4).
+
+    Partial in-batch dedup/count first, then one groupby over the much
+    smaller partials.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["subj", "pred", "obj", "score"]).to_pandas()
+        g = df.groupby(["subj", "pred", "obj"]).agg(
+            support=("score", "size"), max_score=("score", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = triples.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["subj", "pred", "obj"]).sum(["support"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["subj", "pred", "obj", "support"])
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ end-to-end
+
+def run_kg(pages_dir: str, kb, out_dir: str,
+           settings: DisambiguationSettings | None = None,
+           concurrency: int | tuple[int, int] = 4,
+           batch_size: int = 64,
+           partition_granularity: int = 1,
+           resume: bool = True) -> list[dict]:
+    """End-to-end: pages parquet dir → partitioned triple parquet + manifests.
+
+    One output partition per group of ``partition_granularity`` input
+    files; finished partitions (manifest present) are skipped on rerun —
+    the north-rule checkpoint/resume contract.  Returns manifests.
+    """
+    import os
+
+    from aida_ray.io.sink import config_hash, partition_done, write_partition
+    from aida_ray.state.broadcast import put_kb
+
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet in {pages_dir}")
+    kb_ref = put_kb(kb)
+    cfg = config_hash((settings, batch_size))
+    manifests = []
+    for g in range(0, len(files), partition_granularity):
+        group = files[g:g + partition_granularity]
+        part = f"part-{g // partition_granularity:05d}"
+        if resume and partition_done(out_dir, part):
+            continue
+        pages = read_pages([os.path.join(pages_dir, f) for f in group])
+        triples = link_pages(pages, kb_ref, settings,
+                             concurrency=concurrency, batch_size=batch_size)
+        manifests.append(
+            write_partition(triples, out_dir, part, group, cfg))
+    return manifests

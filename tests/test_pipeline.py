@@ -1,0 +1,101 @@
+"""Ray Data pipeline integration tests (small synthetic corpus)."""
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from aida_ray.kb.synth import synth_kb
+from aida_ray.pipelines.corpus import write_corpus
+from aida_ray.pipelines.eval import precision_recall
+from aida_ray.pipelines.kg import (canonicalize_entities, dedup_triples,
+                                   link_pages, read_pages, run_kg)
+from aida_ray.state.broadcast import put_kb
+from aida_ray.text.extract import extract_text
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    kb = synth_kb(100, seed=42)
+    out = str(tmp_path_factory.mktemp("corpus"))
+    dirs = write_corpus(out, kb, 80, n_shards=2)
+    return kb, dirs, out
+
+
+def test_corpus_byte_identical_text(corpus):
+    kb, dirs, _ = corpus
+    t = pq.read_table(os.path.join(dirs["pages"]))
+    for html, text in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+        assert extract_text(html) == text
+
+
+def test_corpus_gold_offsets(corpus):
+    kb, dirs, _ = corpus
+    pages = pq.read_table(dirs["pages"])
+    texts = dict(zip(pages["url"].to_pylist(), pages["text"].to_pylist()))
+    gold = pq.read_table(dirs["gold"])
+    for u, m, b, ln in zip(gold["url"].to_pylist(), gold["mention"].to_pylist(),
+                           gold["begin"].to_pylist(), gold["len"].to_pylist()):
+        assert texts[u][b:b + ln] == m
+
+
+def test_corpus_deterministic(corpus, tmp_path):
+    kb, dirs, _ = corpus
+    out2 = str(tmp_path / "again")
+    dirs2 = write_corpus(out2, kb, 80, n_shards=2)
+    a = pq.read_table(dirs["pages"])
+    b = pq.read_table(dirs2["pages"])
+    assert a.equals(b)
+
+
+def test_link_pages_precision_recall(ray_session, corpus):
+    ray = ray_session
+    kb, dirs, _ = corpus
+    kb_ref = put_kb(kb)
+    ds = link_pages(read_pages(dirs["pages"]), kb_ref, emit="mentions",
+                    concurrency=2, batch_size=16)
+    pred = pa.concat_tables([ray.get(r) for r in ds.to_arrow_refs()])
+    gold = pq.read_table(dirs["gold"])
+    pr = precision_recall(pred, gold)
+    assert pr.precision >= 0.95
+    assert pr.recall >= 0.95
+
+
+def test_triples_and_canonicalization(ray_session, corpus):
+    ray = ray_session
+    kb, dirs, _ = corpus
+    kb_ref = put_kb(kb)
+    triples = link_pages(read_pages(dirs["pages"]), kb_ref, emit="triples",
+                         concurrency=2, batch_size=16)
+    canon = canonicalize_entities(triples).to_pandas()
+    assert set(canon.columns) == {"entity", "mention_count", "page_count", "score_sum"}
+    assert (canon["mention_count"] >= canon["page_count"]).all()
+    dd = dedup_triples(
+        link_pages(read_pages(dirs["pages"]), kb_ref, emit="triples",
+                   concurrency=2, batch_size=16)).to_pandas()
+    assert dd["support"].sum() > 0
+    assert not dd.duplicated(["subj", "pred", "obj"]).any()
+
+
+def test_run_kg_resume(ray_session, corpus, tmp_path):
+    kb, dirs, _ = corpus
+    out = str(tmp_path / "triples")
+    mans = run_kg(dirs["pages"], kb, out, concurrency=2)
+    assert len(mans) == 2
+    assert all(m["rows"] > 0 for m in mans)
+    assert os.path.exists(os.path.join(out, "part-00000", "_MANIFEST.json"))
+    # rerun skips everything
+    assert run_kg(dirs["pages"], kb, out, concurrency=2) == []
+    # drop one partition -> only that one reruns, byte-identical rows
+    before = pq.read_table(os.path.join(out, "part-00001")).sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
+         ("url", "ascending")])
+    shutil.rmtree(os.path.join(out, "part-00001"))
+    mans2 = run_kg(dirs["pages"], kb, out, concurrency=2)
+    assert [m["partition"] for m in mans2] == ["part-00001"]
+    after = pq.read_table(os.path.join(out, "part-00001")).sort_by(
+        [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
+         ("url", "ascending")])
+    assert before.equals(after)
