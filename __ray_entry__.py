@@ -1,44 +1,546 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here (or in aida_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Each ``queries()`` entry is one operator/pipeline from SURVEY.md §2 (or a
+training-data op), expressed Ray-Data-first; the matching ``oracle_sql()``
+entry is ANSI SQL DuckDB runs over the same parquet views.  Column names
+match exactly on both sides.  Genuinely non-SQL ops (full NED, LSH,
+SimHash, IVF-ANN) omit the oracle → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+EPOCH_MS = 1400000000000
+
+# fixed surface → entity dictionary over the documents vocabulary
+# (the SQL-checkable analogue of the mention dictionary join, SURVEY J1)
+DICT_SURFACES = ["spark", "customer", "window", "vector", "stream", "table"]
+_DICT_SQL_VALUES = ", ".join(f"('{s}', 'E_{s}')" for s in DICT_SURFACES)
+
+STOP_TOKENS = ["the", "a"]
+_STOP_SQL = ", ".join(f"'{t}'" for t in STOP_TOKENS)
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _events(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _emb_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    nonempty = [t for t in tabs if t.num_rows > 0]
+    if not nonempty:
+        # keep whichever empty block still carries a schema
+        with_schema = [t for t in tabs if t.num_columns > 0]
+        return with_schema[0] if with_schema else tabs[0]
+    return pa.concat_tables(nonempty, promote_options="default")
+
+
+# ------------------------------------------------------------------ KG corpus
+# Synthetic pages corpus + KB sized from the documents table; cached per sf.
+
+def _kg_cache(sf_dir: str):
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.pipelines.corpus import write_corpus
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    cache = os.path.join("/tmp/aida_ray_cache", tag)
+    # lineitem row count is the only table that scales with sf; size the
+    # corpus from it (sf0.001 → ~500 pages, sf0.1 → ~50k pages)
+    n_docs = pq.ParquetFile(os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows // 12
+    n_entities = max(50, n_docs // 5)
+    kb = synth_kb(n_entities, seed=42)
+    pages_dir = os.path.join(cache, "pages")
+    have = 0
+    if os.path.isdir(pages_dir):
+        have = sum(pq.ParquetFile(os.path.join(pages_dir, f)).metadata.num_rows
+                   for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    if have != n_docs:
+        write_corpus(cache, kb, n_pages=n_docs, seed=42,
+                     n_shards=max(1, n_docs // 2000))
+    return kb, pages_dir, os.path.join(cache, "gold")
+
+
+# ------------------------------------------------------------------- queries
+
+def q_pages(sf_dir: str) -> pa.Table:
+    """Documents → input_hint pages shape (M1/S1; warc_ts as epoch ms)."""
+    def to_pages(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"]
+        url = pc.binary_join_element_wise(
+            pa.array(["http://doc/"] * len(b)), pc.cast(doc_id, pa.string()), "")
+        ts = pc.add(pc.multiply(pc.cast(doc_id, pa.int64()), 1000), EPOCH_MS)
+        return pa.table({"url": url, "warc_ts_ms": ts,
+                         "text": b["text"], "lang": b["lang"]})
+    return _collect(_docs(sf_dir).map_batches(to_pages, batch_format="pyarrow"))
+
+
+def q_extract_text(sf_dir: str) -> pa.Table:
+    """Byte-identical html→text extraction per url (north-rule invariant).
+
+    Wraps each document's text into synthetic html bytes, extracts, and
+    returns the extracted text — the oracle returns the text column
+    directly, so any extraction drift hash-mismatches.
+    """
+    from aida_ray.text.extract import extract_text, wrap_text_as_html
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["http://doc/"] * len(b)),
+            pc.cast(b["doc_id"], pa.string()), "")
+        texts = [extract_text(wrap_text_as_html(t)) for t in b["text"].to_pylist()]
+        return pa.table({"url": url, "text": pa.array(texts, pa.string())})
+    return _collect(_docs(sf_dir).map_batches(roundtrip, batch_format="pyarrow"))
+
+
+def q_dict_lookup(sf_dir: str) -> pa.Table:
+    """Candidate-lookup join (J1 shape): token ∈ dictionary → entity, count.
+
+    Broadcast map-side join: the dictionary rides inside the batch fn,
+    tokens explode per batch, partial counts pre-aggregate before the
+    tiny groupby."""
+    surface2entity = {s: f"E_{s}" for s in DICT_SURFACES}
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for text in b["text"].to_pylist():
+            for tok in text.split(" "):
+                ent = surface2entity.get(tok)
+                if ent:
+                    counts[(tok, ent)] = counts.get((tok, ent), 0) + 1
+        if not counts:
+            return pa.table({"mention": pa.array([], pa.string()),
+                             "entity": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ks = list(counts)
+        return pa.table({"mention": pa.array([k[0] for k in ks], pa.string()),
+                         "entity": pa.array([k[1] for k in ks], pa.string()),
+                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["mention", "entity"]).sum(["n"])
+    return _collect(agg.map_batches(
+        lambda b: b.rename_columns(["mention", "entity", "n"]),
+        batch_format="pyarrow"))
+
+
+def q_entity_canonical(sf_dir: str) -> pa.Table:
+    """Entity canonicalization groupby (G11 shape, salted two-phase):
+    per entity, total mentions and distinct docs."""
+    surface2entity = {s: f"E_{s}" for s in DICT_SURFACES}
+
+    def partial(b: pa.Table) -> pa.Table:
+        ment: dict[str, int] = {}
+        docs: dict[str, set] = {}
+        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok in text.split(" "):
+                ent = surface2entity.get(tok)
+                if ent:
+                    ment[ent] = ment.get(ent, 0) + 1
+                    docs.setdefault(ent, set()).add(doc_id)
+        ks = sorted(ment)
+        salts = [hash(k) % 8 for k in ks]
+        return pa.table({"entity": pa.array(ks, pa.string()),
+                         "salt": pa.array(salts, pa.int32()),
+                         "mention_count": pa.array([ment[k] for k in ks], pa.int64()),
+                         "doc_count": pa.array([len(docs[k]) for k in ks], pa.int64())})
+
+    p1 = _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None) \
+        .groupby(["entity", "salt"]).sum(["mention_count", "doc_count"])
+    p2 = p1.groupby("entity").sum(["sum(mention_count)", "sum(doc_count)"])
+    return _collect(p2.map_batches(
+        lambda b: b.rename_columns(["entity", "mention_count", "doc_count"]),
+        batch_format="pyarrow"))
+
+
+def q_triples_cooccur(sf_dir: str) -> pa.Table:
+    """(subj, pred, obj) co-occurrence triples with support counts:
+    distinct dictionary entities per document, pairs subj < obj."""
+    surface2entity = {s: f"E_{s}" for s in DICT_SURFACES}
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for text in b["text"].to_pylist():
+            ents = sorted({surface2entity[t] for t in text.split(" ")
+                           if t in surface2entity})
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    counts[(ents[i], ents[j])] = counts.get((ents[i], ents[j]), 0) + 1
+        ks = list(counts)
+        return pa.table({"subj": pa.array([k[0] for k in ks], pa.string()),
+                         "pred": pa.array(["coOccursWith"] * len(ks), pa.string()),
+                         "obj": pa.array([k[1] for k in ks], pa.string()),
+                         "support": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["subj", "pred", "obj"]).sum(["support"])
+    return _collect(agg.map_batches(
+        lambda b: b.rename_columns(["subj", "pred", "obj", "support"]),
+        batch_format="pyarrow"))
+
+
+def q_golden_fixture(sf_dir: str) -> pa.Table:
+    """Full graph NED on the reference's golden sentence (fixture KB) —
+    the CocktailParty decisions as rows; oracle = literal VALUES."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = build_fixture_kb()
+    text = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    res = disambiguate_document("golden", text, kb,
+                                cocktail_party_settings(algorithm="cocktail_party"))
+    return pa.table({
+        "mention": pa.array([r.mention for r in res], pa.string()),
+        "entity": pa.array([r.entity for r in res], pa.string()),
+        "score_1e5": pa.array([round(r.score * 1e5) for r in res], pa.int64()),
+    })
+
+
+def q_dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup (D4): representative doc_id + dup count per text."""
+    from aida_ray.stages.dedup import exact_dedup
+    ds = exact_dedup(_docs(sf_dir))
+    t = _collect(ds)
+    return t.select(["text", "doc_id", "n_dups"]).rename_columns(
+        ["text", "rep_doc_id", "n_dups"])
+
+
+def q_token_stats(sf_dir: str) -> pa.Table:
+    """Token counting (vectorized arrow kernels)."""
+    from aida_ray.stages.textstats import token_count_batch
+    ds = _docs(sf_dir).map_batches(token_count_batch, batch_format="pyarrow")
+    return _collect(ds).select(["doc_id", "n_tokens", "n_chars_calc"])
+
+
+def q_quality(sf_dir: str) -> pa.Table:
+    """Quality scoring: token stats + stopword ratio."""
+    def score(b: pa.Table) -> pa.Table:
+        stop = set(STOP_TOKENS)
+        n_tok, avg_len, s_ratio = [], [], []
+        for t in b["text"].to_pylist():
+            toks = t.split(" ")
+            n_tok.append(len(toks))
+            avg_len.append(round(sum(len(w) for w in toks) / len(toks), 6))
+            s_ratio.append(round(sum(1 for w in toks if w in stop) / len(toks), 6))
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "avg_token_len": pa.array(avg_len, pa.float64()),
+                         "stopword_ratio": pa.array(s_ratio, pa.float64())})
+    return _collect(_docs(sf_dir).map_batches(score, batch_format="pyarrow"))
+
+
+def q_lang_dist(sf_dir: str) -> pa.Table:
+    from aida_ray.stages.textstats import lang_distribution
+    return _collect(lang_distribution(_docs(sf_dir)))
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    """Heuristic language-ID distribution (no SQL oracle — rows-only)."""
+    from aida_ray.stages.textstats import LangId
+    ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                   concurrency=2, num_cpus=1)
+    t = _collect(ds)
+    import pandas as pd
+    s = pd.Series(t["lang_pred"].to_pylist()).value_counts().sort_index()
+    return pa.table({"lang_pred": pa.array(s.index.tolist(), pa.string()),
+                     "n": pa.array(s.values, pa.int64())})
+
+
+def q_topk_tokens(sf_dir: str) -> pa.Table:
+    """Top-20 tokens by frequency (K-ops: partial counts → groupby → sort/limit)."""
+    def partial(b: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in b["text"].to_pylist():
+            for tok in t.split(" "):
+                counts[tok] = counts.get(tok, 0) + 1
+        ks = list(counts)
+        return pa.table({"token": pa.array(ks, pa.string()),
+                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").sum(["n"])
+    t = _collect(agg.map_batches(lambda b: b.rename_columns(["token", "n"]),
+                                 batch_format="pyarrow")).to_pandas()
+    t = t.sort_values(["n", "token"], ascending=[False, True]).head(20)
+    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+
+
+def q_window_agg(sf_dir: str) -> pa.Table:
+    """Tumbling 1-hour window aggregate over events (streaming-shaped)."""
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["ts", "event_type", "value"]).to_pandas()
+        df["w"] = df["ts"].dt.floor("h").astype("datetime64[s]").astype("int64")
+        g = df.groupby(["w", "event_type"]).agg(
+            n=("value", "size"), value_sum=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+    agg = _events(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w", "event_type"]).sum(["n", "value_sum"])
+    t = _collect(agg.map_batches(
+        lambda b: b.rename_columns(["w", "event_type", "n", "value_sum"]),
+        batch_format="pyarrow")).to_pandas()
+    t["value_sum"] = t["value_sum"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_knn_bruteforce(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 for 3 query vectors (vec_id 0,1,2)."""
+    from aida_ray.stages.knn import knn_topk
+    emb = _emb_table(sf_dir)
+    order = pc.sort_indices(emb["vec_id"])
+    emb_sorted = emb.take(order)
+    queries = np.array(emb_sorted["embedding"].to_pylist()[:3], dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = knn_topk(ds, queries, k=10).to_pandas()
+    t["cosine"] = t["cosine"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_knn_ivf(sf_dir: str) -> pa.Table:
+    """IVF-bucketed approximate ANN (rows-only: approximate by design)."""
+    from aida_ray.stages.knn import ivf_topk
+    emb = _emb_table(sf_dir)
+    order = pc.sort_indices(emb["vec_id"])
+    queries = np.array(emb.take(order)["embedding"].to_pylist()[:3],
+                       dtype=np.float64)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = ivf_topk(ds, queries, k=10).to_pandas()
+    t["cosine"] = t["cosine"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_minhash_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH near-dup candidate pairs (rows-only)."""
+    from aida_ray.stages.dedup import minhash_lsh_pairs
+    t = minhash_lsh_pairs(_docs(sf_dir), num_hashes=64, bands=16,
+                          jaccard_threshold=0.8).to_pandas()
+    if len(t):
+        t["jaccard"] = t["jaccard"].round(6)
+        t = t.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_simhash(sf_dir: str) -> pa.Table:
+    """64-bit SimHash per document (rows-only; deterministic)."""
+    from aida_ray.stages.dedup import SimHasher
+    ds = _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
+                                   concurrency=2, num_cpus=1)
+    return _collect(ds).select(["doc_id", "simhash"])
+
+
+def q_embed_neardup(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (rows-only)."""
+    from aida_ray.stages.dedup import embedding_near_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    t = _collect(embedding_near_dup_pairs(ds, cosine_threshold=0.99)).to_pandas()
+    if len(t):
+        t["cosine"] = t["cosine"].round(6)
+        t = t.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    """Stable 63-bit document fingerprint (md5-based)."""
+    from aida_ray.stages.textstats import fingerprint_batch
+    ds = _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+    return _collect(ds).select(["doc_id", "fingerprint"])
+
+
+def q_kg_triples(sf_dir: str) -> pa.Table:
+    """Flagship: full NED → (subj, pred, obj) triples over the synthetic
+    pages corpus sized like the sf documents table (rows-only)."""
+    from aida_ray.pipelines.kg import dedup_triples, link_pages, read_pages
+    from aida_ray.state.broadcast import put_kb
+    kb, pages_dir, _gold = _kg_cache(sf_dir)
+    triples = link_pages(read_pages(pages_dir), put_kb(kb),
+                         concurrency=4, batch_size=32)
+    t = _collect(dedup_triples(triples)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["subj", "pred", "obj"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_kg_canonical(sf_dir: str) -> pa.Table:
+    """Entity canonicalization over the flagship triples (rows-only)."""
+    from aida_ray.pipelines.kg import canonicalize_entities, link_pages, read_pages
+    from aida_ray.state.broadcast import put_kb
+    kb, pages_dir, _gold = _kg_cache(sf_dir)
+    triples = link_pages(read_pages(pages_dir), put_kb(kb),
+                         concurrency=4, batch_size=32)
+    t = _collect(canonicalize_entities(triples)).to_pandas()
+    t["score_sum"] = t["score_sum"].round(6)
+    return pa.Table.from_pandas(
+        t.sort_values("entity").reset_index(drop=True), preserve_index=False)
+
+
+# -------------------------------------------------------------------- driver
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages → NED → deduped triples."""
+    return q_kg_triples("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages": q_pages,
+        "extract_text": q_extract_text,
+        "dict_lookup": q_dict_lookup,
+        "entity_canonical": q_entity_canonical,
+        "triples_cooccur": q_triples_cooccur,
+        "golden_fixture": q_golden_fixture,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_dist": q_lang_dist,
+        "langid": q_langid,
+        "topk_tokens": q_topk_tokens,
+        "window_agg": q_window_agg,
+        "knn_bruteforce": q_knn_bruteforce,
+        "knn_ivf": q_knn_ivf,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embed_neardup": q_embed_neardup,
+        "fingerprint": q_fingerprint,
+        "kg_triples": q_kg_triples,
+        "kg_canonical": q_kg_canonical,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pages": f"""
+            SELECT 'http://doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   {EPOCH_MS} + doc_id * 1000 AS warc_ts_ms,
+                   text, lang
+            FROM documents
+        """,
+        "extract_text": """
+            SELECT 'http://doc/' || CAST(doc_id AS VARCHAR) AS url, text
+            FROM documents
+        """,
+        "dict_lookup": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS mention FROM documents
+            ), dict(mention, entity) AS (VALUES {_DICT_SQL_VALUES})
+            SELECT t.mention, d.entity, COUNT(*) AS n
+            FROM toks t JOIN dict d ON t.mention = d.mention
+            GROUP BY t.mention, d.entity
+        """,
+        "entity_canonical": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS mention
+                FROM documents
+            ), dict(mention, entity) AS (VALUES {_DICT_SQL_VALUES})
+            SELECT d.entity,
+                   COUNT(*) AS mention_count,
+                   COUNT(DISTINCT t.doc_id) AS doc_count
+            FROM toks t JOIN dict d ON t.mention = d.mention
+            GROUP BY d.entity
+        """,
+        "triples_cooccur": f"""
+            WITH toks AS (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS mention
+                FROM documents
+            ), dict(mention, entity) AS (VALUES {_DICT_SQL_VALUES}),
+            ents AS (
+                SELECT DISTINCT t.doc_id, d.entity
+                FROM toks t JOIN dict d ON t.mention = d.mention
+            )
+            SELECT a.entity AS subj, 'coOccursWith' AS pred, b.entity AS obj,
+                   COUNT(*) AS support
+            FROM ents a JOIN ents b
+              ON a.doc_id = b.doc_id AND a.entity < b.entity
+            GROUP BY a.entity, b.entity
+        """,
+        "golden_fixture": """
+            SELECT * FROM (VALUES
+                ('Page', 'Jimmy_Page', 89471),
+                ('Kashmir', 'Kashmir_(song)', 55503),
+                ('Knebworth', 'Knebworth_Festival', 71834),
+                ('Les Paul', '--OOKBE--', 0)
+            ) AS t(mention, entity, score_1e5)
+        """,
+        "dedup_exact": """
+            SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_calc
+            FROM documents
+        """,
+        "quality": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ), stats AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_tokens,
+                       ROUND(AVG(length(tok)), 6) AS avg_token_len,
+                       ROUND(AVG(CASE WHEN tok IN ({_STOP_SQL}) THEN 1.0 ELSE 0.0 END), 6)
+                           AS stopword_ratio
+                FROM toks GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, avg_token_len, stopword_ratio FROM stats
+        """,
+        "lang_dist": "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+        "topk_tokens": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS token FROM documents
+            )
+            SELECT token, COUNT(*) AS n FROM toks
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "window_agg": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w,
+                   event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+                SELECT q.query,
+                       e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos_raw
+                FROM embeddings e CROSS JOIN q
+            ), ranked AS (
+                SELECT query, vec_id, cos_raw,
+                       ROW_NUMBER() OVER (PARTITION BY query
+                                          ORDER BY cos_raw DESC, vec_id ASC) AS rn
+                FROM scored
+            )
+            SELECT CAST(query AS INTEGER) AS query, vec_id,
+                   ROUND(cos_raw, 6) AS cosine
+            FROM ranked WHERE rn <= 10
+        """,
+        "fingerprint": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) // 2
+                        AS BIGINT) AS fingerprint
+            FROM documents
+        """,
+    }

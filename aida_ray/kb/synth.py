@@ -33,9 +33,12 @@ def _cap(w: str) -> str:
 
 def synth_kb(n_entities: int = 1000, seed: int = 42) -> KB:
     rng = np.random.default_rng(seed)
-    n_last = max(20, n_entities // 4)          # several entities share a last name
     first_pool = sorted({_cap(a + b) for a in _SYL_A for b in _SYL_B})
-    last_pool = sorted({_cap(b + a) for a in _SYL_A for b in _SYL_B})[:n_last]
+    last_pool = sorted({_cap(b + a) + c for c in ["", "son", "man", "ber", "ton", "field", "stad"]
+                        for a in _SYL_A for b in _SYL_B})
+    # several entities share a last name
+    n_last = min(max(20, n_entities // 4), len(last_pool))
+    last_pool = last_pool[:n_last]
     vocab = sorted({_word(rng) for _ in range(max(500, n_entities * 2))})
 
     entity2id: dict[str, int] = {"--OOKBE--": 1}

@@ -107,15 +107,27 @@ def generate_pages(kb: KB, n_pages: int, seed: int = 42,
 
 def write_corpus(out_dir: str, kb: KB, n_pages: int, seed: int = 42,
                  n_shards: int = 1) -> dict[str, str]:
-    """Write pages/gold parquet (one file per shard for resumable reads)."""
+    """Write pages/gold parquet (one file per shard for resumable reads).
+
+    Atomic: shards are written to a temp dir and renamed into place at
+    the end, so an interrupted run never leaves a partial corpus that a
+    cache check would mistake for complete.
+    """
+    import shutil
+
     pages_dir = os.path.join(out_dir, "pages")
     gold_dir = os.path.join(out_dir, "gold")
-    os.makedirs(pages_dir, exist_ok=True)
-    os.makedirs(gold_dir, exist_ok=True)
+    tmp_pages, tmp_gold = pages_dir + ".tmp", gold_dir + ".tmp"
+    for d in (tmp_pages, tmp_gold):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
     per = n_pages // n_shards
     for s in range(n_shards):
         n = per + (n_pages - per * n_shards if s == n_shards - 1 else 0)
         pages, gold = generate_pages(kb, n, seed=seed, shard=s)
-        pq.write_table(pages, os.path.join(pages_dir, f"shard-{s:05d}.parquet"))
-        pq.write_table(gold, os.path.join(gold_dir, f"shard-{s:05d}.parquet"))
+        pq.write_table(pages, os.path.join(tmp_pages, f"shard-{s:05d}.parquet"))
+        pq.write_table(gold, os.path.join(tmp_gold, f"shard-{s:05d}.parquet"))
+    for tmp, final in ((tmp_pages, pages_dir), (tmp_gold, gold_dir)):
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
     return {"pages": pages_dir, "gold": gold_dir}

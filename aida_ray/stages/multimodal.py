@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata struct
+(mime, width/height or sample rate, duration).  Decode / resize /
+frame-sample / feature-extract run as actor-pool ``map_batches`` stages
+with SMALL batch sizes (payload bytes dominate memory).  The decode
+kernels themselves are STUBBED — the image/audio libraries are not in
+this container — behind ``DecodeBackend``: the default deterministic
+fake derives stable pseudo-features from the payload bytes so the
+Ray-side plumbing (schema, batching, actor signature, output layout) is
+real and tested; swap in a real backend (PIL/torchaudio) per actor in
+production.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("mime", pa.string()),
+    ("payload", pa.binary()),
+    ("meta", pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                        ("duration_ms", pa.int32())])),
+])
+
+
+class DecodeBackend:
+    """Real decode backend interface. Implementations must be
+    constructible inside the actor (once) and stateless per call."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:  # (H, W, 3) uint8
+        raise NotImplementedError(
+            "no image codec in this environment — plug a PIL/The cv2 backend here")
+
+    def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
+        raise NotImplementedError("no video codec in this environment")
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic stand-in: pseudo-pixels seeded by the payload hash.
+
+    Keeps every downstream shape/dtype contract of a real decoder so
+    tests exercise the full pipeline."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        h, w = 32 + seed % 32, 32 + (seed >> 8) % 32
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
+        return [self.decode_image(payload + bytes([i])) for i in range(n)]
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode + feature-extract (mean/std per channel +
+    8x8 grayscale thumbnail-hash). Backend constructed once per actor."""
+
+    def __init__(self, backend: DecodeBackend | None = None):
+        self.backend = backend or FakeDecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, means, stds, phashes, widths, heights = [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            img = self.backend.decode_image(payload)
+            gray = img.mean(axis=2)
+            # 8x8 average hash
+            ys = np.linspace(0, img.shape[0], 9, dtype=int)
+            xs = np.linspace(0, img.shape[1], 9, dtype=int)
+            cells = np.array([[gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                               for j in range(8)] for i in range(8)])
+            bits = (cells > cells.mean()).flatten()
+            phash = int("".join("1" if b else "0" for b in bits), 2) >> 1
+            ids.append(mid)
+            means.append([float(img[..., c].mean()) for c in range(3)])
+            stds.append([float(img[..., c].std()) for c in range(3)])
+            phashes.append(phash)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "channel_mean": pa.array(means, pa.list_(pa.float64())),
+            "channel_std": pa.array(stds, pa.list_(pa.float64())),
+            "phash": pa.array(phashes, pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+        })
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (payload = pseudo bytes)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(200, 2000)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), pa.int64()),
+        "mime": pa.array(["image/fake"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array([{"width": 0, "height": 0, "duration_ms": 0}] * n,
+                         MEDIA_SCHEMA.field("meta").type),
+    })

@@ -1,0 +1,36 @@
+"""Driver-contract smoke tests for __ray_entry__ (sf0.001)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(SF), reason="no driver testdata")
+
+
+def test_entry_and_contract(ray_session):
+    import __ray_entry__ as E
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every query is callable; spot-run the cheap SQL-checked ones
+    for name in ["pages", "dict_lookup", "token_stats", "lang_dist",
+                 "golden_fixture"]:
+        t = qs[name](SF)
+        assert t.num_rows >= 0
+    g = qs["golden_fixture"](SF).to_pydict()
+    assert dict(zip(g["mention"], g["entity"])) == {
+        "Page": "Jimmy_Page", "Kashmir": "Kashmir_(song)",
+        "Knebworth": "Knebworth_Festival", "Les Paul": "--OOKBE--"}
+
+
+def test_entry_flagship(ray_session):
+    import __ray_entry__ as E
+    t = E.entry()
+    t = t.to_pandas() if hasattr(t, "to_pandas") else t
+    assert len(t) > 0
+    assert {"subj", "pred", "obj", "support"} <= set(t.columns)

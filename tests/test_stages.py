@@ -1,0 +1,152 @@
+"""Training-data operator tests: dedup, similarity search, text stats,
+multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+
+def _docs_ds(ray_session):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy dog",            # exact dup
+        "the quick brown fox jumps over the lazy cat",            # near dup
+        "completely different content about spark and tables",
+        "another unrelated document with its own words entirely",
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+
+
+def test_exact_dedup(ray_session):
+    from aida_ray.stages.dedup import exact_dedup
+    out = exact_dedup(_docs_ds(ray_session)).to_pandas()
+    assert len(out) == 4
+    rep = out[out["n_dups"] == 2]
+    assert list(rep["doc_id"]) == [0]
+
+
+def test_minhash_near_dup(ray_session):
+    from aida_ray.stages.dedup import minhash_lsh_pairs, minhash_dedup_clusters
+    pairs = minhash_lsh_pairs(_docs_ds(ray_session), num_hashes=64, bands=16,
+                              jaccard_threshold=0.6)
+    df = pairs.to_pandas()
+    got = set(zip(df["a"], df["b"]))
+    assert (0, 1) in got           # identical docs
+    assert (0, 2) in got or (1, 2) in got   # near dup
+    assert not any(a in (3, 4) or b in (3, 4) for a, b in got)
+    clusters = minhash_dedup_clusters(pairs)
+    assert clusters[1] == 0
+    assert clusters[2] == 0
+
+
+def test_simhash_similarity(ray_session):
+    from aida_ray.stages.dedup import SimHasher
+    sh = SimHasher()
+    a = sh.signature("the quick brown fox jumps over the lazy dog")
+    b = sh.signature("the quick brown fox jumps over the lazy cat")
+    c = sh.signature("completely different content about spark and tables")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_ngram_jaccard():
+    from aida_ray.stages.dedup import ngram_jaccard
+    assert ngram_jaccard("kashmir", "kashmir") == 1.0
+    assert ngram_jaccard("kashmir", "cashmere") < 0.5
+    assert ngram_jaccard("abc", "xyz") == 0.0
+
+
+def test_knn_bruteforce_exact(ray_session):
+    from aida_ray.stages.knn import knn_topk
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((100, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(100), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    out = knn_topk(ds, vecs[:2], k=5).to_pandas()
+    assert len(out) == 10
+    # self is always the top hit
+    top0 = out[out["query"] == 0].iloc[0]
+    assert top0["vec_id"] == 0
+    assert top0["cosine"] == pytest.approx(1.0, abs=1e-9)
+    # verify against numpy brute force
+    normed = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = normed @ normed[0]
+    expect = set(np.argsort(-sims)[:5].tolist())
+    assert set(out[out["query"] == 0]["vec_id"]) == expect
+
+
+def test_ivf_recall(ray_session):
+    from aida_ray.stages.knn import ivf_topk, knn_topk
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((300, 16))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    exact = knn_topk(ds, vecs[:2], k=10).to_pandas()
+    approx = ivf_topk(ds, vecs[:2], k=10, n_cells=8, n_probe=4).to_pandas()
+    for q in (0, 1):
+        e = set(exact[exact["query"] == q]["vec_id"])
+        a = set(approx[approx["query"] == q]["vec_id"])
+        assert len(e & a) / len(e) >= 0.5   # probing 4/8 cells
+    # self always survives probing (its own cell is the nearest)
+    assert 0 in set(approx[approx["query"] == 0]["vec_id"])
+
+
+def test_textstats(ray_session):
+    from aida_ray.stages.textstats import (LangId, fingerprint_batch,
+                                           quality_batch, token_count_batch)
+    t = pa.table({"text": pa.array(["the cat and the dog", "einzeln und die der nicht ist"])})
+    out = token_count_batch(t)
+    assert out["n_tokens"].to_pylist() == [5, 6]
+    out = quality_batch(t)
+    assert out["stopword_ratio"].to_pylist()[0] == pytest.approx(3 / 5)
+    li = LangId()
+    out = li(t)
+    assert out["lang_pred"].to_pylist() == ["en", "de"]
+    f1 = fingerprint_batch(t)["fingerprint"].to_pylist()
+    f2 = fingerprint_batch(t)["fingerprint"].to_pylist()
+    assert f1 == f2
+
+
+def test_multimodal_features(ray_session):
+    from aida_ray.stages.multimodal import (FakeDecodeBackend, ImageFeatures,
+                                            make_media_table)
+    t = make_media_table(6)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                         batch_size=2, concurrency=2, num_cpus=1).to_pandas()
+    assert len(out) == 6
+    assert set(out.columns) == {"media_id", "channel_mean", "channel_std",
+                                "phash", "width", "height"}
+    # deterministic features
+    out2 = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=3, concurrency=1, num_cpus=1).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert (a["phash"] == b["phash"]).all()
+    # real backend interface is stubbed
+    with pytest.raises(NotImplementedError):
+        from aida_ray.stages.multimodal import DecodeBackend
+        DecodeBackend().decode_image(b"")
+
+
+def test_embedding_near_dup(ray_session):
+    from aida_ray.stages.dedup import embedding_near_dup_pairs
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((5, 8))
+    vecs = np.vstack([base, base[0] + 1e-6 * rng.standard_normal(8)])
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }))
+    out = embedding_near_dup_pairs(ds, cosine_threshold=0.999).to_pandas()
+    assert (0, 5) in set(zip(out["a"], out["b"]))
