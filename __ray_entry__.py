@@ -47,6 +47,16 @@ def _emb_table(sf_dir: str) -> pa.Table:
     return pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _pool(cap: int = 24) -> int:
+    """Actor-pool size: leave >= 2 CPUs for read/aggregate stages (a pool
+    sized to every CPU starves them and the pipeline stalls)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    return max(1, min(cap, cpus - 2))
+
+
 def _collect(ds: ray.data.Dataset) -> pa.Table:
     tabs = [ray.get(r) for r in ds.to_arrow_refs()]
     nonempty = [t for t in tabs if t.num_rows > 0]
@@ -77,7 +87,7 @@ def _kg_cache(sf_dir: str):
                    for f in os.listdir(pages_dir) if f.endswith(".parquet"))
     if have != n_docs:
         write_corpus(cache, kb, n_pages=n_docs, seed=42,
-                     n_shards=max(1, n_docs // 2000))
+                     n_shards=max(1, n_docs // 1000))
     return kb, pages_dir, os.path.join(cache, "gold")
 
 
@@ -259,7 +269,7 @@ def q_langid(sf_dir: str) -> pa.Table:
     """Heuristic language-ID distribution (no SQL oracle — rows-only)."""
     from aida_ray.stages.textstats import LangId
     ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
-                                   concurrency=2, num_cpus=1)
+                                   concurrency=min(2, _pool()), num_cpus=1)
     t = _collect(ds)
     import pandas as pd
     s = pd.Series(t["lang_pred"].to_pylist()).value_counts().sort_index()
@@ -343,7 +353,7 @@ def q_simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document (rows-only; deterministic)."""
     from aida_ray.stages.dedup import SimHasher
     ds = _docs(sf_dir).map_batches(SimHasher, batch_format="pyarrow",
-                                   concurrency=2, num_cpus=1)
+                                   concurrency=min(2, _pool()), num_cpus=1)
     return _collect(ds).select(["doc_id", "simhash"])
 
 
@@ -372,7 +382,7 @@ def q_kg_triples(sf_dir: str) -> pa.Table:
     from aida_ray.state.broadcast import put_kb
     kb, pages_dir, _gold = _kg_cache(sf_dir)
     triples = link_pages(read_pages(pages_dir), put_kb(kb),
-                         concurrency=4, batch_size=32)
+                         concurrency=_pool(), batch_size=64)
     t = _collect(dedup_triples(triples)).to_pandas()
     return pa.Table.from_pandas(
         t.sort_values(["subj", "pred", "obj"]).reset_index(drop=True),
@@ -385,7 +395,7 @@ def q_kg_canonical(sf_dir: str) -> pa.Table:
     from aida_ray.state.broadcast import put_kb
     kb, pages_dir, _gold = _kg_cache(sf_dir)
     triples = link_pages(read_pages(pages_dir), put_kb(kb),
-                         concurrency=4, batch_size=32)
+                         concurrency=_pool(), batch_size=64)
     t = _collect(canonicalize_entities(triples)).to_pandas()
     t["score_sum"] = t["score_sum"].round(6)
     return pa.Table.from_pandas(

@@ -53,10 +53,84 @@ def jaccard_inlinks(kb: KB, a: int, b: int) -> float:
     return overlap / union if union else 0.0
 
 
+def _combined_kw_weight(kb: KB, eid: int, kw: int, alpha: float = 0.5) -> float:
+    """α·MI + (1-α)·IDF (FastWeightedKeyphrasesContext.java:165-170)."""
+    return alpha * kb.kw_mi.get(eid, {}).get(kw, 0.0) + \
+        (1.0 - alpha) * kb.kw_idf.get(kw, 0.0)
+
+
+def _kp_weight(kb: KB, eid: int, kp: int, alpha: float = 0.5) -> float:
+    """Combined keyphrase weight: α·NPMI + (1-α)·IDF over keyphrase DF."""
+    from aida_ray.kb.kb import compute_npmi
+    e_count = kb.entity_sizes.get(eid, 0)
+    kp_count = kb.kp_df.get(kp, 0)
+    ic = kb.e_kp_count.get(eid, {}).get(kp, 0)
+    npmi = 0.0
+    if e_count and kp_count:
+        npmi = max(0.0, compute_npmi(e_count, kp_count, ic, kb.collection_size))
+    idf = math.log2(kb.collection_size // kp_count) if kp_count else 0.0
+    return alpha * npmi + (1.0 - alpha) * idf
+
+
+def kore(kb: KB, a: int, b: int) -> float:
+    """KORE keyphrase-overlap coherence: two-level weighted Jaccard
+    (KOREEntityEntitySimilarityMeasure.java:30-113):
+      per overlapping keyphrase pair: kpWeight · jaccard², where
+      jaccard = Σ min-kw-weights over shared keywords / (sumA + sumB - shared);
+      normalized by the total keyphrase weight of both entities."""
+    kps_a = kb.entity_kps.get(a, [])
+    kps_b = kb.entity_kps.get(b, [])
+    if not kps_a or not kps_b:
+        return 0.0
+    kw2kp_b: dict[int, list[int]] = {}
+    for kp in kps_b:
+        for kw in kb.kp_tokens.get(kp, ()):
+            kw2kp_b.setdefault(kw, []).append(kp)
+    # overlapping keyphrase pairs via shared keywords
+    overlapping: dict[int, set[int]] = {}
+    for kp in kps_a:
+        for kw in kb.kp_tokens.get(kp, ()):
+            for kpb in kw2kp_b.get(kw, ()):
+                overlapping.setdefault(kp, set()).add(kpb)
+    n = 0.0
+    for kp_a, kpbs in overlapping.items():
+        toks_a = set(kb.kp_tokens.get(kp_a, ()))
+        sum_a = sum(_combined_kw_weight(kb, a, t) for t in toks_a)
+        for kp_b in kpbs:
+            toks_b = set(kb.kp_tokens.get(kp_b, ()))
+            shared = toks_a & toks_b
+            psimn = sum(min(_combined_kw_weight(kb, a, t),
+                            _combined_kw_weight(kb, b, t)) for t in shared)
+            sum_b = sum(_combined_kw_weight(kb, b, t) for t in toks_b)
+            psimd = sum_a + sum_b - psimn
+            if psimd != 0.0:
+                kp_weight = min(_kp_weight(kb, a, kp_a), _kp_weight(kb, b, kp_b))
+                n += kp_weight * (psimn / psimd) ** 2
+    denom = sum(_kp_weight(kb, a, kp) for kp in kps_a) + \
+        sum(_kp_weight(kb, b, kp) for kp in kps_b)
+    return n / denom if denom > 0 else 0.0
+
+
+def keyword_cosine(kb: KB, a: int, b: int) -> float:
+    """Cosine over combined-weight keyword vectors
+    (KeywordCosineEntityEntitySimilarity, SURVEY C7)."""
+    kw_a = kb.e_kw_count.get(a, {})
+    kw_b = kb.e_kw_count.get(b, {})
+    if not kw_a or not kw_b:
+        return 0.0
+    dot = sum(_combined_kw_weight(kb, a, t) * _combined_kw_weight(kb, b, t)
+              for t in kw_a.keys() & kw_b.keys())
+    na = math.sqrt(sum(_combined_kw_weight(kb, a, t) ** 2 for t in kw_a))
+    nb = math.sqrt(sum(_combined_kw_weight(kb, b, t) ** 2 for t in kw_b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
 _MEASURES = {
     "milnewitten": milne_witten,
     "inlink_overlap": inlink_overlap,
     "jaccard": jaccard_inlinks,
+    "kore": kore,
+    "keyword_cosine": keyword_cosine,
 }
 
 

@@ -35,22 +35,36 @@ class ResultMention:
 
 
 def prepare_document(doc_id: str, text: str, kb: KB,
-                     settings: DisambiguationSettings) -> PreparedDoc:
+                     settings: DisambiguationSettings,
+                     injected_manual=None) -> PreparedDoc:
     doc = prepare(doc_id, text, kb, detection=settings.mention_detection,
-                  min_mention_occurrence=settings.min_mention_occurrence)
+                  min_mention_occurrence=settings.min_mention_occurrence,
+                  injected_manual=injected_manual)
     fill_candidates(doc.mentions, kb, settings)
     return doc
 
 
 def fill_candidates(mentions: list[Mention], kb: KB,
                     settings: DisambiguationSettings) -> None:
-    """EntityLookupManager.fillInCandidateEntities (EntityLookup.java:85-156)."""
+    """EntityLookupManager.fillInCandidateEntities (EntityLookup.java:85-156);
+    fuzzy LSH fallback when enabled (EntityLookup.java:159-233)."""
+    fuzzy = None
+    if settings.fuzzy_lookup:
+        fuzzy = getattr(kb, "_fuzzy_index", None)
+        if fuzzy is None:
+            from aida_ray.ned.external import FuzzyLookup
+            fuzzy = FuzzyLookup(kb)
+            kb._fuzzy_index = fuzzy  # built once per process (A7 state)
     for m in mentions:
         conflated = conflate_token(m.normalized())
         m.candidates = kb.candidates(
             conflated, settings.max_entity_rank,
             settings.max_candidates_per_mention_by_prior)
         m.priors = kb.priors(conflated)
+        if not m.candidates and fuzzy is not None:
+            m.candidates = fuzzy.lookup(m.normalized(),
+                                        settings.fuzzy_min_similarity)
+            m.priors = dict(m.candidates)
 
 
 def _local_disambiguate(kb: KB, doc: PreparedDoc, settings: DisambiguationSettings
@@ -125,13 +139,59 @@ def person_merge(results: list[ResultMention]) -> None:
 
 def disambiguate_document(doc_id: str, text: str, kb: KB,
                           settings: DisambiguationSettings | None = None,
-                          seed: int | None = None) -> list[ResultMention]:
+                          seed: int | None = None,
+                          external: tuple[dict, dict] | None = None
+                          ) -> list[ResultMention]:
     """Run the configured technique over one document. Deterministic for a
     given (doc_id, text, settings) — the hill-climbing seed defaults to the
-    settings seed so Ray task retries reproduce identical output."""
+    settings seed so Ray task retries reproduce identical output.
+
+    Multi-chunk documents (settings.chunker != "single") are split, each
+    chunk disambiguated independently (the reference's chunk thread pool,
+    Disambiguator.java:110-128) and merged by surface-form score
+    aggregation (ResultsReconciler semantics)."""
     settings = settings or DisambiguationSettings()
     seed = settings.hill_climbing_seed if seed is None else seed
-    doc = prepare_document(doc_id, text, kb, settings)
+    if external is not None:
+        # J5: user-supplied dictionary + keyphrases merged into a
+        # per-call KB view (ExternalEntitiesContext semantics)
+        from aida_ray.ned.external import kb_with_external
+        kb = kb_with_external(kb, external[0], external[1] if len(external) > 1 else {})
+    if settings.chunker != "single":
+        from dataclasses import replace
+
+        from aida_ray.ned.chunking import CHUNKERS
+        from aida_ray.ned.doc import manual_filter
+        # strip markup ONCE so chunk offsets live in cleaned-text
+        # coordinates; manual mentions are re-injected per chunk
+        cleaned, manual = manual_filter(text)
+        chunks = CHUNKERS[settings.chunker](
+            cleaned, sentences_per_chunk=settings.sentences_per_chunk)
+        if len(chunks) > 1:
+            sub = replace(settings, chunker="single")
+            per_chunk = []
+            for i, (chunk_text, offset) in enumerate(chunks):
+                inj = []
+                for m in manual:
+                    if offset <= m.char_offset and \
+                            m.char_offset + m.char_length <= offset + len(chunk_text):
+                        from aida_ray.ned.doc import Mention
+                        inj.append(Mention(m.mention, m.char_offset - offset,
+                                           m.char_length, manual=True))
+                rs = _disambiguate_single(f"{doc_id}_{i}", chunk_text, kb,
+                                          sub, seed, inj)
+                for r in rs:
+                    r.char_offset += offset
+                per_chunk.append(rs)
+            return reconcile_chunks(per_chunk)
+        text = cleaned  # single chunk: markup already stripped
+    return _disambiguate_single(doc_id, text, kb, settings, seed)
+
+
+def _disambiguate_single(doc_id: str, text: str, kb: KB,
+                         settings: DisambiguationSettings, seed: int,
+                         injected_manual=None) -> list[ResultMention]:
+    doc = prepare_document(doc_id, text, kb, settings, injected_manual)
     if settings.technique == "prior":
         results = _prior_disambiguate(kb, doc, settings)
     elif settings.technique == "local":
@@ -173,4 +233,5 @@ def reconcile_chunks(chunk_results: list[list[ResultMention]]) -> list[ResultMen
             best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
             out.append(ResultMention(r.mention, r.char_offset, r.char_length,
                                      best[0], best[1], r.sentence))
+    out.sort(key=lambda r: (r.char_offset, r.char_length))
     return out

@@ -164,9 +164,17 @@ def hybrid_merge(manual: list[Mention], automatic: list[Mention]) -> list[Mentio
 
 
 def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
-            min_mention_occurrence: int = 1) -> PreparedDoc:
-    """Full preparation: markup filter → tokenize → tag → align → context ids."""
+            min_mention_occurrence: int = 1,
+            injected_manual: list[Mention] | None = None) -> PreparedDoc:
+    """Full preparation: markup filter → tokenize → tag → align → context ids.
+
+    ``injected_manual`` supplies pre-parsed manual mentions (already in
+    cleaned-text coordinates) — used by the chunked path, where markup is
+    stripped once for the whole document before chunking."""
     cleaned, manual = manual_filter(raw_text)
+    if injected_manual:
+        manual = manual + [Mention(m.mention, m.char_offset, m.char_length,
+                                   manual=True) for m in injected_manual]
     tokens = tokenize(cleaned)
     manual = align_mentions_to_tokens(manual, tokens)
     if detection == "manual":

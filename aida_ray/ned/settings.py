@@ -78,6 +78,10 @@ class DisambiguationSettings:
     person_merge: bool = False
     min_mention_occurrence: int = 1
     mention_detection: str = "hybrid"  # "manual" | "automatic" | "hybrid"
+    chunker: str = "single"            # "single" | "fixed" | "paragraph" (M12)
+    sentences_per_chunk: int = 5
+    fuzzy_lookup: bool = False         # J2: LSH fallback when no exact hit
+    fuzzy_min_similarity: float = 0.7
     max_candidates_for_graph: int = 0  # 0 = unlimited (GraphGenerator.java:59-77)
     hill_climbing_max_exhaustive: int = 1000
     hill_climbing_seed: int = 1337     # GreedyHillClimbing.java Random(1337)
