@@ -240,10 +240,13 @@ class _DegreeHeap:
 
 
 def cocktail_party(g: DocGraph, settings: DisambiguationSettings,
-                   size_constrained: bool, seed: int
+                   size_constrained: bool, seed: int,
+                   skip_initial_pruning: bool = False
                    ) -> dict[int, tuple[int, float]]:
     """Run the greedy dense-subgraph algorithm on a built DocGraph.
 
+    ``skip_initial_pruning`` is the SimpleGreedy variant
+    (graph/algorithms/SimpleGreedy.java — no distance pruning).
     Returns mention_idx -> (entity_id or -1 for OOKBE, score).
     """
     gs = settings.graph
@@ -358,7 +361,9 @@ def cocktail_party(g: DocGraph, settings: DisambiguationSettings,
         best_removed = list(removed)
 
     # -- initial distance-based pruning (iteration 1)
-    if size_constrained:
+    if skip_initial_pruning:
+        pass
+    elif size_constrained:
         _prune_size_constrained(pruned, removed, mention_degrees, removable,
                                 not_removable, nr_heap, mark_not_removable,
                                 decrement_entity,
@@ -423,6 +428,7 @@ def cocktail_party(g: DocGraph, settings: DisambiguationSettings,
     extra_needed = any(d > 1 for d in best_mention_degrees.values())
     mention_nodes = list(best_mention_degrees.keys())
 
+    graph_mapping: dict[int, int] = {}
     if not extra_needed:
         all_close: dict[int, list[float]] = {}
         for mn in mention_nodes:
@@ -431,6 +437,7 @@ def cocktail_party(g: DocGraph, settings: DisambiguationSettings,
             m_idx = pruned.node_data[mn]
             if pruned.outdegree(mn) == 0:
                 solution[m_idx] = (-1, 0.0)
+                graph_mapping[mn] = -1
                 continue
             assigned = False
             for en, w in pruned.succ[mn].items():
@@ -444,9 +451,11 @@ def cocktail_party(g: DocGraph, settings: DisambiguationSettings,
                     if others:
                         avg_close /= len(others)
                     solution[m_idx] = (pruned.node_data[en], w + avg_close)
+                    graph_mapping[mn] = en
                     assigned = True
             if not assigned:
                 solution[m_idx] = (-1, 0.0)
+                graph_mapping[mn] = -1
     else:
         for i in range(len(pruned_removed)):
             pruned.removed[i] = pruned_removed[i]
@@ -460,10 +469,24 @@ def cocktail_party(g: DocGraph, settings: DisambiguationSettings,
         for mn in mention_nodes:
             m_idx = pruned.node_data[mn]
             en = mapping.get(mn, -1)
+            graph_mapping[mn] = en
             if en != -1:
                 solution[m_idx] = (pruned.node_data[en], pruned.succ[mn].get(en, 0.0))
             else:
                 solution[m_idx] = (-1, 0.0)
+
+    if settings.compute_confidence:
+        # C12: replace scores with estimated confidences
+        # (CocktailParty.java:387-395, createConfidenceSolution:584-610)
+        from aida_ray.ned.confidence import estimate_confidence
+        conf = estimate_confidence(pruned, graph_mapping, settings)
+        for mn, en in graph_mapping.items():
+            m_idx = pruned.node_data[mn]
+            if en == -1:
+                solution[m_idx] = (-1, 0.95)   # OOKBE default confidence
+            else:
+                solution[m_idx] = (pruned.node_data[en],
+                                   conf.get(mn, {}).get(en, 0.0))
 
     return solution
 

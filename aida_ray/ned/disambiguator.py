@@ -112,7 +112,9 @@ def _graph_disambiguate(kb: KB, doc: PreparedDoc, settings: DisambiguationSettin
                         seed: int) -> list[ResultMention]:
     g = build_graph(kb, doc, doc.mentions, settings)
     size_constrained = settings.algorithm == "cocktail_party_size_constrained"
-    sol = cocktail_party(g, settings, size_constrained, seed)
+    skip_pruning = settings.algorithm == "simple_greedy"
+    sol = cocktail_party(g, settings, size_constrained, seed,
+                         skip_initial_pruning=skip_pruning)
     results = []
     for i, m in enumerate(doc.mentions):
         eid, score = sol.get(i, (-1, 0.0))

@@ -82,6 +82,11 @@ class DisambiguationSettings:
     sentences_per_chunk: int = 5
     fuzzy_lookup: bool = False         # J2: LSH fallback when no exact hit
     fuzzy_min_similarity: float = 0.7
+    # C12 confidence estimation (config/settings/ConfidenceSettings.java)
+    confidence_balance: float = 1.0    # local vs coherence mix
+    mention_flip_percentage: float = 0.66
+    iterations_per_mention: int = 1000
+    confidence_score_type: str = "weighted_degree"  # or "local"
     max_candidates_for_graph: int = 0  # 0 = unlimited (GraphGenerator.java:59-77)
     hill_climbing_max_exhaustive: int = 1000
     hill_climbing_seed: int = 1337     # GreedyHillClimbing.java Random(1337)

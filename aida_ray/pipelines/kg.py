@@ -202,36 +202,46 @@ def canonicalize_entities(triples: ray.data.Dataset,
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["pred"], "mentionedIn"))
         if t.num_rows == 0:
-            return pa.table({"entity": pa.array([], pa.string()),
-                             "salt": pa.array([], pa.int32()),
+            return pa.table({"skey": pa.array([], pa.string()),
                              "mention_count": pa.array([], pa.int64()),
                              "page_count": pa.array([], pa.int64()),
                              "score_sum": pa.array([], pa.float64())})
         df = t.select(["subj", "obj", "score"]).to_pandas()
-        grouped = df.groupby("subj").agg(
+        grouped = df.groupby("subj", sort=False).agg(
             mention_count=("obj", "size"),
             page_count=("obj", "nunique"),
             score_sum=("score", "sum")).reset_index()
-        ent = pa.array(grouped["subj"], pa.string())
+        salts = _salt_of(pa.array(grouped["subj"], pa.string()), n_salts)
+        # pack (entity, salt) into one key — Ray's sort shuffle is far
+        # faster on a single column than on multi-column string keys
+        skey = grouped["subj"] + "\x1f" + salts.astype(str)
         return pa.table({
-            "entity": ent,
-            "salt": pa.array(_salt_of(ent, n_salts), pa.int32()),
+            "skey": pa.array(skey, pa.string()),
             "mention_count": pa.array(grouped["mention_count"], pa.int64()),
             "page_count": pa.array(grouped["page_count"], pa.int64()),
             "score_sum": pa.array(grouped["score_sum"], pa.float64()),
         })
 
-    partials = triples.map_batches(partial, batch_format="pyarrow")
-    phase1 = partials.groupby(["entity", "salt"]).sum(
+    partials = triples.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+    phase1 = partials.groupby("skey").sum(
         ["mention_count", "page_count", "score_sum"])
-    phase2 = phase1.groupby("entity").sum(
-        ["sum(mention_count)", "sum(page_count)", "sum(score_sum)"])
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(
-            ["entity", "mention_count", "page_count", "score_sum"])
+    def unsalt(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["skey", "mention_count", "page_count",
+                                  "score_sum"])
+        ent = pc.list_element(pc.split_pattern(b["skey"], "\x1f"), 0)
+        return pa.table({"entity": ent,
+                         "mention_count": b["mention_count"],
+                         "page_count": b["page_count"],
+                         "score_sum": b["score_sum"]})
 
-    return phase2.map_batches(rename, batch_format="pyarrow")
+    phase2 = phase1.map_batches(unsalt, batch_format="pyarrow") \
+        .groupby("entity").sum(["mention_count", "page_count", "score_sum"])
+    return phase2.map_batches(
+        lambda b: b.rename_columns(
+            ["entity", "mention_count", "page_count", "score_sum"]),
+        batch_format="pyarrow")
 
 
 def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
@@ -243,17 +253,27 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["subj", "pred", "obj", "score"]).to_pandas()
-        g = df.groupby(["subj", "pred", "obj"]).agg(
-            support=("score", "size"), max_score=("score", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = df.groupby(["subj", "pred", "obj"], sort=False).agg(
+            support=("score", "size")).reset_index()
+        # single packed key: multi-column string sort keys are ~2x slower
+        # through Ray's shuffle
+        key = g["subj"] + "\x1f" + g["pred"] + "\x1f" + g["obj"]
+        return pa.table({"key": pa.array(key, pa.string()),
+                         "support": pa.array(g["support"], pa.int64())})
 
-    partials = triples.map_batches(partial, batch_format="pyarrow")
-    agg = partials.groupby(["subj", "pred", "obj"]).sum(["support"])
+    partials = triples.map_batches(partial, batch_format="pyarrow",
+                                   batch_size=None)
+    agg = partials.groupby("key").sum(["support"])
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["subj", "pred", "obj", "support"])
+    def unpack(batch: pa.Table) -> pa.Table:
+        b = batch.rename_columns(["key", "support"])
+        parts = pc.split_pattern(b["key"], "\x1f")
+        return pa.table({"subj": pc.list_element(parts, 0),
+                         "pred": pc.list_element(parts, 1),
+                         "obj": pc.list_element(parts, 2),
+                         "support": b["support"]})
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    return agg.map_batches(unpack, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ end-to-end

@@ -44,6 +44,42 @@ def test_cocktail_party_golden_scores(fixture_kb):
     assert res["Les Paul"].score == pytest.approx(0.0, abs=1e-5)
 
 
+def test_cocktail_party_confidence(fixture_kb):
+    """CocktailPartyTest.testCocktailPartyConfidence (confidenceBalance=1.0):
+    all linked mentions 1.0, OOKBE 0.95."""
+    res = _mapping(disambiguate_document(
+        "d1", TEXT, fixture_kb,
+        cocktail_party_settings(algorithm="cocktail_party",
+                                compute_confidence=True,
+                                confidence_balance=1.0)))
+    assert res["Page"].entity == "Jimmy_Page"
+    assert res["Page"].score == pytest.approx(1.0, abs=1e-5)
+    assert res["Kashmir"].entity == "Kashmir_(song)"
+    assert res["Kashmir"].score == pytest.approx(1.0, abs=1e-5)
+    assert res["Knebworth"].entity == "Knebworth_Festival"
+    assert res["Knebworth"].score == pytest.approx(1.0, abs=1e-5)
+    assert res["Les Paul"].entity == OOKBE
+    assert res["Les Paul"].score == pytest.approx(0.95, abs=1e-5)
+
+
+def test_confidence_sampling_path(fixture_kb):
+    """balance < 1 exercises the graph-perturbation sampling (C12)."""
+    res = _mapping(disambiguate_document(
+        "d1", TEXT, fixture_kb,
+        cocktail_party_settings(algorithm="cocktail_party",
+                                compute_confidence=True,
+                                confidence_balance=0.5)))
+    assert res["Page"].entity == "Jimmy_Page"
+    assert 0.0 <= res["Page"].score <= 1.0
+    # deterministic across runs (seeded RNG)
+    res2 = _mapping(disambiguate_document(
+        "d1", TEXT, fixture_kb,
+        cocktail_party_settings(algorithm="cocktail_party",
+                                compute_confidence=True,
+                                confidence_balance=0.5)))
+    assert res["Page"].score == res2["Page"].score
+
+
 def test_no_max_entity_rank(fixture_kb):
     """DisambiguatorTest.testNoMaxEntityRank: rank -0.1 -> everything OOKBE."""
     res = _mapping(disambiguate_document(
