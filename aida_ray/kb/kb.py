@@ -110,6 +110,9 @@ class KB:
     kw_idf: dict[int, float] = field(default_factory=dict)             # kw -> IDF
     stop_ids: frozenset[int] = frozenset()
     mention_max_tokens: int = 1
+    entity_keywords: dict[int, frozenset[int]] = field(default_factory=dict)
+    inlink_sets: dict[int, frozenset[int]] = field(default_factory=dict)
+    _mw_cache: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------ build
     def finalize(self) -> "KB":
@@ -142,6 +145,26 @@ class KB:
         if self.dictionary:
             self.mention_max_tokens = max(
                 (m.count(" ") + 1 for m in self.dictionary), default=1)
+        # per-entity keyword universe (tokens + expansions, stopwords out)
+        # — lets the similarity kernel skip entities/keyphrases with no
+        # possible match against a document's word set
+        self.entity_keywords = {}
+        for eid, kps in self.entity_kps.items():
+            kws: set[int] = set()
+            for kp in kps:
+                for t in self.kp_tokens.get(kp, ()):
+                    if t in self.stop_ids:
+                        continue
+                    kws.add(t)
+                    exp = self.expansions.get(t)
+                    if exp:
+                        kws.add(exp)
+            self.entity_keywords[eid] = frozenset(kws)
+        # small sorted inlink arrays intersect faster as python sets;
+        # plus a per-process memo for pair similarities (entity pairs
+        # recur across documents within an actor)
+        self.inlink_sets = {e: frozenset(v.tolist()) for e, v in self.inlinks.items()}
+        self._mw_cache = {}
         return self
 
     # ------------------------------------------------------------ accessors

@@ -16,21 +16,28 @@ from aida_ray.kb.kb import KB
 
 
 def milne_witten(kb: KB, a: int, b: int) -> float:
-    """1 - (log(max) - log(overlap)) / (log(N) - log(min)), clamped to 0."""
-    ia = kb.inlinks.get(a)
-    ib = kb.inlinks.get(b)
-    if ia is None or ib is None or len(ia) == 0 or len(ib) == 0:
-        return 0.0
-    overlap = np.intersect1d(ia, ib, assume_unique=True).size
-    if overlap == 0:
-        return 0.0
-    size_a, size_b = len(ia), len(ib)
-    mx, mn = (size_a, size_b) if size_a >= size_b else (size_b, size_a)
-    distance = (math.log(mx) - math.log(overlap)) / \
-               (math.log(kb.collection_size) - math.log(mn))
-    if distance > 1.0:
-        return 0.0
-    return 1.0 - distance
+    """1 - (log(max) - log(overlap)) / (log(N) - log(min)), clamped to 0.
+
+    Pair results are memoized per process — candidate entity pairs recur
+    across the documents one actor handles."""
+    key = (a, b) if a <= b else (b, a)
+    cached = kb._mw_cache.get(key)
+    if cached is not None:
+        return cached
+    ia = kb.inlink_sets.get(a)
+    ib = kb.inlink_sets.get(b)
+    sim = 0.0
+    if ia and ib:
+        overlap = len(ia & ib)
+        if overlap:
+            size_a, size_b = len(ia), len(ib)
+            mx, mn = (size_a, size_b) if size_a >= size_b else (size_b, size_a)
+            distance = (math.log(mx) - math.log(overlap)) / \
+                       (math.log(kb.collection_size) - math.log(mn))
+            sim = 0.0 if distance > 1.0 else 1.0 - distance
+    if len(kb._mw_cache) < 2_000_000:
+        kb._mw_cache[key] = sim
+    return sim
 
 
 def inlink_overlap(kb: KB, a: int, b: int) -> float:

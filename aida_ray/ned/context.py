@@ -22,7 +22,7 @@ class InvertedIndex:
     unknown ids collide with the Trove no-entry value.
     """
 
-    __slots__ = ("incl", "excl")
+    __slots__ = ("incl", "excl", "word_set")
 
     def __init__(self, token_ids: list[int], stop_ids: frozenset[int]):
         self.incl: dict[int, list[int]] = {}
@@ -33,6 +33,7 @@ class InvertedIndex:
             if tok not in stop_ids:
                 self.excl.setdefault(tok, []).append(no_stop_pos)
                 no_stop_pos += 1
+        self.word_set = frozenset(self.excl)
 
     def contains_word(self, word: int, m_start: int, m_end: int) -> bool:
         """Word present (non-stop) with >=1 occurrence outside the mention span."""

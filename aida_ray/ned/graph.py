@@ -156,10 +156,16 @@ def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
             len(all_entities) > settings.max_candidates_for_graph:
         raise MaximumGraphSizeExceeded(str(len(all_entities)))
 
+    # One matching pass shared by the coherence-robustness and main
+    # ensembles (weights differ, matches don't).
+    from aida_ray.ned.similarity import DocMatcher
+    matcher = DocMatcher(kb, doc)
+
     # Coherence-robustness L1 distances (GraphGenerator.java:354-388).
     mention_l1: dict[int, float] = {}
     if gs.use_coherence_robustness_test:
-        cohrob = EnsembleSimilarity(kb, doc, mentions, gs.coherence_similarity)
+        cohrob = EnsembleSimilarity(kb, doc, mentions, gs.coherence_similarity,
+                                    matcher)
         for i, m in enumerate(mentions):
             priors = {eid: m.priors.get(eid, 0.0) for eid, _ in m.candidates}
             sims = _normalize_to_sum(
@@ -167,7 +173,7 @@ def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
             mention_l1[i] = sum(abs(p - sims.get(eid, 0.0))
                                 for eid, p in priors.items())
 
-    main = EnsembleSimilarity(kb, doc, mentions, settings.similarity)
+    main = EnsembleSimilarity(kb, doc, mentions, settings.similarity, matcher)
 
     local_sims: dict[int, dict[int, float]] = {}
     final_candidates: dict[int, list[int]] = {}

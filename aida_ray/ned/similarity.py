@@ -26,38 +26,46 @@ def log_damping(value: float, damping: float) -> float:
     return math.log(value * damping + 1.0) / math.log(damping + 1.0)
 
 
-def keyphrase_similarity(kb: KB, index: InvertedIndex, mention: Mention,
-                         eid: int, kind: str,
-                         use_distance_discount: bool = False,
-                         doc_len: int = 0) -> float:
-    """Sum of per-keyphrase scores for one (mention, entity) pair."""
+class KeyphraseMatch:
+    """Weight-independent match structure for one (mention, entity, kp):
+    the matched-keyword set, intersection size and min-cover length are
+    identical for every measure kind — computed once, scored many times."""
+
+    __slots__ = ("all_kws", "matched_kws", "isec", "mc_len",
+                 "mc_starts", "mc_ends")
+
+    def __init__(self, all_kws, matched_kws, isec, mc):
+        self.all_kws = all_kws          # non-stop keyword ids of the kp
+        self.matched_kws = matched_kws  # subset that matched the context
+        self.isec = isec                # number of matched position lists
+        self.mc_len = mc.length
+        self.mc_starts = mc.start_positions
+        self.mc_ends = mc.end_positions
+
+
+def match_keyphrases(kb: KB, index: InvertedIndex, mention: Mention,
+                     eid: int) -> list[KeyphraseMatch]:
+    """All keyphrases of ``eid`` with >=1 keyword matching the context
+    outside the mention span (KeyphrasesBasedMESim.java:124-175)."""
     kps = kb.entity_kps.get(eid)
     if not kps:
-        return 0.0
-    if kind == "mi":
-        kw_scores = kb.kw_mi.get(eid, {})
-
-        def score_of(kw: int) -> float:
-            return kw_scores.get(kw, 0.0)
-    else:  # idf
-        idf = kb.kw_idf
-
-        def score_of(kw: int) -> float:
-            return idf.get(kw, 0.0)
-
+        return []
+    # cheap pre-filter: skip entities whose keyword universe (incl.
+    # expansions) never appears in the document — safe because an
+    # unmatched keyphrase always contributes 0.
+    ekw = kb.entity_keywords.get(eid)
+    if ekw is not None and index.word_set.isdisjoint(ekw):
+        return []
     m_start, m_end = mention.start_token, mention.end_token
-    total = 0.0
+    out: list[KeyphraseMatch] = []
     for kp in kps:
         common_lists: list[list[int]] = []
-        all_score = 0.0
-        common_score = 0.0
-        phrase_importance = 0.0
+        all_kws: list[int] = []
+        matched_kws: list[int] = []
         for kw in kb.kp_tokens.get(kp, ()):
             if kw in kb.stop_ids:
                 continue
-            s = score_of(kw)
-            phrase_importance += s
-            all_score += s
+            all_kws.append(kw)
             matched = -1
             if index.contains_word(kw, m_start, m_end):
                 matched = kw
@@ -67,26 +75,79 @@ def keyphrase_similarity(kb: KB, index: InvertedIndex, mention: Mention,
                     matched = exp
             if matched != -1:
                 common_lists.append(index.positions(matched, m_start, m_end))
-                common_score += s
-        if not common_lists:
+                matched_kws.append(kw)
+        if common_lists:
+            out.append(KeyphraseMatch(all_kws, matched_kws,
+                                      len(common_lists),
+                                      min_cover(common_lists)))
+    return out
+
+
+def score_matches(kb: KB, eid: int, matches: list[KeyphraseMatch],
+                  kind: str, mention: Mention | None = None,
+                  use_distance_discount: bool = False,
+                  doc_len: int = 0) -> float:
+    """Apply one measure kind's keyword weights to precomputed matches."""
+    if not matches:
+        return 0.0
+    if kind == "mi":
+        kw_scores = kb.kw_mi.get(eid, {})
+        score_of = kw_scores.get
+    else:  # idf
+        score_of = kb.kw_idf.get
+    total = 0.0
+    for m in matches:
+        all_score = 0.0
+        for kw in m.all_kws:
+            all_score += score_of(kw, 0.0)
+        if all_score == 0.0:
             continue
-        mc = min_cover(common_lists)
-        score = 0.0
-        if all_score != 0.0:
-            score = (phrase_importance
-                     * (len(common_lists) / mc.length)
-                     * (common_score / all_score) ** 2)
-        if use_distance_discount and doc_len > 0:
-            # KeyphrasesBasedMentionEntitySimilarityMeasure.java:192-197
+        common_score = 0.0
+        for kw in m.matched_kws:
+            common_score += score_of(kw, 0.0)
+        # phraseImportance == allKeywordsTotalScore (same accumulation
+        # in the reference, KeyphrasesBasedMESim.java:132-140,178-184)
+        score = all_score * (m.isec / m.mc_len) * (common_score / all_score) ** 2
+        if use_distance_discount and doc_len > 0 and mention is not None:
             dist = min(
-                max(abs(m_start - s0), abs(m_start - e0))
-                for s0, e0 in zip(mc.start_positions, mc.end_positions))
-            total_len = doc_len + (m_end - m_start) + 1
+                max(abs(mention.start_token - s0), abs(mention.start_token - e0))
+                for s0, e0 in zip(m.mc_starts, m.mc_ends))
+            total_len = doc_len + (mention.end_token - mention.start_token) + 1
             score *= (1.0 - dist / total_len) ** 2
         if math.isnan(score):
             score = 0.0
         total += max(0.0, score)  # keyphrase source weight defaults to 1.0
     return total
+
+
+def keyphrase_similarity(kb: KB, index: InvertedIndex, mention: Mention,
+                         eid: int, kind: str,
+                         use_distance_discount: bool = False,
+                         doc_len: int = 0) -> float:
+    """Sum of per-keyphrase scores for one (mention, entity) pair."""
+    matches = match_keyphrases(kb, index, mention, eid)
+    return score_matches(kb, eid, matches, kind, mention,
+                         use_distance_discount, doc_len)
+
+
+class DocMatcher:
+    """Per-document cache of (mention, entity) keyphrase matches, shared
+    by the main and coherence-robustness ensembles (4 scoring passes
+    reuse 1 matching pass)."""
+
+    def __init__(self, kb: KB, doc: PreparedDoc):
+        self.kb = kb
+        self.index = InvertedIndex(doc.token_ids, kb.stop_ids)
+        self._cache: dict[tuple[int, int], list[KeyphraseMatch]] = {}
+
+    def matches(self, mention_idx: int, mention: Mention,
+                eid: int) -> list[KeyphraseMatch]:
+        key = (mention_idx, eid)
+        got = self._cache.get(key)
+        if got is None:
+            got = match_keyphrases(self.kb, self.index, mention, eid)
+            self._cache[key] = got
+        return got
 
 
 def _rescale(value: float, lo: float, hi: float) -> float:
@@ -104,10 +165,12 @@ class EnsembleSimilarity:
     """Precomputes raw per-measure scores + global min/max for one document."""
 
     def __init__(self, kb: KB, doc: PreparedDoc, mentions: list[Mention],
-                 settings: SimilaritySettings):
+                 settings: SimilaritySettings,
+                 matcher: DocMatcher | None = None):
         self.kb = kb
         self.settings = settings
-        self.index = InvertedIndex(doc.token_ids, kb.stop_ids)
+        matcher = matcher or DocMatcher(kb, doc)
+        self.index = matcher.index
         kinds = {k for k, _ in settings.mes_no_prior} | \
                 {k for k, _ in settings.mes_with_prior}
         # raw[kind][(mention_idx, eid)] = score
@@ -119,7 +182,7 @@ class EnsembleSimilarity:
             lo, hi = float("inf"), 0.0   # max starts at 0.0 (java `new double[]{MAX, 0.0}`)
             for mi_, m in enumerate(mentions):
                 for eid, _prior in m.candidates:
-                    s = keyphrase_similarity(kb, self.index, m, eid, kind)
+                    s = score_matches(kb, eid, matcher.matches(mi_, m, eid), kind)
                     scores[(mi_, eid)] = s
                     lo = min(lo, s)
                     hi = max(hi, s)
