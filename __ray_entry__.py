@@ -389,6 +389,25 @@ def q_kg_triples(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_conformance_pr(sf_dir: str) -> pa.Table:
+    """CoNLL-testb-style conformance: pipeline decisions vs gold on a
+    deterministic TSV corpus; returns the P/R summary row (rows-only).
+    The P/R >= 0.95 gate itself is asserted in tests/test_conformance.py."""
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.pipelines.conformance import run_conformance
+    n_docs = pq.ParquetFile(
+        os.path.join(sf_dir, "lineitem.parquet")).metadata.num_rows // 12
+    kb = synth_kb(max(50, min(n_docs, 2000) // 5), seed=42)
+    pr, _ = run_conformance(kb, n_docs=min(n_docs, 500))
+    return pa.table({
+        "split": pa.array(["testb"], pa.string()),
+        "precision_1e6": pa.array([round(pr.precision * 1e6)], pa.int64()),
+        "recall_1e6": pa.array([round(pr.recall * 1e6)], pa.int64()),
+        "n_pred": pa.array([pr.n_pred], pa.int64()),
+        "n_gold": pa.array([pr.n_gold], pa.int64()),
+    })
+
+
 def q_kg_canonical(sf_dir: str) -> pa.Table:
     """Entity canonicalization over the flagship triples (rows-only)."""
     from aida_ray.pipelines.kg import canonicalize_entities, link_pages, read_pages
@@ -432,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
+        "conformance_pr": q_conformance_pr,
     }
 
 

@@ -151,7 +151,9 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
         return pa.table({id_col: pa.array(ids),
                          "band_hash": pa.array(bh, pa.int64())})
 
-    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    # materialize: the exploded rows are consumed twice (bucket counts +
+    # hot-bucket filter) and are narrow (two ints per row)
+    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
     counts = exploded.groupby("band_hash").count().to_pandas()
     hot = set(counts[counts["count()"] >= 2]["band_hash"].astype(int))
     if not hot:
