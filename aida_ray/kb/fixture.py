@@ -138,8 +138,17 @@ def build_fixture_kb() -> KB:
         entity2id[e]: i / len(ORDERED_ENTITIES) for i, e in enumerate(ORDERED_ENTITIES)
     }
 
+    entity_types = {
+        entity2id[e]: frozenset(ts) for e, ts in {
+            "Larry_Page": ["PERSON"], "Jimmy_Page": ["PERSON"],
+            "Nomatching_Page": ["PERSON"], "Stopword_Page": ["PERSON"],
+            "Kashmir": ["LOCATION"], "Kashmir_(song)": ["ARTIFACT"],
+            "Knebworth_Festival": ["EVENT"],
+        }.items()
+    }
     kb = KB(
         entity2id=entity2id,
+        entity_types=entity_types,
         id2entity={v: k for k, v in entity2id.items()},
         word2id=word2id,
         id2word={v: k for k, v in word2id.items()},

@@ -112,6 +112,7 @@ class KB:
     mention_max_tokens: int = 1
     entity_keywords: dict[int, frozenset[int]] = field(default_factory=dict)
     inlink_sets: dict[int, frozenset[int]] = field(default_factory=dict)
+    entity_types: dict[int, frozenset[str]] = field(default_factory=dict)
     _mw_cache: dict = field(default_factory=dict, repr=False)
 
     # ------------------------------------------------------------------ build
@@ -176,17 +177,25 @@ class KB:
 
     def candidates(self, conflated_mention: str,
                    max_entity_rank: float = 1.0,
-                   top_by_prior: int = 0) -> list[tuple[int, float]]:
-        """Candidate lookup w/ global-rank filter + top-k by prior.
+                   top_by_prior: int = 0,
+                   type_filter: frozenset[str] | None = None
+                   ) -> list[tuple[int, float]]:
+        """Candidate lookup w/ global-rank filter, type semi-join and
+        top-k by prior.
 
-        Reference: EntityLookup.java:85-156 + DataAccessSQL.java:92-167.
-        Rank filter keeps entities with rank <= maxEntityRank
-        (DataAccessForTesting.java:236-248 uses <=).
+        Reference: EntityLookup.java:85-156 + DataAccessSQL.java:92-167;
+        rank filter keeps entities with rank <= maxEntityRank
+        (DataAccessForTesting.java:236-248 uses <=); type filter keeps
+        candidates having >=1 requested type (EntityLookup.java:242-261).
         """
         cands = self.dictionary.get(conflated_mention, [])
         if max_entity_rank < 1.0:
             cands = [(e, p) for (e, p) in cands
                      if self.entity_rank.get(e, 0.0) <= max_entity_rank]
+        if type_filter:
+            cands = [(e, p) for (e, p) in cands
+                     if self.entity_types.get(e) and
+                     not type_filter.isdisjoint(self.entity_types[e])]
         if top_by_prior and len(cands) > top_by_prior:
             cands = sorted(cands, key=lambda ep: (-ep[1], ep[0]))[:top_by_prior]
         return cands
@@ -253,6 +262,12 @@ class KB:
         w("entity_rank", pa.table({
             "entity": pa.array(list(self.entity_rank.keys()), pa.int64()),
             "rank": pa.array(list(self.entity_rank.values()), pa.float64())}))
+        te, tt = [], []
+        for e, types in self.entity_types.items():
+            for ty in sorted(types):
+                te.append(e); tt.append(ty)
+        w("entity_types", pa.table({
+            "entity": pa.array(te, pa.int64()), "type": pa.array(tt, pa.string())}))
         w("meta", pa.table({
             "key": ["collection_size"], "value": [str(self.collection_size)]}))
 
@@ -308,6 +323,13 @@ class KB:
                    for e, v in zip(t["entity"].to_pylist(), t["inlinks"].to_pylist())}
         t = r("entity_rank")
         entity_rank = dict(zip(t["entity"].to_pylist(), t["rank"].to_pylist()))
+        entity_types: dict[int, frozenset[str]] = {}
+        if os.path.exists(os.path.join(path, "entity_types.parquet")):
+            t = r("entity_types")
+            tmp: dict[int, set[str]] = {}
+            for e, ty in zip(t["entity"].to_pylist(), t["type"].to_pylist()):
+                tmp.setdefault(e, set()).add(ty)
+            entity_types = {e: frozenset(v) for e, v in tmp.items()}
         t = r("meta")
         meta = dict(zip(t["key"].to_pylist(), t["value"].to_pylist()))
         kb = cls(
@@ -326,6 +348,7 @@ class KB:
             kw_df=kw_df,
             inlinks=inlinks,
             entity_rank=entity_rank,
+            entity_types=entity_types,
             collection_size=int(meta["collection_size"]),
         )
         return kb.finalize()

@@ -55,11 +55,13 @@ def fill_candidates(mentions: list[Mention], kb: KB,
             from aida_ray.ned.external import FuzzyLookup
             fuzzy = FuzzyLookup(kb)
             kb._fuzzy_index = fuzzy  # built once per process (A7 state)
+    type_filter = frozenset(settings.type_filter) or None
     for m in mentions:
         conflated = conflate_token(m.normalized())
         m.candidates = kb.candidates(
             conflated, settings.max_entity_rank,
-            settings.max_candidates_per_mention_by_prior)
+            settings.max_candidates_per_mention_by_prior,
+            type_filter)
         m.priors = kb.priors(conflated)
         if not m.candidates and fuzzy is not None:
             m.candidates = fuzzy.lookup(m.normalized(),

@@ -25,8 +25,13 @@ class SimilaritySettings:
     prior_threshold: float = -1.0     # > 0 enables the prior switch
     prior_take_log: bool = False
     prior_damping_factor: float = 1.0
-    # (coherence kind, weight); kind in {"milnewitten", "inlink_overlap", "jaccard"}.
+    # (coherence kind, weight); kind in {"milnewitten", "inlink_overlap",
+    # "jaccard", "kore", "keyword_cosine"}.
     ee_sims: tuple[tuple[str, float], ...] = ()
+    # C4 entity importances (kind, weight); kind in {"inlink_count", "rank"}
+    # — added LINEAR_COMBINATION-style (EnsembleMESim.java:190-201).
+    eis_no_prior: tuple[tuple[str, float], ...] = ()
+    eis_with_prior: tuple[tuple[str, float], ...] = ()
 
 
 # settings/similarity/conll/SwitchedKP.properties
@@ -82,6 +87,7 @@ class DisambiguationSettings:
     sentences_per_chunk: int = 5
     fuzzy_lookup: bool = False         # J2: LSH fallback when no exact hit
     fuzzy_min_similarity: float = 0.7
+    type_filter: tuple[str, ...] = ()  # J4: keep candidates with >=1 type
     # C12 confidence estimation (config/settings/ConfidenceSettings.java)
     confidence_balance: float = 1.0    # local vs coherence mix
     mention_flip_percentage: float = 0.66

@@ -203,15 +203,27 @@ class EnsembleSimilarity:
         with_prior = sum(1 for eid, _ in m.candidates if m.priors.get(eid, 0.0) > 0.0)
         return with_prior / total >= 0.2
 
+    def _importance(self, eid: int, kind: str) -> float:
+        """C4: entity importance in [0,1] (importance/InlinkCountImportance
+        — inlink count / collection size; rank-based = 1 - global rank)."""
+        if kind == "inlink_count":
+            return len(self.kb.inlinks.get(eid, ())) / self.kb.collection_size
+        if kind == "rank":
+            return 1.0 - self.kb.entity_rank.get(eid, 1.0)
+        return 0.0
+
     def similarity(self, m: Mention, eid: int) -> float:
         st = self.settings
         use_prior = self._should_use_prior(m)
         mes = st.mes_with_prior if use_prior else st.mes_no_prior
+        eis = st.eis_with_prior if use_prior else st.eis_no_prior
         mi_ = self.mention_index[id(m)]
         sim = 0.0
         for kind, weight in mes:
             lo, hi = self.minmax[kind]
             sim += _rescale(self.raw[kind][(mi_, eid)], lo, hi) * weight
+        for kind, weight in eis:
+            sim += self._importance(eid, kind) * weight
         if use_prior and st.prior_weight > 0.0:
             prior = m.priors.get(eid, 0.0)
             if st.prior_take_log:

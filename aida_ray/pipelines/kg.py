@@ -58,9 +58,18 @@ MENTION_SCHEMA = pa.schema([
 
 
 def read_pages(path: str, need_html: bool = False) -> ray.data.Dataset:
-    """Column-pruned read of the pages table (input_hint shape)."""
-    cols = ["url", "warc_ts", "text", "lang"]
-    if need_html:
+    """Column-pruned read of the pages table (input_hint shape).
+
+    ``need_html=True`` reads the raw html instead of the pre-extracted
+    text (the text column is then derived in ``extract_batch``).
+    """
+    import pyarrow.dataset as pads
+    first = path if isinstance(path, str) else path[0]
+    schema_names = pads.dataset(first).schema.names
+    cols = [c for c in ("url", "warc_ts", "lang") if c in schema_names]
+    if "text" in schema_names and not need_html:
+        cols.insert(2, "text")
+    elif "html" in schema_names:
         cols.insert(2, "html")
     return ray.data.read_parquet(path, columns=cols)
 
@@ -76,8 +85,11 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         out = batch
     else:
         texts = [extract_text(h) for h in batch["html"].to_pylist()]
-        out = batch.set_column(batch.column_names.index("text"),
-                               "text", pa.array(texts, pa.string()))
+        if "text" in batch.column_names:
+            out = batch.set_column(batch.column_names.index("text"),
+                                   "text", pa.array(texts, pa.string()))
+        else:
+            out = batch.append_column("text", pa.array(texts, pa.string()))
     if "html" in out.column_names:
         out = out.drop_columns(["html"])
     return out

@@ -162,6 +162,39 @@ def test_kore_and_cosine(fixture_kb):
     assert 0.0 <= keyword_cosine(kb, jp, ks) <= 1.0
 
 
+def test_type_filter(fixture_kb):
+    """J4: type semi-join restricts candidates."""
+    text = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    s = local_settings(type_filter=("PERSON",))
+    res = _mapping(disambiguate_document("d", text, fixture_kb, s))
+    # only PERSON candidates survive: Kashmir (LOCATION/ARTIFACT) -> OOKBE
+    assert res["Page"].entity in ("Jimmy_Page", "Larry_Page")
+    assert res["Kashmir"].entity == OOKBE
+    assert res["Knebworth"].entity == OOKBE
+
+
+def test_entity_importance_term(fixture_kb):
+    """C4: importance adds a rank/inlink-count term to the ensemble."""
+    from dataclasses import replace
+    s = local_settings()
+    sim = replace(s.similarity, eis_no_prior=(("rank", 1.0),),
+                  eis_with_prior=(("rank", 1.0),))
+    s = replace(s, similarity=sim)
+    text = "When [[Page]] visited nowhere interesting."
+    res = _mapping(disambiguate_document("d", text, fixture_kb, s))
+    # with no keyphrase evidence, rank importance dominates:
+    # Larry_Page has global rank 0 (importance 1.0)
+    assert res["Page"].entity == "Larry_Page"
+
+
+def test_kb_types_roundtrip(fixture_kb, tmp_path):
+    path = str(tmp_path / "kb")
+    fixture_kb.save(path)
+    from aida_ray.kb.kb import KB
+    kb2 = KB.load(path)
+    assert kb2.entity_types == fixture_kb.entity_types
+
+
 def test_graph_with_kore_coherence(fixture_kb):
     from dataclasses import replace
     s = cocktail_party_settings()
