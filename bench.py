@@ -59,6 +59,7 @@ def run_bench() -> dict:
     # for the two downstream aggregations is the correct plan
     triples = link_pages(read_pages(pages_dir), kb_ref,
                          concurrency=pool, batch_size=128).materialize()
+    ned_sec = time.time() - t0
     # the two aggregations are independent — overlap their executions
     import threading
     n_triples_box = [0]
@@ -73,6 +74,7 @@ def run_bench() -> dict:
     n_triples = n_triples_box[0]
     headline = time.time() - t0
     timings["kg_pipeline"] = round(headline, 3)
+    timings["kg_ned_stage"] = round(ned_sec, 3)
     extras["pages"] = n_pages
     extras["triples"] = n_triples
     extras["triples_per_sec"] = round(n_triples / headline, 1)
@@ -191,12 +193,18 @@ def run_scaling(repeats: int = 2) -> dict:
                              os.path.basename(os.path.normpath(sf_dir)), "pages")
     kernel = kernel_ceiling(pages_dir, max(50, n_docs // 5),
                             8 * 3 // 4, 32 * 3 // 4)
+    ned8 = results[8]["queries"].get("kg_ned_stage")
+    ned32 = results[32]["queries"].get("kg_ned_stage")
+    ned_eff = round((ned8 / ned32) / 4, 3) if ned8 and ned32 else None
     out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "sec_8cpu": t8,
         "sec_32cpu": t32,
+        "ned_stage_sec_8cpu": ned8,
+        "ned_stage_sec_32cpu": ned32,
+        "ned_stage_efficiency": ned_eff,
         "pages_per_sec_8cpu": results[8]["pages_per_sec"],
         "pages_per_sec_32cpu": results[32]["pages_per_sec"],
         "hardware_ceiling_8_to_32": round(ceiling, 3),
