@@ -288,6 +288,26 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(unpack, batch_format="pyarrow")
 
 
+def read_triples(out_dir: str) -> ray.data.Dataset:
+    """Read back a `run_kg` output directory (all finished partitions).
+
+    This is the production second pass (DESIGN.md): aggregations run
+    over the written triple parquet, not over a re-executed NED stage.
+    """
+    import os
+
+    from aida_ray.io.sink import read_manifests
+    parts = [m["partition"] for m in read_manifests(out_dir)]
+    if not parts:
+        raise FileNotFoundError(f"no finished partitions under {out_dir}")
+    files = []
+    for part in parts:
+        d = os.path.join(out_dir, part)
+        files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    return ray.data.read_parquet(files)
+
+
 # ------------------------------------------------------------------ end-to-end
 
 def run_kg(pages_dir: str, kb, out_dir: str,

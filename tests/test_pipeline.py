@@ -79,6 +79,27 @@ def test_triples_and_canonicalization(ray_session, corpus):
     assert not dd.duplicated(["subj", "pred", "obj"]).any()
 
 
+def test_second_pass_aggregation_from_parquet(ray_session, corpus, tmp_path):
+    """Production path: write triples once, aggregate from the parquet —
+    results identical to aggregating the live pipeline output."""
+    kb, dirs, _ = corpus
+    out = str(tmp_path / "triples2")
+    run_kg(dirs["pages"], kb, out, concurrency=2)
+    from aida_ray.pipelines.kg import read_triples
+    canon_disk = canonicalize_entities(read_triples(out)).to_pandas() \
+        .sort_values("entity").reset_index(drop=True)
+    kb_ref = put_kb(kb)
+    canon_live = canonicalize_entities(
+        link_pages(read_pages(dirs["pages"]), kb_ref, emit="triples",
+                   concurrency=2, batch_size=16)).to_pandas() \
+        .sort_values("entity").reset_index(drop=True)
+    # float score sums differ in addition order; counts must be exact
+    assert canon_disk[["entity", "mention_count", "page_count"]].equals(
+        canon_live[["entity", "mention_count", "page_count"]])
+    assert (canon_disk["score_sum"].round(6) ==
+            canon_live["score_sum"].round(6)).all()
+
+
 def test_run_kg_resume(ray_session, corpus, tmp_path):
     kb, dirs, _ = corpus
     out = str(tmp_path / "triples")
