@@ -81,13 +81,18 @@ def _kg_cache(sf_dir: str):
     n_entities = max(50, n_docs // 5)
     kb = synth_kb(n_entities, seed=42)
     pages_dir = os.path.join(cache, "pages")
-    have = 0
-    if os.path.isdir(pages_dir):
-        have = sum(pq.ParquetFile(os.path.join(pages_dir, f)).metadata.num_rows
-                   for f in os.listdir(pages_dir) if f.endswith(".parquet"))
-    if have != n_docs:
+    stamp_path = os.path.join(cache, "_GENERATOR.json")
+    import json
+    stamp = {"version": 2, "seed": 42, "n_docs": n_docs, "n_entities": n_entities}
+    have = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            have = json.load(f)
+    if have != stamp:
         write_corpus(cache, kb, n_pages=n_docs, seed=42,
                      n_shards=max(1, n_docs // 1000))
+        with open(stamp_path, "w") as f:
+            json.dump(stamp, f)
     return kb, pages_dir, os.path.join(cache, "gold")
 
 
@@ -295,6 +300,19 @@ def q_topk_tokens(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
 
 
+def q_sort_limit(sf_dir: str) -> pa.Table:
+    """Distributed sort + limit (K6: ds.sort replaces the reference's
+    external merge sort): top-50 longest documents."""
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
+    t = _collect(out)
+    # limit() may keep block order; enforce deterministic final order
+    import pandas as pd
+    df = t.to_pandas().sort_values(["n_chars", "doc_id"],
+                                   ascending=[False, True]).head(50)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
 def q_window_agg(sf_dir: str) -> pa.Table:
     """Tumbling 1-hour window aggregate over events (streaming-shaped)."""
     def partial(b: pa.Table) -> pa.Table:
@@ -442,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dist": q_lang_dist,
         "langid": q_langid,
         "topk_tokens": q_topk_tokens,
+        "sort_limit": q_sort_limit,
         "window_agg": q_window_agg,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
@@ -540,6 +559,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, COUNT(*) AS n FROM toks
             GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "sort_limit": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 50
         """,
         "window_agg": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w,
