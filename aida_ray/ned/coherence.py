@@ -60,26 +60,46 @@ def jaccard_inlinks(kb: KB, a: int, b: int) -> float:
     return overlap / union if union else 0.0
 
 
-def _combined_kw_weight(kb: KB, eid: int, kw: int, alpha: float = 0.5) -> float:
-    """α·MI + (1-α)·IDF (FastWeightedKeyphrasesContext.java:165-170)."""
-    return alpha * kb.kw_mi.get(eid, {}).get(kw, 0.0) + \
-        (1.0 - alpha) * kb.kw_idf.get(kw, 0.0)
+# EntitiesContextSettings.DEFAULT_KEYPHRASE_ALPHA / DEFAULT_KEYWORD_ALPHA
+_COHERENCE_ALPHA = 0.9713705285593512
 
 
-def _kp_weight(kb: KB, eid: int, kp: int, alpha: float = 0.5) -> float:
-    """Combined keyphrase weight: α·NPMI + (1-α)·IDF over keyphrase DF."""
+def _combined_kw_weight(kb: KB, eid: int, kw: int,
+                        alpha: float = _COHERENCE_ALPHA,
+                        normalize: bool = False) -> float:
+    """α·MI + (1-α)·IDF (FastWeightedKeyphrasesContext.java:165-170).
+
+    ``normalize`` divides IDF by log2(collectionSize)
+    (KeyphrasesContext.computeIDFweights)."""
+    idf = kb.kw_idf.get(kw, 0.0)
+    if normalize:
+        idf /= math.log2(kb.collection_size)
+    return alpha * kb.kw_mi.get(eid, {}).get(kw, 0.0) + (1.0 - alpha) * idf
+
+
+def _kp_weight(kb: KB, eid: int, kp: int,
+               alpha: float = _COHERENCE_ALPHA,
+               normalize: bool = False) -> float:
+    """Combined keyphrase weight: α·NPMI + (1-α)·IDF over keyphrase DF
+    (WeightedKeyphrasesContext.java:44-48,160-189 — float division here,
+    unlike the int-division keyword IDF)."""
     from aida_ray.kb.kb import compute_npmi
     e_count = kb.entity_sizes.get(eid, 0)
     kp_count = kb.kp_df.get(kp, 0)
     ic = kb.e_kp_count.get(eid, {}).get(kp, 0)
     npmi = 0.0
     if e_count and kp_count:
-        npmi = max(0.0, compute_npmi(e_count, kp_count, ic, kb.collection_size))
-    idf = math.log2(kb.collection_size // kp_count) if kp_count else 0.0
+        npmi = compute_npmi(e_count, kp_count, ic, kb.collection_size)
+    idf = math.log2(kb.collection_size / kp_count) if kp_count else 0.0
+    if normalize:
+        idf /= math.log2(kb.collection_size)
     return alpha * npmi + (1.0 - alpha) * idf
 
 
-def kore(kb: KB, a: int, b: int) -> float:
+def kore(kb: KB, a: int, b: int,
+         kp_alpha: float = _COHERENCE_ALPHA,
+         kw_alpha: float = _COHERENCE_ALPHA,
+         normalize: bool = False) -> float:
     """KORE keyphrase-overlap coherence: two-level weighted Jaccard
     (KOREEntityEntitySimilarityMeasure.java:30-113):
       per overlapping keyphrase pair: kpWeight · jaccard², where
@@ -102,19 +122,23 @@ def kore(kb: KB, a: int, b: int) -> float:
     n = 0.0
     for kp_a, kpbs in overlapping.items():
         toks_a = set(kb.kp_tokens.get(kp_a, ()))
-        sum_a = sum(_combined_kw_weight(kb, a, t) for t in toks_a)
+        sum_a = sum(_combined_kw_weight(kb, a, t, kw_alpha, normalize)
+                    for t in toks_a)
         for kp_b in kpbs:
             toks_b = set(kb.kp_tokens.get(kp_b, ()))
             shared = toks_a & toks_b
-            psimn = sum(min(_combined_kw_weight(kb, a, t),
-                            _combined_kw_weight(kb, b, t)) for t in shared)
-            sum_b = sum(_combined_kw_weight(kb, b, t) for t in toks_b)
+            psimn = sum(min(_combined_kw_weight(kb, a, t, kw_alpha, normalize),
+                            _combined_kw_weight(kb, b, t, kw_alpha, normalize))
+                        for t in shared)
+            sum_b = sum(_combined_kw_weight(kb, b, t, kw_alpha, normalize)
+                        for t in toks_b)
             psimd = sum_a + sum_b - psimn
             if psimd != 0.0:
-                kp_weight = min(_kp_weight(kb, a, kp_a), _kp_weight(kb, b, kp_b))
+                kp_weight = min(_kp_weight(kb, a, kp_a, kp_alpha, normalize),
+                                _kp_weight(kb, b, kp_b, kp_alpha, normalize))
                 n += kp_weight * (psimn / psimd) ** 2
-    denom = sum(_kp_weight(kb, a, kp) for kp in kps_a) + \
-        sum(_kp_weight(kb, b, kp) for kp in kps_b)
+    denom = sum(_kp_weight(kb, a, kp, kp_alpha, normalize) for kp in kps_a) + \
+        sum(_kp_weight(kb, b, kp, kp_alpha, normalize) for kp in kps_b)
     return n / denom if denom > 0 else 0.0
 
 
