@@ -23,8 +23,16 @@ class PRResult:
     n_correct: int
 
 
+_NIL = frozenset({"--OOKBE--", "--NME--"})
+
+
 def precision_recall(pred: pa.Table, gold: pa.Table) -> PRResult:
-    """pred: (url, begin, len, entity[, mention...]); gold likewise."""
+    """pred: (url, begin, len, entity[, mention...]); gold likewise.
+
+    Standard KB-linking evaluation: gold NIL spans (--NME--/--OOKBE--)
+    are excluded from the linkable-gold set, and predictions on those
+    spans don't count against precision (a NIL prediction there is
+    correct behavior, and a link there is unjudgeable)."""
     gold_map = {}
     for u, b, ln, e in zip(gold["url"].to_pylist(), gold["begin"].to_pylist(),
                            gold["len"].to_pylist(), gold["entity"].to_pylist()):
@@ -33,12 +41,15 @@ def precision_recall(pred: pa.Table, gold: pa.Table) -> PRResult:
     n_correct = 0
     for u, b, ln, e in zip(pred["url"].to_pylist(), pred["begin"].to_pylist(),
                            pred["len"].to_pylist(), pred["entity"].to_pylist()):
-        if e == "--OOKBE--":
+        if e in _NIL:
+            continue
+        g = gold_map.get((u, b, ln))
+        if g in _NIL:
             continue
         n_pred += 1
-        if gold_map.get((u, b, ln)) == e:
+        if g == e:
             n_correct += 1
-    n_gold = len(gold_map)
+    n_gold = sum(1 for e in gold_map.values() if e not in _NIL)
     p = n_correct / n_pred if n_pred else 0.0
     r = n_correct / n_gold if n_gold else 0.0
     f1 = 2 * p * r / (p + r) if p + r else 0.0

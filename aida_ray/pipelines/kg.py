@@ -190,6 +190,13 @@ def link_pages(pages: ray.data.Dataset, kb_ref,
 
 # --------------------------------------------------------------- aggregation
 
+def normalize_entity_key(name: str) -> str:
+    """Canonical entity key: unicode NFC, trimmed, spaces → underscores
+    (the normalized groupby key of the north rule's canonicalization)."""
+    import unicodedata
+    return unicodedata.normalize("NFC", name).strip().replace(" ", "_")
+
+
 def _salt_of(key_arr: pa.Array, n_salts: int) -> np.ndarray:
     # cheap deterministic hash → salt bucket
     h = np.frompyfunc(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16), 1, 1)
@@ -219,6 +226,7 @@ def canonicalize_entities(triples: ray.data.Dataset,
                              "page_count": pa.array([], pa.int64()),
                              "score_sum": pa.array([], pa.float64())})
         df = t.select(["subj", "obj", "score"]).to_pandas()
+        df["subj"] = df["subj"].map(normalize_entity_key)
         grouped = df.groupby("subj", sort=False).agg(
             mention_count=("obj", "size"),
             page_count=("obj", "nunique"),
