@@ -62,6 +62,16 @@ def generate_conll_corpus(kb: KB, n_docs: int, seed: int = 42) -> str:
             parts.append(sent)
             mentions.append(ConllMention(surface, begin, len(surface), name, "PER"))
             pos += len(sent)
+        # ~20% of docs carry an out-of-KB gold mention (--NME--), like the
+        # reference corpora; the NIL-aware eval must not penalize it
+        if rng.random() < 0.2:
+            nil_surface = f"Zyxq {int(rng.integers(0, 999))}"
+            sent = f"\nAlso {nil_surface} appeared ."
+            begin = pos + len("\nAlso ")
+            parts.append(sent)
+            mentions.append(ConllMention(nil_surface, begin, len(nil_surface),
+                                         "--NME--", "MISC"))
+            pos += len(sent)
         docs.append(ConllDoc(f"doc{d}", "2014-05-13", "".join(parts), mentions))
     return write_conll_tsv(docs)
 
