@@ -29,6 +29,19 @@ def _md5_64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
 
 
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_cached(ref):
+    """ray.get deserializes python dicts on every call — memoize the
+    broadcast object once per worker process."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.clear()          # hold at most one broadcast
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text",
                      out_col: str = "content_hash") -> pa.Table:
     hashes = [_md5_64(t) for t in batch[text_col].to_pylist()]
@@ -64,7 +77,7 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
     rep_ref = ray.put(rep_map)
 
     def pick_reps(batch: pa.Table) -> pa.Table:
-        reps = ray.get(rep_ref)
+        reps = _get_cached(rep_ref)
         b = add_content_hash(batch, text_col)
         ids = b[id_col].to_pylist()
         hs = b["content_hash"].to_pylist()

@@ -79,6 +79,43 @@ def test_triples_and_canonicalization(ray_session, corpus):
     assert not dd.duplicated(["subj", "pred", "obj"]).any()
 
 
+def test_ned_actor_idempotent(corpus):
+    """Task-retry safety: same batch through the same actor twice gives
+    byte-identical output (seeded determinism)."""
+    import os
+
+    from aida_ray.pipelines.kg import NedActor
+    kb, dirs, _ = corpus
+    t = pq.read_table(os.path.join(
+        dirs["pages"], sorted(os.listdir(dirs["pages"]))[0]))
+    actor = NedActor(kb)   # KB accepted directly in tests
+    out1 = actor(t)
+    out2 = actor(t)
+    assert out1.equals(out2)
+    actor2 = NedActor(kb)  # fresh "restarted" actor
+    assert actor2(t).equals(out1)
+
+
+def test_write_json_sink(ray_session, corpus, tmp_path):
+    """S8: result rows stream to JSON via the built-in sink."""
+    import json
+    import os
+
+    import ray
+
+    from aida_ray.pipelines.kg import link_pages, read_pages
+    kb, dirs, _ = corpus
+    ds = link_pages(read_pages(dirs["pages"]), put_kb(kb), emit="mentions",
+                    concurrency=2, batch_size=32)
+    out = str(tmp_path / "json")
+    ds.write_json(out)
+    rows = []
+    for f in os.listdir(out):
+        with open(os.path.join(out, f)) as fh:
+            rows.extend(json.loads(line) for line in fh if line.strip())
+    assert rows and {"url", "mention", "entity", "score"} <= set(rows[0])
+
+
 def test_second_pass_aggregation_from_parquet(ray_session, corpus, tmp_path):
     """Production path: write triples once, aggregate from the parquet —
     results identical to aggregating the live pipeline output."""
