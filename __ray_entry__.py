@@ -330,6 +330,16 @@ def q_window_agg(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_sessionize(sf_dir: str) -> pa.Table:
+    """Gap-based session windows over the events log (30-min gap)."""
+    from aida_ray.stages.sessions import sessionize
+    t = _collect(sessionize(_events(sf_dir), gap_minutes=30)).to_pandas()
+    t["value_sum"] = t["value_sum"].round(6)
+    return pa.Table.from_pandas(
+        t.sort_values(["user_id", "session_id"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 def q_knn_bruteforce(sf_dir: str) -> pa.Table:
     """Brute-force cosine top-10 for 3 query vectors (vec_id 0,1,2)."""
     from aida_ray.stages.knn import knn_topk
@@ -462,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_tokens": q_topk_tokens,
         "sort_limit": q_sort_limit,
         "window_agg": q_window_agg,
+        "sessionize": q_sessionize,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
@@ -570,6 +581,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    ROUND(SUM(value), 6) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER
+                                (PARTITION BY user_id ORDER BY ts, event_id)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), s AS (
+                SELECT *, SUM(new_s) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM e
+            )
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events,
+                   CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS start_s,
+                   CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS end_s,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM s GROUP BY user_id, session_id
         """,
         "knn_bruteforce": """
             WITH q AS (

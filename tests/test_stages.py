@@ -139,6 +139,29 @@ def test_multimodal_features(ray_session):
         DecodeBackend().decode_image(b"")
 
 
+def test_sessionize(ray_session):
+    import pandas as pd
+
+    from aida_ray.stages.sessions import sessionize
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:30",  # u1: 2 sessions
+        "2024-01-01 09:00",                                          # u2: 1 session
+    ])
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts),
+        "event_type": pa.array(["a"] * 4),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    out = sessionize(ray.data.from_arrow(t), gap_minutes=30).to_pandas() \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["session_id"]) == [0, 1, 0]
+    assert list(out["n_events"]) == [2, 1, 1]
+    assert out["value_sum"].tolist() == [3.0, 3.0, 4.0]
+
+
 def test_embedding_near_dup(ray_session):
     from aida_ray.stages.dedup import embedding_near_dup_pairs
     rng = np.random.default_rng(2)
