@@ -111,8 +111,9 @@ def _prior_disambiguate(kb: KB, doc: PreparedDoc, settings: DisambiguationSettin
 
 
 def _graph_disambiguate(kb: KB, doc: PreparedDoc, settings: DisambiguationSettings,
-                        seed: int) -> list[ResultMention]:
-    g = build_graph(kb, doc, doc.mentions, settings)
+                        seed: int, raw_scores: dict | None = None
+                        ) -> list[ResultMention]:
+    g = build_graph(kb, doc, doc.mentions, settings, raw_scores)
     size_constrained = settings.algorithm == "cocktail_party_size_constrained"
     skip_pruning = settings.algorithm == "simple_greedy"
     sol = cocktail_party(g, settings, size_constrained, seed,
@@ -194,7 +195,8 @@ def disambiguate_document(doc_id: str, text: str, kb: KB,
 
 def _disambiguate_single(doc_id: str, text: str, kb: KB,
                          settings: DisambiguationSettings, seed: int,
-                         injected_manual=None) -> list[ResultMention]:
+                         injected_manual=None,
+                         raw_scores: dict | None = None) -> list[ResultMention]:
     doc = prepare_document(doc_id, text, kb, settings, injected_manual)
     if settings.technique == "prior":
         results = _prior_disambiguate(kb, doc, settings)
@@ -202,7 +204,7 @@ def _disambiguate_single(doc_id: str, text: str, kb: KB,
         results = _local_disambiguate(kb, doc, settings)
     else:
         try:
-            results = _graph_disambiguate(kb, doc, settings, seed)
+            results = _graph_disambiguate(kb, doc, settings, seed, raw_scores)
         except MaximumGraphSizeExceeded:
             # Too many candidates for joint coherence — degrade to LOCAL
             # (the reference aborts the document, GraphGenerator.java:100-103;

@@ -142,8 +142,12 @@ def _normalize_to_sum(d: dict[int, float]) -> dict[int, float]:
 
 
 def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
-                settings: DisambiguationSettings) -> DocGraph:
-    """GraphGenerator.generateGraph + ExtractGraph.generateGraph."""
+                settings: DisambiguationSettings,
+                raw_scores: dict | None = None) -> DocGraph:
+    """GraphGenerator.generateGraph + ExtractGraph.generateGraph.
+
+    ``raw_scores`` (see EnsembleSimilarity) bypasses local keyphrase
+    matching — used when scores were computed by sharded scorer actors."""
     gs = settings.graph
     all_entities: list[int] = []
     seen: set[int] = set()
@@ -158,14 +162,16 @@ def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
 
     # One matching pass shared by the coherence-robustness and main
     # ensembles (weights differ, matches don't).
-    from aida_ray.ned.similarity import DocMatcher
-    matcher = DocMatcher(kb, doc)
+    matcher = None
+    if raw_scores is None:
+        from aida_ray.ned.similarity import DocMatcher
+        matcher = DocMatcher(kb, doc)
 
     # Coherence-robustness L1 distances (GraphGenerator.java:354-388).
     mention_l1: dict[int, float] = {}
     if gs.use_coherence_robustness_test:
         cohrob = EnsembleSimilarity(kb, doc, mentions, gs.coherence_similarity,
-                                    matcher)
+                                    matcher, raw_scores)
         for i, m in enumerate(mentions):
             priors = {eid: m.priors.get(eid, 0.0) for eid, _ in m.candidates}
             sims = _normalize_to_sum(
@@ -173,7 +179,8 @@ def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
             mention_l1[i] = sum(abs(p - sims.get(eid, 0.0))
                                 for eid, p in priors.items())
 
-    main = EnsembleSimilarity(kb, doc, mentions, settings.similarity, matcher)
+    main = EnsembleSimilarity(kb, doc, mentions, settings.similarity, matcher,
+                              raw_scores)
 
     local_sims: dict[int, dict[int, float]] = {}
     final_candidates: dict[int, list[int]] = {}

@@ -166,23 +166,33 @@ class EnsembleSimilarity:
 
     def __init__(self, kb: KB, doc: PreparedDoc, mentions: list[Mention],
                  settings: SimilaritySettings,
-                 matcher: DocMatcher | None = None):
+                 matcher: DocMatcher | None = None,
+                 raw_scores: dict[str, dict[tuple[int, int], float]] | None = None):
+        """``raw_scores`` (kind -> (mention_idx, eid) -> score) injects
+        precomputed keyphrase scores — the merge point of the sharded
+        scoring path (missing pairs default to 0.0, identical to an
+        unmatched candidate)."""
         self.kb = kb
         self.settings = settings
-        matcher = matcher or DocMatcher(kb, doc)
-        self.index = matcher.index
         kinds = {k for k, _ in settings.mes_no_prior} | \
                 {k for k, _ in settings.mes_with_prior}
         # raw[kind][(mention_idx, eid)] = score
         self.raw: dict[str, dict[tuple[int, int], float]] = {}
         self.minmax: dict[str, tuple[float, float]] = {}
         self.mention_index = {id(m): i for i, m in enumerate(mentions)}
+        if raw_scores is None:
+            matcher = matcher or DocMatcher(kb, doc)
+            self.index = matcher.index
         for kind in kinds:
             scores: dict[tuple[int, int], float] = {}
             lo, hi = float("inf"), 0.0   # max starts at 0.0 (java `new double[]{MAX, 0.0}`)
+            provided = raw_scores.get(kind, {}) if raw_scores is not None else None
             for mi_, m in enumerate(mentions):
                 for eid, _prior in m.candidates:
-                    s = score_matches(kb, eid, matcher.matches(mi_, m, eid), kind)
+                    if provided is not None:
+                        s = provided.get((mi_, eid), 0.0)
+                    else:
+                        s = score_matches(kb, eid, matcher.matches(mi_, m, eid), kind)
                     scores[(mi_, eid)] = s
                     lo = min(lo, s)
                     hi = max(hi, s)
