@@ -323,12 +323,15 @@ def run_kg(pages_dir: str, kb, out_dir: str,
            concurrency: int | tuple[int, int] = 4,
            batch_size: int = 64,
            partition_granularity: int = 1,
-           resume: bool = True) -> list[dict]:
+           resume: bool = True,
+           n_kb_shards: int = 0) -> list[dict]:
     """End-to-end: pages parquet dir → partitioned triple parquet + manifests.
 
     One output partition per group of ``partition_granularity`` input
     files; finished partitions (manifest present) are skipped on rerun —
-    the north-rule checkpoint/resume contract.  Returns manifests.
+    the north-rule checkpoint/resume contract.  ``n_kb_shards > 1``
+    switches to the sharded keyphrase-index path
+    (aida_ray.pipelines.sharded — identical output).  Returns manifests.
     """
     import os
 
@@ -338,8 +341,8 @@ def run_kg(pages_dir: str, kb, out_dir: str,
     files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet in {pages_dir}")
-    kb_ref = put_kb(kb)
-    cfg = config_hash((settings, batch_size))
+    kb_ref = None if n_kb_shards > 1 else put_kb(kb)
+    cfg = config_hash((settings, batch_size, n_kb_shards))
     manifests = []
     for g in range(0, len(files), partition_granularity):
         group = files[g:g + partition_granularity]
@@ -347,8 +350,17 @@ def run_kg(pages_dir: str, kb, out_dir: str,
         if resume and partition_done(out_dir, part):
             continue
         pages = read_pages([os.path.join(pages_dir, f) for f in group])
-        triples = link_pages(pages, kb_ref, settings,
-                             concurrency=concurrency, batch_size=batch_size)
+        if n_kb_shards > 1:
+            from aida_ray.pipelines.sharded import link_pages_sharded
+            triples = link_pages_sharded(
+                pages, kb, settings, n_shards=n_kb_shards,
+                concurrency=max(1, concurrency // n_kb_shards
+                                if isinstance(concurrency, int) else 1),
+                batch_size=batch_size)
+        else:
+            triples = link_pages(pages, kb_ref, settings,
+                                 concurrency=concurrency,
+                                 batch_size=batch_size)
         manifests.append(
             write_partition(triples, out_dir, part, group, cfg))
     return manifests

@@ -29,6 +29,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partition-granularity", type=int, default=1,
                    help="input files per output partition")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--kb-shards", type=int, default=0,
+                   help="split the keyphrase index into N scorer shards "
+                        "(for KBs larger than actor memory)")
     args = p.parse_args(argv)
 
     import ray
@@ -45,7 +48,8 @@ def main(argv: list[str] | None = None) -> int:
     manifests = run_kg(args.pages, kb, args.out,
                        concurrency=conc, batch_size=args.batch_size,
                        partition_granularity=args.partition_granularity,
-                       resume=not args.no_resume)
+                       resume=not args.no_resume,
+                       n_kb_shards=args.kb_shards)
     wall = time.time() - t0
     rows = sum(m["rows"] for m in manifests)
     print(json.dumps({
