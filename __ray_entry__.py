@@ -233,12 +233,11 @@ def q_golden_fixture(sf_dir: str) -> pa.Table:
 
 
 def q_dedup_exact(sf_dir: str) -> pa.Table:
-    """Exact dedup (D4): representative doc_id + dup count per text."""
+    """Exact dedup (D4): representative doc_id + dup count per text —
+    rep text rides through the distributed aggregate (no driver rep map)."""
     from aida_ray.stages.dedup import exact_dedup
-    ds = exact_dedup(_docs(sf_dir))
-    t = _collect(ds)
-    return t.select(["text", "doc_id", "n_dups"]).rename_columns(
-        ["text", "rep_doc_id", "n_dups"])
+    t = _collect(exact_dedup(_docs(sf_dir)))
+    return t.rename_columns(["text", "rep_doc_id", "n_dups"])
 
 
 def q_token_stats(sf_dir: str) -> pa.Table:
@@ -367,7 +366,8 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
 
 
 def q_minhash_pairs(sf_dir: str) -> pa.Table:
-    """MinHash-LSH near-dup candidate pairs (rows-only)."""
+    """MinHash-LSH near-dup pairs, fully distributed (rows-only; the
+    round-1 output is regression-pinned in tests/test_stages.py)."""
     from aida_ray.stages.dedup import minhash_lsh_pairs
     t = minhash_lsh_pairs(_docs(sf_dir), num_hashes=64, bands=16,
                           jaccard_threshold=0.8).to_pandas()
@@ -375,6 +375,17 @@ def q_minhash_pairs(sf_dir: str) -> pa.Table:
         t["jaccard"] = t["jaccard"].round(6)
         t = t.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_minhash_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup connected components via distributed label propagation
+    (rows-only; equals the driver union-find — pinned in tests)."""
+    from aida_ray.stages.dedup import label_propagation_clusters, minhash_lsh_pairs
+    pairs = minhash_lsh_pairs(_docs(sf_dir), num_hashes=64, bands=16,
+                              jaccard_threshold=0.8)
+    t = label_propagation_clusters(pairs).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
 
 
 def q_simhash(sf_dir: str) -> pa.Table:
@@ -476,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
         "fingerprint": q_fingerprint,

@@ -4,10 +4,19 @@ embedding-cosine near-dup.
 Scale shapes (see SURVEY.md §2.7 D4/D5 and the LSH machinery the
 reference uses for fuzzy lookup, src/mpi/aida/util/lsh/LSH.java):
   - exact: vectorized content hash per batch → built-in (sort-based)
-    groupby aggregate over (hash, id) partials — never per-group Python;
+    groupby aggregate over (hash, text, min_id, n) partials — the rep
+    text rides through the aggregate (identical within a group), so
+    there is NO driver-side rep map and NO join back to the corpus;
   - MinHash-LSH: numpy rolling-hash shingles → minhash signatures →
-    (band, band_hash, id) rows → vectorized bucket counts → only HOT
-    buckets (count >= 2) are shipped for pairing + Jaccard verify;
+    banded (band_hash, id) rows; hot buckets are found with a
+    distributed groupby-count and re-attached via hash JOIN (never a
+    driver set); candidate pairs are emitted per-bucket with
+    ``map_groups``; exact-Jaccard verification joins each pair with the
+    two shingle sketches (hash joins) and scores vectorized per batch.
+    The driver never holds ids, texts, or pairs;
+  - near-dup clusters: distributed label-propagation connected
+    components (iterated min-label joins) — the 100 TB path; a
+    driver-side union-find is kept for small inputs/tests;
   - SimHash: 64-bit signature with a per-actor token-hash memo;
   - embedding cosine: random-hyperplane LSH buckets → in-bucket pairs.
 """
@@ -18,6 +27,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -52,45 +62,37 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Lowest-id representative + duplicate count per identical text.
 
-    Phase 1: per-batch pandas groupby (vectorized) → (hash, min_id, n)
-    partials; phase 2: built-in groupby aggregate (sort-based, no
-    per-group Python); phase 3: map-side semi-join back to the original
-    rows to recover the representative's text.  The broadcast rep map
-    holds two ints per distinct text — at 100 TB swap phase 3 for a
-    hash-partitioned join on content_hash.
+    Phase 1: per-batch pandas groupby (vectorized) → (hash, text,
+    min_id, n) partials; phase 2: built-in groupby aggregate (sort-based
+    shuffle, no per-group Python) carrying the text through ``Min`` —
+    text is constant within a hash group, so ``Min(text)`` is exact and
+    the old driver-side rep-map + map-side join back is gone entirely.
+    Output schema: (text, <id_col>, n_dups), one row per distinct text.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
         b = add_content_hash(batch, text_col)
-        df = b.select(["content_hash", id_col]).to_pandas()
-        g = df.groupby("content_hash")[id_col].agg(["min", "size"]).reset_index()
+        df = b.select(["content_hash", text_col, id_col]).to_pandas()
+        g = df.groupby("content_hash").agg(
+            text=(text_col, "first"), min_id=(id_col, "min"),
+            n=(id_col, "size")).reset_index()
         return pa.table({"content_hash": pa.array(g["content_hash"], pa.int64()),
-                         "min_id": pa.array(g["min"], pa.int64()),
-                         "n": pa.array(g["size"], pa.int64())})
+                         "text": pa.array(g["text"], pa.string()),
+                         "min_id": pa.array(g["min_id"], pa.int64()),
+                         "n": pa.array(g["n"], pa.int64())})
 
     from ray.data.aggregate import Min, Sum
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-            .groupby("content_hash").aggregate(Min("min_id"), Sum("n"))
-    rep_df = agg.to_pandas()
-    rep_map = {int(h): (int(m), int(n)) for h, m, n in
-               zip(rep_df["content_hash"], rep_df["min(min_id)"], rep_df["sum(n)"])}
-    rep_ref = ray.put(rep_map)
+            .groupby("content_hash").aggregate(Min("min_id"), Sum("n"), Min("text"))
 
-    def pick_reps(batch: pa.Table) -> pa.Table:
-        reps = _get_cached(rep_ref)
-        b = add_content_hash(batch, text_col)
-        ids = b[id_col].to_pylist()
-        hs = b["content_hash"].to_pylist()
-        keep, n_dups = [], []
-        for i, (doc, h) in enumerate(zip(ids, hs)):
-            m = reps.get(h)
-            if m and m[0] == doc:
-                keep.append(i)
-                n_dups.append(m[1])
-        out = b.take(keep)
-        return out.append_column("n_dups", pa.array(n_dups, pa.int64()))
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "text": b["min(text)"],
+            id_col: pc.cast(b["min(min_id)"], pa.int64()),
+            "n_dups": pc.cast(b["sum(n)"], pa.int64()),
+        })
 
-    return ds.map_batches(pick_reps, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ minhash
@@ -122,6 +124,10 @@ class MinHasher:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _P31
         return vals.min(axis=1)
 
+    def signature_of_shingles(self, sh: np.ndarray) -> np.ndarray:
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _P31
+        return vals.min(axis=1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t).tolist() for t in batch["text"].to_pylist()]
         return batch.append_column("minhash", pa.array(sigs, pa.list_(pa.int64())))
@@ -130,6 +136,10 @@ class MinHasher:
 def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
     sa = _shingle_hashes(a, k)
     sb = _shingle_hashes(b, k)
+    return _jaccard_arrays(sa, sb)
+
+
+def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
     inter = np.intersect1d(sa, sb, assume_unique=True).size
     union = sa.size + sb.size - inter
     return inter / union if union else 0.0
@@ -139,86 +149,124 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
                       bands: int = 32, shingle_k: int = 5,
                       id_col: str = "doc_id",
                       jaccard_threshold: float = 0.8,
-                      seed: int = 42) -> pa.Table:
-    """Jaccard-verified near-dup pairs (a < b) via banded MinHash-LSH.
+                      seed: int = 42,
+                      num_partitions: int = 16) -> ray.data.Dataset:
+    """Jaccard-verified near-dup pairs (a < b) via banded MinHash-LSH —
+    fully distributed (reference banding semantics: LSH.java + MinHasher.java).
 
-    Vectorized path: signatures per batch → (band, band_hash, id) rows →
-    built-in bucket counts → only buckets with >= 2 members ("hot", a
-    tiny fraction) have their member ids + texts gathered for pairwise
-    verification.  The verify set is bounded by the true near-dup count,
-    not the corpus.
+    Plan (every arrow is a Dataset op; the driver holds nothing):
+      1. sketch: one pass computes shingles + signature per doc, emits
+         (id, shingles) and 16 banded (id, band_hash) rows;
+      2. hot buckets: groupby(band_hash).count, filter >= 2, re-attach
+         via inner hash JOIN (replaces the round-1 driver set);
+      3. pairs: groupby(band_hash).map_groups over HOT buckets only →
+         (a, b); distinct by groupby(a, b).count;
+      4. verify: candidate ids ⋈ sketches (the one corpus-wide shuffle,
+         pruned to candidates), then pairs ⋈ sketch_a ⋈ sketch_b, exact
+         shingle-set Jaccard per row, threshold filter.
+    The verify volume is bounded by the true near-dup count; the only
+    full-corpus shuffle ships shingle sketches once.
     """
     rows_per_band = num_hashes // bands
     hasher = MinHasher(num_hashes, shingle_k, seed)
+    # hash-join aggregators hold one CPU each; cap partitions to the
+    # cluster so a small test session cannot deadlock
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(2, min(num_partitions, cpus // 2))
 
-    def explode(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = np.repeat(np.asarray(batch[id_col].to_pylist(), dtype=np.int64), bands)
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
-        bh = np.empty(n * bands, dtype=np.int64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            sig = hasher.signature(t).reshape(bands, rows_per_band)
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, shingles, bhs = [], [], []
+        for i, t in zip(batch[id_col].to_pylist(), batch["text"].to_pylist()):
+            sh = _shingle_hashes(t, shingle_k)
+            sig = hasher.signature_of_shingles(sh).reshape(bands, rows_per_band)
             # order-sensitive band hash, vectorized
             mix = (sig * np.arange(1, rows_per_band + 1)).sum(axis=1)
-            bh[i * bands:(i + 1) * bands] = (mix % _P31) * bands + np.arange(bands)
-        return pa.table({id_col: pa.array(ids),
-                         "band_hash": pa.array(bh, pa.int64())})
+            ids.append(i)
+            # acero joins reject list payload columns → ship raw int64 bytes
+            shingles.append(sh.tobytes())
+            bhs.append(((mix % _P31) * bands + np.arange(bands)).tolist())
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "shingles": pa.array(shingles, pa.binary()),
+                         "band_hashes": pa.array(bhs, pa.list_(pa.int64()))})
 
-    # materialize: the exploded rows are consumed twice (bucket counts +
-    # hot-bucket filter) and are narrow (two ints per row)
-    exploded = ds.map_batches(explode, batch_format="pyarrow").materialize()
-    counts = exploded.groupby("band_hash").count().to_pandas()
-    hot = set(counts[counts["count()"] >= 2]["band_hash"].astype(int))
-    if not hot:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    hot_ref = ray.put(hot)
+    # shingles + band hashes computed ONCE per doc; consumed twice below
+    sketches = ds.map_batches(sketch, batch_format="pyarrow").materialize()
 
-    def filter_hot(batch: pa.Table) -> pa.Table:
-        hs = ray.get(hot_ref)
-        mask = [h in hs for h in batch["band_hash"].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = batch["band_hashes"]
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy()
+        ids = np.repeat(batch[id_col].to_numpy(), lens)
+        return pa.table({id_col: pa.array(ids, pa.int64()), "band_hash": flat})
 
-    cand = pa.concat_tables([
-        ray.get(r) for r in
-        exploded.map_batches(filter_hot, batch_format="pyarrow").to_arrow_refs()])
-    cand_ids = set(cand[id_col].to_pylist())
-    idr = ray.put(cand_ids)
+    exploded = sketches.select_columns([id_col, "band_hashes"]) \
+        .map_batches(explode, batch_format="pyarrow").materialize()
 
-    def gather_texts(batch: pa.Table) -> pa.Table:
-        want = ray.get(idr)
-        mask = [i in want for i in batch[id_col].to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_())).select([id_col, "text"])
+    hot = exploded.groupby("band_hash").count() \
+        .map_batches(lambda b: b.rename_columns(["band_hash", "n_members"]),
+                     batch_format="pyarrow") \
+        .filter(expr="n_members >= 2").select_columns(["band_hash"])
+    hot_rows = exploded.join(hot, join_type="inner",
+                             num_partitions=num_partitions, on=("band_hash",))
 
-    texts_t = pa.concat_tables([
-        ray.get(r) for r in
-        ds.map_batches(gather_texts, batch_format="pyarrow").to_arrow_refs()])
-    texts = dict(zip(texts_t[id_col].to_pylist(), texts_t["text"].to_pylist()))
+    def bucket_pairs(group):
+        import pandas as pd
+        ms = np.unique(group[id_col].to_numpy())
+        if len(ms) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        iu = np.triu_indices(len(ms), k=1)
+        return pd.DataFrame({"a": ms[iu[0]], "b": ms[iu[1]]})
 
-    buckets: dict[int, list[int]] = {}
-    for i, h in zip(cand[id_col].to_pylist(), cand["band_hash"].to_pylist()):
-        buckets.setdefault(h, []).append(i)
-    seen: set[tuple[int, int]] = set()
-    out_a, out_b, out_j = [], [], []
-    for members in buckets.values():
-        ms = sorted(set(members))
-        for x in range(len(ms)):
-            for y in range(x + 1, len(ms)):
-                pair = (ms[x], ms[y])
-                if pair in seen:
-                    continue
-                seen.add(pair)
-                j = jaccard_shingles(texts[ms[x]], texts[ms[y]], shingle_k)
-                if j >= jaccard_threshold:
-                    out_a.append(pair[0]); out_b.append(pair[1]); out_j.append(j)
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    pairs = hot_rows.groupby("band_hash").map_groups(
+        bucket_pairs, batch_format="pandas")
+    pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+
+    def both_sides(b: pa.Table) -> pa.Table:
+        ids = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        return pa.table({id_col: pa.array(ids, pa.int64())})
+
+    cand_ids = pairs.map_batches(both_sides, batch_format="pyarrow") \
+        .groupby(id_col).count().select_columns([id_col])
+    cand_sketch = sketches.select_columns([id_col, "shingles"]).join(
+        cand_ids, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,))
+
+    wa = pairs.join(
+        cand_sketch.map_batches(
+            lambda b: b.rename_columns(["a", "sh_a"]), batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("a",))
+    wab = wa.join(
+        cand_sketch.map_batches(
+            lambda b: b.rename_columns(["b", "sh_b"]), batch_format="pyarrow"),
+        join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        sh_a, sh_b = batch["sh_a"], batch["sh_b"]
+        for i in range(batch.num_rows):
+            j = _jaccard_arrays(np.frombuffer(sh_a[i].as_py(), dtype=np.int64),
+                                np.frombuffer(sh_b[i].as_py(), dtype=np.int64))
+            if j >= jaccard_threshold:
+                out_a.append(batch["a"][i].as_py())
+                out_b.append(batch["b"][i].as_py())
+                out_j.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    return wab.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_dedup_clusters(pairs: pa.Table) -> dict[int, int]:
-    """Union-find over verified pairs → id -> cluster-representative map."""
+def minhash_dedup_clusters(pairs) -> dict[int, int]:
+    """Union-find over verified pairs → id -> cluster-representative map.
+
+    Driver-side; use only on small pair sets (tests, summaries) — the
+    distributed path is :func:`label_propagation_clusters`."""
+    if isinstance(pairs, ray.data.Dataset):
+        pairs = pa.Table.from_pandas(pairs.to_pandas())
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -233,6 +281,67 @@ def minhash_dedup_clusters(pairs: pa.Table) -> dict[int, int]:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
     return {x: find(x) for x in list(parent)}
+
+
+def label_propagation_clusters(pairs: ray.data.Dataset,
+                               max_iters: int = 50,
+                               num_partitions: int = 16) -> ray.data.Dataset:
+    """Distributed connected components by min-label propagation.
+
+    Input: verified pair Dataset (a, b).  Output: (doc_id, cluster) with
+    cluster = min id of the component — identical to the union-find
+    representative.  Each iteration is one join + one groupby-min over
+    the edge set; converges in O(component diameter) rounds (near-dup
+    components are shallow).  The driver only checks a scalar
+    convergence count per round."""
+    from ray.data.aggregate import Min
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(2, min(num_partitions, cpus // 2))
+
+    def undirect(b: pa.Table) -> pa.Table:
+        src = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
+        dst = np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    edges = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
+    # initial label = own id
+    labels = edges.groupby("src").count() \
+        .map_batches(lambda b: pa.table({
+            "node": pc.cast(b["src"], pa.int64()),
+            "label": pc.cast(b["src"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+
+    for _ in range(max_iters):
+        # candidate label for dst = label(src); keep own label in the race
+        prop = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",)) \
+            .map_batches(lambda b: pa.table({
+                "node": pc.cast(b["dst"], pa.int64()),
+                "label": pc.cast(b["label"], pa.int64())}),
+                batch_format="pyarrow")
+        new_labels = prop.union(labels).groupby("node") \
+            .aggregate(Min("label")) \
+            .map_batches(lambda b: pa.table({
+                "node": pc.cast(b["node"], pa.int64()),
+                "label": pc.cast(b["min(label)"], pa.int64())}),
+                batch_format="pyarrow").materialize()
+        # converged when no node's label changed (distributed compare)
+        changed = new_labels.join(
+            labels.map_batches(lambda b: b.rename_columns(["node", "old"]),
+                               batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions, on=("node",)) \
+            .filter(expr="label != old").count()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster": b["label"]}),
+        batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash
@@ -284,23 +393,30 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset,
                              id_col: str = "vec_id",
                              n_planes: int = 12,
                              cosine_threshold: float = 0.95,
-                             seed: int = 42) -> ray.data.Dataset:
+                             seed: int = 42,
+                             n_rotations: int = 1) -> ray.data.Dataset:
     """Near-dup by cosine: random-hyperplane LSH bucket → in-bucket pairs.
 
     Bucket count is 2^n_planes; in-bucket pairing is vectorized numpy.
+    ``n_rotations`` > 1 unions several independent plane sets (OR-
+    amplification): a true near-dup pair split by one hyperplane set is
+    recovered by another — recall rises at linear extra cost.  Pairs are
+    deduped across rotations by a final groupby.
     """
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1], n_planes))
-        bits = (vecs @ planes) > 0
-        buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
-        return pa.table({
-            id_col: batch[id_col],
-            "bucket": pa.array(buckets),
-            vec_col: batch[vec_col],
-        })
+    def bucketize_rot(rot: int):
+        def bucketize(batch: pa.Table) -> pa.Table:
+            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            rng = np.random.default_rng(seed + 7919 * rot)
+            planes = rng.standard_normal((vecs.shape[1], n_planes))
+            bits = (vecs @ planes) > 0
+            buckets = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+            return pa.table({
+                id_col: batch[id_col],
+                "bucket": pa.array(buckets + (rot << 48)),
+                vec_col: batch[vec_col],
+            })
+        return bucketize
 
     def pairs(group):
         import pandas as pd
@@ -319,5 +435,13 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset,
         b = np.maximum(ids[xs], ids[ys])
         return pd.DataFrame({"a": a, "b": b, "cosine": sims[iu][mask]})
 
-    return ds.map_batches(bucketize, batch_format="pyarrow") \
-             .groupby("bucket").map_groups(pairs, batch_format="pandas")
+    parts = [ds.map_batches(bucketize_rot(r), batch_format="pyarrow")
+             for r in range(n_rotations)]
+    bucketed = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    found = bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    if n_rotations == 1:
+        return found
+    from ray.data.aggregate import Max
+    return found.groupby(["a", "b"]).aggregate(Max("cosine")) \
+        .map_batches(lambda b: b.rename_columns(["a", "b", "cosine"]),
+                     batch_format="pyarrow")

@@ -44,6 +44,62 @@ def test_minhash_near_dup(ray_session):
     assert clusters[2] == 0
 
 
+def test_minhash_regression_pin_r01(ray_session):
+    """The distributed rewrite must reproduce the round-1 (driver-verify)
+    output bit-for-bit on sf0.001 — pairs, jaccard values, and clusters
+    (via both union-find and label propagation)."""
+    import json
+    import os
+
+    import ray.data as rd
+    from aida_ray.stages.dedup import (label_propagation_clusters,
+                                       minhash_dedup_clusters,
+                                       minhash_lsh_pairs)
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures_minhash_r01.json")
+    with open(fixture) as f:
+        want = json.load(f)["sf0.001"]
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                              jaccard_threshold=0.8).materialize()
+    df = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    got = [(int(a), int(b), round(float(j), 9))
+           for a, b, j in zip(df["a"], df["b"], df["jaccard"])]
+    assert got == [tuple(p) for p in want["pairs"]]
+    uf = sorted((int(k), int(v))
+                for k, v in minhash_dedup_clusters(pairs).items())
+    assert uf == [tuple(c) for c in want["clusters"]]
+    lp = label_propagation_clusters(pairs).to_pandas()
+    lp_pairs = sorted(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
+    assert lp_pairs == [tuple(c) for c in want["clusters"]]
+
+
+def test_minhash_planted_duplicates(ray_session):
+    """Planted near-dup fixture: every planted pair above the threshold
+    must be found; unrelated docs must not pair."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    texts, golds = [], []
+    for i in range(10):
+        texts.append(base + f" tail{i}")        # 10 near-identical docs
+    for i in range(10, 30):
+        texts.append(f"unique document number {i} " +
+                     " ".join(f"w{i}_{j}" for j in range(40)))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }))
+    from aida_ray.stages.dedup import jaccard_shingles, minhash_lsh_pairs
+    golds = {(a, b) for a in range(10) for b in range(a + 1, 10)
+             if jaccard_shingles(texts[a], texts[b]) >= 0.8}
+    df = minhash_lsh_pairs(ds, num_hashes=128, bands=32,
+                           jaccard_threshold=0.8).to_pandas()
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert golds, "fixture must plant at least one gold pair"
+    missing = golds - got
+    assert len(missing) <= max(1, len(golds) // 10)  # >=90% recall from banding
+    assert not any(a >= 10 or b >= 10 for a, b in got)
+
+
 def test_simhash_similarity(ray_session):
     from aida_ray.stages.dedup import SimHasher
     sh = SimHasher()
