@@ -198,6 +198,16 @@ def _disambiguate_single(doc_id: str, text: str, kb: KB,
                          injected_manual=None,
                          raw_scores: dict | None = None) -> list[ResultMention]:
     doc = prepare_document(doc_id, text, kb, settings, injected_manual)
+    return solve_prepared(doc, kb, settings, seed, raw_scores)
+
+
+def solve_prepared(doc, kb: KB, settings: DisambiguationSettings, seed: int,
+                   raw_scores: dict | None = None) -> list[ResultMention]:
+    """Technique dispatch + post-processing over an already-prepared doc.
+
+    The sharded path (aida_ray.pipelines.sharded) prepares each document
+    exactly once in the router and ships the prepared form — this entry
+    point lets the merge stage solve without re-tokenizing."""
     if settings.technique == "prior":
         results = _prior_disambiguate(kb, doc, settings)
     elif settings.technique == "local":
