@@ -142,6 +142,82 @@ def kore(kb: KB, a: int, b: int,
     return n / denom if denom > 0 else 0.0
 
 
+def ngd(kb: KB, a: int, b: int) -> float:
+    """Normalized-Google-Distance similarity over entity KEYPHRASE-ID
+    sets (NGDSimilarityMeasure.java:23-63: getContext = eKps, max/min =
+    context lengths, intersect = shared keyphrase count; the MW formula
+    applied to keyphrase sets)."""
+    ka = kb.entity_kps.get(a, ())
+    kb_ = kb.entity_kps.get(b, ())
+    if not ka or not kb_:
+        return 0.0
+    sa, sb = set(ka), set(kb_)
+    inter = len(sa & sb)
+    if inter == 0:
+        return 0.0
+    mx, mn = max(len(sa), len(sb)), min(len(sa), len(sb))
+    dist = (math.log(mx) - math.log(inter)) / \
+           (math.log(kb.collection_size) - math.log(mn))
+    return 0.0 if dist > 1.0 else 1.0 - dist
+
+
+def weighted_ngd(kb: KB, a: int, b: int,
+                 kp_alpha: float = _COHERENCE_ALPHA) -> float:
+    """NGD over combined keyphrase MI+IDF weight MASS instead of counts
+    (WeightedNGDSimilarityMeasure.java:16-77: max/min = per-entity total
+    keyphrase weight; intersect = avg of both entities' weights over the
+    shared keyphrase ids)."""
+    ka = kb.entity_kps.get(a, ())
+    kb_ = kb.entity_kps.get(b, ())
+    if not ka or not kb_:
+        return 0.0
+    wa = sum(_kp_weight(kb, a, kp, kp_alpha) for kp in ka)
+    wb = sum(_kp_weight(kb, b, kp, kp_alpha) for kp in kb_)
+    shared = set(ka) & set(kb_)
+    inter = sum(_kp_weight(kb, a, kp, kp_alpha) +
+                _kp_weight(kb, b, kp, kp_alpha) for kp in shared) / 2.0
+    if inter <= 0.0:
+        return 0.0
+    mx, mn = max(wa, wb), min(wa, wb)
+    if mx <= 0.0 or mn <= 0.0:
+        return 0.0
+    dist = (math.log(mx) - math.log(inter)) / \
+           (math.log(kb.collection_size) - math.log(mn))
+    return 0.0 if dist > 1.0 else 1.0 - dist
+
+
+def weighted_jaccard_kp(kb: KB, a: int, b: int,
+                        kp_alpha: float = _COHERENCE_ALPHA) -> float:
+    """Weighted Jaccard over keyphrase-id sets: Σ min-weight over shared
+    / Σ max-weight over union (WeightedJaccardEntityEntitySimilarity-
+    Measure.java:20-77)."""
+    ka = kb.entity_kps.get(a, ())
+    kb_ = kb.entity_kps.get(b, ())
+    if not ka or not kb_:
+        return 0.0
+    wa = {kp: _kp_weight(kb, a, kp, kp_alpha) for kp in ka}
+    wb = {kp: _kp_weight(kb, b, kp, kp_alpha) for kp in kb_}
+    inter = sum(min(wa[kp], wb[kp]) for kp in wa.keys() & wb.keys())
+    union = 0.0
+    for kp in wa.keys() | wb.keys():
+        if kp in wa and kp in wb:
+            union += max(wa[kp], wb[kp])
+        else:
+            union += wa.get(kp, 0.0) + wb.get(kp, 0.0)
+    return inter / union if union > 0 else 0.0
+
+
+def jaccard_kp(kb: KB, a: int, b: int) -> float:
+    """Unweighted Jaccard over keyphrase-id sets (JaccardEntityEntity-
+    SimilarityMeasure.java:25-36 with a KeyphrasesContext; term expansion
+    is an identity on keyphrase ids)."""
+    sa = set(kb.entity_kps.get(a, ()))
+    sb = set(kb.entity_kps.get(b, ()))
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
 def keyword_cosine(kb: KB, a: int, b: int) -> float:
     """Cosine over combined-weight keyword vectors
     (KeywordCosineEntityEntitySimilarity, SURVEY C7)."""
@@ -160,6 +236,10 @@ _MEASURES = {
     "milnewitten": milne_witten,
     "inlink_overlap": inlink_overlap,
     "jaccard": jaccard_inlinks,
+    "jaccard_kp": jaccard_kp,
+    "weighted_jaccard": weighted_jaccard_kp,
+    "ngd": ngd,
+    "weighted_ngd": weighted_ngd,
     "kore": kore,
     "keyword_cosine": keyword_cosine,
 }

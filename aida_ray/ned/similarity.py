@@ -130,6 +130,73 @@ def keyphrase_similarity(kb: KB, index: InvertedIndex, mention: Mention,
                          use_distance_discount, doc_len)
 
 
+TEXT_ME_KINDS = ("tfidf_cosine", "wordcount_dot")
+
+
+def entity_text_tokens(kb: KB, eid: int) -> list[int]:
+    """Entity context token ids WITH multiplicity — the flattened keyword
+    ids of the entity's keyphrases (TextContext.getContext analogue for
+    the keyphrase-backed context)."""
+    out: list[int] = []
+    for kp in kb.entity_kps.get(eid, ()):
+        out.extend(kb.kp_tokens.get(kp, ()))
+    return out
+
+
+def _count_vector(token_ids) -> dict[int, int]:
+    v: dict[int, int] = {}
+    for t in token_ids:
+        if t == 0:            # unknown-word id — the reference's transient
+            continue          # ids never collide; our 0 would match itself
+        v[t] = v.get(t, 0) + 1
+    return v
+
+
+def _tfidf_vector(kb: KB, token_ids) -> dict[int, float]:
+    """tf · log2(N/df) per term; df==0 smoothed to N ⇒ idf 0
+    (TfIdfCosineSimilarityMeasure.getTfIdfVector)."""
+    tf = _count_vector(token_ids)
+    out: dict[int, float] = {}
+    n = kb.collection_size
+    for t, f in tf.items():
+        df = kb.kw_df.get(t, 0) or n
+        out[t] = f * (math.log2(n / df) if df else 0.0)
+    return out
+
+
+def tfidf_cosine(kb: KB, doc_token_ids, eid: int) -> float:
+    """Cosine of tf·idf term vectors of the document context vs the
+    entity context, with word-expansion cross terms
+    (TfIdfCosineSimilarityMeasure.java:31-100)."""
+    ctx = _tfidf_vector(kb, doc_token_ids)
+    ent = _tfidf_vector(kb, entity_text_tokens(kb, eid))
+    dot = 0.0
+    for t, w in ent.items():
+        if t in ctx:
+            dot += w * ctx[t]
+        exp = kb.expand_term(t)
+        if exp and exp in ctx:
+            dot += w * ctx[exp]
+    na = math.sqrt(sum(w * w for w in ent.values()))
+    nb = math.sqrt(sum(w * w for w in ctx.values()))
+    return dot / (na * nb) if na * nb != 0 else 0.0
+
+
+def wordcount_dot(kb: KB, doc_token_ids, eid: int) -> float:
+    """Dot product of raw word-count vectors, expansion-aware
+    (WordCountVectorDotProductSimilarityMeasure.java:27-70)."""
+    ctx = _count_vector(doc_token_ids)
+    ent = _count_vector(entity_text_tokens(kb, eid))
+    dot = 0
+    for t, ca in ent.items():
+        cb = ctx.get(t, 0)
+        exp = kb.expand_term(t)
+        if exp:
+            cb += ctx.get(exp, 0)
+        dot += ca * cb
+    return float(dot)
+
+
 class DocMatcher:
     """Per-document cache of (mention, entity) keyphrase matches, shared
     by the main and coherence-robustness ensembles (4 scoring passes
@@ -180,9 +247,14 @@ class EnsembleSimilarity:
         self.raw: dict[str, dict[tuple[int, int], float]] = {}
         self.minmax: dict[str, tuple[float, float]] = {}
         self.mention_index = {id(m): i for i, m in enumerate(mentions)}
+        need_matcher = raw_scores is None and any(
+            k not in TEXT_ME_KINDS for k in kinds)
         if raw_scores is None:
-            matcher = matcher or DocMatcher(kb, doc)
-            self.index = matcher.index
+            if need_matcher:
+                matcher = matcher or DocMatcher(kb, doc)
+                self.index = matcher.index
+            doc_token_ids = doc.token_ids
+        text_me_cache: dict[tuple[str, int], float] = {}
         for kind in kinds:
             scores: dict[tuple[int, int], float] = {}
             lo, hi = float("inf"), 0.0   # max starts at 0.0 (java `new double[]{MAX, 0.0}`)
@@ -191,6 +263,15 @@ class EnsembleSimilarity:
                 for eid, _prior in m.candidates:
                     if provided is not None:
                         s = provided.get((mi_, eid), 0.0)
+                    elif kind in TEXT_ME_KINDS:
+                        # text-vector measures depend on (kind, eid) only
+                        ck = (kind, eid)
+                        s = text_me_cache.get(ck)
+                        if s is None:
+                            fn = tfidf_cosine if kind == "tfidf_cosine" \
+                                else wordcount_dot
+                            s = fn(kb, doc_token_ids, eid)
+                            text_me_cache[ck] = s
                     else:
                         s = score_matches(kb, eid, matcher.matches(mi_, m, eid), kind)
                     scores[(mi_, eid)] = s

@@ -86,15 +86,21 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              vec_col: str = "embedding", id_col: str = "vec_id",
              seed: int = 42, concurrency: int = 2) -> pa.Table:
-    """IVF-bucketed ANN: centroids from a deterministic sample; rows are
+    """IVF-bucketed ANN: centroids from a seeded random sample; rows are
     routed to their nearest cell; queries probe the n_probe nearest cells.
 
     Approximate (recall < 1) but each batch scores only rows in probed
     cells — the 100 TB path.
     """
+    # seeded random sample across ALL blocks — ds.limit() would take the
+    # first blocks only, biasing centroids under sorted/clustered input
+    target = max(1000, n_cells * 20)
+    n_rows = ds.count()
+    frac = min(1.0, (target * 1.2) / max(1, n_rows))
+    sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     sample = _normalize(_as_matrix(
-        pa.concat_tables([ray.get(r) for r in ds.limit(
-            max(1000, n_cells * 20)).to_arrow_refs()])[vec_col]))
+        pa.concat_tables([ray.get(r) for r in
+                          sampled.limit(target).to_arrow_refs()])[vec_col]))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
                                   replace=False)]

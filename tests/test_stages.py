@@ -155,6 +155,13 @@ def test_ivf_recall(ray_session):
         assert len(e & a) / len(e) >= 0.5   # probing 4/8 cells
     # self always survives probing (its own cell is the nearest)
     assert 0 in set(approx[approx["query"] == 0]["vec_id"])
+    # probing every cell must recover the exact brute-force top-k
+    # (routing correctness: recall -> 1.0 as n_probe -> n_cells)
+    full = ivf_topk(ds, vecs[:2], k=10, n_cells=8, n_probe=8).to_pandas()
+    for q in (0, 1):
+        e = set(exact[exact["query"] == q]["vec_id"])
+        f = set(full[full["query"] == q]["vec_id"])
+        assert len(e & f) / len(e) >= 0.9
 
 
 def test_textstats(ray_session):
