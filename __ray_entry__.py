@@ -232,6 +232,29 @@ def q_golden_fixture(sf_dir: str) -> pa.Table:
     })
 
 
+def q_ood_mentions(sf_dir: str) -> pa.Table:
+    """Out-of-dictionary mention detection (NERManager post-filter
+    semantics): planted unknown names surface as --OOKBE-- rows alongside
+    dictionary-linked entities; oracle = literal VALUES."""
+    from dataclasses import replace
+
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = build_fixture_kb()
+    text = ("When Page played Kashmir at Knebworth, Zorbafex Quillan "
+            "recorded it. Later Tamberlyn Ostrovich wrote about Knebworth "
+            "in the Daily Gazette.")
+    s = replace(cocktail_party_settings(algorithm="cocktail_party"),
+                detect_ood_mentions=True)
+    res = disambiguate_document("ood", text, kb, s)
+    return pa.table({
+        "mention": pa.array([r.mention for r in res], pa.string()),
+        "entity": pa.array([r.entity for r in res], pa.string()),
+        "char_offset": pa.array([r.char_offset for r in res], pa.int64()),
+    })
+
+
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     """Exact dedup (D4): representative doc_id + dup count per text —
     rep text rides through the distributed aggregate (no driver rep map)."""
@@ -475,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_canonical": q_entity_canonical,
         "triples_cooccur": q_triples_cooccur,
         "golden_fixture": q_golden_fixture,
+        "ood_mentions": q_ood_mentions,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality": q_quality,
@@ -550,6 +574,17 @@ def oracle_sql() -> dict[str, str]:
                 ('Knebworth', 'Knebworth_Festival', 71834),
                 ('Les Paul', '--OOKBE--', 0)
             ) AS t(mention, entity, score_1e5)
+        """,
+        "ood_mentions": """
+            SELECT * FROM (VALUES
+                ('Page', 'Jimmy_Page', 5),
+                ('Kashmir', 'Kashmir_(song)', 17),
+                ('Knebworth', 'Knebworth_Festival', 28),
+                ('Zorbafex Quillan', '--OOKBE--', 39),
+                ('Tamberlyn Ostrovich', '--OOKBE--', 75),
+                ('Knebworth', 'Knebworth_Festival', 107),
+                ('Daily Gazette', '--OOKBE--', 124)
+            ) AS t(mention, entity, char_offset)
         """,
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups

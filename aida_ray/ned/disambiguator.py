@@ -39,7 +39,8 @@ def prepare_document(doc_id: str, text: str, kb: KB,
                      injected_manual=None) -> PreparedDoc:
     doc = prepare(doc_id, text, kb, detection=settings.mention_detection,
                   min_mention_occurrence=settings.min_mention_occurrence,
-                  injected_manual=injected_manual)
+                  injected_manual=injected_manual,
+                  detect_ood=settings.detect_ood_mentions)
     fill_candidates(doc.mentions, kb, settings)
     return doc
 

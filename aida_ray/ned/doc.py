@@ -148,6 +148,55 @@ def dictionary_tag(text: str, tokens: list[Token], kb: KB) -> list[Mention]:
     return found
 
 
+def capitalized_tag(text: str, tokens: list[Token],
+                    drop_sentence_initial: bool = True,
+                    max_run: int = 5) -> list[Mention]:
+    """Out-of-dictionary mention detector: maximal runs of capitalized
+    tokens, with the reference's NER post-filters applied
+    (NERManager.java:103-160 via filterAnnotations):
+      - single-character mentions dropped
+        (filterAnnotationsBySingleChar, MENTION_FILTER_REMOVESINGLECHAR);
+      - mentions whose first token starts a sentence dropped
+        (filterAnnotationsIfBeginningOfSentence) — sentence-case noise;
+    Deterministic; gives the pipeline recall on surfaces absent from the
+    KB dictionary (they surface as --OOKBE-- rows downstream)."""
+
+    def cap(tok: Token) -> bool:
+        t = tok.text
+        return len(t) > 0 and t[0].isupper() and any(c.isalpha() for c in t)
+
+    found: list[Mention] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        if not cap(tokens[i]):
+            i += 1
+            continue
+        j = i
+        while (j + 1 < n and j + 1 - i < max_run and cap(tokens[j + 1])
+               and tokens[j + 1].sentence == tokens[i].sentence):
+            j += 1
+        sentence_initial = tokens[i].token_id == 0 or \
+            tokens[tokens[i].token_id - 1].sentence != tokens[i].sentence
+        if drop_sentence_initial and sentence_initial:
+            # the filtered token is sentence-case noise; the rest of the
+            # run (if any) is a legitimate mid-sentence name
+            i += 1
+            if i > j:
+                continue
+        surface = text[tokens[i].begin:tokens[j].end]
+        if len(surface) > 1 and "\n" not in surface:
+            found.append(Mention(
+                mention=surface,
+                char_offset=tokens[i].begin,
+                char_length=tokens[j].end - tokens[i].begin,
+                start_token=tokens[i].token_id,
+                end_token=tokens[j].token_id,
+                sentence=tokens[i].sentence,
+            ))
+        i = j + 1
+    return found
+
+
 def hybrid_merge(manual: list[Mention], automatic: list[Mention]) -> list[Mention]:
     """Merge manual + automatic mentions; manual wins on overlap
     (HybridFilter.java)."""
@@ -165,7 +214,8 @@ def hybrid_merge(manual: list[Mention], automatic: list[Mention]) -> list[Mentio
 
 def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
             min_mention_occurrence: int = 1,
-            injected_manual: list[Mention] | None = None) -> PreparedDoc:
+            injected_manual: list[Mention] | None = None,
+            detect_ood: bool = False) -> PreparedDoc:
     """Full preparation: markup filter → tokenize → tag → align → context ids.
 
     ``injected_manual`` supplies pre-parsed manual mentions (already in
@@ -185,6 +235,9 @@ def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
             mentions = automatic
         else:
             mentions = hybrid_merge(manual, automatic)
+    if detect_ood:
+        # OOD candidates lose to any overlapping dictionary/manual mention
+        mentions = hybrid_merge(mentions, capitalized_tag(cleaned, tokens))
     if min_mention_occurrence > 1:
         counts: dict[str, int] = {}
         for m in mentions:

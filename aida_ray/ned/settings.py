@@ -83,6 +83,8 @@ class DisambiguationSettings:
     person_merge: bool = False
     min_mention_occurrence: int = 1
     mention_detection: str = "hybrid"  # "manual" | "automatic" | "hybrid"
+    detect_ood_mentions: bool = False  # capitalized-run tagger for surfaces
+                                       # outside the dictionary (-> OOKBE)
     chunker: str = "single"            # "single" | "fixed" | "paragraph" (M12)
     sentences_per_chunk: int = 5
     fuzzy_lookup: bool = False         # J2: LSH fallback when no exact hit

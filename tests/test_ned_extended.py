@@ -205,3 +205,43 @@ def test_graph_with_kore_coherence(fixture_kb):
         fixture_kb, s))
     assert res["Page"].entity == "Jimmy_Page"
     assert res["Kashmir"].entity == "Kashmir_(song)"
+
+
+def test_capitalized_tag_ood(fixture_kb):
+    """OOD tagger (NERManager.java:103-160 post-filter semantics):
+    capitalized runs outside the dictionary become candidate-less
+    mentions; single chars and sentence-case heads are dropped."""
+    from aida_ray.ned.doc import capitalized_tag
+    from aida_ray.text.tokenizer import tokenize
+    text = ("The X ray showed nothing. Later Zorbafex Quillan met "
+            "Tamberlyn in Oslo.")
+    tokens = tokenize(text)
+    names = [m.mention for m in capitalized_tag(text, tokens)]
+    assert "Zorbafex Quillan" in names       # mid-sentence unknown name
+    assert "Tamberlyn" in names
+    assert "Oslo" in names
+    assert "X" not in names                  # single-char filter
+    assert "The" not in names                # sentence-initial filter
+    assert "Later" not in names              # sentence-case head dropped,
+    assert not any("Later" in n for n in names)  # rest of run kept
+
+
+def test_ood_detection_end_to_end(fixture_kb):
+    """detect_ood_mentions=True: unknown surfaces emit --OOKBE-- rows;
+    dictionary entities still link; defaults (False) leave the pipeline
+    untouched."""
+    from dataclasses import replace
+
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = fixture_kb
+    text = "When Page played Kashmir at Knebworth, Zorbafex Quillan recorded it."
+    base_s = cocktail_party_settings(algorithm="cocktail_party")
+    base = disambiguate_document("d", text, kb, base_s)
+    assert all(r.mention != "Zorbafex Quillan" for r in base)
+    withood = disambiguate_document(
+        "d", text, kb, replace(base_s, detect_ood_mentions=True))
+    got = {r.mention: r.entity for r in withood}
+    assert got["Zorbafex Quillan"] == "--OOKBE--"
+    assert got["Page"] == "Jimmy_Page"
+    assert got["Kashmir"] == "Kashmir_(song)"
