@@ -315,24 +315,21 @@ def q_topk_tokens(sf_dir: str) -> pa.Table:
         return pa.table({"token": pa.array(ks, pa.string()),
                          "n": pa.array([counts[k] for k in ks], pa.int64())})
     agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
-        .groupby("token").sum(["n"])
-    t = _collect(agg.map_batches(lambda b: b.rename_columns(["token", "n"]),
-                                 batch_format="pyarrow")).to_pandas()
-    t = t.sort_values(["n", "token"], ascending=[False, True]).head(20)
-    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+        .groupby("token").sum(["n"]) \
+        .map_batches(lambda b: b.rename_columns(["token", "n"]),
+                     batch_format="pyarrow")
+    # the distributed sort+limit IS the answer — no driver re-derivation
+    return _collect(agg.sort(["n", "token"], descending=[True, False]).limit(20))
 
 
 def q_sort_limit(sf_dir: str) -> pa.Table:
     """Distributed sort + limit (K6: ds.sort replaces the reference's
     external merge sort): top-50 longest documents."""
     ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"])
-    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(50)
-    t = _collect(out)
-    # limit() may keep block order; enforce deterministic final order
-    import pandas as pd
-    df = t.to_pandas().sort_values(["n_chars", "doc_id"],
-                                   ascending=[False, True]).head(50)
-    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+    # the distributed sort+limit IS the answer (the driver compare is
+    # order-insensitive, so no pandas re-sort)
+    return _collect(ds.sort(["n_chars", "doc_id"],
+                            descending=[True, False]).limit(50))
 
 
 def q_window_agg(sf_dir: str) -> pa.Table:
@@ -483,6 +480,182 @@ def q_kg_canonical(sf_dir: str) -> pa.Table:
         t.sort_values("entity").reset_index(drop=True), preserve_index=False)
 
 
+# ---------------------------------------------- fixture-oracle operator rows
+# Each runs a SURVEY §2 operator family on the deterministic fixture KB /
+# synthetic corpora (sf-independent) so a literal-VALUES oracle checks it.
+
+def q_fuzzy_lookup(sf_dir: str) -> pa.Table:
+    """J2 fuzzy LSH fallback: a trigram-similar misspelling resolves with
+    fuzzy_lookup=True and goes OOKBE without it."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import local_settings
+    kb = build_fixture_kb()
+    text = "When [[Knebworthe]] hosted a festival."
+    rows = []
+    for mode, s in [
+        ("fuzzy", local_settings(mention_detection="manual", fuzzy_lookup=True,
+                                 fuzzy_min_similarity=0.5)),
+        ("exact", local_settings(mention_detection="manual")),
+    ]:
+        for r in disambiguate_document("d", text, kb, s):
+            rows.append((mode, r.mention, r.entity))
+    return pa.table({
+        "mode": pa.array([r[0] for r in rows], pa.string()),
+        "mention": pa.array([r[1] for r in rows], pa.string()),
+        "entity": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def q_chunked_doc(sf_dir: str) -> pa.Table:
+    """M12 + G9/R3: fixed-length chunking with cross-chunk score
+    reconciliation over a 6-sentence doc (2 sentences per chunk)."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = build_fixture_kb()
+    base = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    text = " ".join([base] * 6)
+    s = cocktail_party_settings(chunker="fixed", sentences_per_chunk=2)
+    res = disambiguate_document("d", text, kb, s)
+    return pa.table({
+        "mention": pa.array([r.mention for r in res], pa.string()),
+        "char_offset": pa.array([r.char_offset for r in res], pa.int64()),
+        "entity": pa.array([r.entity for r in res], pa.string()),
+    })
+
+
+def q_confidence(sf_dir: str) -> pa.Table:
+    """C12 graph-perturbation confidence (seeded, deterministic)."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = build_fixture_kb()
+    text = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    res = disambiguate_document(
+        "d", text, kb,
+        cocktail_party_settings(algorithm="cocktail_party",
+                                compute_confidence=True,
+                                confidence_balance=0.5))
+    return pa.table({
+        "mention": pa.array([r.mention for r in res], pa.string()),
+        "entity": pa.array([r.entity for r in res], pa.string()),
+        "conf_1e6": pa.array([round(r.score * 1e6) for r in res], pa.int64()),
+    })
+
+
+def q_person_merge(sf_dir: str) -> pa.Table:
+    """R2 person merging: a token-contained short mention inherits the
+    longest mention's entity (PersonMerger.java:31-51)."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.settings import local_settings
+    kb = build_fixture_kb()
+    text = ("[[Larry Page]] founded a company. Later [[Page]] gave a "
+            "keynote speech.")
+    # "Larry Page" is not a fixture dictionary surface — inject it as an
+    # external entity (J5).  Without merge the short "Page" falls to the
+    # prior winner (Jimmy_Page, prior 0.7); with merge it inherits the
+    # containing mention's Larry_Page.
+    external = ({"Larry Page": ["Larry_Page"]}, {})
+    rows = []
+    for mode, merge in [("merged", True), ("raw", False)]:
+        s = local_settings(mention_detection="manual", person_merge=merge)
+        for r in disambiguate_document("d", text, kb, s, external=external):
+            rows.append((mode, r.mention, r.entity))
+    return pa.table({
+        "mode": pa.array([r[0] for r in rows], pa.string()),
+        "mention": pa.array([r[1] for r in rows], pa.string()),
+        "entity": pa.array([r[2] for r in rows], pa.string()),
+    })
+
+
+def q_tsv_roundtrip(sf_dir: str) -> pa.Table:
+    """S2/S9: AIDA-collection TSV parse → write → re-parse is the
+    identity; per-doc shape summary rows."""
+    from aida_ray.sources.conll_tsv import parse_conll_tsv, write_conll_tsv
+    tsv = (
+        "-DOCSTART- (1 Test)\t2010-08-17\n"
+        "When\n"
+        "Page\tB\tPage\tJimmy_Page\tPER\t1\n"
+        "played\n"
+        "Kashmir\tB\tKashmir\tKashmir_(song)\tMISC\t1\n"
+        ".\n"
+        "-DOCSTART- (2 Other)\n"
+        "Les\tB\tLes Paul\t--NME--\tMISC\t1\n"
+        "Paul\tI\tLes Paul\t--NME--\tMISC\t1\n"
+        "rocks\n"
+    )
+    docs = parse_conll_tsv(tsv)
+    docs2 = parse_conll_tsv(write_conll_tsv(docs))
+    rows = []
+    for d1, d2 in zip(docs, docs2):
+        rows.append((d1.doc_id,
+                     len(d1.text), len(d1.mentions),
+                     d1.text == d2.text and d1.mentions == d2.mentions
+                     and d1.doc_id == d2.doc_id and d1.date == d2.date))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+        "n_mentions": pa.array([r[2] for r in rows], pa.int64()),
+        "roundtrip_ok": pa.array([r[3] for r in rows], pa.bool_()),
+    })
+
+
+def q_sharded_equality(sf_dir: str) -> pa.Table:
+    """Sharded-KB scoring equals the single-KB pipeline bit-for-bit on a
+    deterministic corpus (DESIGN.md §2); invariant summary row."""
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.pipelines.corpus import write_corpus
+    from aida_ray.pipelines.kg import link_pages, read_pages
+    from aida_ray.pipelines.sharded import link_pages_sharded
+    from aida_ray.state.broadcast import put_kb
+    kb = synth_kb(120, seed=42)
+    out = "/tmp/aida_ray_cache/sharded_eq"
+    dirs = write_corpus(out, kb, 60, n_shards=2)
+
+    def collect(ds):
+        df = _collect(ds).to_pandas().sort_values(
+            ["subj", "pred", "obj", "url"]).reset_index(drop=True)
+        df["score"] = df["score"].round(9)
+        df["warc_ts"] = df["warc_ts"].astype(str)  # unify ns/ms dtypes
+        return df
+
+    base = collect(link_pages(read_pages(dirs["pages"]), put_kb(kb),
+                              emit="triples", concurrency=2, batch_size=16))
+    shard = collect(link_pages_sharded(read_pages(dirs["pages"]), kb,
+                                       n_shards=3, concurrency=1,
+                                       batch_size=16))
+    n_diff = 0 if (len(base) == len(shard) and base.equals(shard)) \
+        else max(1, abs(len(base) - len(shard)))
+    return pa.table({
+        "n_shards": pa.array([3], pa.int64()),
+        "rows_equal": pa.array([len(base) == len(shard)], pa.bool_()),
+        "n_diff": pa.array([n_diff], pa.int64()),
+    })
+
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing as a first-class operator: binary payloads →
+    actor-pool decode (deterministic fake backend) → feature rows.  The
+    fake derives stable pseudo-pixels from payload hashes, so the oracle
+    is exact VALUES."""
+    from aida_ray.stages.multimodal import ImageFeatures, make_media_table
+    media = make_media_table(8, seed=42)
+    ds = ray.data.from_arrow(media).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=4,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.table({
+        "media_id": pa.array(t["media_id"], pa.int64()),
+        "phash": pa.array(t["phash"], pa.int64()),
+        "width": pa.array(t["width"].astype("int64"), pa.int64()),
+        "height": pa.array(t["height"].astype("int64"), pa.int64()),
+        "mean_r_1e3": pa.array([round(m[0] * 1e3) for m in t["channel_mean"]],
+                               pa.int64()),
+    })
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -518,7 +691,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
+        "fuzzy_lookup": q_fuzzy_lookup,
+        "chunked_doc": q_chunked_doc,
+        "confidence": q_confidence,
+        "person_merge": q_person_merge,
+        "tsv_roundtrip": q_tsv_roundtrip,
+        "sharded_equality": q_sharded_equality,
+        "media_features": q_media_features,
     }
+
+
+def _chunked_doc_oracle() -> str:
+    """24 expected rows: the golden sentence repeated 6x, 72 chars apart
+    (chunk reconciliation must preserve all offsets and decisions)."""
+    base = [("Page", 5, "Jimmy_Page"), ("Kashmir", 17, "Kashmir_(song)"),
+            ("Knebworth", 28, "Knebworth_Festival"), ("Les Paul", 43, "--OOKBE--")]
+    rows = [(m, off + 72 * k, e) for k in range(6) for m, off, e in base]
+    values = ",\n                ".join(
+        f"('{m}', {off}, '{e}')" for m, off, e in rows)
+    return f"""
+            SELECT * FROM (VALUES
+                {values}
+            ) AS t(mention, char_offset, entity)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -674,5 +869,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(('0x' || substr(md5(text), 1, 16)) AS UBIGINT) // 2
                         AS BIGINT) AS fingerprint
             FROM documents
+        """,
+        "fuzzy_lookup": """
+            SELECT * FROM (VALUES
+                ('fuzzy', 'Knebworthe', 'Knebworth_Festival'),
+                ('exact', 'Knebworthe', '--OOKBE--')
+            ) AS t(mode, mention, entity)
+        """,
+        "chunked_doc": _chunked_doc_oracle(),
+        "confidence": """
+            SELECT * FROM (VALUES
+                ('Page', 'Jimmy_Page', 1000000),
+                ('Kashmir', 'Kashmir_(song)', 1000000),
+                ('Knebworth', 'Knebworth_Festival', 1000000),
+                ('Les Paul', '--OOKBE--', 950000)
+            ) AS t(mention, entity, conf_1e6)
+        """,
+        "person_merge": """
+            SELECT * FROM (VALUES
+                ('merged', 'Larry Page', 'Larry_Page'),
+                ('merged', 'Page', 'Larry_Page'),
+                ('raw', 'Larry Page', 'Larry_Page'),
+                ('raw', 'Page', 'Jimmy_Page')
+            ) AS t(mode, mention, entity)
+        """,
+        "tsv_roundtrip": """
+            SELECT * FROM (VALUES
+                ('1 Test', 26, 2, TRUE),
+                ('2 Other', 14, 1, TRUE)
+            ) AS t(doc_id, n_chars, n_mentions, roundtrip_ok)
+        """,
+        "sharded_equality": """
+            SELECT * FROM (VALUES (3, TRUE, 0)
+            ) AS t(n_shards, rows_equal, n_diff)
+        """,
+        "media_features": """
+            SELECT * FROM (VALUES
+                (0, 7053324365723266592, 55, 36, 126871),
+                (1, 9100353852577839384, 47, 51, 126478),
+                (2, 390921247855460027, 57, 48, 127958),
+                (3, 1813235089287329637, 51, 34, 129754),
+                (4, 5581907379520868864, 57, 56, 126926),
+                (5, 8415083422173196180, 62, 45, 127659),
+                (6, 4211861493765116293, 59, 44, 128565),
+                (7, 8449731347319266704, 57, 55, 127104)
+            ) AS t(media_id, phash, width, height, mean_r_1e3)
         """,
     }

@@ -1,10 +1,17 @@
 """Noun-phrase keyphrase extraction (SURVEY M18).
 
 Reference: keyphraseextraction/KeyphraseExtractor.java:28-100 — POS-regex
-noun phrases + date patterns.  Without a POS tagger we use the
-deterministic heuristics the patterns reduce to on news text: maximal
-runs of capitalized words (allowing inner 'of/the/and'), plus number +
-capitalized-month date phrases.  Pure function usable in map_batches.
+noun phrases + date patterns.  Two implementations:
+
+- ``extract_keyphrases``: the round-1 heuristic (maximal capitalized
+  runs, allowing inner 'of/the/and', plus date phrases);
+- ``extract_keyphrases_pos``: a faithful port of the reference's NP
+  regex GRAMMAR over POS-tag strings (nounPhrase / nounPhraseIN /
+  nounPhraseJJ2 / nounPhraseDT / nounPhraseTT — Justeson & Katz 1995),
+  with a deterministic rule-based tagger standing in for Stanford POS
+  (same deviation class as the tokenizer replacement, SURVEY §7.5).
+  Matches are found on the joined tag string and mapped back to word
+  indices exactly like WordSequence.TagStringPosToSequencePos.
 """
 
 from __future__ import annotations
@@ -51,6 +58,100 @@ def extract_keyphrases(text: str, min_tokens: int = 1,
     flush()
     phrases.extend(_DATE.findall(text))
     # dedup, keep order
+    seen: set[str] = set()
+    out = []
+    for p in phrases:
+        if p not in seen:
+            seen.add(p)
+            out.append(p)
+    return out
+
+
+# ------------------------------------------------- POS-regex grammar port
+
+# the five patterns, verbatim from KeyphraseExtractor.java:30-52
+_NOUN = r"NNS?\s?"
+_ADJ = r"JJ\s"
+_PREP = r"IN\s"
+_NP = r"(NNP\s?){1,}(NNPS\s?){0,}(NNS\s?){0,}(NN\s?){0,}(NNP\s?){0,}(NNPS\s?){0,}(NNS\s?){0,}"
+_NP_IN = r"(NNP\s){1,}(IN\s?){1}(NNP\s?){1,}"
+_NP_JJ = r"(JJ\s){1}(NNP\s?){1,}"
+_NP_DT = r"((?=[^A-Z])DT\s){1}(NNP\s?){1,}"
+_NP_TT = (r"((" + _ADJ + "|" + _NOUN + r")+|((" + _ADJ + "|" + _NOUN +
+          r")*(" + _NOUN + _PREP + r")?)(" + _ADJ + "|" + _NOUN +
+          r")+)NNS?")
+_NP_PATTERNS = [re.compile(p) for p in (_NP, _NP_IN, _NP_JJ, _NP_DT, _NP_TT)]
+
+_PREPOSITIONS = frozenset(
+    "of in on at for with from by to under over into through between".split())
+_DETERMINERS = frozenset("a an the this that these those".split())
+_ADJ_SUFFIXES = ("al", "ous", "ive", "ic", "ary", "ful", "less", "able",
+                 "ible", "ish", "ent", "ant")
+
+
+def _pos_tag(word: str, sentence_initial: bool) -> str:
+    """Deterministic heuristic tagger feeding the NP grammar (stand-in
+    for Stanford ENGLISH_POS; documented deviation)."""
+    if not word:
+        return "."
+    if not any(c.isalnum() for c in word):
+        return "."
+    if word[0].isdigit():
+        return "CD"
+    lw = word.lower()
+    if lw in _DETERMINERS:
+        return "DT" if word[0].islower() else "DT_CAP"
+    if lw in _PREPOSITIONS and word[0].islower():
+        return "IN"
+    if word[0].isupper():
+        if not sentence_initial:
+            return "NNPS" if len(word) > 3 and word.endswith("s") else "NNP"
+        # sentence-initial capitalization is ambiguous; treat as common
+        lw_tag = "NNS" if len(word) > 3 and word.endswith("s") else "NN"
+        return lw_tag
+    if lw.endswith(_ADJ_SUFFIXES) and len(lw) > 4:
+        return "JJ"
+    if len(lw) > 3 and lw.endswith("s"):
+        return "NNS"
+    return "NN"
+
+
+def extract_keyphrases_pos(text: str) -> list[str]:
+    """Apply the reference's NP regexes over the tag string per sentence
+    (gatherKeyphrases, KeyphraseExtractor.java:107-200) + date phrases."""
+    toks = tokenize(text)
+    # split into sentences
+    sentences: list[list] = []
+    cur = -1
+    for t in toks:
+        if t.sentence != cur:
+            sentences.append([])
+            cur = t.sentence
+        sentences[-1].append(t)
+    phrases: list[str] = []
+    for sent in sentences:
+        words = [t.text for t in sent]
+        tags = [_pos_tag(w, i == 0) for i, w in enumerate(words)]
+        # tag string with one space after each tag; char pos -> word index
+        tag_str = ""
+        pos2idx: dict[int, int] = {}
+        for i, tag in enumerate(tags):
+            pos2idx[len(tag_str)] = i
+            tag_str += tag + " "
+        for pat in _NP_PATTERNS:
+            for m in pat.finditer(tag_str):
+                start = m.start()
+                if start not in pos2idx:   # mid-tag match — not a boundary
+                    continue
+                n_tags = len(m.group(0).split())
+                w0 = pos2idx[start]
+                phrase_words = words[w0:w0 + n_tags]
+                # DT pattern keeps the determiner (book titles: "A Journey")
+                if not phrase_words or \
+                        all(is_stopword_or_symbol(w) for w in phrase_words):
+                    continue
+                phrases.append(" ".join(phrase_words))
+    phrases.extend(_DATE.findall(text))
     seen: set[str] = set()
     out = []
     for p in phrases:

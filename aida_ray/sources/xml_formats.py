@@ -65,7 +65,47 @@ def parse_alto(xml: str) -> tuple[str, str]:
     return "", "\n".join(lines)
 
 
-PARSERS = {"nyt": parse_nyt, "tei": parse_tei, "alto": parse_alto}
+def parse_spiegel(xml: str) -> tuple[str, str]:
+    """Spiegel corpus shape (SpiegelPreparatorInputFormat.java:15-84):
+    doc id in <artikel-id>; title from <titel>; text from <vorspann>,
+    <kurztitel>, <beschriftung>; each <absatz> starts a new paragraph;
+    whitespace compacted (shouldCompactText)."""
+    title = _first(r"<titel[^>]*>(.*?)</titel>", xml)
+    parts: list[str] = []
+    for tag in ("kurztitel", "vorspann"):
+        for m in re.findall(rf"<{tag}[^>]*>(.*?)</{tag}>", xml, re.S | re.I):
+            s = _strip(m)
+            if s:
+                parts.append(s)
+    for m in re.findall(r"<absatz[^>]*>(.*?)</absatz>", xml, re.S | re.I):
+        s = _strip(m)
+        if s:
+            parts.append(s)
+    for m in re.findall(r"<beschriftung[^>]*>(.*?)</beschriftung>",
+                        xml, re.S | re.I):
+        s = _strip(m)
+        if s:
+            parts.append(s)
+    return title, "\n".join(parts)
+
+
+def spiegel_doc_id(xml: str) -> str:
+    return _first(r"<artikel-id[^>]*>(.*?)</artikel-id>", xml)
+
+
+def parse_robust04(xml: str) -> tuple[str, str]:
+    """TREC Robust04 shape (Robust04PreparatorInputFormat.java:42-59):
+    doc id from <DOCNO>; text = the document with ALL tags stripped
+    (extractTextUsingRegex: xmlText.replaceAll("<.*?>", ""))."""
+    return "", _strip(xml)
+
+
+def robust04_doc_id(xml: str) -> str:
+    return _first(r"<DOCNO>(.*?)</DOCNO>", xml)
+
+
+PARSERS = {"nyt": parse_nyt, "tei": parse_tei, "alto": parse_alto,
+           "spiegel": parse_spiegel, "robust04": parse_robust04}
 
 
 def parse_xml(xml: str, fmt: str) -> tuple[str, str]:

@@ -69,3 +69,60 @@ def test_simple_greedy(fixture_kb):
     assert res["Page"].entity == "Jimmy_Page"
     assert res["Kashmir"].entity == "Kashmir_(song)"
     assert res["Les Paul"].entity == "--OOKBE--"
+
+
+def test_parse_spiegel():
+    """SpiegelPreparatorInputFormat.java:15-84: titel/vorspann/kurztitel/
+    absatz/beschriftung text parts, artikel-id doc id."""
+    from aida_ray.sources.xml_formats import parse_spiegel, spiegel_doc_id
+    xml = """<artikel>
+      <artikel-id>sp-1999-42</artikel-id>
+      <kurztitel>Kurz</kurztitel>
+      <titel>Der grosse Titel</titel>
+      <vorspann>Ein Vorspann text.</vorspann>
+      <absatz>Erster Absatz hier.</absatz>
+      <absatz>Zweiter   Absatz.</absatz>
+      <beschriftung>Bild eins</beschriftung>
+      <ignored>nicht dabei</ignored>
+    </artikel>"""
+    title, body = parse_spiegel(xml)
+    assert title == "Der grosse Titel"
+    assert body.split("\n") == ["Kurz", "Ein Vorspann text.",
+                                "Erster Absatz hier.", "Zweiter Absatz.",
+                                "Bild eins"]
+    assert "nicht dabei" not in body
+    assert spiegel_doc_id(xml) == "sp-1999-42"
+
+
+def test_parse_robust04():
+    """Robust04PreparatorInputFormat.java:42-59: DOCNO id; text = all
+    tags stripped."""
+    from aida_ray.sources.xml_formats import parse_robust04, robust04_doc_id
+    xml = ("<DOC><DOCNO>FBIS3-10082</DOCNO><HT>x</HT>"
+           "<TEXT>Some body text here.</TEXT></DOC>")
+    title, body = parse_robust04(xml)
+    assert title == ""
+    assert "Some body text here." in body
+    assert "FBIS3-10082" in body        # DOCNO chars survive tag-stripping
+    assert robust04_doc_id(xml) == "FBIS3-10082"
+
+
+def test_xml_dispatch_all_formats():
+    from aida_ray.sources.xml_formats import PARSERS, parse_xml
+    assert set(PARSERS) == {"nyt", "tei", "alto", "spiegel", "robust04"}
+    t, b = parse_xml("<DOC><DOCNO>d1</DOCNO>hello</DOC>", "robust04")
+    assert "hello" in b
+
+
+def test_pos_keyphrase_grammar():
+    """KeyphraseExtractor.java NP grammar port: nounPhraseIN catches
+    'University of California'; dates; proper-noun runs."""
+    from aida_ray.ned.keyphrases import extract_keyphrases_pos
+    text = ("Jimmy Page of Led Zeppelin played at the University of "
+            "California on 17 August 2026.")
+    got = extract_keyphrases_pos(text)
+    assert "University of California" in got      # nounPhraseIN
+    assert "17 August 2026" in got                # date regex
+    assert any("Led Zeppelin" in p for p in got)  # NNP run
+    # deterministic
+    assert got == extract_keyphrases_pos(text)

@@ -236,3 +236,42 @@ def test_embedding_near_dup(ray_session):
     }))
     out = embedding_near_dup_pairs(ds, cosine_threshold=0.999).to_pandas()
     assert (0, 5) in set(zip(out["a"], out["b"]))
+
+
+def test_embed_neardup_planted(ray_session):
+    """Planted embedding near-dups: recall vs a brute-force cosine oracle
+    (round-1 gap: the operator had never matched a pair on real data)."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((6, 24))
+    vecs, gold = [], set()
+    vid = 0
+    members = []
+    for b in base:
+        ids = []
+        for _ in range(3):                  # 3 noisy copies per cluster
+            v = b + rng.standard_normal(24) * 0.01
+            vecs.append(v)
+            ids.append(vid)
+            vid += 1
+        members.append(ids)
+    for _ in range(30):                     # background noise vectors
+        vecs.append(rng.standard_normal(24))
+        vid += 1
+    vecs = np.array(vecs)
+    normed = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = normed @ normed.T
+    iu = np.triu_indices(len(vecs), k=1)
+    gold = {(int(a), int(b)) for a, b in zip(*[x[m] for x, m in
+            zip(iu, [sims[iu] >= 0.99] * 2)])}
+    assert gold, "fixture must plant gold pairs"
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    }))
+    from aida_ray.stages.dedup import embedding_near_dup_pairs
+    df = embedding_near_dup_pairs(ds, cosine_threshold=0.99,
+                                  n_rotations=4).to_pandas()
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    # OR-amplified rotations: >= 90% recall of the BF oracle, no junk
+    assert len(got & gold) / len(gold) >= 0.9
+    assert got <= gold
