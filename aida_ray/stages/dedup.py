@@ -150,7 +150,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
                       id_col: str = "doc_id",
                       jaccard_threshold: float = 0.8,
                       seed: int = 42,
-                      num_partitions: int = 16) -> ray.data.Dataset:
+                      num_partitions: int = 16,
+                      broadcast_threshold: int = 2_000_000) -> ray.data.Dataset:
     """Jaccard-verified near-dup pairs (a < b) via banded MinHash-LSH —
     fully distributed (reference banding semantics: LSH.java + MinHasher.java).
 
@@ -169,13 +170,14 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     """
     rows_per_band = num_hashes // bands
     hasher = MinHasher(num_hashes, shingle_k, seed)
-    # hash-join aggregators hold one CPU each; cap partitions to the
-    # cluster so a small test session cannot deadlock
+    # hash-join aggregators hold one CPU each and several joins coexist
+    # in this plan; cap partitions well below the cluster so aggregators
+    # never starve the map stages (cpus // 4 leaves >= 3/4 for compute)
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         cpus = 8
-    num_partitions = max(2, min(num_partitions, cpus // 2))
+    num_partitions = max(2, min(num_partitions, cpus // 4))
 
     def sketch(batch: pa.Table) -> pa.Table:
         ids, shingles, bhs = [], [], []
@@ -212,27 +214,52 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     hot_rows = exploded.join(hot, join_type="inner",
                              num_partitions=num_partitions, on=("band_hash",))
 
-    def bucket_pairs(group):
-        import pandas as pd
-        ms = np.unique(group[id_col].to_numpy())
-        if len(ms) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        iu = np.triu_indices(len(ms), k=1)
-        return pd.DataFrame({"a": ms[iu[0]], "b": ms[iu[1]]})
-
-    pairs = hot_rows.groupby("band_hash").map_groups(
-        bucket_pairs, batch_format="pandas")
-    pairs = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    # pair generation = vectorized SELF-JOIN on band_hash (a per-group
+    # map_groups pays ~ms of pandas overhead per bucket — 10k hot
+    # buckets made that the dominant cost), then a < b + distinct.
+    # materialize: `pairs` is consumed by three downstream branches —
+    # without a checkpoint the lazy plan would re-execute the whole
+    # band-join lineage per consumer AND co-schedule five hash joins
+    # (deadlocks the aggregator actor pools on a small cluster)
+    left = hot_rows.map_batches(
+        lambda b: pa.table({"band_hash": b["band_hash"], "a": b[id_col]}),
+        batch_format="pyarrow")
+    right = hot_rows.map_batches(
+        lambda b: pa.table({"band_hash": b["band_hash"], "b": b[id_col]}),
+        batch_format="pyarrow")
+    pairs = left.join(right, join_type="inner",
+                      num_partitions=num_partitions, on=("band_hash",)) \
+        .filter(expr="a < b") \
+        .groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
 
     def both_sides(b: pa.Table) -> pa.Table:
         ids = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
         return pa.table({id_col: pa.array(ids, pa.int64())})
 
     cand_ids = pairs.map_batches(both_sides, batch_format="pyarrow") \
-        .groupby(id_col).count().select_columns([id_col])
-    cand_sketch = sketches.select_columns([id_col, "shingles"]).join(
-        cand_ids, join_type="inner", num_partitions=num_partitions,
-        on=(id_col,))
+        .groupby(id_col).count().select_columns([id_col]).materialize()
+    # semi-join sketches → candidates.  The sketch table is the corpus
+    # (heavy shingle payloads); the candidate set is bounded by the
+    # near-dup count.  Small side ⇒ broadcast map-side filter (classic
+    # broadcast-join optimization — one map pass, no shuffle of the
+    # corpus); huge dup sets (30%-duplicate crawls) ⇒ distributed hash
+    # join fallback, never a driver set.
+    n_cand = cand_ids.count()
+    if n_cand <= broadcast_threshold:
+        idr = ray.put(set(pa.concat_tables(
+            [ray.get(r) for r in cand_ids.to_arrow_refs()])[id_col].to_pylist()))
+
+        def keep_cands(b: pa.Table) -> pa.Table:
+            want = _get_cached(idr)
+            mask = pa.array([i in want for i in b[id_col].to_pylist()], pa.bool_())
+            return b.filter(mask)
+
+        cand_sketch = sketches.select_columns([id_col, "shingles"]) \
+            .map_batches(keep_cands, batch_format="pyarrow").materialize()
+    else:
+        cand_sketch = sketches.select_columns([id_col, "shingles"]).join(
+            cand_ids, join_type="inner", num_partitions=num_partitions,
+            on=(id_col,)).materialize()
 
     wa = pairs.join(
         cand_sketch.map_batches(

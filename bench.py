@@ -87,6 +87,24 @@ def run_bench() -> dict:
         fn(sf_dir)
         timings[name] = round(time.time() - t0, 3)
 
+    # sharded-KB story: 4-shard scoring vs single-KB on the sf0.01-sized
+    # corpus (fixed size regardless of GRAFT_SF_DIR so the ratio is
+    # comparable across rounds); target sharded <= 1.5x single wall
+    kb01, pages01, _ = E._kg_cache("/root/testdata/sf0.01")
+    from aida_ray.pipelines.sharded import link_pages_sharded
+    kbr01 = put_kb(kb01)
+    t0 = time.time()
+    link_pages(read_pages(pages01), kbr01, concurrency=pool,
+               batch_size=64).count()
+    timings["kg_single_sf001"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    link_pages_sharded(read_pages(pages01), kb01, n_shards=4,
+                       concurrency=max(1, pool // 4),
+                       batch_size=64).count()
+    timings["kg_sharded4_sf001"] = round(time.time() - t0, 3)
+    extras["sharded_over_single"] = round(
+        timings["kg_sharded4_sf001"] / timings["kg_single_sf001"], 3)
+
     out = {
         "metric": "kg_pipeline_sec",
         "value": timings["kg_pipeline"],
