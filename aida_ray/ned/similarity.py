@@ -202,9 +202,12 @@ class DocMatcher:
     by the main and coherence-robustness ensembles (4 scoring passes
     reuse 1 matching pass)."""
 
-    def __init__(self, kb: KB, doc: PreparedDoc):
+    def __init__(self, kb: KB, doc: PreparedDoc,
+                 index: InvertedIndex | None = None):
         self.kb = kb
-        self.index = InvertedIndex(doc.token_ids, kb.stop_ids)
+        # a prebuilt index (shipped in the sharded path's prepared
+        # payload) saves one O(tokens) build per (doc, shard)
+        self.index = index or InvertedIndex(doc.token_ids, kb.stop_ids)
         self._cache: dict[tuple[int, int], list[KeyphraseMatch]] = {}
 
     def matches(self, mention_idx: int, mention: Mention,

@@ -3,15 +3,20 @@
 DESIGN.md §2: when `entity_keyphrases` outgrows actor memory, split the
 keyphrase index into R shards by entity id; scorer actors each pin ONE
 shard and compute raw keyphrase scores only for candidates they own;
-a per-document merge reassembles the full score table and runs the
+a final stateless stage assembles the full score table and runs the
 graph solver with the (small) keyphrase-free core KB.
 
-    pages ─ map_batches(route, core KB: prepare ONCE) ─▶
-        per-owning-shard rows (url, shard, prepared payload)
-        + one merge row per doc (shard = -1, prepared payload)
-      ─ per-shard actor pools (shard KB) ─▶ (mention_idx, eid, raw score)
-        rows — NO text, NO payload echo, NO re-tokenization
-      ─ groupby(url).map_groups(merge+solve, core KB) ─▶ triples
+    pages ─ map_batches(route: prepare ONCE, pack doc+index) ─▶
+      ─ ChainScorer pool (shard 0) ─▶ ... ─▶ ChainScorer pool (shard R-1)
+        each appends its (mention_idx, eid, raw score) to accumulator
+        list-columns and passes the batch on
+      ─ map_batches(solve, core KB) ─▶ triples
+
+Topology: a CHAIN of actor pools — no shuffle, no union, no merge
+groupby.  The streaming executor pipelines all R+2 stages; each batch
+visits each shard's pool exactly once.  (An earlier fan-out/union/
+groupby(url) topology spent more wall time in the 5-way union's
+tiny-block sort than in scoring.)
 
 Exactness: raw scores per (mention, candidate) are computed by exactly
 one shard with the same matcher semantics as the unsharded path, and
@@ -19,13 +24,12 @@ missing pairs default to 0.0 (identical to an unmatched candidate), so
 decisions and scores are bit-equal to the single-KB pipeline
 (tested in tests/test_sharded.py).
 
-Scale notes: each document is tokenized + candidate-looked-up exactly
-once (in the router); what ships through the shuffle is the compact
-prepared form (token ids + mention spans + candidate ids — no page
-text), replicated only to shards owning >= 1 candidate (typically 1-3
-of R) plus one merge copy; the merge groupby's key is the url
-(unskewed) and the merge kernel is vectorized numpy over the score
-columns (no per-row pandas iteration).
+Scale notes: each document is tokenized + candidate-looked-up + indexed
+exactly once (in the router); the compact prepared form (token ids +
+mention spans + candidate ids + inverted index — no page text) rides
+the chain, so total traffic is R+1 payload hops with no all-to-all
+anywhere; chain depth = n_shards, so group several logical shards per
+pool when R would exceed the cluster width.
 """
 
 from __future__ import annotations
@@ -33,7 +37,6 @@ from __future__ import annotations
 import copy
 import pickle
 
-import numpy as np
 import pyarrow as pa
 
 import ray
@@ -83,62 +86,24 @@ def kb_shard(kb: KB, shard: int, n_shards: int) -> KB:
     return sub
 
 
-def _pack_doc(doc: PreparedDoc) -> bytes:
+def _pack_doc(doc: PreparedDoc, kb: KB) -> bytes:
     """Compact prepared form: token ids + mentions (spans, candidates,
-    priors).  Raw text and Token objects are dropped — nothing downstream
-    of the router needs them (the matcher uses token_ids; the solver uses
-    mention metadata)."""
+    priors) + the prebuilt inverted index.  Raw text and Token objects
+    are dropped — nothing downstream of the router needs them (the
+    matcher uses the index; the solver uses mention metadata).  Shipping
+    the index saves each owning shard an O(tokens) rebuild."""
+    from aida_ray.ned.context import InvertedIndex
     slim = PreparedDoc(doc_id=doc.doc_id, text="", tokens=[],
                        token_ids=doc.token_ids, mentions=doc.mentions)
-    return pickle.dumps(slim, protocol=pickle.HIGHEST_PROTOCOL)
+    index = InvertedIndex(doc.token_ids, kb.stop_ids)
+    return pickle.dumps((slim, index), protocol=pickle.HIGHEST_PROTOCOL)
 
 
-_SCORE_SCHEMA = pa.schema([
-    ("url", pa.string()),
-    ("warc_ts", pa.timestamp("ms")),
-    ("shard", pa.int32()),
-    ("mention_idx", pa.int32()),
-    ("eid", pa.int64()),
-    ("raw_mi", pa.float64()),
-    ("raw_idf", pa.float64()),
-    ("prep", pa.binary()),
-])
-
-
-def _route_batch(batch: pa.Table, core_ref, settings, n_shards: int) -> pa.Table:
-    """Stage A: prepare each page ONCE; emit the compact prepared payload
-    to every shard owning >= 1 candidate, plus one merge row (shard=-1)."""
-    kb = resolve(core_ref)
-    urls, texts = batch["url"].to_pylist(), batch["text"].to_pylist()
-    tss = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names \
-        else [None] * len(urls)
-    out = {"url": [], "warc_ts": [], "shard": [], "prep": []}
-    for url, text, ts in zip(urls, texts, tss):
-        doc = prepare_document(url, text, kb, settings)
-        payload = _pack_doc(doc)
-        shards = {eid % n_shards for m in doc.mentions
-                  for eid, _ in m.candidates}
-        for s in sorted(shards):
-            out["url"].append(url)
-            out["warc_ts"].append(ts)
-            out["shard"].append(s)
-            out["prep"].append(payload)
-        # merge row: carries the doc to the solver even when no shard
-        # owns a candidate (all-OOKBE documents)
-        out["url"].append(url)
-        out["warc_ts"].append(ts)
-        out["shard"].append(-1)
-        out["prep"].append(payload)
-    return pa.table({"url": pa.array(out["url"], pa.string()),
-                     "warc_ts": pa.array(out["warc_ts"], pa.timestamp("ms")),
-                     "shard": pa.array(out["shard"], pa.int32()),
-                     "prep": pa.array(out["prep"], pa.binary())})
-
-
-class ShardScorer:
-    """Stage B actor: pins one keyphrase shard; consumes prepared docs
-    (no re-tokenization) and emits raw scores for the (mention,
-    candidate) pairs its shard owns."""
+class ChainScorer:
+    """One link of the scorer chain: pins ONE keyphrase shard, appends
+    raw scores for the (mention, candidate) pairs it owns to the batch's
+    accumulator list-columns, passes the batch on.  No shuffle, no
+    union — the batch streams through R pools then a stateless solve."""
 
     def __init__(self, shard_ref, settings: DisambiguationSettings,
                  shard: int, n_shards: int):
@@ -148,97 +113,57 @@ class ShardScorer:
         self.n_shards = n_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {"url": [], "warc_ts": [], "mention_idx": [],
-               "eid": [], "raw_mi": [], "raw_idf": []}
-        for url, ts, payload in zip(batch["url"].to_pylist(),
-                                    batch["warc_ts"].to_pylist(),
-                                    batch["prep"].to_pylist()):
-            doc = pickle.loads(payload)
-            matcher = DocMatcher(self.kb, doc)
+        mi_col, eid_col, rmi_col, ridf_col = [], [], [], []
+        prev_mi = batch["acc_mention_idx"].to_pylist()
+        prev_eid = batch["acc_eid"].to_pylist()
+        prev_rmi = batch["acc_raw_mi"].to_pylist()
+        prev_ridf = batch["acc_raw_idf"].to_pylist()
+        for row_i, payload in enumerate(batch["prep"].to_pylist()):
+            doc, index = pickle.loads(payload)
+            matcher = DocMatcher(self.kb, doc, index=index)
+            mis = list(prev_mi[row_i])
+            eids = list(prev_eid[row_i])
+            rmis = list(prev_rmi[row_i])
+            ridfs = list(prev_ridf[row_i])
             for mi_, m in enumerate(doc.mentions):
                 for eid, _ in m.candidates:
                     if eid % self.n_shards != self.shard:
                         continue
                     matches = matcher.matches(mi_, m, eid)
-                    out["url"].append(url)
-                    out["warc_ts"].append(ts)
-                    out["mention_idx"].append(mi_)
-                    out["eid"].append(eid)
-                    out["raw_mi"].append(
-                        score_matches(self.kb, eid, matches, "mi"))
-                    out["raw_idf"].append(
-                        score_matches(self.kb, eid, matches, "idf"))
-        n = len(out["url"])
+                    mis.append(mi_)
+                    eids.append(eid)
+                    rmis.append(score_matches(self.kb, eid, matches, "mi"))
+                    ridfs.append(score_matches(self.kb, eid, matches, "idf"))
+            mi_col.append(mis)
+            eid_col.append(eids)
+            rmi_col.append(rmis)
+            ridf_col.append(ridfs)
         return pa.table({
-            "url": pa.array(out["url"], pa.string()),
-            "warc_ts": pa.array(out["warc_ts"], pa.timestamp("ms")),
-            "shard": pa.array([self.shard] * n, pa.int32()),
-            "mention_idx": pa.array(out["mention_idx"], pa.int32()),
-            "eid": pa.array(out["eid"], pa.int64()),
-            "raw_mi": pa.array(out["raw_mi"], pa.float64()),
-            "raw_idf": pa.array(out["raw_idf"], pa.float64()),
-            "prep": pa.array([b""] * n, pa.binary()),
-        }, schema=_SCORE_SCHEMA)
+            "url": batch["url"], "warc_ts": batch["warc_ts"],
+            "prep": batch["prep"],
+            "acc_mention_idx": pa.array(mi_col, pa.list_(pa.int32())),
+            "acc_eid": pa.array(eid_col, pa.list_(pa.int64())),
+            "acc_raw_mi": pa.array(rmi_col, pa.list_(pa.float64())),
+            "acc_raw_idf": pa.array(ridf_col, pa.list_(pa.float64())),
+        })
 
 
-def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
-                       settings: DisambiguationSettings | None = None,
-                       n_shards: int = 4,
-                       concurrency: int = 2,
-                       batch_size: int = 32) -> ray.data.Dataset:
-    """Sharded-KB NED: returns the same triple rows as ``link_pages``."""
-    settings = settings or DisambiguationSettings()
-    core_ref = ray.put(kb_core(kb))
-    routed = pages.map_batches(
-        _route_batch, batch_format="pyarrow", batch_size=batch_size,
-        fn_kwargs={"core_ref": core_ref, "settings": settings,
-                   "n_shards": n_shards})
-    # one actor pool per shard, each filtering its rows (at scale:
-    # repartition by shard first so filters see only their blocks)
-    scored_parts = []
-    for s in range(n_shards):
-        shard_ref = ray.put(kb_shard(kb, s, n_shards))
-        part = routed.filter(expr=f"shard == {s}").map_batches(
-            ShardScorer, batch_format="pyarrow", batch_size=batch_size,
-            fn_constructor_kwargs={"shard_ref": shard_ref,
-                                   "settings": settings,
-                                   "shard": s, "n_shards": n_shards},
-            concurrency=concurrency, num_cpus=1)
-        scored_parts.append(part)
-
-    def to_merge_row(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        return pa.table({
-            "url": b["url"], "warc_ts": b["warc_ts"], "shard": b["shard"],
-            "mention_idx": pa.array([-1] * n, pa.int32()),
-            "eid": pa.array([-1] * n, pa.int64()),
-            "raw_mi": pa.array([0.0] * n, pa.float64()),
-            "raw_idf": pa.array([0.0] * n, pa.float64()),
-            "prep": b["prep"],
-        }, schema=_SCORE_SCHEMA)
-
-    merge_rows = routed.filter(expr="shard == -1").map_batches(
-        to_merge_row, batch_format="pyarrow")
-    scored = merge_rows.union(*scored_parts)
-
-    def merge_and_solve(group):
-        import pandas as pd
-        core = resolve(core_ref)
-        url = group["url"].iloc[0]
-        mi_idx = group["mention_idx"].to_numpy()
-        doc_rows = np.flatnonzero(mi_idx < 0)
-        payload = group["prep"].iloc[doc_rows[0]]
-        ts = group["warc_ts"].iloc[doc_rows[0]]
-        doc = pickle.loads(payload)
-        mask = mi_idx >= 0
-        keys = list(zip(mi_idx[mask].tolist(),
-                        group["eid"].to_numpy()[mask].tolist()))
-        raw = {"mi": dict(zip(keys, group["raw_mi"].to_numpy()[mask].tolist())),
-               "idf": dict(zip(keys, group["raw_idf"].to_numpy()[mask].tolist()))}
+def _solve_batch(batch: pa.Table, core_ref, settings) -> pa.Table:
+    """Final stateless stage: all shards have appended their scores —
+    assemble the raw-score dict per doc and run the graph solver."""
+    core = resolve(core_ref)
+    rows = {"subj": [], "pred": [], "obj": [], "url": [],
+            "warc_ts": [], "score": []}
+    for row_i in range(batch.num_rows):
+        url = batch["url"][row_i].as_py()
+        ts = batch["warc_ts"][row_i].as_py()
+        doc, _index = pickle.loads(batch["prep"][row_i].as_py())
+        keys = list(zip(batch["acc_mention_idx"][row_i].as_py(),
+                        batch["acc_eid"][row_i].as_py()))
+        raw = {"mi": dict(zip(keys, batch["acc_raw_mi"][row_i].as_py())),
+               "idf": dict(zip(keys, batch["acc_raw_idf"][row_i].as_py()))}
         results = solve_prepared(doc, core, settings,
                                  settings.hill_climbing_seed, raw_scores=raw)
-        rows = {"subj": [], "pred": [], "obj": [], "url": [],
-                "warc_ts": [], "score": []}
         linked = [r for r in results if r.entity != OOKBE]
         for r in linked:
             rows["subj"].append(r.entity)
@@ -266,7 +191,69 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
                     rows["url"].append(url)
                     rows["warc_ts"].append(ts)
                     rows["score"].append(min(s1, s2))
-        return pd.DataFrame(rows)
+    return pa.table({
+        "subj": pa.array(rows["subj"], pa.string()),
+        "pred": pa.array(rows["pred"], pa.string()),
+        "obj": pa.array(rows["obj"], pa.string()),
+        "url": pa.array(rows["url"], pa.string()),
+        "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("ms")),
+        "score": pa.array(rows["score"], pa.float64()),
+    })
 
-    return scored.groupby("url").map_groups(merge_and_solve,
-                                            batch_format="pandas")
+
+def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
+                       settings: DisambiguationSettings | None = None,
+                       n_shards: int = 4,
+                       concurrency: int = 2,
+                       batch_size: int = 32) -> ray.data.Dataset:
+    """Sharded-KB NED: returns the same triple rows as ``link_pages``.
+
+    Topology: a CHAIN of actor pools — prepare once (router), then the
+    batch streams through one pool per shard (each appending its raw
+    scores to accumulator list-columns), then a stateless solve.  No
+    shuffle, no union, no merge groupby; the streaming executor
+    pipelines all stages.  Chain depth = n_shards, so this fits
+    clusters with n_shards <= CPUs; for very large R prefer grouping
+    multiple logical shards per pool."""
+    settings = settings or DisambiguationSettings()
+    core_ref = ray.put(kb_core(kb))
+    if isinstance(concurrency, int):
+        concurrency = (1, max(1, concurrency))
+
+    def route(batch: pa.Table) -> pa.Table:
+        kb_ = resolve(core_ref)
+        urls, texts = batch["url"].to_pylist(), batch["text"].to_pylist()
+        tss = batch["warc_ts"].to_pylist() if "warc_ts" in batch.column_names \
+            else [None] * len(urls)
+        preps = []
+        for url, text in zip(urls, texts):
+            doc = prepare_document(url, text, kb_, settings)
+            preps.append(_pack_doc(doc, kb_))
+        n = len(urls)
+        empty_i = pa.array([[]] * n, pa.list_(pa.int32()))
+        empty_l = pa.array([[]] * n, pa.list_(pa.int64()))
+        empty_f = pa.array([[]] * n, pa.list_(pa.float64()))
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("ms")),
+            "prep": pa.array(preps, pa.binary()),
+            "acc_mention_idx": empty_i,
+            "acc_eid": empty_l,
+            "acc_raw_mi": empty_f,
+            "acc_raw_idf": empty_f,
+        })
+
+    ds = pages.map_batches(route, batch_format="pyarrow",
+                           batch_size=batch_size)
+    for s in range(n_shards):
+        shard_ref = ray.put(kb_shard(kb, s, n_shards))
+        ds = ds.map_batches(
+            ChainScorer, batch_format="pyarrow", batch_size=batch_size,
+            fn_constructor_kwargs={"shard_ref": shard_ref,
+                                   "settings": settings,
+                                   "shard": s, "n_shards": n_shards},
+            concurrency=concurrency, num_cpus=1)
+    return ds.map_batches(_solve_batch, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          fn_kwargs={"core_ref": core_ref,
+                                     "settings": settings})
