@@ -255,6 +255,30 @@ def q_ood_mentions(sf_dir: str) -> pa.Table:
     })
 
 
+def q_result_json(sf_dir: str) -> pa.Table:
+    """S8/M17: reference-shaped result JSON (README.md:198-288) over the
+    golden sentence — annotated text + entity/mention counts are exact."""
+    import json as _json
+
+    from aida_ray.io.result_json import to_result_json
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.doc import manual_filter
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = build_fixture_kb()
+    text = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    cleaned, _ = manual_filter(text)
+    res = disambiguate_document(
+        "d", text, kb, cocktail_party_settings(algorithm="cocktail_party"))
+    d = _json.loads(to_result_json("d", cleaned, res, kb))
+    return pa.table({
+        "format_version": pa.array([d["formatVersion"]], pa.string()),
+        "annotated_text": pa.array([d["annotatedText"]], pa.string()),
+        "n_mentions": pa.array([len(d["mentions"])], pa.int64()),
+        "n_entities": pa.array([len(d["allEntities"])], pa.int64()),
+    })
+
+
 def q_dedup_exact(sf_dir: str) -> pa.Table:
     """Exact dedup (D4): representative doc_id + dup count per text —
     rep text rides through the distributed aggregate (no driver rep map)."""
@@ -698,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tsv_roundtrip": q_tsv_roundtrip,
         "sharded_equality": q_sharded_equality,
         "media_features": q_media_features,
+        "result_json": q_result_json,
     }
 
 
@@ -902,6 +927,13 @@ def oracle_sql() -> dict[str, str]:
         "sharded_equality": """
             SELECT * FROM (VALUES (3, TRUE, 0)
             ) AS t(n_shards, rows_equal, n_diff)
+        """,
+        "result_json": """
+            SELECT * FROM (VALUES
+                ('2.3',
+                 'When [[YAGO:Jimmy_Page|Page]] played [[YAGO:Kashmir_(song)|Kashmir]] at [[YAGO:Knebworth_Festival|Knebworth]], his Les Paul was uniquely tuned.',
+                 4, 3)
+            ) AS t(format_version, annotated_text, n_mentions, n_entities)
         """,
         "media_features": """
             SELECT * FROM (VALUES

@@ -126,3 +126,38 @@ def test_pos_keyphrase_grammar():
     assert any("Led Zeppelin" in p for p in got)  # NNP run
     # deterministic
     assert got == extract_keyphrases_pos(text)
+
+
+def test_result_json_shape(fixture_kb):
+    """S8/M17: reference result-JSON shape (README.md:198-288) — format
+    version, annotatedText weave, entityMetadata, mentions with
+    bestEntity scores, allTypes."""
+    import json
+
+    from aida_ray.io.result_json import to_result_json
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.doc import manual_filter
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = fixture_kb
+    text = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    cleaned, _ = manual_filter(text)
+    res = disambiguate_document(
+        "d", text, kb, cocktail_party_settings(algorithm="cocktail_party"))
+    d = json.loads(to_result_json("d", cleaned, res, kb))
+    assert d["formatVersion"] == "2.3"
+    assert d["annotatedText"].startswith("When [[YAGO:Jimmy_Page|Page]]")
+    assert d["originalText"] == cleaned
+    assert d["allEntities"] == ["YAGO:Jimmy_Page", "YAGO:Kashmir_(song)",
+                                "YAGO:Knebworth_Festival"]
+    meta = d["entityMetadata"]["YAGO:Jimmy_Page"]
+    assert meta["readableRepr"] == "Jimmy Page"
+    assert meta["knowledgebase"] == "YAGO"
+    assert 0.0 < meta["importance"] < 1.0
+    best = d["mentions"][0]["bestEntity"]
+    assert best["kbIdentifier"] == "YAGO:Jimmy_Page"
+    assert best["disambiguationScore"] == "0.89471"   # golden score
+    ookbe = [m for m in d["mentions"] if m["name"] == "Les Paul"][0]
+    assert ookbe["bestEntity"] is None
+    # deterministic serialization
+    assert to_result_json("d", cleaned, res, kb) == \
+        to_result_json("d", cleaned, res, kb)
