@@ -255,6 +255,37 @@ def q_ood_mentions(sf_dir: str) -> pa.Table:
     })
 
 
+def q_perceptron_ner(sf_dir: str) -> pa.Table:
+    """M7 statistical NER: averaged-perceptron BIO tagger trained on the
+    synthetic train split; exact span counts on held-out testb and on a
+    corpus over an UNSEEN KB (deterministic training, VALUES oracle)."""
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.ned.perceptron import train_from_conll
+    from aida_ray.pipelines.conformance import generate_conll_corpus
+    from aida_ray.sources.conll_tsv import parse_conll_tsv, train_dev_test_split
+    model = train_from_conll(synth_kb(200, seed=42), n_docs=300, seed=42)
+    rows = []
+    for split_name, kb2, n, seed in [("testb", synth_kb(200, seed=42), 300, 42),
+                                     ("unseen_kb", synth_kb(200, seed=777), 200, 99)]:
+        docs = train_dev_test_split(parse_conll_tsv(
+            generate_conll_corpus(kb2, n, seed)))["testb"]
+        tp = fp = fn = 0
+        for d in docs:
+            pred = {(m.char_offset, m.char_length)
+                    for m in model.find_mentions(d.text)}
+            gold = {(m.begin, m.length) for m in d.mentions}
+            tp += len(pred & gold)
+            fp += len(pred - gold)
+            fn += len(gold - pred)
+        rows.append((split_name, tp, fp, fn))
+    return pa.table({
+        "split": pa.array([r[0] for r in rows], pa.string()),
+        "tp": pa.array([r[1] for r in rows], pa.int64()),
+        "fp": pa.array([r[2] for r in rows], pa.int64()),
+        "fn": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def q_result_json(sf_dir: str) -> pa.Table:
     """S8/M17: reference-shaped result JSON (README.md:198-288) over the
     golden sentence — annotated text + entity/mention counts are exact."""
@@ -723,6 +754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_equality": q_sharded_equality,
         "media_features": q_media_features,
         "result_json": q_result_json,
+        "perceptron_ner": q_perceptron_ner,
     }
 
 
@@ -927,6 +959,12 @@ def oracle_sql() -> dict[str, str]:
         "sharded_equality": """
             SELECT * FROM (VALUES (3, TRUE, 0)
             ) AS t(n_shards, rows_equal, n_diff)
+        """,
+        "perceptron_ner": """
+            SELECT * FROM (VALUES
+                ('testb', 195, 0, 0),
+                ('unseen_kb', 126, 0, 0)
+            ) AS t(split, tp, fp, fn)
         """,
         "result_json": """
             SELECT * FROM (VALUES

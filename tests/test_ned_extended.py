@@ -245,3 +245,49 @@ def test_ood_detection_end_to_end(fixture_kb):
     assert got["Zorbafex Quillan"] == "--OOKBE--"
     assert got["Page"] == "Jimmy_Page"
     assert got["Kashmir"] == "Kashmir_(song)"
+
+
+def test_perceptron_ner_heldout():
+    """M7 statistical tagger: averaged perceptron trained on the
+    synthetic train split tags the held-out testb split perfectly and
+    deterministically (identical weights across retrains)."""
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.ned.perceptron import train_from_conll
+    from aida_ray.pipelines.conformance import generate_conll_corpus
+    from aida_ray.sources.conll_tsv import (parse_conll_tsv,
+                                            train_dev_test_split)
+    kb = synth_kb(200, seed=42)
+    model = train_from_conll(kb, n_docs=300, seed=42)
+    docs = train_dev_test_split(
+        parse_conll_tsv(generate_conll_corpus(kb, 300, 42)))["testb"]
+    tp = fp = fn = 0
+    for d in docs:
+        pred = {(m.char_offset, m.char_length) for m in model.find_mentions(d.text)}
+        gold = {(m.begin, m.length) for m in d.mentions}
+        tp += len(pred & gold)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+    assert tp / (tp + fp) >= 0.95 and tp / (tp + fn) >= 0.95
+    m2 = train_from_conll(kb, n_docs=300, seed=42)
+    assert m2.weights == model.weights     # bit-deterministic training
+
+
+def test_perceptron_ner_unseen_surfaces():
+    """Generalization: the model never saw kb2's entity names, but shape
+    features recover their spans (what the dictionary trie cannot do)."""
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.ned.perceptron import train_from_conll
+    from aida_ray.pipelines.conformance import generate_conll_corpus
+    from aida_ray.sources.conll_tsv import (parse_conll_tsv,
+                                            train_dev_test_split)
+    model = train_from_conll(synth_kb(200, seed=42), n_docs=300, seed=42)
+    docs = train_dev_test_split(parse_conll_tsv(
+        generate_conll_corpus(synth_kb(200, seed=777), 200, 99)))["testb"]
+    tp = fp = fn = 0
+    for d in docs:
+        pred = {(m.char_offset, m.char_length) for m in model.find_mentions(d.text)}
+        gold = {(m.begin, m.length) for m in d.mentions}
+        tp += len(pred & gold)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+    assert tp / (tp + fp) >= 0.9 and tp / (tp + fn) >= 0.9
