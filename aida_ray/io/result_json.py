@@ -98,3 +98,31 @@ def result_json_batch(batch: pa.Table, kb_ref, settings=None) -> pa.Table:
            for u, t in zip(urls, texts)]
     return pa.table({"url": pa.array(urls, pa.string()),
                      "result_json": pa.array(out, pa.string())})
+
+
+def to_html(doc_id: str, text: str, results, kb: KB) -> str:
+    """Annotated HTML output (S7 — util/htmloutput/HtmlGenerator.java
+    semantics): linked mentions become anchors to the entity url, OOKBE
+    mentions a highlighted span; text is HTML-escaped."""
+    import html as _html
+
+    out = [f"<!DOCTYPE html><html><head><meta charset=\"utf-8\">"
+           f"<title>{_html.escape(doc_id)}</title></head><body><p>"]
+    pos = 0
+    for r in sorted(results, key=lambda r: (r.char_offset, r.char_length)):
+        if r.char_offset < pos:
+            continue
+        out.append(_html.escape(text[pos:r.char_offset]))
+        surface = _html.escape(
+            text[r.char_offset:r.char_offset + r.char_length])
+        if r.entity == OOKBE:
+            out.append(f'<span class="ookbe">{surface}</span>')
+        else:
+            meta = _entity_metadata(kb, r.entity)
+            out.append(f'<a href="{meta["url"]}" '
+                       f'title="{_html.escape(r.entity)} '
+                       f'({r.score:.5f})">{surface}</a>')
+        pos = r.char_offset + r.char_length
+    out.append(_html.escape(text[pos:]))
+    out.append("</p></body></html>")
+    return "".join(out)

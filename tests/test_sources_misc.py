@@ -161,3 +161,48 @@ def test_result_json_shape(fixture_kb):
     # deterministic serialization
     assert to_result_json("d", cleaned, res, kb) == \
         to_result_json("d", cleaned, res, kb)
+
+
+def test_html_writer(fixture_kb):
+    """S7: HtmlGenerator-style annotated HTML — anchors for linked
+    mentions, span for OOKBE, escaped text."""
+    from aida_ray.io.result_json import to_html
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.doc import manual_filter
+    from aida_ray.ned.settings import cocktail_party_settings
+    kb = fixture_kb
+    text = "When [[Page]] played Kashmir at Knebworth, his Les Paul was uniquely tuned."
+    cleaned, _ = manual_filter(text)
+    res = disambiguate_document(
+        "d", text, kb, cocktail_party_settings(algorithm="cocktail_party"))
+    html_out = to_html("d", cleaned, res, kb)
+    assert '<a href="http://en.wikipedia.org/wiki/Jimmy%20Page"' in html_out
+    assert ">Page</a>" in html_out
+    assert '<span class="ookbe">Les Paul</span>' in html_out
+    assert html_out.startswith("<!DOCTYPE html>")
+    assert to_html("d", cleaned, res, kb) == html_out   # deterministic
+
+
+def test_run_kg_sharded_chain(ray_session, tmp_path):
+    """run_kg with n_kb_shards>1 drives the chain topology end-to-end
+    and produces the same triples as the single-KB run."""
+    import pandas as pd
+
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.pipelines.corpus import write_corpus
+    from aida_ray.pipelines.kg import read_triples, run_kg
+    kb = synth_kb(100, seed=42)
+    dirs = write_corpus(str(tmp_path / "c"), kb, 30, n_shards=2)
+
+    def run(out, shards):
+        ms = run_kg(dirs["pages"], kb, str(tmp_path / out),
+                    concurrency=2, batch_size=16, n_kb_shards=shards)
+        assert ms, "expected fresh partitions"
+        df = read_triples(str(tmp_path / out)).to_pandas()
+        df["score"] = df["score"].round(9)
+        df["warc_ts"] = df["warc_ts"].astype(str)
+        return df.sort_values(["subj", "pred", "obj", "url"]).reset_index(drop=True)
+
+    single = run("single", 0)
+    sharded = run("sharded", 3)
+    assert single.equals(sharded)
