@@ -351,7 +351,19 @@ def label_propagation_clusters(pairs: ray.data.Dataset,
                 "node": pc.cast(b["dst"], pa.int64()),
                 "label": pc.cast(b["label"], pa.int64())}),
                 batch_format="pyarrow")
-        new_labels = prop.union(labels).groupby("node") \
+        # pointer doubling: node n with label l also races label(l) —
+        # long chains converge in O(log diameter) rounds instead of
+        # O(diameter) (each round costs a fixed join+groupby latency)
+        jump = labels.join(
+            labels.map_batches(lambda b: b.rename_columns(["lnode", "llabel"]),
+                               batch_format="pyarrow"),
+            join_type="inner", num_partitions=num_partitions,
+            on=("label",), right_on=("lnode",)) \
+            .map_batches(lambda b: pa.table({
+                "node": pc.cast(b["node"], pa.int64()),
+                "label": pc.cast(b["llabel"], pa.int64())}),
+                batch_format="pyarrow")
+        new_labels = prop.union(jump, labels).groupby("node") \
             .aggregate(Min("label")) \
             .map_batches(lambda b: pa.table({
                 "node": pc.cast(b["node"], pa.int64()),

@@ -275,3 +275,22 @@ def test_embed_neardup_planted(ray_session):
     # OR-amplified rotations: >= 90% recall of the BF oracle, no junk
     assert len(got & gold) / len(gold) >= 0.9
     assert got <= gold
+
+
+def test_label_propagation_long_chain(ray_session):
+    """Connected components over a 12-node path graph — forces multiple
+    propagation rounds (min label travels one hop per iteration via the
+    doubling-free variant) and a disjoint pair."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from aida_ray.stages.dedup import label_propagation_clusters
+    edges = [(i, i + 1) for i in range(11)] + [(100, 101)]
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([e[0] for e in edges], pa.int64()),
+        "b": pa.array([e[1] for e in edges], pa.int64()),
+    }))
+    lp = label_propagation_clusters(pairs).to_pandas()
+    got = dict(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
+    assert all(got[i] == 0 for i in range(12))
+    assert got[100] == 100 and got[101] == 100
