@@ -404,6 +404,33 @@ def q_window_agg(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_window_sliding(sf_dir: str) -> pa.Table:
+    """Sliding (hopping) 1-hour windows every 30 min: each event lands
+    in two windows; per-batch partials pre-aggregate both assignments
+    before the groupby (streaming-shaped, like q_window_agg)."""
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(["ts", "event_type", "value"]).to_pandas()
+        base = df["ts"].dt.floor("30min").astype("datetime64[s]").astype("int64")
+        rows = []
+        for shift in (0, 1800):
+            d = df.copy()
+            d["w"] = base - shift
+            rows.append(d)
+        import pandas as pd
+        allrows = pd.concat(rows)
+        g = allrows.groupby(["w", "event_type"]).agg(
+            n=("value", "size"), value_sum=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _events(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w", "event_type"]).sum(["n", "value_sum"])
+    t = _collect(agg.map_batches(
+        lambda b: b.rename_columns(["w", "event_type", "n", "value_sum"]),
+        batch_format="pyarrow")).to_pandas()
+    t["value_sum"] = t["value_sum"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_sessionize(sf_dir: str) -> pa.Table:
     """Gap-based session windows over the events log (30-min gap)."""
     from aida_ray.stages.sessions import sessionize
@@ -735,6 +762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_tokens": q_topk_tokens,
         "sort_limit": q_sort_limit,
         "window_agg": q_window_agg,
+        "window_sliding": q_window_sliding,
         "sessionize": q_sessionize,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
@@ -880,6 +908,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    ROUND(SUM(value), 6) AS value_sum
             FROM events GROUP BY 1, 2
+        """,
+        "window_sliding": """
+            WITH starts AS (
+                SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+                       + CASE WHEN minute(ts) >= 30 THEN 1800 ELSE 0 END
+                       AS base,
+                       event_type, value
+                FROM events
+            ), assigned AS (
+                SELECT base - shift AS w, event_type, value
+                FROM starts, (VALUES (0), (1800)) AS s(shift)
+            )
+            SELECT w, event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM assigned GROUP BY w, event_type
         """,
         "sessionize": """
             WITH e AS (
