@@ -325,6 +325,15 @@ def q_token_stats(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "n_tokens", "n_chars_calc"])
 
 
+def q_bpe_tokens(sf_dir: str) -> pa.Table:
+    """BPE-style pre-tokenizer counts (compiled regex per worker); the
+    oracle runs the identical RE2 pattern in DuckDB."""
+    from aida_ray.stages.textstats import bpe_token_count_batch
+    ds = _docs(sf_dir).map_batches(bpe_token_count_batch,
+                                   batch_format="pyarrow")
+    return _collect(ds)
+
+
 def q_quality(sf_dir: str) -> pa.Table:
     """Quality scoring: token stats + stopword ratio."""
     def score(b: pa.Table) -> pa.Table:
@@ -756,6 +765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ood_mentions": q_ood_mentions,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
         "lang_dist": q_lang_dist,
         "langid": q_langid,
@@ -874,6 +884,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_calc
+            FROM documents
+        """,
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "quality": f"""

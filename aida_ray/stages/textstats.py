@@ -106,3 +106,23 @@ def lang_distribution(ds: ray.data.Dataset, lang_col: str = "lang") -> ray.data.
     agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum(["n"])
     return agg.map_batches(lambda b: b.rename_columns(["lang", "n"]),
                            batch_format="pyarrow")
+
+
+_BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n]+"
+_BPE_RE = None
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-style pre-tokenizer count: the GPT-2 pre-tokenizer's shape
+    (leading-space word / number / punctuation runs) restricted to an
+    RE2-compatible subset so the DuckDB oracle runs the IDENTICAL
+    pattern.  Regex compiled once per worker process."""
+    import re
+    global _BPE_RE
+    if _BPE_RE is None:
+        _BPE_RE = re.compile(_BPE_PATTERN)
+    counts = [len(_BPE_RE.findall(t)) for t in batch[text_col].to_pylist()]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_bpe_tokens": pa.array(counts, pa.int64()),
+    })
