@@ -40,7 +40,8 @@ def prepare_document(doc_id: str, text: str, kb: KB,
     doc = prepare(doc_id, text, kb, detection=settings.mention_detection,
                   min_mention_occurrence=settings.min_mention_occurrence,
                   injected_manual=injected_manual,
-                  detect_ood=settings.detect_ood_mentions)
+                  detect_ood=settings.detect_ood_mentions,
+                  statistical_ner=settings.statistical_ner)
     fill_candidates(doc.mentions, kb, settings)
     return doc
 

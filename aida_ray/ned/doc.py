@@ -215,7 +215,8 @@ def hybrid_merge(manual: list[Mention], automatic: list[Mention]) -> list[Mentio
 def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
             min_mention_occurrence: int = 1,
             injected_manual: list[Mention] | None = None,
-            detect_ood: bool = False) -> PreparedDoc:
+            detect_ood: bool = False,
+            statistical_ner=None) -> PreparedDoc:
     """Full preparation: markup filter → tokenize → tag → align → context ids.
 
     ``injected_manual`` supplies pre-parsed manual mentions (already in
@@ -235,8 +236,13 @@ def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
             mentions = automatic
         else:
             mentions = hybrid_merge(manual, automatic)
+    if statistical_ner is not None:
+        # NERManager-style tagger ensemble: statistical spans lose to
+        # overlapping dictionary/manual mentions (reconcileAnnotations)
+        mentions = hybrid_merge(
+            mentions, statistical_ner.find_mentions(cleaned, tokens))
     if detect_ood:
-        # OOD candidates lose to any overlapping dictionary/manual mention
+        # OOD candidates lose to any overlapping higher-priority mention
         mentions = hybrid_merge(mentions, capitalized_tag(cleaned, tokens))
     if min_mention_occurrence > 1:
         counts: dict[str, int] = {}

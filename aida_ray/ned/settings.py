@@ -85,6 +85,8 @@ class DisambiguationSettings:
     mention_detection: str = "hybrid"  # "manual" | "automatic" | "hybrid"
     detect_ood_mentions: bool = False  # capitalized-run tagger for surfaces
                                        # outside the dictionary (-> OOKBE)
+    statistical_ner: object = None     # trained PerceptronNER (M7 ensemble
+                                       # member; merged via hybrid rules)
     chunker: str = "single"            # "single" | "fixed" | "paragraph" (M12)
     sentences_per_chunk: int = 5
     fuzzy_lookup: bool = False         # J2: LSH fallback when no exact hit
@@ -113,3 +115,94 @@ def local_settings(**kw) -> DisambiguationSettings:
 def prior_only_settings(**kw) -> DisambiguationSettings:
     """PriorOnlyDisambiguationSettings.java: rank candidates by prior alone."""
     return replace(DisambiguationSettings(technique="prior"), **kw)
+
+
+# ---------------------------------------------------------- properties parser
+
+# Java measure class name -> our ensemble kind
+_ME_MEASURE_NAMES = {
+    "UnnormalizedKeyphrasesBasedMISimilarity": "mi",
+    "UnnormalizedKeyphrasesBasedIDFSimilarity": "idf",
+    "NormalizedKeyphrasesBasedMISimilarity": "mi",
+    "NormalizedKeyphrasesBasedIDFSimilarity": "idf",
+    "TfIdfCosineSimilarityMeasure": "tfidf_cosine",
+    "WordCountVectorDotProductSimilarityMeasure": "wordcount_dot",
+}
+_EE_MEASURE_NAMES = {
+    "MilneWittenEntityEntitySimilarity": "milnewitten",
+    "InlinkOverlapEntityEntitySimilarity": "inlink_overlap",
+    "JaccardEntityEntitySimilarityMeasure": "jaccard_kp",
+    "WeightedJaccardEntityEntitySimilarityMeasure": "weighted_jaccard",
+    "NGDSimilarityMeasure": "ngd",
+    "WeightedNGDSimilarityMeasure": "weighted_ngd",
+    "KOREEntityEntitySimilarityMeasure": "kore",
+    "KeywordCosineSimilarityMeasure": "keyword_cosine",
+}
+_EI_MEASURE_NAMES = {
+    "InlinkCountImportance": "inlink_count",
+    "AidaEntityImportance": "rank",
+}
+
+
+def similarity_settings_from_properties(text: str) -> SimilaritySettings:
+    """Parse the reference's SimilaritySettings .properties format
+    (SimilaritySettings.java; documented at README.md:356-374).
+
+    ``mentionEntitySimilarities`` is a space-separated list of
+    Measure:Context:weight triples; with ``priorThreshold`` set, the
+    FIRST half applies below the threshold (no prior) and the SECOND
+    half above it (with prior).  ``entityEntitySimilarity`` is
+    Name:weight pairs.  Unknown measure class names raise — a user
+    porting a properties file finds out immediately instead of silently
+    losing a measure."""
+    props: dict[str, str] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        k, v = line.split("=", 1)
+        props[k.strip()] = v.strip()
+
+    def parse_me(v: str):
+        out = []
+        for triple in v.split():
+            parts = triple.split(":")
+            if len(parts) != 3:
+                raise ValueError(f"bad mention-entity triple: {triple!r}")
+            name, _context, weight = parts
+            if name in _EI_MEASURE_NAMES:
+                out.append(("EI", _EI_MEASURE_NAMES[name], float(weight)))
+            elif name in _ME_MEASURE_NAMES:
+                out.append(("ME", _ME_MEASURE_NAMES[name], float(weight)))
+            else:
+                raise ValueError(f"unknown mention-entity measure: {name}")
+        return out
+
+    mes = parse_me(props.get("mentionEntitySimilarities", ""))
+    prior_threshold = float(props["priorThreshold"]) \
+        if "priorThreshold" in props else -1.0
+    if prior_threshold > 0.0:
+        half = len(mes) // 2
+        first, second = mes[:half], mes[half:]
+    else:
+        first, second = mes, mes
+    ee = []
+    for pair in props.get("entityEntitySimilarity", "").split():
+        parts = pair.split(":")
+        if len(parts) != 2:
+            raise ValueError(f"bad entity-entity pair: {pair!r}")
+        name, weight = parts
+        if name not in _EE_MEASURE_NAMES:
+            raise ValueError(f"unknown entity-entity measure: {name}")
+        ee.append((_EE_MEASURE_NAMES[name], float(weight)))
+    return SimilaritySettings(
+        mes_no_prior=tuple((k, w) for t, k, w in first if t == "ME"),
+        mes_with_prior=tuple((k, w) for t, k, w in second if t == "ME"),
+        eis_no_prior=tuple((k, w) for t, k, w in first if t == "EI"),
+        eis_with_prior=tuple((k, w) for t, k, w in second if t == "EI"),
+        prior_weight=float(props.get("priorWeight", 0.0)),
+        prior_threshold=prior_threshold,
+        prior_take_log=props.get("priorTakeLog", "false").lower() == "true",
+        prior_damping_factor=float(props.get("priorDampingFactor", 1.0)),
+        ee_sims=tuple(ee),
+    )

@@ -291,3 +291,52 @@ def test_perceptron_ner_unseen_surfaces():
         fp += len(pred - gold)
         fn += len(gold - pred)
     assert tp / (tp + fp) >= 0.9 and tp / (tp + fn) >= 0.9
+
+
+def test_properties_parser_roundtrip():
+    """SimilaritySettings .properties parser (README.md:356-374):
+    reproduces the built-in SWITCHED_KP exactly; new measure names map;
+    unknown names raise."""
+    import pytest
+
+    from aida_ray.ned.settings import (SWITCHED_KP,
+                                       similarity_settings_from_properties)
+    props = """
+mentionEntitySimilarities = UnnormalizedKeyphrasesBasedMISimilarity:KeyphrasesContext:0.58132103337 UnnormalizedKeyphrasesBasedIDFSimilarity:KeyphrasesContext:0.41867896662 UnnormalizedKeyphrasesBasedMISimilarity:KeyphrasesContext:0.10123683065 UnnormalizedKeyphrasesBasedIDFSimilarity:KeyphrasesContext:0.33359024871
+priorWeight = 0.56517292063
+priorThreshold = 0.9
+entityEntitySimilarity = MilneWittenEntityEntitySimilarity:1.0
+"""
+    assert similarity_settings_from_properties(props) == SWITCHED_KP
+    s2 = similarity_settings_from_properties("""
+mentionEntitySimilarities = TfIdfCosineSimilarityMeasure:TextContext:0.7 WordCountVectorDotProductSimilarityMeasure:TextContext:0.3
+entityEntitySimilarity = NGDSimilarityMeasure:0.5 KOREEntityEntitySimilarityMeasure:0.5
+""")
+    assert s2.mes_no_prior == (("tfidf_cosine", 0.7), ("wordcount_dot", 0.3))
+    assert s2.ee_sims == (("ngd", 0.5), ("kore", 0.5))
+    with pytest.raises(ValueError, match="unknown mention-entity"):
+        similarity_settings_from_properties(
+            "mentionEntitySimilarities = NoSuchMeasure:Ctx:1.0")
+
+
+def test_statistical_ner_in_pipeline(fixture_kb):
+    """The trained perceptron plugs into DisambiguationSettings and its
+    spans merge with dictionary mentions (NERManager ensemble shape)."""
+    from dataclasses import replace
+
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.perceptron import train_from_conll
+    from aida_ray.ned.settings import cocktail_party_settings
+    model = train_from_conll(synth_kb(200, seed=42), n_docs=200, seed=42)
+    kb = fixture_kb
+    text = ("When Page played Kashmir at Knebworth, Zorbafex Quillan "
+            "recorded it.")
+    s = replace(cocktail_party_settings(algorithm="cocktail_party"),
+                statistical_ner=model)
+    got = {r.mention: r.entity for r in disambiguate_document("d", text, kb, s)}
+    # dictionary mentions still win and link
+    assert got["Page"] == "Jimmy_Page"
+    assert got["Kashmir"] == "Kashmir_(song)"
+    # perceptron span for the unknown name -> OOKBE row
+    assert any("Zorbafex" in m for m in got), got
