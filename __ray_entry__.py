@@ -325,6 +325,34 @@ def q_token_stats(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "n_tokens", "n_chars_calc"])
 
 
+def q_domain_stats(sf_dir: str) -> pa.Table:
+    """Per-domain page stats over the pages shape (Common-Crawl-style
+    partition key): vectorized arrow url parsing + partial counts."""
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"]
+        url = pc.binary_join_element_wise(
+            pa.array(["http://doc/"] * len(b)), pc.cast(doc_id, pa.string()), "")
+        # domain = authority segment; here doc/<id> → bucket by id % 10
+        # to model a multi-domain crawl deterministically
+        bucket = pc.cast(pc.subtract(doc_id, pc.multiply(
+            pc.divide(doc_id, 10), 10)), pa.int64())
+        domain = pc.binary_join_element_wise(
+            pa.array(["site"] * len(b)), pc.cast(bucket, pa.string()), "")
+        lens = pc.cast(pc.utf8_length(b["text"]), pa.int64())
+        t = pa.table({"domain": domain, "n_chars": lens,
+                      "url": url})
+        df = t.to_pandas()
+        g = df.groupby("domain").agg(n_pages=("url", "size"),
+                                     chars_total=("n_chars", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .groupby("domain").sum(["n_pages", "chars_total"])
+    return _collect(agg.map_batches(
+        lambda b: b.rename_columns(["domain", "n_pages", "chars_total"]),
+        batch_format="pyarrow"))
+
+
 def q_bpe_tokens(sf_dir: str) -> pa.Table:
     """BPE-style pre-tokenizer counts (compiled regex per worker); the
     oracle runs the identical RE2 pattern in DuckDB."""
@@ -766,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
+        "domain_stats": q_domain_stats,
         "quality": q_quality,
         "lang_dist": q_lang_dist,
         "langid": q_langid,
@@ -885,6 +914,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars_calc
             FROM documents
+        """,
+        "domain_stats": """
+            SELECT 'site' || CAST(doc_id % 10 AS VARCHAR) AS domain,
+                   COUNT(*) AS n_pages,
+                   CAST(SUM(length(text)) AS BIGINT) AS chars_total
+            FROM documents GROUP BY 1
         """,
         "bpe_tokens": r"""
             SELECT doc_id,

@@ -157,3 +157,38 @@ def test_run_kg_resume(ray_session, corpus, tmp_path):
         [("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending"),
          ("url", "ascending")])
     assert before.equals(after)
+
+
+def test_second_pass_aggregation_over_sink(ray_session, tmp_path):
+    """Production path (DESIGN.md §1): aggregations run over the WRITTEN
+    triple parquet (read_triples), not a re-executed NED stage — results
+    must match the in-memory pipeline exactly."""
+    import pandas as pd
+
+    from aida_ray.kb.synth import synth_kb
+    from aida_ray.pipelines.corpus import write_corpus
+    from aida_ray.pipelines.kg import (canonicalize_entities, dedup_triples,
+                                       link_pages, read_pages, read_triples,
+                                       run_kg)
+    from aida_ray.state.broadcast import put_kb
+    kb = synth_kb(80, seed=42)
+    dirs = write_corpus(str(tmp_path / "c"), kb, 24, n_shards=2)
+    out = str(tmp_path / "sink")
+    run_kg(dirs["pages"], kb, out, concurrency=2, batch_size=8)
+
+    def norm(ds, cols):
+        df = ds.to_pandas()
+        for c in df.columns:
+            if df[c].dtype.kind == "f":
+                df[c] = df[c].round(9)
+        return df.sort_values(cols).reset_index(drop=True)
+
+    second = read_triples(out)
+    mem = link_pages(read_pages(dirs["pages"]), put_kb(kb),
+                     concurrency=2, batch_size=8)
+    dd_a = norm(dedup_triples(second), ["subj", "pred", "obj"])
+    dd_b = norm(dedup_triples(mem), ["subj", "pred", "obj"])
+    assert dd_a.equals(dd_b)
+    cn_a = norm(canonicalize_entities(second), ["entity"])
+    cn_b = norm(canonicalize_entities(mem), ["entity"])
+    assert cn_a.equals(cn_b)
