@@ -87,6 +87,18 @@ _PREPOSITIONS = frozenset(
 _DETERMINERS = frozenset("a an the this that these those".split())
 _ADJ_SUFFIXES = ("al", "ous", "ive", "ic", "ary", "ful", "less", "able",
                  "ible", "ish", "ent", "ant")
+# closed-class non-nouns (verbs/auxiliaries/pronouns/adverbs/conjunctions)
+# — the heuristic tagger's substitute for Stanford's VB*/PRP/RB tags;
+# without it common verbs default to NN and noun phrases over-extend
+_FUNCTION_WORDS = frozenset(
+    "be is are was were been being am do does did done have has had "
+    "having say says said will would can could shall should may might "
+    "must it he she they them him her his their its we you i me us our "
+    "your there here when where while because although though if then "
+    "than as and or but nor not no yes so too very now later also just "
+    "only both each any some all more most other another such what "
+    "which whom whose why how gaining warned published probably "
+    "against about".split())
 
 
 def _pos_tag(word: str, sentence_initial: bool) -> str:
@@ -103,6 +115,8 @@ def _pos_tag(word: str, sentence_initial: bool) -> str:
         return "DT" if word[0].islower() else "DT_CAP"
     if lw in _PREPOSITIONS and word[0].islower():
         return "IN"
+    if lw in _FUNCTION_WORDS and word[0].islower():
+        return "VB"          # closed-class non-noun: never inside an NP
     if word[0].isupper():
         if not sentence_initial:
             return "NNPS" if len(word) > 3 and word.endswith("s") else "NNP"

@@ -54,3 +54,44 @@ def test_extract_roundtrip_byte_identical():
 def test_extract_strips_script_and_entities():
     html = b"<html><body><script>if (a<b) {}</script><p>x &amp; y</p></body></html>"
     assert extract_text(html) == "x & y"
+
+
+def test_get_ngrams_golden():
+    """StringUtilsTest.testGetNgrams (padded n-grams, exact sets)."""
+    from aida_ray.text.strings import get_ngrams
+    assert get_ngrams("a", 2) == {"_a", "a_"}
+    assert get_ngrams("a", 1) == {"a"}
+    assert get_ngrams("ab", 1) == {"a", "b"}
+    assert get_ngrams("ab", 2) == {"_a", "ab", "b_"}
+    assert get_ngrams("abcd", 3) == {"__a", "_ab", "abc", "bcd", "cd_", "d__"}
+
+
+def test_jaccard_sets_golden():
+    """MathUtilTest.testComputeJaccardSimilarity."""
+    import pytest
+
+    from aida_ray.text.strings import jaccard_sets
+    assert jaccard_sets({1}, {1}) == pytest.approx(1.0, abs=0.01)
+    assert jaccard_sets({1}, {2}) == pytest.approx(0.0, abs=0.01)
+    assert jaccard_sets({1, 2}, {2, 3}) == pytest.approx(0.33, abs=0.01)
+
+
+def test_keyphrase_extractor_reference_golden():
+    """KeyphraseExtractorTest.testFindNames: the five golden noun
+    phrases must be found, in the reference's order (Stanford POS is
+    replaced by the deterministic rule tagger — same spans here)."""
+    from aida_ray.ned.keyphrases import extract_keyphrases_pos
+    text = ("The World Health Organization (WHO) says there has been a "
+            "decline in the spread of Ebola in Liberia, the country "
+            "hardest hit in the outbreak. The WHO's Bruce Aylward said "
+            "it was confident the response to the virus was now gaining "
+            "the upper hand. But he warned against any suggestion that "
+            "the crisis was over. He said the new number of cases "
+            "globally was 13,703 and that the death toll, to be "
+            "published later on Wednesday, would probably pass 5,000.")
+    got = extract_keyphrases_pos(text)
+    want = ["World Health Organization", "Ebola", "Liberia",
+            "Bruce Aylward", "upper hand"]
+    assert all(w in got for w in want)
+    order = [p for p in got if p in set(want)]
+    assert order == want
