@@ -35,3 +35,27 @@ def jaccard_sets(a: set, b: set) -> float:
     if not a and not b:
         return 0.0
     return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------- date utils
+
+_DAY_MS = 24 * 60 * 60 * 1000
+
+
+def round_to_midnight(ts_ms: int) -> int:
+    """Truncate an epoch-millis timestamp to its UTC midnight
+    (DateTimeUtils.roundToMidnight)."""
+    return (ts_ms // _DAY_MS) * _DAY_MS
+
+
+def get_day_range(start_ms: int, end_ms: int) -> list[int]:
+    """Inclusive list of day timestamps from start to end in day steps
+    (DateTimeUtils.getDayRange); endpoints are included as given."""
+    out = [start_ms]
+    cur = round_to_midnight(start_ms) + _DAY_MS
+    while cur < end_ms:
+        out.append(cur)
+        cur += _DAY_MS
+    if end_ms != start_ms:
+        out.append(end_ms)
+    return out

@@ -95,3 +95,23 @@ def test_keyphrase_extractor_reference_golden():
     assert all(w in got for w in want)
     order = [p for p in got if p in set(want)]
     assert order == want
+
+
+def test_datetime_utils_golden():
+    """DateTimeUtilsTest: day range over 1980-01-01..1980-03-13 has 73
+    entries (leap year), index 31 = Feb 1; midnight rounding."""
+    from datetime import datetime, timezone
+
+    from aida_ray.text.strings import get_day_range, round_to_midnight
+
+    def ms(y, m, d, hh=0, mm=0):
+        return int(datetime(y, m, d, hh, mm,
+                            tzinfo=timezone.utc).timestamp() * 1000)
+
+    start, end = ms(1980, 1, 1), ms(1980, 3, 13)
+    days = get_day_range(start, end)
+    assert days[0] == start and days[-1] == end
+    assert len(days) == 73
+    assert days[31] == ms(1980, 2, 1)
+    assert days[31] != ms(1980, 2, 1, 0, 1)
+    assert round_to_midnight(ms(1980, 1, 1, 11, 11)) == ms(1980, 1, 1)
