@@ -106,15 +106,27 @@ def run_bench() -> dict:
     kb01, pages01, _ = E._kg_cache("/root/testdata/sf0.01")
     from aida_ray.pipelines.sharded import link_pages_sharded
     kbr01 = put_kb(kb01)
-    t0 = time.time()
-    link_pages(read_pages(pages01), kbr01, concurrency=pool,
-               batch_size=64).count()
-    timings["kg_single_sf001"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    link_pages_sharded(read_pages(pages01), kb01, n_shards=4,
-                       concurrency=max(1, pool // 4),
-                       batch_size=64).count()
-    timings["kg_sharded4_sf001"] = round(time.time() - t0, 3)
+
+    def best_of(n, fn):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    # best-of-2 each (interleaved) — single runs drift ±40% on the
+    # shared vCPUs and the ratio is the figure of merit
+    singles, shardeds = [], []
+    for _ in range(2):
+        singles.append(best_of(1, lambda: link_pages(
+            read_pages(pages01), kbr01, concurrency=pool,
+            batch_size=64).count()))
+        shardeds.append(best_of(1, lambda: link_pages_sharded(
+            read_pages(pages01), kb01, n_shards=4,
+            concurrency=max(1, pool // 4), batch_size=64).count()))
+    timings["kg_single_sf001"] = min(singles)
+    timings["kg_sharded4_sf001"] = min(shardeds)
     extras["sharded_over_single"] = round(
         timings["kg_sharded4_sf001"] / timings["kg_single_sf001"], 3)
 
