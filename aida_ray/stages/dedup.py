@@ -155,18 +155,28 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     """Jaccard-verified near-dup pairs (a < b) via banded MinHash-LSH —
     fully distributed (reference banding semantics: LSH.java + MinHasher.java).
 
-    Plan (every arrow is a Dataset op; the driver holds nothing):
+    Plan (every arrow is a Dataset op; the driver holds nothing
+    unbounded — only sets bounded by the dup structure, and only below
+    ``broadcast_threshold``):
       1. sketch: one pass computes shingles + signature per doc, emits
-         (id, shingles) and 16 banded (id, band_hash) rows;
-      2. hot buckets: groupby(band_hash).count, filter >= 2, re-attach
-         via inner hash JOIN (replaces the round-1 driver set);
-      3. pairs: groupby(band_hash).map_groups over HOT buckets only →
-         (a, b); distinct by groupby(a, b).count;
-      4. verify: candidate ids ⋈ sketches (the one corpus-wide shuffle,
-         pruned to candidates), then pairs ⋈ sketch_a ⋈ sketch_b, exact
-         shingle-set Jaccard per row, threshold filter.
+         (id, shingles) and one banded (id, band_hash) row per band;
+      2. hot buckets: groupby(band_hash).count, filter >= 2; the hot-
+         bucket ID SET is bounded by the duplicate structure, so it is
+         broadcast (``ray.put`` once, vectorized ``pc.is_in`` per
+         batch) when small and re-attached via inner hash JOIN when
+         huge — each Ray hash join spawns an aggregator actor pool, so
+         the broadcast path saves seconds of fixed latency per run;
+      3. pairs: vectorized band-hash SELF-join over hot rows only →
+         (a, b) with a < b; distinct by groupby(a, b);
+      4. verify: candidate-id set (≤ 2·|pairs|) broadcast → map-side
+         filter of the sketch table → candidate sketch DICT broadcast →
+         one stateless map over the pairs computes exact shingle-set
+         Jaccard; when candidates exceed the threshold (30 %-duplicate
+         crawls) fall back to the pair ⋈ sketch_a ⋈ sketch_b hash-join
+         plan, never a driver loop.
     The verify volume is bounded by the true near-dup count; the only
-    full-corpus shuffle ships shingle sketches once.
+    full-corpus work is the sketch pass + one groupby-count shuffle of
+    (id, band_hash) rows.
     """
     rows_per_band = num_hashes // bands
     hasher = MinHasher(num_hashes, shingle_k, seed)
@@ -210,9 +220,24 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     hot = exploded.groupby("band_hash").count() \
         .map_batches(lambda b: b.rename_columns(["band_hash", "n_members"]),
                      batch_format="pyarrow") \
-        .filter(expr="n_members >= 2").select_columns(["band_hash"])
-    hot_rows = exploded.join(hot, join_type="inner",
-                             num_partitions=num_partitions, on=("band_hash",))
+        .filter(expr="n_members >= 2").select_columns(["band_hash"]) \
+        .materialize()
+    if hot.count() <= broadcast_threshold:
+        # broadcast semi-join: hot-bucket ids as one int64 arrow array,
+        # vectorized membership test per batch (no join actor pool)
+        hot_tbl = pa.concat_tables([ray.get(r) for r in hot.to_arrow_refs()])
+        hot_ref = ray.put(pa.array(hot_tbl["band_hash"].to_numpy(
+            zero_copy_only=False), pa.int64()))
+
+        def keep_hot(b: pa.Table) -> pa.Table:
+            want = _get_cached(hot_ref)
+            return b.filter(pc.is_in(b["band_hash"], value_set=want))
+
+        hot_rows = exploded.map_batches(keep_hot, batch_format="pyarrow")
+    else:
+        hot_rows = exploded.join(hot, join_type="inner",
+                                 num_partitions=num_partitions,
+                                 on=("band_hash",))
 
     # pair generation = vectorized SELF-JOIN on band_hash (a per-group
     # map_groups pays ~ms of pandas overhead per bucket — 10k hot
@@ -232,34 +257,58 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
         .filter(expr="a < b") \
         .groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
 
+    # ---- verify.  The candidate-id set is <= 2 * |pairs| (bounded by
+    # the LSH candidate count, itself bounded by the dup structure).
+    # Small side ⇒ broadcast map-side semi-join of the sketch table,
+    # then broadcast the candidate sketch dict and verify with one
+    # stateless map over the pairs — no join actor pools at all.  Huge
+    # dup sets (30 %-duplicate crawls) ⇒ distributed hash-join
+    # fallback, never a driver loop.
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= broadcast_threshold:
+        pair_tbl = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])
+        cand_np = np.unique(np.concatenate(
+            [pair_tbl["a"].to_numpy(zero_copy_only=False),
+             pair_tbl["b"].to_numpy(zero_copy_only=False)])) \
+            if pair_tbl.num_rows else np.array([], dtype=np.int64)
+        idr = ray.put(pa.array(cand_np, pa.int64()))
+
+        def keep_cands(b: pa.Table) -> pa.Table:
+            want = _get_cached(idr)
+            return b.filter(pc.is_in(b[id_col], value_set=want))
+
+        cand_sketch = sketches.select_columns([id_col, "shingles"]) \
+            .map_batches(keep_cands, batch_format="pyarrow").materialize()
+        sk_tbl = pa.concat_tables(
+            [ray.get(r) for r in cand_sketch.to_arrow_refs()])
+        skr = ray.put(dict(zip(sk_tbl[id_col].to_pylist(),
+                               sk_tbl["shingles"].to_pylist())))
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            sk = _get_cached(skr)
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+                j = _jaccard_arrays(np.frombuffer(sk[a], dtype=np.int64),
+                                    np.frombuffer(sk[b], dtype=np.int64))
+                if j >= jaccard_threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(j)
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "jaccard": pa.array(out_j, pa.float64())})
+
+        return pairs.map_batches(verify_bc, batch_format="pyarrow")
+
     def both_sides(b: pa.Table) -> pa.Table:
         ids = np.concatenate([b["a"].to_numpy(), b["b"].to_numpy()])
         return pa.table({id_col: pa.array(ids, pa.int64())})
 
     cand_ids = pairs.map_batches(both_sides, batch_format="pyarrow") \
         .groupby(id_col).count().select_columns([id_col]).materialize()
-    # semi-join sketches → candidates.  The sketch table is the corpus
-    # (heavy shingle payloads); the candidate set is bounded by the
-    # near-dup count.  Small side ⇒ broadcast map-side filter (classic
-    # broadcast-join optimization — one map pass, no shuffle of the
-    # corpus); huge dup sets (30%-duplicate crawls) ⇒ distributed hash
-    # join fallback, never a driver set.
-    n_cand = cand_ids.count()
-    if n_cand <= broadcast_threshold:
-        idr = ray.put(set(pa.concat_tables(
-            [ray.get(r) for r in cand_ids.to_arrow_refs()])[id_col].to_pylist()))
-
-        def keep_cands(b: pa.Table) -> pa.Table:
-            want = _get_cached(idr)
-            mask = pa.array([i in want for i in b[id_col].to_pylist()], pa.bool_())
-            return b.filter(mask)
-
-        cand_sketch = sketches.select_columns([id_col, "shingles"]) \
-            .map_batches(keep_cands, batch_format="pyarrow").materialize()
-    else:
-        cand_sketch = sketches.select_columns([id_col, "shingles"]).join(
-            cand_ids, join_type="inner", num_partitions=num_partitions,
-            on=(id_col,)).materialize()
+    cand_sketch = sketches.select_columns([id_col, "shingles"]).join(
+        cand_ids, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,)).materialize()
 
     wa = pairs.join(
         cand_sketch.map_batches(
@@ -272,10 +321,11 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
 
     def verify(batch: pa.Table) -> pa.Table:
         out_a, out_b, out_j = [], [], []
-        sh_a, sh_b = batch["sh_a"], batch["sh_b"]
+        sh_a = batch["sh_a"].to_pylist()
+        sh_b = batch["sh_b"].to_pylist()
         for i in range(batch.num_rows):
-            j = _jaccard_arrays(np.frombuffer(sh_a[i].as_py(), dtype=np.int64),
-                                np.frombuffer(sh_b[i].as_py(), dtype=np.int64))
+            j = _jaccard_arrays(np.frombuffer(sh_a[i], dtype=np.int64),
+                                np.frombuffer(sh_b[i], dtype=np.int64))
             if j >= jaccard_threshold:
                 out_a.append(batch["a"][i].as_py())
                 out_b.append(batch["b"][i].as_py())
