@@ -57,6 +57,14 @@ def _pool(cap: int = 24) -> int:
     return max(1, min(cap, cpus - 2))
 
 
+def _coalesce(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Coalesce map-side partials before a sort-based groupby: partial
+    volume is bounded by distinct-keys x blocks, so the reduce width
+    tracks the key space, not the corpus (see kg._shuffle_partitions)."""
+    from aida_ray.pipelines.kg import _shuffle_partitions
+    return ds.repartition(_shuffle_partitions())
+
+
 def _collect(ds: ray.data.Dataset) -> pa.Table:
     tabs = [ray.get(r) for r in ds.to_arrow_refs()]
     nonempty = [t for t in tabs if t.num_rows > 0]
@@ -152,7 +160,7 @@ def q_dict_lookup(sf_dir: str) -> pa.Table:
                          "entity": pa.array([k[1] for k in ks], pa.string()),
                          "n": pa.array([counts[k] for k in ks], pa.int64())})
 
-    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby(["mention", "entity"]).sum(["n"])
     return _collect(agg.map_batches(
         lambda b: b.rename_columns(["mention", "entity", "n"]),
@@ -180,8 +188,8 @@ def q_entity_canonical(sf_dir: str) -> pa.Table:
                          "mention_count": pa.array([ment[k] for k in ks], pa.int64()),
                          "doc_count": pa.array([len(docs[k]) for k in ks], pa.int64())})
 
-    p1 = _docs(sf_dir).map_batches(partial, batch_format="pyarrow",
-                                   batch_size=None) \
+    p1 = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow",
+                                             batch_size=None)) \
         .groupby(["entity", "salt"]).sum(["mention_count", "doc_count"])
     p2 = p1.groupby("entity").sum(["sum(mention_count)", "sum(doc_count)"])
     return _collect(p2.map_batches(
@@ -208,7 +216,7 @@ def q_triples_cooccur(sf_dir: str) -> pa.Table:
                          "obj": pa.array([k[1] for k in ks], pa.string()),
                          "support": pa.array([counts[k] for k in ks], pa.int64())})
 
-    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby(["subj", "pred", "obj"]).sum(["support"])
     return _collect(agg.map_batches(
         lambda b: b.rename_columns(["subj", "pred", "obj", "support"]),
@@ -346,7 +354,7 @@ def q_domain_stats(sf_dir: str) -> pa.Table:
                                      chars_total=("n_chars", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby("domain").sum(["n_pages", "chars_total"])
     return _collect(agg.map_batches(
         lambda b: b.rename_columns(["domain", "n_pages", "chars_total"]),
@@ -406,7 +414,7 @@ def q_topk_tokens(sf_dir: str) -> pa.Table:
         ks = list(counts)
         return pa.table({"token": pa.array(ks, pa.string()),
                          "n": pa.array([counts[k] for k in ks], pa.int64())})
-    agg = _docs(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby("token").sum(["n"]) \
         .map_batches(lambda b: b.rename_columns(["token", "n"]),
                      batch_format="pyarrow")
@@ -432,7 +440,7 @@ def q_window_agg(sf_dir: str) -> pa.Table:
         g = df.groupby(["w", "event_type"]).agg(
             n=("value", "size"), value_sum=("value", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
-    agg = _events(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = _coalesce(_events(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby(["w", "event_type"]).sum(["n", "value_sum"])
     t = _collect(agg.map_batches(
         lambda b: b.rename_columns(["w", "event_type", "n", "value_sum"]),
@@ -459,7 +467,7 @@ def q_window_sliding(sf_dir: str) -> pa.Table:
             n=("value", "size"), value_sum=("value", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = _events(sf_dir).map_batches(partial, batch_format="pyarrow") \
+    agg = _coalesce(_events(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby(["w", "event_type"]).sum(["n", "value_sum"])
     t = _collect(agg.map_batches(
         lambda b: b.rename_columns(["w", "event_type", "n", "value_sum"]),

@@ -82,7 +82,12 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                          "n": pa.array(g["n"], pa.int64())})
 
     from ray.data.aggregate import Min, Sum
+
+    from aida_ray.pipelines.kg import _shuffle_partitions
+    # coalesce the (already reduced) partials before the sort-based
+    # shuffle — reduce width tracks distinct-key volume, not the corpus
     agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .repartition(_shuffle_partitions()) \
             .groupby("content_hash").aggregate(Min("min_id"), Sum("n"), Min("text"))
 
     def finish(b: pa.Table) -> pa.Table:

@@ -103,7 +103,9 @@ def lang_distribution(ds: ray.data.Dataset, lang_col: str = "lang") -> ray.data.
         return pa.table({"lang": pa.array(s.index.tolist(), pa.string()),
                          "n": pa.array(s.values, pa.int64())})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby("lang").sum(["n"])
+    from aida_ray.pipelines.kg import _shuffle_partitions
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(_shuffle_partitions()).groupby("lang").sum(["n"])
     return agg.map_batches(lambda b: b.rename_columns(["lang", "n"]),
                            batch_format="pyarrow")
 
