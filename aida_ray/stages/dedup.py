@@ -367,7 +367,8 @@ def minhash_dedup_clusters(pairs) -> dict[int, int]:
 
 def label_propagation_clusters(pairs: ray.data.Dataset,
                                max_iters: int = 50,
-                               num_partitions: int = 16) -> ray.data.Dataset:
+                               num_partitions: int = 16,
+                               broadcast_nodes: int = 2_000_000) -> ray.data.Dataset:
     """Distributed connected components by min-label propagation.
 
     Input: verified pair Dataset (a, b).  Output: (doc_id, cluster) with
@@ -375,7 +376,13 @@ def label_propagation_clusters(pairs: ray.data.Dataset,
     representative.  Each iteration is one join + one groupby-min over
     the edge set; converges in O(component diameter) rounds (near-dup
     components are shallow).  The driver only checks a scalar
-    convergence count per round."""
+    convergence count per round.
+
+    Adaptive small-graph path: the node set of the dup graph is bounded
+    by 2·|pairs|; below ``broadcast_nodes`` the edges are pulled into
+    ONE distributed task (a single @ray.remote numpy pointer-doubling
+    solve — still off-driver, one task instead of ~10 join/groupby
+    shuffles per iteration).  Above it, the iterative join plan runs."""
     from ray.data.aggregate import Min
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -388,6 +395,36 @@ def label_propagation_clusters(pairs: ray.data.Dataset,
         dst = np.concatenate([b["b"].to_numpy(), b["a"].to_numpy()])
         return pa.table({"src": pa.array(src, pa.int64()),
                          "dst": pa.array(dst, pa.int64())})
+
+    n_pairs = pairs.count()
+    if 2 * n_pairs <= broadcast_nodes:
+        pair_refs = pairs.to_arrow_refs()
+        if n_pairs == 0 or not pair_refs:
+            return ray.data.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64())}))
+
+        @ray.remote
+        def _solve(*tabs: pa.Table) -> pa.Table:
+            t = pa.concat_tables(tabs)
+            a = t["a"].to_numpy(zero_copy_only=False)
+            b = t["b"].to_numpy(zero_copy_only=False)
+            nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+            ia, ib = inv[:len(a)], inv[len(a):]
+            label = np.arange(len(nodes))
+            for _ in range(max_iters):
+                new = label.copy()
+                # edge relaxations (both directions), then pointer doubling
+                np.minimum.at(new, ia, label[ib])
+                np.minimum.at(new, ib, label[ia])
+                new = new[new]
+                if np.array_equal(new, label):
+                    break
+                label = new
+            return pa.table({"doc_id": pa.array(nodes, pa.int64()),
+                             "cluster": pa.array(nodes[label], pa.int64())})
+
+        return ray.data.from_arrow_refs([_solve.remote(*pair_refs)])
 
     edges = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
     # initial label = own id

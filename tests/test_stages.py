@@ -290,7 +290,10 @@ def test_label_propagation_long_chain(ray_session):
         "a": pa.array([e[0] for e in edges], pa.int64()),
         "b": pa.array([e[1] for e in edges], pa.int64()),
     }))
-    lp = label_propagation_clusters(pairs).to_pandas()
-    got = dict(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
-    assert all(got[i] == 0 for i in range(12))
-    assert got[100] == 100 and got[101] == 100
+    # both the small-graph single-task solve (default) and the iterative
+    # join plan (forced via broadcast_nodes=0) must agree
+    for kwargs in ({}, {"broadcast_nodes": 0}):
+        lp = label_propagation_clusters(pairs, **kwargs).to_pandas()
+        got = dict(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
+        assert all(got[i] == 0 for i in range(12))
+        assert got[100] == 100 and got[101] == 100
