@@ -544,10 +544,33 @@ def q_simhash(sf_dir: str) -> pa.Table:
 
 
 def q_embed_neardup(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (rows-only)."""
+    """Embedding-cosine near-duplicate pairs over the sf embeddings with
+    PLANTED exact duplicates (the raw table's max off-diagonal cosine is
+    ~0.51, so an unplanted run finds nothing): every 25th vector gains a
+    2x-scaled copy at vec_id+100000 — cosine exactly 1.0 and an
+    identical hyperplane sign pattern, so LSH recall is guaranteed and
+    the expected pair set is plain SQL (oracle-checked)."""
     from aida_ray.stages.dedup import embedding_near_dup_pairs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    t = _collect(embedding_near_dup_pairs(ds, cosine_threshold=0.99)).to_pandas()
+
+    def plant(b: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(b["vec_id"], pc.multiply(
+                pc.divide(b["vec_id"], 25), 25)), 0)
+        dup = b.filter(keep)
+        if dup.num_rows:
+            emb = pa.array([[2.0 * x for x in v]
+                            for v in dup["embedding"].to_pylist()],
+                           pa.list_(pa.float32()))
+            dup = pa.table({"vec_id": pc.add(dup["vec_id"], 100000),
+                            "embedding": emb,
+                            "label": dup["label"]})
+            return pa.concat_tables(
+                [b.select(["vec_id", "embedding", "label"]), dup])
+        return b.select(["vec_id", "embedding", "label"])
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .map_batches(plant, batch_format="pyarrow")
+    t = _collect(embedding_near_dup_pairs(ds, cosine_threshold=0.999)).to_pandas()
     if len(t):
         t["cosine"] = t["cosine"].round(6)
         t = t.sort_values(["a", "b"]).reset_index(drop=True)
@@ -878,6 +901,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT t.doc_id) AS doc_count
             FROM toks t JOIN dict d ON t.mention = d.mention
             GROUP BY d.entity
+        """,
+        "embed_neardup": """
+            SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine
+            FROM embeddings WHERE vec_id % 25 = 0
         """,
         "triples_cooccur": f"""
             WITH toks AS (
