@@ -584,6 +584,61 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "fingerprint"])
 
 
+def q_pii_redact(sf_dir: str) -> pa.Table:
+    """PII scrubbing (emails/phones/IPv4 → typed tokens + counts) with
+    PLANTED PII for every 10th doc — Arrow RE2 kernels; the oracle runs
+    the IDENTICAL patterns through DuckDB's RE2 regexp functions."""
+    from aida_ray.stages.pii import redact_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        tenth = pc.equal(pc.subtract(ids, pc.multiply(
+            pc.divide(ids, 10), 10)), 0)
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact user"] * len(b)),
+            pc.cast(ids, pa.string()),
+            pa.array(["@example.com 415-555-1234 at 10.0.0.1"] * len(b)), "")
+        text = pc.if_else(tenth,
+                          pc.binary_join_element_wise(b["text"], suffix, ""),
+                          b["text"])
+        return pa.table({"doc_id": ids, "text": text})
+
+    ds = _docs(sf_dir).map_batches(plant, batch_format="pyarrow") \
+        .map_batches(redact_batch, batch_format="pyarrow")
+    return _collect(ds)
+
+
+def q_quality_rules(sf_dir: str) -> pa.Table:
+    """Gopher/C4-style repetition + quality rules per document
+    (exploded-frame vectorized; thresholds fixed in quality_rules.py)."""
+    from aida_ray.stages.quality_rules import quality_rules
+    return _collect(quality_rules(_docs(sf_dir)))
+
+
+def q_hash_split(sf_dir: str) -> pa.Table:
+    """Deterministic 80/10/10 train/val/test split by multiplicative id
+    hash — identical arithmetic in the SQL oracle; no RNG state."""
+    from aida_ray.stages.sampling import hash_split
+    return _collect(hash_split(_docs(sf_dir))).select(["doc_id", "split"])
+
+
+def q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Every 10th document per language in (hash, id) order — a
+    deterministic stratified ~10% sample."""
+    from aida_ray.stages.sampling import stratified_sample
+    t = _collect(stratified_sample(_docs(sf_dir), every_k=10,
+                                   stratum_col="lang"))
+    return t.select(["lang", "doc_id"])
+
+
+def q_seq_packing(sf_dir: str) -> pa.Table:
+    """GPT-style concat-and-cut sequence packing layout (seq_len=512,
+    id-bucketed so the layout is independent of Ray block boundaries)."""
+    from aida_ray.stages.packing import pack_sequences
+    return _collect(pack_sequences(_docs(sf_dir), seq_len=512,
+                                   bucket_size=1000))
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -841,6 +896,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
         "fingerprint": q_fingerprint,
+        "pii_redact": q_pii_redact,
+        "quality_rules": q_quality_rules,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "seq_packing": q_seq_packing,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -901,6 +961,103 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT t.doc_id) AS doc_count
             FROM toks t JOIN dict d ON t.mention = d.mention
             GROUP BY d.entity
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com 415-555-1234 at 10.0.0.1'
+                            ELSE text END AS text
+                FROM documents),
+            e AS (SELECT doc_id, text AS raw,
+                         length(regexp_extract_all(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                         regexp_replace(text,
+                             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                             '<EMAIL>', 'g') AS t1
+                  FROM aug),
+            p AS (SELECT doc_id, n_email,
+                         length(regexp_extract_all(t1,
+                             '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phone,
+                         regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b',
+                             '<PHONE>', 'g') AS t2
+                  FROM e)
+            SELECT doc_id,
+                   regexp_replace(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS text,
+                   n_email, n_phone,
+                   length(regexp_extract_all(t2,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip
+            FROM p
+        """,
+        "quality_rules": """
+            WITH toks AS (
+                SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+            base AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                            AVG(length(tok)) AS mean_word_len
+                     FROM toks GROUP BY doc_id),
+            uni AS (SELECT doc_id, MAX(c) AS topu FROM (
+                        SELECT doc_id, tok, COUNT(*) AS c
+                        FROM toks GROUP BY doc_id, tok) GROUP BY doc_id),
+            bim AS (SELECT doc_id, MAX(c) AS topb FROM (
+                        SELECT a.doc_id, a.tok AS t1, b.tok AS t2, COUNT(*) AS c
+                        FROM toks a JOIN toks b
+                          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                        GROUP BY a.doc_id, a.tok, b.tok) GROUP BY doc_id)
+            SELECT base.doc_id,
+                   n_tokens,
+                   ROUND(mean_word_len, 6) AS mean_word_len,
+                   ROUND(topu * 1.0 / n_tokens, 6) AS top_token_frac,
+                   ROUND(CASE WHEN n_tokens > 1
+                              THEN COALESCE(topb, 0) * 1.0 / (n_tokens - 1)
+                              ELSE 0.0 END, 6) AS top_bigram_frac,
+                   (n_tokens BETWEEN 5 AND 100000
+                    AND topu * 1.0 / n_tokens <= 0.20
+                    AND CASE WHEN n_tokens > 1
+                             THEN COALESCE(topb, 0) * 1.0 / (n_tokens - 1)
+                             ELSE 0.0 END <= 0.15
+                    AND mean_word_len BETWEEN 2.0 AND 12.0) AS keep
+            FROM base JOIN uni USING (doc_id) LEFT JOIN bim USING (doc_id)
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN h % 10 < 8 THEN 'train'
+                        WHEN h % 10 < 9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         (doc_id * 2654435761) % 2147483648 AS h
+                  FROM documents)
+        """,
+        "stratified_sample": """
+            WITH ranked AS (
+                SELECT lang, doc_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 2147483648,
+                                    doc_id) - 1 AS r
+                FROM documents)
+            SELECT lang, doc_id FROM ranked WHERE r % 10 = 0
+        """,
+        "seq_packing": """
+            WITH t AS (
+                SELECT doc_id, doc_id // 1000 AS bucket,
+                       length(string_split(text, ' ')) AS n_tokens
+                FROM documents),
+            w AS (
+                SELECT doc_id, bucket, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS s
+                FROM t)
+            SELECT doc_id, bucket, n_tokens,
+                   s // 512 AS seq_start,
+                   (s + GREATEST(n_tokens, 1) - 1) // 512 AS seq_end,
+                   s % 512 AS tok_offset
+            FROM w
         """,
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine

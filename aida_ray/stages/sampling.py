@@ -1,0 +1,69 @@
+"""Deterministic corpus splitting and sampling for training pipelines.
+
+All assignments derive from an arithmetic hash of the stable document
+id (Knuth multiplicative hashing) — pure int64 column arithmetic, so
+the same expression runs vectorized in Arrow AND as the SQL oracle,
+and reruns / resumed jobs assign every document identically with no
+coordination (no shuffles, no RNG state).
+
+  - ``hash_split``: train/val/test by hash bucket (e.g. 80/10/10);
+  - ``stratified_sample``: every k-th document per stratum (e.g. lang)
+    in hash order — deterministic rank via a per-stratum sort inside
+    ``groupby(...).map_groups`` (stratum cardinality is bounded by the
+    label space, documents per stratum stream through the group).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+KNUTH = 2654435761  # 2^32 * (sqrt(5)-1)/2, classic multiplicative hash
+MOD = 1 << 31
+
+
+def id_hash(ids: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """(id * KNUTH) mod 2^31 — identical in SQL: (id * 2654435761) % 2147483648.
+
+    Inputs must be small enough that id * KNUTH fits int64 (true for any
+    per-shard doc counter; for 10^12-scale global ids, hash the shard id
+    and the in-shard counter separately and combine)."""
+    return pc.cast(
+        pc.bit_wise_and(pc.multiply(pc.cast(ids, pa.int64()), KNUTH), MOD - 1),
+        pa.int64())
+
+
+def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
+               train: int = 8, val: int = 1, test: int = 1) -> ray.data.Dataset:
+    """Append a deterministic ``split`` column (train/val/test)."""
+    total = train + val + test
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = id_hash(b[id_col])
+        bucket = pc.subtract(h, pc.multiply(pc.divide(h, total), total))
+        bnp = bucket.to_numpy(zero_copy_only=False)
+        split = np.where(bnp < train, "train",
+                         np.where(bnp < train + val, "val", "test"))
+        return b.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def stratified_sample(ds: ray.data.Dataset, every_k: int = 10,
+                      stratum_col: str = "lang",
+                      id_col: str = "doc_id") -> ray.data.Dataset:
+    """Every k-th document per stratum, ranked by (hash, id) — a
+    deterministic ~1/k stratified sample with no RNG state."""
+
+    def per_stratum(g):
+        g = g.copy()
+        ids = pa.array(g[id_col].to_numpy(), pa.int64())
+        g["h"] = id_hash(ids).to_numpy(zero_copy_only=False)
+        g = g.sort_values(["h", id_col], kind="mergesort").reset_index(drop=True)
+        return g[g.index % every_k == 0].drop(columns=["h"])
+
+    return ds.groupby(stratum_col).map_groups(per_stratum,
+                                              batch_format="pandas")
