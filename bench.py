@@ -94,7 +94,8 @@ def run_bench() -> dict:
         return out
 
     for name in ["dedup_exact", "minhash_pairs", "knn_bruteforce", "simhash",
-                 "token_stats", "window_agg", "entity_canonical"]:
+                 "token_stats", "window_agg", "entity_canonical",
+                 "pii_redact", "quality_rules", "seq_packing", "hash_split"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
