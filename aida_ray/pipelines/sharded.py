@@ -67,21 +67,25 @@ def kb_core(kb: KB) -> KB:
     return core
 
 
-def kb_shard(kb: KB, shard: int, n_shards: int) -> KB:
-    """Keyphrase index restricted to entities with eid % n_shards == shard.
+def kb_shard(kb: KB, shard: int | tuple | frozenset, n_shards: int) -> KB:
+    """Keyphrase index restricted to entities with eid % n_shards in the
+    given shard (an int, or a group of logical shards for one pool —
+    chain depth then shrinks to n_shards/shards_per_pool at
+    proportionally larger per-actor memory).
 
     The dictionary/word tables stay whole (they are the small side and
     every shard needs them for identical mention detection)."""
+    ss = {shard} if isinstance(shard, int) else set(shard)
     sub = copy.copy(kb)
     sub.entity_kps = {e: v for e, v in kb.entity_kps.items()
-                      if e % n_shards == shard}
+                      if e % n_shards in ss}
     sub.e_kp_count = {e: v for e, v in kb.e_kp_count.items()
-                      if e % n_shards == shard}
+                      if e % n_shards in ss}
     sub.e_kw_count = {e: v for e, v in kb.e_kw_count.items()
-                      if e % n_shards == shard}
-    sub.kw_mi = {e: v for e, v in kb.kw_mi.items() if e % n_shards == shard}
+                      if e % n_shards in ss}
+    sub.kw_mi = {e: v for e, v in kb.kw_mi.items() if e % n_shards in ss}
     sub.entity_keywords = {e: v for e, v in kb.entity_keywords.items()
-                           if e % n_shards == shard}
+                           if e % n_shards in ss}
     sub._mw_cache = {}
     return sub
 
@@ -106,10 +110,10 @@ class ChainScorer:
     union — the batch streams through R pools then a stateless solve."""
 
     def __init__(self, shard_ref, settings: DisambiguationSettings,
-                 shard: int, n_shards: int):
+                 shard: int | tuple | frozenset, n_shards: int):
         self.kb = resolve(shard_ref)
         self.settings = settings
-        self.shard = shard
+        self.shards = {shard} if isinstance(shard, int) else set(shard)
         self.n_shards = n_shards
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -127,7 +131,7 @@ class ChainScorer:
             ridfs = list(prev_ridf[row_i])
             for mi_, m in enumerate(doc.mentions):
                 for eid, _ in m.candidates:
-                    if eid % self.n_shards != self.shard:
+                    if eid % self.n_shards not in self.shards:
                         continue
                     matches = matcher.matches(mi_, m, eid)
                     mis.append(mi_)
@@ -205,20 +209,29 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
                        settings: DisambiguationSettings | None = None,
                        n_shards: int = 4,
                        concurrency: int = 2,
-                       batch_size: int = 32) -> ray.data.Dataset:
+                       batch_size: int = 32,
+                       shards_per_pool: int = 1) -> ray.data.Dataset:
     """Sharded-KB NED: returns the same triple rows as ``link_pages``.
 
     Topology: a CHAIN of actor pools — prepare once (router), then the
-    batch streams through one pool per shard (each appending its raw
-    scores to accumulator list-columns), then a stateless solve.  No
-    shuffle, no union, no merge groupby; the streaming executor
-    pipelines all stages.  Chain depth = n_shards, so this fits
-    clusters with n_shards <= CPUs; for very large R prefer grouping
-    multiple logical shards per pool."""
+    batch streams through one pool per shard GROUP (each appending its
+    raw scores to accumulator list-columns), then a stateless solve.
+    No shuffle, no union, no merge groupby; the streaming executor
+    pipelines all stages.
+
+    ``shards_per_pool`` groups logical shards: chain depth becomes
+    ceil(n_shards / shards_per_pool) at proportionally larger per-actor
+    memory.  Fewer chain stages also means fewer operators splitting
+    the executor's per-operator CPU reservation — at 50k pages / 32
+    CPUs, 4 pools ran 2.2x single-KB wall while 2 grouped pools ran
+    ~1.0-1.3x (`DataContext.op_resource_reservation_ratio` ~0.1 helps
+    deep chains further; see bench.py).  Pick shards_per_pool so one
+    group's keyphrase index still fits actor memory — that is the only
+    hard constraint at 100 TB."""
     settings = settings or DisambiguationSettings()
     core_ref = ray.put(kb_core(kb))
     if isinstance(concurrency, int):
-        concurrency = (1, max(1, concurrency))
+        concurrency = (max(1, concurrency), max(1, concurrency))
 
     def route(batch: pa.Table) -> pa.Table:
         kb_ = resolve(core_ref)
@@ -245,14 +258,22 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
 
     ds = pages.map_batches(route, batch_format="pyarrow",
                            batch_size=batch_size)
-    for s in range(n_shards):
-        shard_ref = ray.put(kb_shard(kb, s, n_shards))
+    groups = [tuple(range(s, min(s + shards_per_pool, n_shards)))
+              for s in range(0, n_shards, shards_per_pool)]
+    for group in groups:
+        shard_ref = ray.put(kb_shard(kb, group, n_shards))
+        # scorers are per-batch LIGHT (the owned-candidate scoring is
+        # ~0.1 ms/doc; route+solve carry ~90% of the compute) — at a
+        # full CPU each, R pools of mostly-idle actors statically hold
+        # R*concurrency scheduler slots and STARVE the route/solve task
+        # pools (measured 2.3x wall at 50k pages).  Half a CPU per
+        # scorer restores the ratio to ~1.25x single-KB.
         ds = ds.map_batches(
             ChainScorer, batch_format="pyarrow", batch_size=batch_size,
             fn_constructor_kwargs={"shard_ref": shard_ref,
                                    "settings": settings,
-                                   "shard": s, "n_shards": n_shards},
-            concurrency=concurrency, num_cpus=1)
+                                   "shard": group, "n_shards": n_shards},
+            concurrency=concurrency, num_cpus=0.5)
     return ds.map_batches(_solve_batch, batch_format="pyarrow",
                           batch_size=batch_size,
                           fn_kwargs={"core_ref": core_ref,

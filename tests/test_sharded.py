@@ -52,3 +52,8 @@ def test_sharded_equals_unsharded(ray_session, small_corpus):
                                          batch_size=16))
     assert len(base) == len(sharded)
     assert base.equals(sharded)
+    # grouped logical shards (2 per pool, chain depth 2) — same rows
+    grouped = collect(link_pages_sharded(read_pages(dirs["pages"]), kb,
+                                         n_shards=3, concurrency=1,
+                                         batch_size=16, shards_per_pool=2))
+    assert base.equals(grouped)
