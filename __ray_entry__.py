@@ -639,6 +639,29 @@ def q_seq_packing(sf_dir: str) -> pa.Table:
                                    bucket_size=1000))
 
 
+def q_url_canonical(sf_dir: str) -> pa.Table:
+    """URL canonicalization + registrable-domain extraction over
+    deterministic synthetic crawl URLs (mixed case, default port,
+    tracking params, fragment) — Arrow RE2 kernels; the oracle runs the
+    identical patterns through DuckDB regexp functions."""
+    from aida_ray.stages.urls import canonicalize_urls
+
+    def mk(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.string())
+        bucket = pc.cast(pc.subtract(b["doc_id"], pc.multiply(
+            pc.divide(b["doc_id"], 7), 7)), pa.string())
+        n = len(b)
+        url = pc.binary_join_element_wise(
+            pa.array(["HTTPS://WWW.Site"] * n), bucket,
+            pa.array([".ExAmple.COM:443/p/"] * n), ids,
+            pa.array(["?utm_source=t&id="] * n), ids,
+            pa.array(["&fbclid=x#sec"] * n), "")
+        return pa.table({"doc_id": b["doc_id"], "url": url})
+
+    ds = canonicalize_urls(_docs(sf_dir).map_batches(mk, batch_format="pyarrow"))
+    return _collect(ds).select(["doc_id", "canonical_url", "domain"])
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -901,6 +924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "seq_packing": q_seq_packing,
+        "url_canonical": q_url_canonical,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1062,6 +1086,39 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine
             FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        "url_canonical": r"""
+            WITH u AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.ExAmple.COM:443/p/' || CAST(doc_id AS VARCHAR)
+                       || '?utm_source=t&id=' || CAST(doc_id AS VARCHAR)
+                       || '&fbclid=x#sec' AS url
+                FROM documents),
+            parts AS (
+                SELECT doc_id,
+                       lower(regexp_extract(url,
+                           '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+                       regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS rest
+                FROM u),
+            fix AS (
+                SELECT doc_id, scheme,
+                       regexp_replace(regexp_replace(host, ':80$', ''),
+                                      ':443$', '') AS host,
+                       regexp_replace(regexp_replace(regexp_replace(rest,
+                           '&(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*', '', 'g'),
+                           '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*&', '?', 'g'),
+                           '\?(utm_[A-Za-z0-9_]*|fbclid|gclid)=[^&#]*$', '', 'g')
+                           AS rest
+                FROM parts)
+            SELECT doc_id,
+                   scheme || '://' || host || rest AS canonical_url,
+                   regexp_extract(regexp_replace(host, ':\d+$', ''),
+                                  '([^.]+\.[^.]+)$', 1) AS domain
+            FROM fix
         """,
         "triples_cooccur": f"""
             WITH toks AS (

@@ -117,3 +117,24 @@ def test_stratified_sample_every_k(ray_session):
     out2 = stratified_sample(rd.from_arrow(tbl), every_k=10,
                              stratum_col="lang").to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+
+def test_url_canonicalization(ray_session):
+    from aida_ray.stages.urls import canonicalize_batch, domain_batch
+    b = pa.table({"url": pa.array([
+        "HTTPS://WWW.ExAmple.COM:443/Path?utm_source=x&id=5&fbclid=a#f",
+        "http://site.org:80/?utm_campaign=z",
+        "http://h.io/p?utm_a=1&utm_b=2&id=7",
+        "http://h.io/p?utm_a=1&utm_b=2",
+        "not a url",
+    ])})
+    out = domain_batch(canonicalize_batch(b))
+    assert out["canonical_url"].to_pylist() == [
+        "https://www.example.com/Path?id=5",
+        "http://site.org/",
+        "http://h.io/p?id=7",
+        "http://h.io/p",
+        "not a url",
+    ]
+    assert out["domain"].to_pylist() == [
+        "example.com", "site.org", "h.io", "h.io", ""]
