@@ -662,6 +662,43 @@ def q_url_canonical(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "canonical_url", "domain"])
 
 
+def q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join: each purchase event picks the same user's most
+    recent prior-or-equal view event (DuckDB ASOF JOIN is the oracle).
+    One hash shuffle + per-group vectorized searchsorted."""
+    from aida_ray.stages.joins import asof_join
+
+    def prep(kind: str, keep_id: bool):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b["event_type"], kind))
+            # timestamp[us] -> epoch ms (integer divide; epoch_ms() in SQL)
+            ts = pc.divide(pc.cast(t["ts"], pa.int64()), 1000)
+            cols = {}
+            if keep_id:
+                cols["event_id"] = pc.cast(t["event_id"], pa.int64())
+            cols["user_id"] = pc.cast(t["user_id"], pa.int64())
+            cols["ts"] = ts
+            if keep_id:
+                cols["value"] = pc.cast(t["value"], pa.float64())
+            else:
+                cols["view_value"] = pc.cast(t["value"], pa.float64())
+            return pa.table(cols)
+        return f
+
+    left = _events(sf_dir).map_batches(prep("purchase", True),
+                                       batch_format="pyarrow")
+    right = _events(sf_dir).map_batches(prep("view", False),
+                                        batch_format="pyarrow")
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["view_value"])
+    t = _collect(out).to_pandas()
+    t["value"] = t["value"].round(6)
+    t["view_value"] = t["view_value"].round(6)
+    for c in ("event_id", "user_id", "ts", "ts_r"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -925,6 +962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "seq_packing": q_seq_packing,
         "url_canonical": q_url_canonical,
+        "asof_join": q_asof_join,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1086,6 +1124,22 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine
             FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_ms(ts) AS BIGINT) AS ts, value
+                FROM events WHERE event_type = 'purchase'),
+            r AS (
+                SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS ts,
+                       value AS view_value
+                FROM events WHERE event_type = 'view')
+            SELECT l.event_id, l.user_id, l.ts,
+                   ROUND(l.value, 6) AS value,
+                   ROUND(r.view_value, 6) AS view_value,
+                   r.ts AS ts_r
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "url_canonical": r"""
             WITH u AS (

@@ -138,3 +138,28 @@ def test_url_canonicalization(ray_session):
     ]
     assert out["domain"].to_pylist() == [
         "example.com", "site.org", "h.io", "h.io", ""]
+
+
+def test_asof_join_semantics(ray_session):
+    """Inclusive most-recent-prior match; unmatched left rows drop;
+    keys never cross."""
+    from aida_ray.stages.joins import asof_join
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+        "ts": pa.array([5, 10, 2, 5], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([7, 7, 9], pa.int64()),
+        "ts": pa.array([3, 10, 1], pa.int64()),
+        "view_value": pa.array([30.0, 100.0, 9.0]),
+    }))
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["view_value"]).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # event 1 (ts=5) -> right ts=3; event 2 (ts=10) -> ts=10 inclusive;
+    # event 3 (ts=2) has no prior right row; event 4 is user 8 (no rows)
+    assert out["event_id"].tolist() == [1, 2]
+    assert out["view_value"].tolist() == [30.0, 100.0]
+    assert out["ts_r"].tolist() == [3, 10]
