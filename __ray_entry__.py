@@ -699,6 +699,49 @@ def q_asof_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_topk_group(sf_dir: str) -> pa.Table:
+    """Top-3 documents per language by (n_chars desc, doc_id asc) —
+    map-side per-batch prune + one hash shuffle (shuffle volume <= k ×
+    groups × blocks, corpus-size independent)."""
+    from aida_ray.stages.topk import top_k_per_group
+    ds = _docs(sf_dir).select_columns(["lang", "doc_id", "n_chars"])
+    out = top_k_per_group(ds, "lang", "n_chars", k=3, tie_col="doc_id")
+    return _collect(out).select(["lang", "doc_id", "n_chars"])
+
+
+def q_range_join(sf_dir: str) -> pa.Table:
+    """Range join: click events ⋈ the same user's error windows
+    (error ts ± 1 h, inclusive) — one hash shuffle + per-group interval
+    matching; oracle is a plain SQL BETWEEN inequality join."""
+    from aida_ray.stages.range_join import range_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.divide(pc.cast(t["ts"], pa.int64()), 1000)})
+
+    def ivs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "error"))
+        ts = pc.divide(pc.cast(t["ts"], pa.int64()), 1000)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "w_start": pc.subtract(ts, 3600000),
+            "w_end": pc.add(ts, 3600000),
+            "error_id": pc.cast(t["event_id"], pa.int64())})
+
+    points = _events(sf_dir).map_batches(pts, batch_format="pyarrow")
+    intervals = _events(sf_dir).map_batches(ivs, batch_format="pyarrow")
+    out = range_join(points, intervals, key="user_id", ts_col="ts",
+                     start_col="w_start", end_col="w_end",
+                     interval_cols=["error_id"])
+    t = _collect(out).to_pandas()
+    for c in ("event_id", "user_id", "ts", "w_start", "w_end", "error_id"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -963,6 +1006,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_packing": q_seq_packing,
         "url_canonical": q_url_canonical,
         "asof_join": q_asof_join,
+        "topk_group": q_topk_group,
+        "range_join": q_range_join,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1124,6 +1169,32 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine
             FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        "topk_group": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id) AS r
+                FROM documents)
+            WHERE r <= 3
+        """,
+        "range_join": """
+            WITH p AS (
+                SELECT event_id, user_id,
+                       CAST(epoch_ms(ts) AS BIGINT) AS ts
+                FROM events WHERE event_type = 'click'),
+            iv AS (
+                SELECT user_id,
+                       CAST(epoch_ms(ts) AS BIGINT) - 3600000 AS w_start,
+                       CAST(epoch_ms(ts) AS BIGINT) + 3600000 AS w_end,
+                       event_id AS error_id
+                FROM events WHERE event_type = 'error')
+            SELECT p.event_id, p.user_id, p.ts,
+                   iv.w_start, iv.w_end, iv.error_id
+            FROM p JOIN iv
+              ON p.user_id = iv.user_id
+             AND p.ts BETWEEN iv.w_start AND iv.w_end
         """,
         "asof_join": """
             WITH l AS (

@@ -27,19 +27,23 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """For each left row, attach `right_cols` from the right row with
     the largest ts <= left ts (same key); unmatched left rows drop
     (inner as-of).  The right side's ts is emitted as ``<ts_col>_r``."""
-    left_cols = [c for c in left.schema().names if c != "_side"]
+    lschema = left.schema()
+    rschema = right.schema()
+    left_cols = [c for c in lschema.names if c != "_side"]
+    ltype = dict(zip(lschema.names, lschema.types))
+    rtype = dict(zip(rschema.names, rschema.types))
 
     def tag_left(b: pa.Table) -> pa.Table:
         b = b.append_column("_side", pa.array([0] * len(b), pa.int8()))
         for c in right_cols:
-            b = b.append_column(c, pa.nulls(len(b), pa.float64()))
+            b = b.append_column(c, pa.nulls(len(b), rtype[c]))
         return b
 
     def tag_right(b: pa.Table) -> pa.Table:
         out = {key: b[key], ts_col: b[ts_col]}
         for c in left_cols:
             if c not in out:
-                out[c] = pa.nulls(len(b), pa.float64())
+                out[c] = pa.nulls(len(b), ltype[c])
         t = pa.table(out)
         t = t.append_column("_side", pa.array([1] * len(b), pa.int8()))
         for c in right_cols:

@@ -1,0 +1,82 @@
+"""Range (interval) join — points to containing intervals, per key.
+
+Composition: tag sides, align schemas, UNION, one hash shuffle by the
+join key, then per-group vectorized matching: intervals sorted by
+start; for each point, candidate intervals are those with
+start <= ts (searchsorted prefix), filtered by end >= ts.  A point can
+match several intervals (all emitted), exactly like the SQL
+``l.ts BETWEEN r.start AND r.end`` inequality join.
+
+Per-group cost is O(P × overlap + (P+I) log I).  Partitioning
+assumption: one key's intervals + points fit one group (same caveat as
+sessionization / as-of join — cap or time-split adversarially hot
+keys).  For UNKEYED range joins broadcast the interval table instead
+(it is the small side in every crawl use case: blocklists, outage
+windows, campaign ranges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def range_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
+               key: str, ts_col: str, start_col: str, end_col: str,
+               interval_cols: list[str]) -> ray.data.Dataset:
+    """Inner join: each point row × every same-key interval containing
+    its ts (inclusive bounds)."""
+    pschema = points.schema()
+    ischema = intervals.schema()
+    point_cols = list(pschema.names)
+    ptype = dict(zip(pschema.names, pschema.types))
+    itype = dict(zip(ischema.names, ischema.types))
+
+    def tag_points(b: pa.Table) -> pa.Table:
+        b = b.append_column("_side", pa.array([0] * len(b), pa.int8()))
+        for c in (start_col, end_col, *interval_cols):
+            b = b.append_column(c, pa.nulls(len(b), itype[c]))
+        return b
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        out = {key: b[key]}
+        for c in point_cols:
+            if c != key:
+                out[c] = pa.nulls(len(b), ptype[c])
+        t = pa.table(out)
+        t = t.append_column("_side", pa.array([1] * len(b), pa.int8()))
+        for c in (start_col, end_col, *interval_cols):
+            t = t.append_column(c, b[c])
+        return t
+
+    pt = points.map_batches(tag_points, batch_format="pyarrow")
+    cols = pt.schema().names
+    it = intervals.map_batches(tag_intervals, batch_format="pyarrow") \
+        .map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["_side"] == 0]
+        iv = g[g["_side"] == 1].sort_values(start_col, kind="mergesort")
+        if not len(p) or not len(iv):
+            return p.iloc[0:0].drop(columns=["_side", start_col, end_col])
+        starts = iv[start_col].to_numpy()
+        ends = iv[end_col].to_numpy()
+        out_p, out_i = [], []
+        hi = np.searchsorted(starts, p[ts_col].to_numpy(), side="right")
+        ts = p[ts_col].to_numpy()
+        for row_i in range(len(p)):
+            cand = np.nonzero(ends[:hi[row_i]] >= ts[row_i])[0]
+            out_p.extend([row_i] * len(cand))
+            out_i.extend(cand.tolist())
+        res = p.iloc[out_p].reset_index(drop=True).drop(
+            columns=["_side", start_col, end_col, *interval_cols])
+        ivr = iv.iloc[out_i].reset_index(drop=True)
+        for c in (start_col, end_col, *interval_cols):
+            res[c] = ivr[c].to_numpy()
+        return res
+
+    return pt.union(it).groupby(key).map_groups(per_key,
+                                                batch_format="pandas")

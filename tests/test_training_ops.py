@@ -163,3 +163,40 @@ def test_asof_join_semantics(ray_session):
     assert out["event_id"].tolist() == [1, 2]
     assert out["view_value"].tolist() == [30.0, 100.0]
     assert out["ts_r"].tolist() == [3, 10]
+
+
+def test_topk_per_group_prune_correct(ray_session):
+    """Map-side pruning must not lose global top-k rows across blocks."""
+    from aida_ray.stages.topk import top_k_per_group
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "a", "a", "b", "b"], ),
+        "id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "v": pa.array([10, 40, 30, 20, 7, 7], pa.int64()),
+    })
+    out = top_k_per_group(rd.from_arrow(tbl).repartition(4), "g", "v",
+                          k=2, tie_col="id").to_pandas() \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    assert list(zip(out["g"], out["id"])) == [("a", 2), ("a", 3),
+                                              ("b", 5), ("b", 6)]
+
+
+def test_range_join_multi_match(ray_session):
+    from aida_ray.stages.range_join import range_join
+    points = rd.from_arrow(pa.table({
+        "pid": pa.array([1, 2, 3], pa.int64()),
+        "k": pa.array([7, 7, 8], pa.int64()),
+        "ts": pa.array([5, 100, 5], pa.int64()),
+    }))
+    intervals = rd.from_arrow(pa.table({
+        "k": pa.array([7, 7, 9], pa.int64()),
+        "s": pa.array([0, 4, 0], pa.int64()),
+        "e": pa.array([10, 6, 99], pa.int64()),
+        "iv": pa.array([100, 200, 300], pa.int64()),
+    }))
+    out = range_join(points, intervals, key="k", ts_col="ts",
+                     start_col="s", end_col="e", interval_cols=["iv"]) \
+        .to_pandas()
+    got = sorted(zip(out["pid"].astype(int), out["iv"].astype(int)))
+    # point 1 (k=7, ts=5) hits both intervals; point 2 none; point 3
+    # has no same-key intervals (k=9 never joins k=8)
+    assert got == [(1, 100), (1, 200)]
