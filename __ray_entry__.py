@@ -943,6 +943,18 @@ def q_sharded_equality(sf_dir: str) -> pa.Table:
     })
 
 
+def q_video_frames(sf_dir: str) -> pa.Table:
+    """Frame-sampling multimodal stage: payload → n sampled frames →
+    per-frame average-hash + luminance aggregate (actor pool;
+    deterministic fake backend → exact VALUES oracle)."""
+    from aida_ray.stages.multimodal import VideoFrameFeatures, make_media_table
+    ds = ray.data.from_arrow(make_media_table(6, seed=42)).map_batches(
+        VideoFrameFeatures, batch_format="pyarrow", batch_size=3,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal plumbing as a first-class operator: binary payloads →
     actor-pool decode (deterministic fake backend) → feature rows.  The
@@ -1018,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tsv_roundtrip": q_tsv_roundtrip,
         "sharded_equality": q_sharded_equality,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
         "result_json": q_result_json,
         "perceptron_ner": q_perceptron_ner,
     }
@@ -1453,5 +1466,15 @@ def oracle_sql() -> dict[str, str]:
                 (6, 4211861493765116293, 59, 44, 128565),
                 (7, 8449731347319266704, 57, 55, 127104)
             ) AS t(media_id, phash, width, height, mean_r_1e3)
+        """,
+        "video_frames": """
+            SELECT * FROM (VALUES
+                (0, 4, 7826377757529450482, 7878058258933004502, 127515),
+                (1, 4, 3287906204988696455, 2146071335702981332, 127695),
+                (2, 4, 6961241233100397576, 7077197422349661741, 127268),
+                (3, 4, 1465965689058912750, 8806889960494137949, 126919),
+                (4, 4, 7675681100254303255, 3878597380237989624, 128004),
+                (5, 4, 3541436858148475762, 6241572324557112504, 127084)
+            ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
         """,
     }

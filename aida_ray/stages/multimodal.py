@@ -56,6 +56,47 @@ class FakeDecodeBackend(DecodeBackend):
         return [self.decode_image(payload + bytes([i])) for i in range(n)]
 
 
+def avg_hash(img: np.ndarray) -> int:
+    """8x8 average hash of an (H, W, 3) uint8 image (63-bit)."""
+    gray = img.mean(axis=2)
+    ys = np.linspace(0, img.shape[0], 9, dtype=int)
+    xs = np.linspace(0, img.shape[1], 9, dtype=int)
+    cells = np.array([[gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                       for j in range(8)] for i in range(8)])
+    bits = (cells > cells.mean()).flatten()
+    return int("".join("1" if b else "0" for b in bits), 2) >> 1
+
+
+class VideoFrameFeatures:
+    """Actor-pool stage: frame-sample ``n_frames`` per payload, then
+    per-frame average-hash + luminance aggregate.  Backend constructed
+    once per actor; the deterministic fake keeps the stage exact."""
+
+    def __init__(self, backend: DecodeBackend | None = None,
+                 n_frames: int = 4):
+        self.backend = backend or FakeDecodeBackend()
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nfs, first, last, lum = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            frames = self.backend.sample_frames(payload, self.n_frames)
+            hashes = [avg_hash(f) for f in frames]
+            ids.append(mid)
+            nfs.append(len(frames))
+            first.append(hashes[0])
+            last.append(hashes[-1])
+            lum.append(round(float(np.mean([f.mean() for f in frames])) * 1e3))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_frames": pa.array(nfs, pa.int64()),
+            "first_phash": pa.array(first, pa.int64()),
+            "last_phash": pa.array(last, pa.int64()),
+            "mean_lum_1e3": pa.array(lum, pa.int64()),
+        })
+
+
 class ImageFeatures:
     """Actor-pool stage: decode + feature-extract (mean/std per channel +
     8x8 grayscale thumbnail-hash). Backend constructed once per actor."""
