@@ -109,14 +109,7 @@ class ImageFeatures:
         for mid, payload in zip(batch["media_id"].to_pylist(),
                                 batch["payload"].to_pylist()):
             img = self.backend.decode_image(payload)
-            gray = img.mean(axis=2)
-            # 8x8 average hash
-            ys = np.linspace(0, img.shape[0], 9, dtype=int)
-            xs = np.linspace(0, img.shape[1], 9, dtype=int)
-            cells = np.array([[gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
-                               for j in range(8)] for i in range(8)])
-            bits = (cells > cells.mean()).flatten()
-            phash = int("".join("1" if b else "0" for b in bits), 2) >> 1
+            phash = avg_hash(img)
             ids.append(mid)
             means.append([float(img[..., c].mean()) for c in range(3)])
             stds.append([float(img[..., c].std()) for c in range(3)])
