@@ -1,0 +1,116 @@
+"""Property-based tests: the distributed relational operators must
+agree with independent single-process references (pandas merge_asof,
+brute-force loops) on randomized inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+_few = settings(max_examples=8, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+
+@_few
+@given(seed=st.integers(0, 10_000))
+def test_asof_join_matches_pandas_merge_asof(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    nl, nr = int(rng.integers(1, 30)), int(rng.integers(1, 30))
+    left = pd.DataFrame({
+        "event_id": np.arange(nl, dtype=np.int64),
+        "user_id": rng.integers(0, 4, nl).astype(np.int64),
+        "ts": rng.integers(0, 50, nl).astype(np.int64),
+        "value": rng.integers(0, 100, nl).astype(np.float64),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 4, nr).astype(np.int64),
+        "ts": rng.integers(0, 50, nr).astype(np.int64),
+        "view_value": rng.integers(0, 100, nr).astype(np.float64),
+    })
+    # merge_asof requires unique (by, on) on the right to be
+    # deterministic — dedupe keeping the max view_value
+    right = right.sort_values(["user_id", "ts", "view_value"]) \
+        .groupby(["user_id", "ts"], as_index=False).last()
+
+    from aida_ray.stages.joins import asof_join
+    got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="user_id", ts_col="ts",
+                    right_cols=["view_value"]).to_pandas()
+    got = got.sort_values("event_id").reset_index(drop=True)
+
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True).dropna(subset=["view_value"]) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["view_value"].tolist() == exp["view_value"].tolist()
+
+
+@_few
+@given(seed=st.integers(0, 10_000))
+def test_range_join_matches_bruteforce(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    np_, ni = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+    pts = pd.DataFrame({
+        "pid": np.arange(np_, dtype=np.int64),
+        "k": rng.integers(0, 3, np_).astype(np.int64),
+        "ts": rng.integers(0, 40, np_).astype(np.int64),
+    })
+    s = rng.integers(0, 40, ni).astype(np.int64)
+    ivs = pd.DataFrame({
+        "k": rng.integers(0, 3, ni).astype(np.int64),
+        "s": s,
+        "e": s + rng.integers(0, 15, ni).astype(np.int64),
+        "iv": np.arange(ni, dtype=np.int64),
+    })
+    from aida_ray.stages.range_join import range_join
+    got = range_join(rd.from_pandas(pts), rd.from_pandas(ivs), key="k",
+                     ts_col="ts", start_col="s", end_col="e",
+                     interval_cols=["iv"]).to_pandas()
+    got_set = {(int(a), int(b)) for a, b in zip(got["pid"], got["iv"])}
+    exp_set = set()
+    for p in pts.itertuples(index=False):
+        for r in ivs.itertuples(index=False):
+            if p.k == r.k and r.s <= p.ts <= r.e:
+                exp_set.add((int(p.pid), int(r.iv)))
+    assert got_set == exp_set
+    assert len(got) == len(exp_set)
+
+
+@_few
+@given(seed=st.integers(0, 10_000))
+def test_topk_matches_pandas(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 60))
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), n),
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(0, 10, n).astype(np.int64),
+    })
+    from aida_ray.stages.topk import top_k_per_group
+    got = top_k_per_group(rd.from_pandas(df).repartition(3), "g", "v",
+                          k=3, tie_col="id").to_pandas()
+    exp = df.sort_values(["v", "id"], ascending=[False, True],
+                         kind="mergesort").groupby("g").head(3)
+    assert sorted(got["id"]) == sorted(exp["id"])
+
+
+@_few
+@given(seed=st.integers(0, 10_000))
+def test_hash_split_matches_reference_arithmetic(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, 1_000_000, int(rng.integers(1, 50))).astype(np.int64)
+    from aida_ray.stages.sampling import KNUTH, hash_split
+    got = hash_split(rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))) \
+        .to_pandas().sort_values("doc_id")
+    h = (ids * KNUTH) % (1 << 31)
+    b = h % 10
+    exp = np.where(b < 8, "train", np.where(b < 9, "val", "test"))
+    exp_map = dict(zip(ids.tolist(), exp.tolist()))
+    assert all(exp_map[i] == s for i, s in zip(got["doc_id"], got["split"]))
