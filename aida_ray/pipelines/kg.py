@@ -339,37 +339,79 @@ def read_triples(out_dir: str) -> ray.data.Dataset:
 
 # ------------------------------------------------------------------ end-to-end
 
+def _stub_fsspec_http() -> None:
+    """Make ``import fsspec.implementations.http`` deterministic.
+
+    aiohttp is absent in this environment, so that import raises
+    ModuleNotFoundError (which Ray's path-resolution guard catches).
+    Under CONCURRENT Dataset executions (run_kg's partition threads)
+    the failed-import window races between threads and surfaces as a
+    plain ImportError — uncaught by Ray.  Registering a minimal stub
+    (Ray only uses the class as an isinstance target) removes the race;
+    no-op when the real module imports."""
+    import sys
+    import types
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except Exception:  # noqa: BLE001
+        pass
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # never instantiated — isinstance target only
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
 def run_kg(pages_dir: str, kb, out_dir: str,
            settings: DisambiguationSettings | None = None,
            concurrency: int | tuple[int, int] = 4,
            batch_size: int = 64,
            partition_granularity: int = 1,
            resume: bool = True,
-           n_kb_shards: int = 0) -> list[dict]:
+           n_kb_shards: int = 0,
+           pipeline_parallelism: int = 4) -> list[dict]:
     """End-to-end: pages parquet dir → partitioned triple parquet + manifests.
 
     One output partition per group of ``partition_granularity`` input
     files; finished partitions (manifest present) are skipped on rerun —
     the north-rule checkpoint/resume contract.  ``n_kb_shards > 1``
     switches to the sharded keyphrase-index path
-    (aida_ray.pipelines.sharded — identical output).  Returns manifests.
+    (aida_ray.pipelines.sharded — identical output).  Returns manifests
+    (in partition order).
+
+    ``pipeline_parallelism`` partition pipelines run CONCURRENTLY
+    (driver threads; each Dataset execution is independent) — a
+    sequential loop pays actor-pool spawn + pipeline-fill latency per
+    partition, which dominated wall time ~30× at 50 single-file
+    partitions.  Each pipeline uses ``concurrency`` NED actors, so size
+    pipeline_parallelism × concurrency to the cluster.  Resume
+    granularity stays one partition; writes remain atomic per
+    partition, so a crash mid-flight loses at most the unfinished
+    partitions regardless of how many were in flight.
     """
     import os
+    from concurrent.futures import ThreadPoolExecutor
 
     from aida_ray.io.sink import config_hash, partition_done, write_partition
     from aida_ray.state.broadcast import put_kb
+
+    _stub_fsspec_http()
 
     files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
     if not files:
         raise FileNotFoundError(f"no parquet in {pages_dir}")
     kb_ref = None if n_kb_shards > 1 else put_kb(kb)
     cfg = config_hash((settings, batch_size, n_kb_shards))
-    manifests = []
-    for g in range(0, len(files), partition_granularity):
+
+    def do_partition(g: int) -> dict | None:
         group = files[g:g + partition_granularity]
         part = f"part-{g // partition_granularity:05d}"
         if resume and partition_done(out_dir, part):
-            continue
+            return None
         pages = read_pages([os.path.join(pages_dir, f) for f in group])
         if n_kb_shards > 1:
             from aida_ray.pipelines.sharded import link_pages_sharded
@@ -382,6 +424,24 @@ def run_kg(pages_dir: str, kb, out_dir: str,
             triples = link_pages(pages, kb_ref, settings,
                                  concurrency=concurrency,
                                  batch_size=batch_size)
-        manifests.append(
-            write_partition(triples, out_dir, part, group, cfg))
-    return manifests
+        return write_partition(triples, out_dir, part, group, cfg)
+
+    starts = list(range(0, len(files), partition_granularity))
+    # cap in-flight pipelines so their actor pools can all spawn AND
+    # >=2 CPUs stay free for the read/write task stages — N concurrent
+    # executions each demanding `concurrency` one-CPU actors deadlock a
+    # cluster with fewer than N x concurrency + 2 CPUs
+    per_pipe = concurrency if isinstance(concurrency, int) \
+        else max(concurrency)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    eff = max(1, min(pipeline_parallelism,
+                     (cpus - 2) // max(1, per_pipe)))
+    if eff <= 1:
+        results = [do_partition(g) for g in starts]
+    else:
+        with ThreadPoolExecutor(max_workers=eff) as ex:
+            results = list(ex.map(do_partition, starts))
+    return [m for m in results if m is not None]
