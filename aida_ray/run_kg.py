@@ -32,6 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kb-shards", type=int, default=0,
                    help="split the keyphrase index into N scorer shards "
                         "(for KBs larger than actor memory)")
+    p.add_argument("--pipeline-parallelism", type=int, default=4,
+                   help="partition pipelines in flight (capped so "
+                        "pools fit the cluster)")
     args = p.parse_args(argv)
 
     import ray
@@ -42,14 +45,18 @@ def main(argv: list[str] | None = None) -> int:
     from aida_ray.kb.kb import KB
     from aida_ray.pipelines.kg import run_kg
 
-    conc = args.concurrency or max(1, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    # default: split the cluster across in-flight partition pipelines
+    conc = args.concurrency or max(
+        2, (cpus - 2) // max(1, args.pipeline_parallelism))
     kb = KB.load(args.kb)
     t0 = time.time()
     manifests = run_kg(args.pages, kb, args.out,
                        concurrency=conc, batch_size=args.batch_size,
                        partition_granularity=args.partition_granularity,
                        resume=not args.no_resume,
-                       n_kb_shards=args.kb_shards)
+                       n_kb_shards=args.kb_shards,
+                       pipeline_parallelism=args.pipeline_parallelism)
     wall = time.time() - t0
     rows = sum(m["rows"] for m in manifests)
     print(json.dumps({
