@@ -153,6 +153,24 @@ def run_bench() -> dict:
     extras["sharded_over_single_full"] = round(
         timings["kg_sharded4_full"] / timings["kg_single_full"], 3)
 
+    # production sink path: streaming NED -> partitioned parquet with
+    # lineage manifests (the resumable 100 TB layout), fresh dir
+    import shutil
+    import tempfile
+
+    from aida_ray.pipelines.kg import run_kg
+    sink_dir = tempfile.mkdtemp(prefix="aida_bench_sink_")
+    try:
+        t0 = time.time()
+        mans = run_kg(pages_dir, kb, sink_dir, concurrency=4,
+                      partition_granularity=2, pipeline_parallelism=6)
+        timings["kg_sink_full"] = round(time.time() - t0, 3)
+        extras["sink_partitions"] = len(mans)
+        extras["sink_triples_per_sec"] = round(
+            sum(m["rows"] for m in mans) / timings["kg_sink_full"], 1)
+    finally:
+        shutil.rmtree(sink_dir, ignore_errors=True)
+
     out = {
         "metric": "kg_pipeline_sec",
         "value": timings["kg_pipeline"],
