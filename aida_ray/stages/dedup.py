@@ -244,23 +244,71 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
                                  num_partitions=num_partitions,
                                  on=("band_hash",))
 
-    # pair generation = vectorized SELF-JOIN on band_hash (a per-group
-    # map_groups pays ~ms of pandas overhead per bucket — 10k hot
-    # buckets made that the dominant cost), then a < b + distinct.
-    # materialize: `pairs` is consumed by three downstream branches —
+    # pair generation.  Hot rows are bounded by the duplicate structure
+    # (Σ sizes of >=2-member buckets); below the threshold ONE numpy
+    # task sorts by band_hash and emits distinct a<b pairs per bucket —
+    # off-driver, no join actor pool, no distinct shuffle.  Above it,
+    # a vectorized distributed SELF-JOIN on band_hash + groupby
+    # distinct (a per-group map_groups pays ~ms of pandas overhead per
+    # bucket — 10k hot buckets made that the dominant cost).
+    # materialize: `pairs` is consumed by multiple downstream branches —
     # without a checkpoint the lazy plan would re-execute the whole
-    # band-join lineage per consumer AND co-schedule five hash joins
+    # lineage per consumer AND co-schedule several hash joins
     # (deadlocks the aggregator actor pools on a small cluster)
-    left = hot_rows.map_batches(
-        lambda b: pa.table({"band_hash": b["band_hash"], "a": b[id_col]}),
-        batch_format="pyarrow")
-    right = hot_rows.map_batches(
-        lambda b: pa.table({"band_hash": b["band_hash"], "b": b[id_col]}),
-        batch_format="pyarrow")
-    pairs = left.join(right, join_type="inner",
-                      num_partitions=num_partitions, on=("band_hash",)) \
-        .filter(expr="a < b") \
-        .groupby(["a", "b"]).count().select_columns(["a", "b"]).materialize()
+    hot_rows = hot_rows.materialize()
+    if hot_rows.count() <= broadcast_threshold:
+
+        @ray.remote
+        def _pairs_task(*tabs: pa.Table) -> pa.Table:
+            t = pa.concat_tables(tabs)
+            bh = t["band_hash"].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, bh))
+            bh, ids = bh[order], ids[order]
+            starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]]) \
+                if len(bh) else np.array([], dtype=np.int64)
+            ends = np.r_[starts[1:], len(bh)] if len(starts) \
+                else np.array([], dtype=np.int64)
+            out_a, out_b = [], []
+            for s, e in zip(starts, ends):
+                n = e - s
+                if n < 2:
+                    continue
+                g = ids[s:e]
+                iu, ju = np.triu_indices(n, k=1)
+                a, b = g[iu], g[ju]
+                swap = a > b
+                out_a.append(np.where(swap, b, a))
+                out_b.append(np.where(swap, a, b))
+            if out_a:
+                u = np.unique(np.stack([np.concatenate(out_a),
+                                        np.concatenate(out_b)], axis=1),
+                              axis=0)
+            else:
+                u = np.empty((0, 2), dtype=np.int64)
+            return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                             "b": pa.array(u[:, 1], pa.int64())})
+
+        refs = hot_rows.to_arrow_refs()
+        if refs:
+            pairs = ray.data.from_arrow_refs(
+                [_pairs_task.remote(*refs)]).materialize()
+        else:
+            pairs = ray.data.from_arrow(pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64())})).materialize()
+    else:
+        left = hot_rows.map_batches(
+            lambda b: pa.table({"band_hash": b["band_hash"], "a": b[id_col]}),
+            batch_format="pyarrow")
+        right = hot_rows.map_batches(
+            lambda b: pa.table({"band_hash": b["band_hash"], "b": b[id_col]}),
+            batch_format="pyarrow")
+        pairs = left.join(right, join_type="inner",
+                          num_partitions=num_partitions, on=("band_hash",)) \
+            .filter(expr="a < b") \
+            .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
+            .materialize()
 
     # ---- verify.  The candidate-id set is <= 2 * |pairs| (bounded by
     # the LSH candidate count, itself bounded by the dup structure).
