@@ -577,6 +577,15 @@ def q_embed_neardup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_compression_ratio(sf_dir: str) -> pa.Table:
+    """Per-doc zlib compression ratio (repetition/boilerplate signal;
+    deterministic but not SQL-expressible — rows-only)."""
+    from aida_ray.stages.textstats import compression_ratio_batch
+    ds = _docs(sf_dir).map_batches(compression_ratio_batch,
+                                   batch_format="pyarrow")
+    return _collect(ds).select(["doc_id", "compression_ratio"])
+
+
 def q_fingerprint(sf_dir: str) -> pa.Table:
     """Stable 63-bit document fingerprint (md5-based)."""
     from aida_ray.stages.textstats import fingerprint_batch
@@ -1011,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
         "fingerprint": q_fingerprint,
+        "compression_ratio": q_compression_ratio,
         "pii_redact": q_pii_redact,
         "quality_rules": q_quality_rules,
         "hash_split": q_hash_split,

@@ -86,6 +86,22 @@ class LangId:
         return batch.append_column("lang_pred", pa.array(langs, pa.string()))
 
 
+def compression_ratio_batch(batch: pa.Table,
+                            text_col: str = "text") -> pa.Table:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    Gopher/RefinedWeb-style boilerplate-and-repetition signal: highly
+    repetitive or templated text compresses far below prose.  zlib at a
+    fixed level is deterministic, so the column is stable across runs
+    and processes (stdlib only; rows-only check — no SQL analogue)."""
+    import zlib
+    ratios = []
+    for t in batch[text_col].to_pylist():
+        raw = t.encode("utf-8")
+        ratios.append(round(len(zlib.compress(raw, 6)) / max(1, len(raw)), 6))
+    return batch.append_column("compression_ratio",
+                               pa.array(ratios, pa.float64()))
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit stable document fingerprint (md5-based; deterministic
     across processes, unlike hash())."""

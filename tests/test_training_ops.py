@@ -200,3 +200,20 @@ def test_range_join_multi_match(ray_session):
     # point 1 (k=7, ts=5) hits both intervals; point 2 none; point 3
     # has no same-key intervals (k=9 never joins k=8)
     assert got == [(1, 100), (1, 200)]
+
+
+def test_compression_ratio_signal(ray_session):
+    """Repetitive text must compress far below high-entropy text, and
+    the column must be deterministic across calls."""
+    from aida_ray.stages.textstats import compression_ratio_batch
+    rng = np.random.default_rng(3)
+    noisy = " ".join(str(rng.integers(0, 10**9)) for _ in range(200))
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["spam ham " * 500, noisy]),
+    })
+    out1 = compression_ratio_batch(b)
+    out2 = compression_ratio_batch(b)
+    r = out1["compression_ratio"].to_pylist()
+    assert r == out2["compression_ratio"].to_pylist()
+    assert r[0] < 0.05 < 0.3 < r[1]
