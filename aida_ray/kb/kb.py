@@ -169,6 +169,42 @@ class KB:
         return self
 
     # ------------------------------------------------------------ accessors
+    def kp_weight(self, eid: int, kp: int) -> float:
+        """Keyphrase weight = MI of (entity superdoc, keyphrase df) — the
+        per-keyphrase weight DataAccess orders/filters by when the Fast
+        settings pass minimumEntityKeyphraseWeight / maxEntityKeyphraseCount
+        (DataAccessSQL.getEntityKeyphrases; README.md:147-149,361-362)."""
+        w = compute_mi(self.entity_sizes.get(eid, 0),
+                       self.kp_df.get(kp, 0),
+                       self.e_kp_count.get(eid, {}).get(kp, 0),
+                       self.collection_size, False)
+        return 0.0 if math.isnan(w) else w
+
+    def pruned_kps(self, eid: int, max_count: int = 0,
+                   min_weight: float = 0.0) -> list[int]:
+        """Entity keyphrases after the Fast-settings pruning: drop
+        weight < min_weight, keep the top max_count by (weight desc,
+        kp id asc — deterministic tie-break).  Memoized per KB object
+        (one cache per actor process)."""
+        if not max_count and min_weight <= 0.0:
+            return self.entity_kps.get(eid, [])
+        cache = getattr(self, "_kp_prune_cache", None)
+        if cache is None:
+            cache = {}
+            self._kp_prune_cache = cache
+        key = (eid, max_count, min_weight)
+        got = cache.get(key)
+        if got is None:
+            kps = self.entity_kps.get(eid, [])
+            weighted = [(kp, self.kp_weight(eid, kp)) for kp in kps]
+            weighted = [(kp, w) for kp, w in weighted if w >= min_weight]
+            weighted.sort(key=lambda t: (-t[1], t[0]))
+            if max_count:
+                weighted = weighted[:max_count]
+            got = [kp for kp, _ in weighted]
+            cache[key] = got
+        return got
+
     def word_id(self, word: str) -> int:
         return self.word2id.get(word, 0)
 

@@ -165,7 +165,10 @@ def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
     matcher = None
     if raw_scores is None:
         from aida_ray.ned.similarity import DocMatcher
-        matcher = DocMatcher(kb, doc)
+        matcher = DocMatcher(
+            kb, doc,
+            max_kp=settings.similarity.max_entity_keyphrase_count,
+            min_kp_weight=settings.similarity.min_entity_keyphrase_weight)
 
     # Coherence-robustness L1 distances (GraphGenerator.java:354-388).
     mention_l1: dict[int, float] = {}

@@ -32,6 +32,10 @@ class SimilaritySettings:
     # — added LINEAR_COMBINATION-style (EnsembleMESim.java:190-201).
     eis_no_prior: tuple[tuple[str, float], ...] = ()
     eis_with_prior: tuple[tuple[str, float], ...] = ()
+    # Fast-settings keyphrase pruning (README.md:147-149,361-362):
+    # keep top-N entity keyphrases by MI weight / drop below the floor.
+    max_entity_keyphrase_count: int = 0        # 0 = unlimited
+    min_entity_keyphrase_weight: float = 0.0
 
 
 # settings/similarity/conll/SwitchedKP.properties
@@ -115,6 +119,157 @@ def local_settings(**kw) -> DisambiguationSettings:
 def prior_only_settings(**kw) -> DisambiguationSettings:
     """PriorOnlyDisambiguationSettings.java: rank candidates by prior alone."""
     return replace(DisambiguationSettings(technique="prior"), **kw)
+
+
+# ------------------------------------------------------------ preset registry
+# All 17 prebuilt configs a reference user can select (README.md:326-337,
+# config/settings/disambiguation/*.java) by their Java class names.
+
+# settings/similarity/conll/KeyphraseIDF.properties
+KEYPHRASE_IDF = SimilaritySettings(
+    mes_with_prior=(("idf", 1.0),),
+    prior_weight=0.0,
+)
+
+_FAST_PRUNE = {"max_entity_keyphrase_count": 1000,
+               "min_entity_keyphrase_weight": 0.001}
+
+
+def _preset_cocktail(**kw) -> DisambiguationSettings:
+    return cocktail_party_settings(**kw)
+
+
+def _preset_cocktail_null(**kw) -> DisambiguationSettings:
+    return cocktail_party_settings(
+        compute_confidence=True, null_mapping_threshold=0.05, **kw)
+
+
+def _preset_cocktail_jaccard(**kw) -> DisambiguationSettings:
+    # CocktailPartyJaccardDisambiguationSettings: InlinkOverlap coherence
+    return cocktail_party_settings(
+        similarity=replace(SWITCHED_KP, ee_sims=(("inlink_overlap", 1.0),)),
+        **kw)
+
+
+def _preset_cocktail_kore(**kw) -> DisambiguationSettings:
+    return cocktail_party_settings(
+        similarity=replace(SWITCHED_KP, ee_sims=(("kore", 1.0),)), **kw)
+
+
+def _preset_cocktail_kore_null(**kw) -> DisambiguationSettings:
+    return _preset_cocktail_kore(
+        compute_confidence=True, null_mapping_threshold=0.05, **kw)
+
+
+def _preset_cocktail_kore_idf(**kw) -> DisambiguationSettings:
+    # KeyphraseIDF similarity, KORE coherence, no coherence-robustness test
+    return cocktail_party_settings(
+        similarity=replace(KEYPHRASE_IDF, ee_sims=(("kore", 1.0),)),
+        graph=replace(GraphSettings(), use_coherence_robustness_test=False),
+        **kw)
+
+
+def _preset_cocktail_kore_idf_null(**kw) -> DisambiguationSettings:
+    return _preset_cocktail_kore_idf(
+        compute_confidence=True, null_mapping_threshold=0.05, **kw)
+
+
+def _preset_cocktail_heuristics_null(**kw) -> DisambiguationSettings:
+    # CocktailPartyWithHeuristicsDisambiguationWithNullSettings.java
+    return cocktail_party_settings(
+        compute_confidence=True,
+        null_mapping_threshold=0.075,
+        graph=replace(GraphSettings(),
+                      coh_robustness_threshold=1.15,
+                      use_easy_mentions_test=True,
+                      easy_mentions_test_threshold=5,
+                      use_confidence_threshold_test=True,
+                      confidence_test_threshold=0.9,
+                      prune_candidate_entities=True,
+                      prune_candidate_threshold=25),
+        **kw)
+
+
+def _preset_fast_cocktail(**kw) -> DisambiguationSettings:
+    # FastCocktailPartyDisambiguationSettings: keyphrase pruning on the
+    # main AND coherence-robustness similarities + candidate cap 20
+    return cocktail_party_settings(
+        similarity=replace(SWITCHED_KP, **_FAST_PRUNE),
+        graph=replace(GraphSettings(), coherence_similarity=replace(
+            SWITCHED_KP_COHROB, **_FAST_PRUNE)),
+        max_candidates_per_mention_by_prior=20,
+        **kw)
+
+
+def _preset_fast_local(**kw) -> DisambiguationSettings:
+    return local_settings(
+        similarity=replace(SWITCHED_KP, **_FAST_PRUNE),
+        max_candidates_per_mention_by_prior=20,
+        **kw)
+
+
+def _preset_fast_local_null(**kw) -> DisambiguationSettings:
+    return _preset_fast_local(
+        compute_confidence=True, null_mapping_threshold=0.2, **kw)
+
+
+def _preset_local(**kw) -> DisambiguationSettings:
+    return local_settings(**kw)
+
+
+def _preset_local_null(**kw) -> DisambiguationSettings:
+    return local_settings(
+        compute_confidence=True, null_mapping_threshold=0.05, **kw)
+
+
+def _preset_local_idf(**kw) -> DisambiguationSettings:
+    return local_settings(similarity=KEYPHRASE_IDF, **kw)
+
+
+def _preset_local_idf_null(**kw) -> DisambiguationSettings:
+    return _preset_local_idf(
+        compute_confidence=True, null_mapping_threshold=0.05, **kw)
+
+
+def _preset_importance_only(**kw) -> DisambiguationSettings:
+    # ImportanceOnlyDisambiguationSettings: LOCAL with AidaEntityImportance
+    return local_settings(
+        similarity=SimilaritySettings(eis_with_prior=(("rank", 0.5),)),
+        **kw)
+
+
+def _preset_prior_only(**kw) -> DisambiguationSettings:
+    return prior_only_settings(**kw)
+
+
+PRESETS: dict[str, object] = {
+    "CocktailPartyDisambiguationSettings": _preset_cocktail,
+    "CocktailPartyDisambiguationWithNullSettings": _preset_cocktail_null,
+    "CocktailPartyJaccardDisambiguationSettings": _preset_cocktail_jaccard,
+    "CocktailPartyKOREDisambiguationSettings": _preset_cocktail_kore,
+    "CocktailPartyKOREDisambiguationWithNullSettings": _preset_cocktail_kore_null,
+    "CocktailPartyKOREIDFDisambiguationSettings": _preset_cocktail_kore_idf,
+    "CocktailPartyKOREIDFDisambiguationWithNullSettings": _preset_cocktail_kore_idf_null,
+    "CocktailPartyWithHeuristicsDisambiguationWithNullSettings": _preset_cocktail_heuristics_null,
+    "FastCocktailPartyDisambiguationSettings": _preset_fast_cocktail,
+    "FastLocalKeyphraseBasedDisambiguationSettings": _preset_fast_local,
+    "FastLocalKeyphraseBasedDisambiguationWithNullSettings": _preset_fast_local_null,
+    "ImportanceOnlyDisambiguationSettings": _preset_importance_only,
+    "LocalKeyphraseBasedDisambiguationSettings": _preset_local,
+    "LocalKeyphraseBasedDisambiguationWithNullSettings": _preset_local_null,
+    "LocalKeyphraseIDFBasedDisambiguationSettings": _preset_local_idf,
+    "LocalKeyphraseIDFBasedDisambiguationWithNullSettings": _preset_local_idf_null,
+    "PriorOnlyDisambiguationSettings": _preset_prior_only,
+}
+
+
+def preset(name: str, **kw) -> DisambiguationSettings:
+    """Look up a prebuilt config by its reference class name."""
+    try:
+        return PRESETS[name](**kw)
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; choose from {sorted(PRESETS)}") from None
 
 
 # ---------------------------------------------------------- properties parser

@@ -44,10 +44,16 @@ class KeyphraseMatch:
 
 
 def match_keyphrases(kb: KB, index: InvertedIndex, mention: Mention,
-                     eid: int) -> list[KeyphraseMatch]:
+                     eid: int, max_kp: int = 0,
+                     min_kp_weight: float = 0.0) -> list[KeyphraseMatch]:
     """All keyphrases of ``eid`` with >=1 keyword matching the context
-    outside the mention span (KeyphrasesBasedMESim.java:124-175)."""
-    kps = kb.entity_kps.get(eid)
+    outside the mention span (KeyphrasesBasedMESim.java:124-175).
+    ``max_kp`` / ``min_kp_weight`` apply the Fast-settings keyphrase
+    pruning (top-N by weight, weight floor) before matching."""
+    if max_kp or min_kp_weight > 0.0:
+        kps = kb.pruned_kps(eid, max_kp, min_kp_weight)
+    else:
+        kps = kb.entity_kps.get(eid)
     if not kps:
         return []
     # cheap pre-filter: skip entities whose keyword universe (incl.
@@ -203,11 +209,14 @@ class DocMatcher:
     reuse 1 matching pass)."""
 
     def __init__(self, kb: KB, doc: PreparedDoc,
-                 index: InvertedIndex | None = None):
+                 index: InvertedIndex | None = None,
+                 max_kp: int = 0, min_kp_weight: float = 0.0):
         self.kb = kb
         # a prebuilt index (shipped in the sharded path's prepared
         # payload) saves one O(tokens) build per (doc, shard)
         self.index = index or InvertedIndex(doc.token_ids, kb.stop_ids)
+        self.max_kp = max_kp
+        self.min_kp_weight = min_kp_weight
         self._cache: dict[tuple[int, int], list[KeyphraseMatch]] = {}
 
     def matches(self, mention_idx: int, mention: Mention,
@@ -215,7 +224,8 @@ class DocMatcher:
         key = (mention_idx, eid)
         got = self._cache.get(key)
         if got is None:
-            got = match_keyphrases(self.kb, self.index, mention, eid)
+            got = match_keyphrases(self.kb, self.index, mention, eid,
+                                   self.max_kp, self.min_kp_weight)
             self._cache[key] = got
         return got
 
@@ -254,7 +264,10 @@ class EnsembleSimilarity:
             k not in TEXT_ME_KINDS for k in kinds)
         if raw_scores is None:
             if need_matcher:
-                matcher = matcher or DocMatcher(kb, doc)
+                matcher = matcher or DocMatcher(
+                    kb, doc,
+                    max_kp=settings.max_entity_keyphrase_count,
+                    min_kp_weight=settings.min_entity_keyphrase_weight)
                 self.index = matcher.index
             doc_token_ids = doc.token_ids
         text_me_cache: dict[tuple[str, int], float] = {}
