@@ -964,6 +964,38 @@ def q_video_frames(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_preset_matrix(sf_dir: str) -> pa.Table:
+    """Every prebuilt reference config (17 presets) × the golden fixture
+    sentence, evaluated config-parallel (one Ray task per preset batch);
+    decisions pinned as a VALUES oracle."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.settings import PRESETS
+
+    kb_ref = ray.put(build_fixture_kb())
+    text = ("When [[Page]] played Kashmir at Knebworth, his Les Paul was "
+            "uniquely tuned.")
+
+    def run(batch: pa.Table) -> pa.Table:
+        from aida_ray.ned.disambiguator import disambiguate_document
+        from aida_ray.ned.settings import preset as mk
+        kb = ray.get(kb_ref)
+        names, mentions, entities = [], [], []
+        for name in batch["preset"].to_pylist():
+            for r in disambiguate_document("d1", text, kb, mk(name)):
+                names.append(name)
+                mentions.append(r.mention)
+                entities.append(r.entity)
+        return pa.table({"preset": pa.array(names, pa.string()),
+                         "mention": pa.array(mentions, pa.string()),
+                         "entity": pa.array(entities, pa.string())})
+
+    ds = ray.data.from_arrow(pa.table(
+        {"preset": pa.array(sorted(PRESETS), pa.string())})) \
+        .map_batches(run, batch_format="pyarrow", batch_size=3)
+    t = _collect(ds).to_pandas().sort_values(["preset", "mention"])
+    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+
+
 def q_media_features(sf_dir: str) -> pa.Table:
     """Multimodal plumbing as a first-class operator: binary payloads →
     actor-pool decode (deterministic fake backend) → feature rows.  The
@@ -1041,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_equality": q_sharded_equality,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
         "perceptron_ner": q_perceptron_ner,
     }
@@ -1476,6 +1509,78 @@ def oracle_sql() -> dict[str, str]:
                 (6, 4211861493765116293, 59, 44, 128565),
                 (7, 8449731347319266704, 57, 55, 127104)
             ) AS t(media_id, phash, width, height, mean_r_1e3)
+        """,
+        "preset_matrix": """
+            SELECT * FROM (VALUES
+                ('CocktailPartyDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyDisambiguationWithNullSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyDisambiguationWithNullSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyDisambiguationWithNullSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyJaccardDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyJaccardDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyJaccardDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyJaccardDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyKOREDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyKOREDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyKOREDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyKOREDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyKOREDisambiguationWithNullSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyKOREDisambiguationWithNullSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyKOREDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyKOREDisambiguationWithNullSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyKOREIDFDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyKOREIDFDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyKOREIDFDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyKOREIDFDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyKOREIDFDisambiguationWithNullSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyKOREIDFDisambiguationWithNullSettings', 'Knebworth', '--OOKBE--'),
+                ('CocktailPartyKOREIDFDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyKOREIDFDisambiguationWithNullSettings', 'Page', 'Jimmy_Page'),
+                ('CocktailPartyWithHeuristicsDisambiguationWithNullSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('CocktailPartyWithHeuristicsDisambiguationWithNullSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('CocktailPartyWithHeuristicsDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('CocktailPartyWithHeuristicsDisambiguationWithNullSettings', 'Page', 'Jimmy_Page'),
+                ('FastCocktailPartyDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('FastCocktailPartyDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('FastCocktailPartyDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('FastCocktailPartyDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('FastLocalKeyphraseBasedDisambiguationSettings', 'Kashmir', 'Kashmir'),
+                ('FastLocalKeyphraseBasedDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('FastLocalKeyphraseBasedDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('FastLocalKeyphraseBasedDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('FastLocalKeyphraseBasedDisambiguationWithNullSettings', 'Kashmir', '--OOKBE--'),
+                ('FastLocalKeyphraseBasedDisambiguationWithNullSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('FastLocalKeyphraseBasedDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('FastLocalKeyphraseBasedDisambiguationWithNullSettings', 'Page', '--OOKBE--'),
+                ('ImportanceOnlyDisambiguationSettings', 'Kashmir', 'Kashmir'),
+                ('ImportanceOnlyDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('ImportanceOnlyDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('ImportanceOnlyDisambiguationSettings', 'Page', 'Larry_Page'),
+                ('LocalKeyphraseBasedDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('LocalKeyphraseBasedDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('LocalKeyphraseBasedDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('LocalKeyphraseBasedDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('LocalKeyphraseBasedDisambiguationWithNullSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('LocalKeyphraseBasedDisambiguationWithNullSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('LocalKeyphraseBasedDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('LocalKeyphraseBasedDisambiguationWithNullSettings', 'Page', 'Jimmy_Page'),
+                ('LocalKeyphraseIDFBasedDisambiguationSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('LocalKeyphraseIDFBasedDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('LocalKeyphraseIDFBasedDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('LocalKeyphraseIDFBasedDisambiguationSettings', 'Page', 'Jimmy_Page'),
+                ('LocalKeyphraseIDFBasedDisambiguationWithNullSettings', 'Kashmir', 'Kashmir_(song)'),
+                ('LocalKeyphraseIDFBasedDisambiguationWithNullSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('LocalKeyphraseIDFBasedDisambiguationWithNullSettings', 'Les Paul', '--OOKBE--'),
+                ('LocalKeyphraseIDFBasedDisambiguationWithNullSettings', 'Page', 'Jimmy_Page'),
+                ('PriorOnlyDisambiguationSettings', 'Kashmir', 'Kashmir'),
+                ('PriorOnlyDisambiguationSettings', 'Knebworth', 'Knebworth_Festival'),
+                ('PriorOnlyDisambiguationSettings', 'Les Paul', '--OOKBE--'),
+                ('PriorOnlyDisambiguationSettings', 'Page', 'Larry_Page')
+            ) AS t(preset, mention, entity)
         """,
         "video_frames": """
             SELECT * FROM (VALUES
