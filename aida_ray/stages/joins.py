@@ -56,11 +56,27 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     cols = lt.schema().names
     rt = rt.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
 
+    int_cols = [c for c, t in {**ltype, **rtype}.items()
+                if pa.types.is_integer(t)]
+    if pa.types.is_integer(ltype[ts_col]):
+        int_cols.append(ts_col + "_r")
+
+    def _fix_int_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        # the tagged union carries nulls, so pandas groups coerce int
+        # columns to float64 — restore the declared integer dtypes so
+        # every group block (and the empty block) has one schema
+        for c in int_cols:
+            if c in df.columns:
+                df[c] = df[c].astype("int64")
+        return df
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["_side"] == 0]
         r = g[g["_side"] == 1].sort_values(ts_col, kind="mergesort")
         if not len(l) or not len(r):
-            return l.iloc[0:0].drop(columns=["_side"])
+            out = l.iloc[0:0].drop(columns=["_side"]).copy()
+            out[ts_col + "_r"] = pd.Series([], dtype="int64")
+            return _fix_int_dtypes(out)
         r_ts = r[ts_col].to_numpy()
         idx = np.searchsorted(r_ts, l[ts_col].to_numpy(), side="right") - 1
         keep = idx >= 0
@@ -69,7 +85,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         for c in right_cols:
             l[c] = r[c].to_numpy()[idx]
         l[ts_col + "_r"] = r_ts[idx]
-        return l.drop(columns=["_side"])
+        return _fix_int_dtypes(l.drop(columns=["_side"]))
 
     return lt.union(rt).groupby(key).map_groups(per_key,
                                                 batch_format="pandas")

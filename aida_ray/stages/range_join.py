@@ -57,11 +57,22 @@ def range_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
     it = intervals.map_batches(tag_intervals, batch_format="pyarrow") \
         .map_batches(lambda b: b.select(cols), batch_format="pyarrow")
 
+    int_cols = [c for c, t in {**ptype, **itype}.items()
+                if pa.types.is_integer(t)]
+
+    def _fix_int_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+        # nulls in the tagged union coerce ints to float64 per group —
+        # restore declared integer dtypes so all group blocks agree
+        for c in int_cols:
+            if c in df.columns:
+                df[c] = df[c].astype("int64")
+        return df
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["_side"] == 0]
         iv = g[g["_side"] == 1].sort_values(start_col, kind="mergesort")
         if not len(p) or not len(iv):
-            return p.iloc[0:0].drop(columns=["_side", start_col, end_col])
+            return _fix_int_dtypes(p.iloc[0:0].drop(columns=["_side"]).copy())
         starts = iv[start_col].to_numpy()
         ends = iv[end_col].to_numpy()
         out_p, out_i = [], []
@@ -76,7 +87,7 @@ def range_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
         ivr = iv.iloc[out_i].reset_index(drop=True)
         for c in (start_col, end_col, *interval_cols):
             res[c] = ivr[c].to_numpy()
-        return res
+        return _fix_int_dtypes(res)
 
     return pt.union(it).groupby(key).map_groups(per_key,
                                                 batch_format="pandas")

@@ -40,6 +40,16 @@ def test_asof_join_matches_pandas_merge_asof(ray_session, seed):
     got = asof_join(rd.from_pandas(left), rd.from_pandas(right),
                     key="user_id", ts_col="ts",
                     right_cols=["view_value"]).to_pandas()
+    exp0 = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts", by="user_id", direction="backward",
+        allow_exact_matches=True).dropna(subset=["view_value"])
+    if len(got) == 0:
+        # an all-empty map_groups output loses its schema in Ray —
+        # only the row count is checkable
+        assert len(exp0) == 0
+        return
     got = got.sort_values("event_id").reset_index(drop=True)
 
     exp = pd.merge_asof(
@@ -73,7 +83,8 @@ def test_range_join_matches_bruteforce(ray_session, seed):
     got = range_join(rd.from_pandas(pts), rd.from_pandas(ivs), key="k",
                      ts_col="ts", start_col="s", end_col="e",
                      interval_cols=["iv"]).to_pandas()
-    got_set = {(int(a), int(b)) for a, b in zip(got["pid"], got["iv"])}
+    got_set = {(int(a), int(b)) for a, b in zip(got["pid"], got["iv"])} \
+        if len(got) else set()
     exp_set = set()
     for p in pts.itertuples(index=False):
         for r in ivs.itertuples(index=False):
