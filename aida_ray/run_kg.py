@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--pipeline-parallelism", type=int, default=4,
                    help="partition pipelines in flight (capped so "
                         "pools fit the cluster)")
+    p.add_argument("--preset", default=None,
+                   help="named prebuilt config (reference class name, "
+                        "e.g. FastCocktailPartyDisambiguationSettings); "
+                        "default: CocktailParty settings")
     args = p.parse_args(argv)
 
     import ray
@@ -50,8 +54,12 @@ def main(argv: list[str] | None = None) -> int:
     conc = args.concurrency or max(
         2, (cpus - 2) // max(1, args.pipeline_parallelism))
     kb = KB.load(args.kb)
+    settings = None
+    if args.preset:
+        from aida_ray.ned.settings import preset as _preset
+        settings = _preset(args.preset)
     t0 = time.time()
-    manifests = run_kg(args.pages, kb, args.out,
+    manifests = run_kg(args.pages, kb, args.out, settings=settings,
                        concurrency=conc, batch_size=args.batch_size,
                        partition_granularity=args.partition_granularity,
                        resume=not args.no_resume,
