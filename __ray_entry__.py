@@ -577,6 +577,23 @@ def q_embed_neardup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_char_jaccard(sf_dir: str) -> pa.Table:
+    """Scalar-function parity row (§2.9 `MathUtil.computeJaccardSimilarity`
+    family): per-doc character-set Jaccard against a fixed probe string
+    — our `get_ngrams(k=1)` + `jaccard_sets` vs DuckDB's native
+    `jaccard()` (same |A∩B|/|A∪B| over distinct characters)."""
+    from aida_ray.text.strings import get_ngrams, jaccard_sets
+    probe = set(get_ngrams("the quick brown fox", 1))
+
+    def score(b: pa.Table) -> pa.Table:
+        js = [round(jaccard_sets(set(get_ngrams(t, 1)), probe), 6)
+              for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "jac": pa.array(js, pa.float64())})
+
+    return _collect(_docs(sf_dir).map_batches(score, batch_format="pyarrow"))
+
+
 def q_compression_ratio(sf_dir: str) -> pa.Table:
     """Per-doc zlib compression ratio (repetition/boilerplate signal;
     deterministic but not SQL-expressible — rows-only)."""
@@ -1053,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_neardup": q_embed_neardup,
         "fingerprint": q_fingerprint,
         "compression_ratio": q_compression_ratio,
+        "char_jaccard": q_char_jaccard,
         "pii_redact": q_pii_redact,
         "quality_rules": q_quality_rules,
         "hash_split": q_hash_split,
@@ -1225,6 +1243,11 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine
             FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        "char_jaccard": """
+            SELECT doc_id,
+                   ROUND(jaccard(text, 'the quick brown fox'), 6) AS jac
+            FROM documents
         """,
         "topk_group": """
             SELECT lang, doc_id, n_chars FROM (
