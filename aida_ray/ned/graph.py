@@ -161,20 +161,31 @@ def build_graph(kb: KB, doc: PreparedDoc, mentions: list[Mention],
         raise MaximumGraphSizeExceeded(str(len(all_entities)))
 
     # One matching pass shared by the coherence-robustness and main
-    # ensembles (weights differ, matches don't).
+    # ensembles (weights differ, matches don't) — ONLY valid while both
+    # declare the same keyphrase pruning; otherwise each gets its own
+    # matcher (the match sets differ under different pruning).
     matcher = None
+    cohrob_matcher = None
     if raw_scores is None:
         from aida_ray.ned.similarity import DocMatcher
-        matcher = DocMatcher(
-            kb, doc,
-            max_kp=settings.similarity.max_entity_keyphrase_count,
-            min_kp_weight=settings.similarity.min_entity_keyphrase_weight)
+        main_prune = (settings.similarity.max_entity_keyphrase_count,
+                      settings.similarity.min_entity_keyphrase_weight)
+        matcher = DocMatcher(kb, doc, max_kp=main_prune[0],
+                             min_kp_weight=main_prune[1])
+        cohrob_matcher = matcher
+        cs = gs.coherence_similarity
+        if (cs.max_entity_keyphrase_count,
+                cs.min_entity_keyphrase_weight) != main_prune:
+            cohrob_matcher = DocMatcher(
+                kb, doc, index=matcher.index,
+                max_kp=cs.max_entity_keyphrase_count,
+                min_kp_weight=cs.min_entity_keyphrase_weight)
 
     # Coherence-robustness L1 distances (GraphGenerator.java:354-388).
     mention_l1: dict[int, float] = {}
     if gs.use_coherence_robustness_test:
         cohrob = EnsembleSimilarity(kb, doc, mentions, gs.coherence_similarity,
-                                    matcher, raw_scores)
+                                    cohrob_matcher, raw_scores)
         for i, m in enumerate(mentions):
             priors = {eid: m.priors.get(eid, 0.0) for eid, _ in m.candidates}
             sims = _normalize_to_sum(

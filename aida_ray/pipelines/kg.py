@@ -405,6 +405,12 @@ def run_kg(pages_dir: str, kb, out_dir: str,
     if not files:
         raise FileNotFoundError(f"no parquet in {pages_dir}")
     kb_ref = None if n_kb_shards > 1 else put_kb(kb)
+    shard_refs = None
+    if n_kb_shards > 1:
+        # serialize the core KB + shards into the object store ONCE —
+        # not per partition pipeline (multi-GB per put at scale)
+        from aida_ray.pipelines.sharded import build_shard_refs
+        shard_refs = build_shard_refs(kb, n_kb_shards)
     cfg = config_hash((settings, batch_size, n_kb_shards))
 
     def do_partition(g: int) -> dict | None:
@@ -419,7 +425,7 @@ def run_kg(pages_dir: str, kb, out_dir: str,
                 pages, kb, settings, n_shards=n_kb_shards,
                 concurrency=max(1, concurrency // n_kb_shards
                                 if isinstance(concurrency, int) else 1),
-                batch_size=batch_size)
+                batch_size=batch_size, prebuilt_refs=shard_refs)
         else:
             triples = link_pages(pages, kb_ref, settings,
                                  concurrency=concurrency,

@@ -122,9 +122,14 @@ class ChainScorer:
         prev_eid = batch["acc_eid"].to_pylist()
         prev_rmi = batch["acc_raw_mi"].to_pylist()
         prev_ridf = batch["acc_raw_idf"].to_pylist()
+        sim = self.settings.similarity
         for row_i, payload in enumerate(batch["prep"].to_pylist()):
             doc, index = pickle.loads(payload)
-            matcher = DocMatcher(self.kb, doc, index=index)
+            # carry the Fast-settings keyphrase pruning — the sharded
+            # path must score exactly like the single-KB matcher
+            matcher = DocMatcher(self.kb, doc, index=index,
+                                 max_kp=sim.max_entity_keyphrase_count,
+                                 min_kp_weight=sim.min_entity_keyphrase_weight)
             mis = list(prev_mi[row_i])
             eids = list(prev_eid[row_i])
             rmis = list(prev_rmi[row_i])
@@ -205,12 +210,25 @@ def _solve_batch(batch: pa.Table, core_ref, settings) -> pa.Table:
     })
 
 
+def build_shard_refs(kb: KB, n_shards: int,
+                     shards_per_pool: int = 1):
+    """Serialize the core KB and each shard group into the object store
+    ONCE — pass the result to ``link_pages_sharded`` when running many
+    pipelines over the same KB (e.g. run_kg's partition loop), instead
+    of re-putting multi-GB KB subsets per pipeline."""
+    groups = [tuple(range(s, min(s + shards_per_pool, n_shards)))
+              for s in range(0, n_shards, shards_per_pool)]
+    return (ray.put(kb_core(kb)),
+            [(g, ray.put(kb_shard(kb, g, n_shards))) for g in groups])
+
+
 def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
                        settings: DisambiguationSettings | None = None,
                        n_shards: int = 4,
                        concurrency: int = 2,
                        batch_size: int = 32,
-                       shards_per_pool: int = 1) -> ray.data.Dataset:
+                       shards_per_pool: int = 1,
+                       prebuilt_refs=None) -> ray.data.Dataset:
     """Sharded-KB NED: returns the same triple rows as ``link_pages``.
 
     Topology: a CHAIN of actor pools — prepare once (router), then the
@@ -229,7 +247,11 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
     group's keyphrase index still fits actor memory — that is the only
     hard constraint at 100 TB."""
     settings = settings or DisambiguationSettings()
-    core_ref = ray.put(kb_core(kb))
+    if prebuilt_refs is not None:
+        core_ref, group_refs = prebuilt_refs
+    else:
+        core_ref, group_refs = build_shard_refs(kb, n_shards,
+                                                shards_per_pool)
     if isinstance(concurrency, int):
         concurrency = (max(1, concurrency), max(1, concurrency))
 
@@ -258,10 +280,7 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
 
     ds = pages.map_batches(route, batch_format="pyarrow",
                            batch_size=batch_size)
-    groups = [tuple(range(s, min(s + shards_per_pool, n_shards)))
-              for s in range(0, n_shards, shards_per_pool)]
-    for group in groups:
-        shard_ref = ray.put(kb_shard(kb, group, n_shards))
+    for group, shard_ref in group_refs:
         # scorers are per-batch LIGHT (the owned-candidate scoring is
         # ~0.1 ms/doc; route+solve carry ~90% of the compute) — at a
         # full CPU each, R pools of mostly-idle actors statically hold

@@ -83,11 +83,13 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
 
     from ray.data.aggregate import Min, Sum
 
-    from aida_ray.pipelines.kg import _shuffle_partitions
-    # coalesce the (already reduced) partials before the sort-based
-    # shuffle — reduce width tracks distinct-key volume, not the corpus
+    # NO pre-groupby coalesce here, unlike the bounded-key aggregations:
+    # content-hash partials carry the full text payload and their
+    # distinct-key volume is ~the corpus on a mostly-unique input, so
+    # squeezing them into few blocks would concentrate corpus-scale
+    # data into giant partitions. The sort-based groupby picks its own
+    # corpus-proportional partitioning.
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-            .repartition(_shuffle_partitions()) \
             .groupby("content_hash").aggregate(Min("min_id"), Sum("n"), Min("text"))
 
     def finish(b: pa.Table) -> pa.Table:
@@ -225,8 +227,19 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     hot = exploded.groupby("band_hash").count() \
         .map_batches(lambda b: b.rename_columns(["band_hash", "n_members"]),
                      batch_format="pyarrow") \
-        .filter(expr="n_members >= 2").select_columns(["band_hash"]) \
-        .materialize()
+        .filter(expr="n_members >= 2").materialize()
+    # candidate-pair volume Σ n·(n-1)/2 over hot buckets — computed
+    # distributed from the (band_hash, n_members) table; gates the
+    # single-task pair generator below (a single 60k-member boilerplate
+    # bucket would otherwise blow up one numpy task)
+    def _pair_partial(b: pa.Table) -> pa.Table:
+        n = b["n_members"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"p": pa.array([int((n * (n - 1) // 2).sum())],
+                                       pa.int64())})
+
+    est_pairs = hot.map_batches(_pair_partial, batch_format="pyarrow") \
+        .sum("p") or 0
+    hot = hot.select_columns(["band_hash"]).materialize()
     if hot.count() <= broadcast_threshold:
         # broadcast semi-join: hot-bucket ids as one int64 arrow array,
         # vectorized membership test per batch (no join actor pool)
@@ -256,7 +269,8 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     # lineage per consumer AND co-schedule several hash joins
     # (deadlocks the aggregator actor pools on a small cluster)
     hot_rows = hot_rows.materialize()
-    if hot_rows.count() <= broadcast_threshold:
+    if hot_rows.count() <= broadcast_threshold and \
+            est_pairs <= broadcast_threshold:
 
         @ray.remote
         def _pairs_task(*tabs: pa.Table) -> pa.Table:
@@ -318,6 +332,7 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     # dup sets (30 %-duplicate crawls) ⇒ distributed hash-join
     # fallback, never a driver loop.
     n_pairs = pairs.count()
+    sketch_bytes_budget = 512 * 1024 * 1024
     if 2 * n_pairs <= broadcast_threshold:
         pair_tbl = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])
         cand_np = np.unique(np.concatenate(
@@ -332,6 +347,13 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
 
         cand_sketch = sketches.select_columns([id_col, "shingles"]) \
             .map_batches(keep_cands, batch_format="pyarrow").materialize()
+        # the COUNT gate above bounds ids, not payload bytes — large
+        # documents make sketches heavy, so also gate on actual bytes
+        # before pulling them into one broadcast dict; fall through to
+        # the distributed hash-join verify otherwise
+        if (cand_sketch.size_bytes() or 0) > sketch_bytes_budget:
+            return _verify_joined(pairs, cand_sketch, id_col,
+                                  jaccard_threshold, num_partitions)
         sk_tbl = pa.concat_tables(
             [ray.get(r) for r in cand_sketch.to_arrow_refs()])
         skr = ray.put(dict(zip(sk_tbl[id_col].to_pylist(),
@@ -362,7 +384,15 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     cand_sketch = sketches.select_columns([id_col, "shingles"]).join(
         cand_ids, join_type="inner", num_partitions=num_partitions,
         on=(id_col,)).materialize()
+    return _verify_joined(pairs, cand_sketch, id_col, jaccard_threshold,
+                          num_partitions)
 
+
+def _verify_joined(pairs: ray.data.Dataset, cand_sketch: ray.data.Dataset,
+                   id_col: str, jaccard_threshold: float,
+                   num_partitions: int) -> ray.data.Dataset:
+    """Distributed exact-Jaccard verification: pairs ⋈ sketch_a ⋈
+    sketch_b (hash joins), vectorized per-batch scoring."""
     wa = pairs.join(
         cand_sketch.map_batches(
             lambda b: b.rename_columns(["a", "sh_a"]), batch_format="pyarrow"),

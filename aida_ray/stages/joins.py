@@ -15,7 +15,6 @@ key distribution is adversarial; normal user/session keys are fine.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -56,36 +55,31 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     cols = lt.schema().names
     rt = rt.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
 
-    int_cols = [c for c, t in {**ltype, **rtype}.items()
-                if pa.types.is_integer(t)]
-    if pa.types.is_integer(ltype[ts_col]):
-        int_cols.append(ts_col + "_r")
-
-    def _fix_int_dtypes(df: pd.DataFrame) -> pd.DataFrame:
-        # the tagged union carries nulls, so pandas groups coerce int
-        # columns to float64 — restore the declared integer dtypes so
-        # every group block (and the empty block) has one schema
-        for c in int_cols:
-            if c in df.columns:
-                df[c] = df[c].astype("int64")
-        return df
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["_side"] == 0]
-        r = g[g["_side"] == 1].sort_values(ts_col, kind="mergesort")
-        if not len(l) or not len(r):
-            out = l.iloc[0:0].drop(columns=["_side"]).copy()
-            out[ts_col + "_r"] = pd.Series([], dtype="int64")
-            return _fix_int_dtypes(out)
-        r_ts = r[ts_col].to_numpy()
-        idx = np.searchsorted(r_ts, l[ts_col].to_numpy(), side="right") - 1
+    # group function works on ARROW tables end-to-end: the tagged-union
+    # nulls stay typed (a pandas group would coerce int64-with-null to
+    # float64 and silently corrupt 64-bit ids above 2^53)
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        l = g.filter(pa.array(side == 0))
+        r = g.filter(pa.array(side == 1))
+        if not l.num_rows or not r.num_rows:
+            empty = l.slice(0, 0).drop_columns(["_side"])
+            return empty.append_column(
+                ts_col + "_r", pa.nulls(0, ltype[ts_col]))
+        r_ts = r[ts_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(r_ts, kind="stable")
+        r = r.take(pa.array(order, pa.int64()))
+        r_ts = r_ts[order]
+        idx = np.searchsorted(r_ts, l[ts_col].to_numpy(zero_copy_only=False),
+                              side="right") - 1
         keep = idx >= 0
-        l = l[keep].copy()
-        idx = idx[keep]
+        l = l.filter(pa.array(keep))
+        take = pa.array(idx[keep], pa.int64())
+        out = l.drop_columns(["_side"])
         for c in right_cols:
-            l[c] = r[c].to_numpy()[idx]
-        l[ts_col + "_r"] = r_ts[idx]
-        return _fix_int_dtypes(l.drop(columns=["_side"]))
+            out = out.set_column(out.schema.get_field_index(c), c,
+                                 r[c].take(take))
+        return out.append_column(ts_col + "_r", r[ts_col].take(take))
 
     return lt.union(rt).groupby(key).map_groups(per_key,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")

@@ -40,8 +40,7 @@ def pack_sequences(ds: ray.data.Dataset, seq_len: int = 512,
                          "n_tokens": pc.cast(n, pa.int64())})
 
     def pack(g):
-        g = g.sort_values("doc_id" if id_col == "doc_id" else id_col,
-                          kind="mergesort").reset_index(drop=True)
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         n = g["n_tokens"].to_numpy()
         start = np.concatenate([[0], np.cumsum(n)[:-1]])
         end = start + np.maximum(n, 1) - 1  # empty doc occupies its slot pos

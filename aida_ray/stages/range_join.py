@@ -18,7 +18,6 @@ windows, campaign ranges).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray.data
@@ -57,37 +56,32 @@ def range_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
     it = intervals.map_batches(tag_intervals, batch_format="pyarrow") \
         .map_batches(lambda b: b.select(cols), batch_format="pyarrow")
 
-    int_cols = [c for c, t in {**ptype, **itype}.items()
-                if pa.types.is_integer(t)]
-
-    def _fix_int_dtypes(df: pd.DataFrame) -> pd.DataFrame:
-        # nulls in the tagged union coerce ints to float64 per group —
-        # restore declared integer dtypes so all group blocks agree
-        for c in int_cols:
-            if c in df.columns:
-                df[c] = df[c].astype("int64")
-        return df
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["_side"] == 0]
-        iv = g[g["_side"] == 1].sort_values(start_col, kind="mergesort")
-        if not len(p) or not len(iv):
-            return _fix_int_dtypes(p.iloc[0:0].drop(columns=["_side"]).copy())
-        starts = iv[start_col].to_numpy()
-        ends = iv[end_col].to_numpy()
+    # arrow end-to-end: typed nulls never pass through pandas float64
+    # (which silently corrupts 64-bit ids above 2^53)
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        p = g.filter(pa.array(side == 0))
+        iv = g.filter(pa.array(side == 1))
+        if not p.num_rows or not iv.num_rows:
+            return p.slice(0, 0).drop_columns(["_side"])
+        starts = iv[start_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(starts, kind="stable")
+        iv = iv.take(pa.array(order, pa.int64()))
+        starts = starts[order]
+        ends = iv[end_col].to_numpy(zero_copy_only=False)
+        ts = p[ts_col].to_numpy(zero_copy_only=False)
+        hi = np.searchsorted(starts, ts, side="right")
         out_p, out_i = [], []
-        hi = np.searchsorted(starts, p[ts_col].to_numpy(), side="right")
-        ts = p[ts_col].to_numpy()
-        for row_i in range(len(p)):
+        for row_i in range(p.num_rows):
             cand = np.nonzero(ends[:hi[row_i]] >= ts[row_i])[0]
             out_p.extend([row_i] * len(cand))
             out_i.extend(cand.tolist())
-        res = p.iloc[out_p].reset_index(drop=True).drop(
-            columns=["_side", start_col, end_col, *interval_cols])
-        ivr = iv.iloc[out_i].reset_index(drop=True)
+        res = p.take(pa.array(out_p, pa.int64())).drop_columns(["_side"])
+        take_i = pa.array(out_i, pa.int64())
         for c in (start_col, end_col, *interval_cols):
-            res[c] = ivr[c].to_numpy()
-        return _fix_int_dtypes(res)
+            res = res.set_column(res.schema.get_field_index(c), c,
+                                 iv[c].take(take_i))
+        return res
 
     return pt.union(it).groupby(key).map_groups(per_key,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")

@@ -125,36 +125,40 @@ def run_bench() -> dict:
         # finely — let the shared pool dominate for the sharded runs
         ctx = ray.data.DataContext.get_current()
         old_ratio = ctx.op_resource_reservation_ratio
-        singles, shardeds = [], []
-        for _ in range(2):
-            singles.append(best_of(1, lambda: link_pages(
-                read_pages(pages01), kbr01, concurrency=pool,
-                batch_size=64).count()))
-            ctx.op_resource_reservation_ratio = 0.1
-            shardeds.append(best_of(1, lambda: link_pages_sharded(
-                read_pages(pages01), kb01, n_shards=4, shards_per_pool=2,
-                concurrency=6, batch_size=256).count()))
-            ctx.op_resource_reservation_ratio = old_ratio
-        timings["kg_single_sf001"] = min(singles)
-        timings["kg_sharded4_sf001"] = min(shardeds)
-        extras["sharded_over_single"] = round(
-            timings["kg_sharded4_sf001"] / timings["kg_single_sf001"], 3)
+        try:
+            singles, shardeds = [], []
+            for _ in range(2):
+                ctx.op_resource_reservation_ratio = old_ratio
+                singles.append(best_of(1, lambda: link_pages(
+                    read_pages(pages01), kbr01, concurrency=pool,
+                    batch_size=64).count()))
+                ctx.op_resource_reservation_ratio = 0.1
+                shardeds.append(best_of(1, lambda: link_pages_sharded(
+                    read_pages(pages01), kb01, n_shards=4, shards_per_pool=2,
+                    concurrency=6, batch_size=256).count()))
+            timings["kg_single_sf001"] = min(singles)
+            timings["kg_sharded4_sf001"] = min(shardeds)
+            extras["sharded_over_single"] = round(
+                timings["kg_sharded4_sf001"] / timings["kg_single_sf001"], 3)
 
-        # amortized ratio on the full sf corpus (the honest scale figure —
-        # the 5k-page pair above is actor-spawn dominated): one run per side
-        t0 = time.time()
-        link_pages(read_pages(pages_dir), kb_ref, concurrency=pool,
-                   batch_size=128).count()
-        timings["kg_single_full"] = round(time.time() - t0, 3)
-        ctx.op_resource_reservation_ratio = 0.1
-        t0 = time.time()
-        link_pages_sharded(read_pages(pages_dir), kb, n_shards=4,
-                           shards_per_pool=2, concurrency=6,
-                           batch_size=512).count()
-        timings["kg_sharded4_full"] = round(time.time() - t0, 3)
-        ctx.op_resource_reservation_ratio = old_ratio
-        extras["sharded_over_single_full"] = round(
-            timings["kg_sharded4_full"] / timings["kg_single_full"], 3)
+            # amortized ratio on the full sf corpus (the honest scale
+            # figure — the 5k-page pair above is actor-spawn dominated)
+            ctx.op_resource_reservation_ratio = old_ratio
+            t0 = time.time()
+            link_pages(read_pages(pages_dir), kb_ref, concurrency=pool,
+                       batch_size=128).count()
+            timings["kg_single_full"] = round(time.time() - t0, 3)
+            ctx.op_resource_reservation_ratio = 0.1
+            t0 = time.time()
+            link_pages_sharded(read_pages(pages_dir), kb, n_shards=4,
+                               shards_per_pool=2, concurrency=6,
+                               batch_size=512).count()
+            timings["kg_sharded4_full"] = round(time.time() - t0, 3)
+            extras["sharded_over_single_full"] = round(
+                timings["kg_sharded4_full"] / timings["kg_single_full"], 3)
+        finally:
+            # never leak the deep-chain ratio into later executions
+            ctx.op_resource_reservation_ratio = old_ratio
 
         # production sink path: streaming NED -> partitioned parquet with
         # lineage manifests (the resumable 100 TB layout), fresh dir

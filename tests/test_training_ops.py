@@ -217,3 +217,45 @@ def test_compression_ratio_signal(ray_session):
     r = out1["compression_ratio"].to_pylist()
     assert r == out2["compression_ratio"].to_pylist()
     assert r[0] < 0.05 < 0.3 < r[1]
+
+
+def test_asof_join_preserves_huge_int64_ids(ray_session):
+    """64-bit snowflake-style ids above 2^53 must survive the tagged
+    union exactly (a pandas float64 round-trip would corrupt them)."""
+    from aida_ray.stages.joins import asof_join
+    big = (1 << 62) + 12345678901234567
+    left = rd.from_arrow(pa.table({
+        "event_id": pa.array([big, big + 1], pa.int64()),
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array([5, 1], pa.int64()),
+        "value": pa.array([1.0, 2.0]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([7], pa.int64()),
+        "ts": pa.array([3], pa.int64()),
+        "view_value": pa.array([9.0]),
+    }))
+    out = asof_join(left, right, key="user_id", ts_col="ts",
+                    right_cols=["view_value"]).to_pandas()
+    assert out["event_id"].tolist() == [big]
+
+
+def test_range_join_preserves_huge_int64_ids(ray_session):
+    from aida_ray.stages.range_join import range_join
+    big = (1 << 62) + 987654321987654321
+    points = rd.from_arrow(pa.table({
+        "pid": pa.array([big], pa.int64()),
+        "k": pa.array([1], pa.int64()),
+        "ts": pa.array([5], pa.int64()),
+    }))
+    intervals = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "s": pa.array([0], pa.int64()),
+        "e": pa.array([10], pa.int64()),
+        "iv": pa.array([big + 7], pa.int64()),
+    }))
+    out = range_join(points, intervals, key="k", ts_col="ts",
+                     start_col="s", end_col="e",
+                     interval_cols=["iv"]).to_pandas()
+    assert out["pid"].tolist() == [big]
+    assert out["iv"].tolist() == [big + 7]
