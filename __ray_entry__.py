@@ -535,6 +535,21 @@ def q_minhash_clusters(sf_dir: str) -> pa.Table:
         t.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
 
 
+def q_ngram_pairs(sf_dir: str) -> pa.Table:
+    """EXACT word-3-gram-Jaccard near-dup pairs via distributed prefix
+    filtering (AllPairs/PPJoin principle) — unlike MinHash this has
+    guaranteed recall, so it is oracle-checked against a brute-force
+    n-gram self-join in SQL (identical tokenization: lowercase +
+    whitespace collapse)."""
+    from aida_ray.stages.dedup import ngram_jaccard_pairs
+    t = ngram_jaccard_pairs(_docs(sf_dir), n=3,
+                            jaccard_threshold=0.5).to_pandas()
+    if len(t):
+        t["jaccard"] = t["jaccard"].round(6)
+        t = t.sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document (rows-only; deterministic)."""
     from aida_ray.stages.dedup import SimHasher
@@ -1065,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
+        "ngram_pairs": q_ngram_pairs,
         "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
@@ -1243,6 +1259,30 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine
             FROM embeddings WHERE vec_id % 25 = 0
+        """,
+        "ngram_pairs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w)-2, 1))]) AS g
+                FROM norm),
+            sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id a, b.doc_id b, count(*) c
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT a, b, round(c*1.0/(sa.n+sb.n-c), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON a = sa.doc_id
+            JOIN sizes sb ON b = sb.doc_id
+            WHERE c*1.0/(sa.n+sb.n-c) >= 0.5
         """,
         "char_jaccard": """
             SELECT doc_id,

@@ -224,6 +224,25 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
     exploded = sketches.select_columns([id_col, "band_hashes"]) \
         .map_batches(explode, batch_format="pyarrow").materialize()
 
+    pairs = _distinct_pairs_from_buckets(exploded, id_col, num_partitions,
+                                         broadcast_threshold)
+    return _verify_pairs(pairs, sketches, id_col, jaccard_threshold,
+                         num_partitions, broadcast_threshold)
+
+
+def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
+                                 num_partitions: int,
+                                 broadcast_threshold: int) -> ray.data.Dataset:
+    """Distinct candidate pairs (a < b) from (id, band_hash) bucket rows.
+
+    Shared candidate-generation stage of the MinHash-LSH and n-gram
+    prefix-filter near-dup paths.  Hot buckets (>= 2 members) are found
+    with a distributed groupby-count; the hot-bucket ID SET is bounded
+    by the duplicate structure, so it is broadcast (``ray.put`` once,
+    vectorized ``pc.is_in`` per batch) when small and re-attached via
+    inner hash JOIN when huge.  Pair volume Σ n·(n-1)/2 is estimated
+    distributed and gates a single-numpy-task generator (off-driver, no
+    join pools) vs a distributed band-hash SELF-join + groupby distinct."""
     hot = exploded.groupby("band_hash").count() \
         .map_batches(lambda b: b.rename_columns(["band_hash", "n_members"]),
                      batch_format="pyarrow") \
@@ -323,8 +342,21 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
             .filter(expr="a < b") \
             .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
             .materialize()
+    return pairs
 
-    # ---- verify.  The candidate-id set is <= 2 * |pairs| (bounded by
+
+def _verify_pairs(pairs: ray.data.Dataset, sketches: ray.data.Dataset,
+                  id_col: str, jaccard_threshold: float,
+                  num_partitions: int,
+                  broadcast_threshold: int) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    element sketches (raw int64 bytes in a ``shingles`` column).
+
+    Shared by MinHash-LSH (char-shingle sets) and n-gram prefix-filter
+    (word-n-gram sets) — the verify volume is bounded by the candidate
+    count, itself bounded by the dup structure.
+    """
+    # The candidate-id set is <= 2 * |pairs| (bounded by
     # the LSH candidate count, itself bounded by the dup structure).
     # Small side ⇒ broadcast map-side semi-join of the sketch table,
     # then broadcast the candidate sketch dict and verify with one
@@ -593,6 +625,107 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     if not sa and not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+# ------------------------------------------- n-gram Jaccard near-duplicates
+
+_P61 = (1 << 61) - 1  # mersenne prime for gram-combining arithmetic
+
+
+def word_ngram_set(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word-n-gram ids (sorted int64) for one document.
+
+    Tokens are whitespace-normalized lowercase; each token is hashed to
+    63 bits (md5) and windows of ``n`` token hashes combine via a
+    polynomial mod 2^61-1 — vectorized, no per-gram string building.
+    Documents with fewer than ``n`` tokens yield ONE gram covering all
+    tokens (mirroring ``array_to_string(w[i:i+n-1])`` slice semantics in
+    the SQL oracle, where the slice clips at the list end), so the gram
+    *sets* are isomorphic to string-built word n-grams up to 63-bit hash
+    collisions (~|grams|²/2^63, negligible).
+    """
+    norm = " ".join(text.lower().split())
+    toks = norm.split(" ") if norm else [""]
+    hs = np.array([_md5_64(t) for t in toks], dtype=np.int64)
+    m = len(hs)
+    if m < n:
+        # single short gram; salt with length so it cannot collide with
+        # a full window's polynomial by construction
+        g = 0
+        for h in hs:
+            g = (g * 1_000_003 + int(h)) % _P61
+        return np.array([(g * 31 + m) % _P61], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hs, n)
+    powers = np.array([pow(1_000_003, n - 1 - i, _P61) for i in range(n)],
+                      dtype=object)
+    combined = np.zeros(len(win), dtype=object)
+    for j in range(n):
+        combined = (combined + win[:, j].astype(object) * int(powers[j])) % _P61
+    return np.unique(combined.astype(np.int64))
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3,
+                        jaccard_threshold: float = 0.5,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        num_partitions: int = 16,
+                        broadcast_threshold: int = 2_000_000) -> ray.data.Dataset:
+    """EXACT word-n-gram-Jaccard near-dup pairs via prefix filtering
+    (AllPairs/PPJoin-style), fully distributed.
+
+    Unlike MinHash-LSH (probabilistic recall), this path is exact: for
+    any total order on grams, two sets with J(A,B) >= t must share an
+    element within each set's first ``|X| - ceil(t*|X|) + 1`` grams
+    (the prefix-filtering principle).  Plan:
+      1. sketch: one pass computes the distinct sorted gram ids per doc,
+         emits (id, grams-as-bytes) plus one (id, bucket) row per
+         PREFIX gram — the global order is ascending gram id, which
+         needs no document-frequency pass (a sampled df-ascending
+         reorder would shrink candidates further; noted trade-off);
+      2. candidates: shared hot-bucket + distinct-pair stage
+         (:func:`_distinct_pairs_from_buckets`);
+      3. verify: shared exact-Jaccard verify over the full gram sets
+         (:func:`_verify_pairs`) — no false positives, and prefix
+         filtering guarantees no false negatives.
+    Output: (a, b, jaccard) with a < b and jaccard >= threshold.
+    Only prefix rows shuffle (a (1-t) fraction of gram volume); the
+    full gram sets ride the bounded verify join.
+    """
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_partitions = max(2, min(num_partitions, cpus // 4))
+    t = jaccard_threshold
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        ids, grams, buckets = [], [], []
+        for i, txt in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            g = word_ngram_set(txt, n)
+            p = len(g) - int(np.ceil(t * len(g))) + 1
+            ids.append(i)
+            grams.append(g.tobytes())
+            buckets.append(g[:p].tolist())
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "shingles": pa.array(grams, pa.binary()),
+                         "band_hashes": pa.array(buckets, pa.list_(pa.int64()))})
+
+    sketches = ds.map_batches(sketch, batch_format="pyarrow").materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = batch["band_hashes"]
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).to_numpy()
+        ids = np.repeat(batch[id_col].to_numpy(), lens)
+        return pa.table({id_col: pa.array(ids, pa.int64()), "band_hash": flat})
+
+    exploded = sketches.select_columns([id_col, "band_hashes"]) \
+        .map_batches(explode, batch_format="pyarrow").materialize()
+    pairs = _distinct_pairs_from_buckets(exploded, id_col, num_partitions,
+                                         broadcast_threshold)
+    return _verify_pairs(pairs, sketches, id_col, t, num_partitions,
+                         broadcast_threshold)
 
 
 # ------------------------------------------------- embedding near-duplicates

@@ -118,6 +118,87 @@ def test_ngram_jaccard():
     assert ngram_jaccard("abc", "xyz") == 0.0
 
 
+def _bf_word_ngram_pairs(texts, n=3, t=0.5):
+    """Driver-side brute-force word-n-gram Jaccard over string grams."""
+    def grams(s):
+        toks = " ".join(s.lower().split()).split(" ") if s.strip() else [""]
+        if not s.strip():
+            toks = [""]
+        return {" ".join(toks[i:i + n]) for i in range(max(1, len(toks) - n + 1))}
+    gs = [grams(s) for s in texts]
+    out = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(gs[a] & gs[b])
+            union = len(gs[a] | gs[b])
+            j = inter / union if union else 0.0
+            if j >= t:
+                out.append((a, b, round(j, 9)))
+    return out
+
+
+def test_ngram_pairs_planted(ray_session):
+    """Prefix filtering has guaranteed recall: every pair >= threshold
+    found by brute force must be found, with identical Jaccard."""
+    from aida_ray.stages.dedup import ngram_jaccard_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    texts = [
+        base,
+        base,                                     # exact dup
+        base.replace("theta", "thorn"),           # one word changed
+        base + " extra trailing words here",      # suffix added
+        "completely different content about spark and arrow tables",
+        "short doc",                              # < n tokens
+        "short doc",                              # < n tokens, dup
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    got = ngram_jaccard_pairs(ds, n=3, jaccard_threshold=0.5).to_pandas()
+    got_set = sorted((int(a), int(b), round(float(j), 9))
+                     for a, b, j in zip(got["a"], got["b"], got["jaccard"]))
+    assert got_set == _bf_word_ngram_pairs(texts, 3, 0.5)
+    assert (0, 1, 1.0) in got_set
+    assert (5, 6, 1.0) in got_set
+
+
+def test_ngram_pairs_random_property(ray_session):
+    """Random mutated corpus: pipeline == brute force at several
+    thresholds (prefix filter never loses a pair; verify never keeps a
+    sub-threshold one)."""
+    from aida_ray.stages.dedup import ngram_jaccard_pairs
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = []
+    for i in range(30):
+        toks = list(rng.choice(vocab, size=rng.integers(4, 40)))
+        texts.append(" ".join(toks))
+        if i % 3 == 0:  # mutated copy: drop or swap a token
+            mut = list(toks)
+            if len(mut) > 5:
+                mut[rng.integers(len(mut))] = str(rng.choice(vocab))
+            texts.append(" ".join(mut))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    for t in (0.3, 0.7):
+        got = ngram_jaccard_pairs(ds, n=3, jaccard_threshold=t).to_pandas()
+        got_set = sorted((int(a), int(b), round(float(j), 9))
+                         for a, b, j in zip(got["a"], got["b"], got["jaccard"]))
+        assert got_set == _bf_word_ngram_pairs(texts, 3, t)
+
+
+def test_word_ngram_set_short_and_empty():
+    from aida_ray.stages.dedup import word_ngram_set
+    # empty and whitespace-only docs share the single empty gram
+    assert list(word_ngram_set("")) == list(word_ngram_set("   \n\t "))
+    # short docs get one gram; distinct content -> distinct gram
+    assert list(word_ngram_set("one two")) != list(word_ngram_set("one"))
+    # >= n tokens: window count = len - n + 1 (minus in-doc dups)
+    assert len(word_ngram_set("a b c d e")) == 3
+
+
 def test_knn_bruteforce_exact(ray_session):
     from aida_ray.stages.knn import knn_topk
     rng = np.random.default_rng(0)
