@@ -783,6 +783,44 @@ def q_range_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_range_bcast(sf_dir: str) -> pa.Table:
+    """UNKEYED range join with the interval side BROADCAST: every click
+    event × each of 20 global outage windows containing it (first 20
+    errors by (ts, event_id), ±30 min inclusive). The point side streams
+    with zero shuffle; oracle is a SQL cross BETWEEN join."""
+    from aida_ray.stages.range_join import broadcast_range_join
+
+    def pts(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "click"))
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts": pc.divide(pc.cast(t["ts"], pa.int64()), 1000)})
+
+    def errs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["event_type"], "error"))
+        return pa.table({
+            "outage_id": pc.cast(t["event_id"], pa.int64()),
+            "e_ts": pc.divide(pc.cast(t["ts"], pa.int64()), 1000)})
+
+    events = _events(sf_dir)
+    # small side: first 20 error windows — a distributed sort + limit,
+    # then the driver holds only 20 rows to broadcast
+    win = _collect(events.map_batches(errs, batch_format="pyarrow")
+                   .sort(["e_ts", "outage_id"]).limit(20))
+    iv = pa.table({
+        "w_start": pc.subtract(win["e_ts"], 1800000),
+        "w_end": pc.add(win["e_ts"], 1800000),
+        "outage_id": win["outage_id"]})
+    out = broadcast_range_join(
+        events.map_batches(pts, batch_format="pyarrow"), iv,
+        ts_col="ts", start_col="w_start", end_col="w_end",
+        interval_cols=["outage_id"])
+    t = _collect(out).to_pandas()
+    for c in ("event_id", "ts", "w_start", "w_end", "outage_id"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -996,6 +1034,18 @@ def q_video_frames(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_audio_features(sf_dir: str) -> pa.Table:
+    """Audio multimodal stage: payload → waveform → integer-quantized
+    features (duration/RMS/ZCR/peak) on an actor pool; deterministic
+    fake backend → exact VALUES oracle."""
+    from aida_ray.stages.multimodal import AudioFeatures, make_media_table
+    ds = ray.data.from_arrow(make_media_table(6, seed=42)).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=3,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_preset_matrix(sf_dir: str) -> pa.Table:
     """Every prebuilt reference config (17 presets) × the golden fixture
     sentence, evaluated config-parallel (one Ray task per preset batch);
@@ -1096,6 +1146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "topk_group": q_topk_group,
         "range_join": q_range_join,
+        "range_bcast": q_range_bcast,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1107,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_equality": q_sharded_equality,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "audio_features": q_audio_features,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
         "perceptron_ner": q_perceptron_ner,
@@ -1314,6 +1366,22 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN iv
               ON p.user_id = iv.user_id
              AND p.ts BETWEEN iv.w_start AND iv.w_end
+        """,
+        "range_bcast": """
+            WITH p AS (
+                SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) AS ts
+                FROM events WHERE event_type = 'click'),
+            win AS (
+                SELECT event_id AS outage_id,
+                       CAST(epoch_ms(ts) AS BIGINT) AS e_ts
+                FROM events WHERE event_type = 'error'
+                ORDER BY e_ts, outage_id LIMIT 20),
+            iv AS (
+                SELECT e_ts - 1800000 AS w_start, e_ts + 1800000 AS w_end,
+                       outage_id
+                FROM win)
+            SELECT p.event_id, p.ts, iv.w_start, iv.w_end, iv.outage_id
+            FROM p JOIN iv ON p.ts BETWEEN iv.w_start AND iv.w_end
         """,
         "asof_join": """
             WITH l AS (
@@ -1654,5 +1722,16 @@ def oracle_sql() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "audio_features": """
+            SELECT * FROM (VALUES
+                (0, 4044, 16000, 252, 18815, 1949, 32760),
+                (1, 4059, 16000, 253, 18814, 2026, 32757),
+                (2, 1752, 16000, 109, 18867, 879, 32734),
+                (3, 2762, 16000, 172, 19112, 1387, 32744),
+                (4, 4992, 16000, 312, 18886, 2534, 32764),
+                (5, 1813, 16000, 113, 18790, 933, 32753)
+            ) AS t(media_id, n_samples, sample_rate, duration_ms, rms,
+                   zero_crossings, peak)
         """,
     }

@@ -39,6 +39,12 @@ class DecodeBackend:
     def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
         raise NotImplementedError("no video codec in this environment")
 
+    def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
+        """Return (sample_rate, int16 mono waveform)."""
+        raise NotImplementedError(
+            "no audio codec in this environment — plug a soundfile/"
+            "torchaudio backend here")
+
 
 class FakeDecodeBackend(DecodeBackend):
     """Deterministic stand-in: pseudo-pixels seeded by the payload hash.
@@ -54,6 +60,13 @@ class FakeDecodeBackend(DecodeBackend):
 
     def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
         return [self.decode_image(payload + bytes([i])) for i in range(n)]
+
+    def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
+        seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        n = 1000 + seed % 4000
+        wave = rng.integers(-2 ** 15, 2 ** 15, size=n).astype(np.int16)
+        return 16000, wave
 
 
 def avg_hash(img: np.ndarray) -> int:
@@ -123,6 +136,42 @@ class ImageFeatures:
             "phash": pa.array(phashes, pa.int64()),
             "width": pa.array(widths, pa.int32()),
             "height": pa.array(heights, pa.int32()),
+        })
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode audio + deterministic waveform features
+    (duration, RMS energy, zero-crossing count, peak amplitude — all
+    integer-quantized, so the deterministic fake backend yields an exact
+    VALUES oracle). Backend constructed once per actor; vectorized per
+    clip. Large payloads ⇒ keep ``batch_size`` small (bytes dominate)."""
+
+    def __init__(self, backend: DecodeBackend | None = None):
+        self.backend = backend or FakeDecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, nss, srs, durs, rmss, zcs, peaks = [], [], [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            sr, wave = self.backend.decode_audio(payload)
+            w = wave.astype(np.float64)
+            ids.append(mid)
+            nss.append(len(wave))
+            srs.append(sr)
+            durs.append(int(len(wave) * 1000 // sr))
+            rmss.append(int(round(float(np.sqrt(np.mean(w * w))))))
+            # sign changes over nonzero samples (standard ZCR numerator)
+            s = np.sign(w[w != 0])
+            zcs.append(int(np.count_nonzero(s[1:] != s[:-1])))
+            peaks.append(int(np.max(np.abs(w))) if len(w) else 0)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_samples": pa.array(nss, pa.int64()),
+            "sample_rate": pa.array(srs, pa.int64()),
+            "duration_ms": pa.array(durs, pa.int64()),
+            "rms": pa.array(rmss, pa.int64()),
+            "zero_crossings": pa.array(zcs, pa.int64()),
+            "peak": pa.array(peaks, pa.int64()),
         })
 
 

@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 
@@ -85,3 +87,57 @@ def range_join(points: ray.data.Dataset, intervals: ray.data.Dataset,
 
     return pt.union(it).groupby(key).map_groups(per_key,
                                                 batch_format="pyarrow")
+
+
+def broadcast_range_join(points: ray.data.Dataset, intervals: pa.Table,
+                         ts_col: str, start_col: str, end_col: str,
+                         interval_cols: list[str]) -> ray.data.Dataset:
+    """UNKEYED range join: each point row × every interval containing its
+    ts (inclusive bounds), with the interval table BROADCAST.
+
+    The small side (blocklists, outage windows, campaign ranges — the
+    unkeyed case in every crawl use) is sorted by start once on the
+    driver and shipped via ``ray.put``; each point batch then matches
+    fully vectorized (searchsorted prefix + end mask, no per-point
+    Python loop) with zero shuffle — the point side streams.
+    """
+    order = pc.sort_indices(intervals, sort_keys=[(start_col, "ascending")])
+    iv = intervals.take(order).combine_chunks()
+    iv_ref = ray.put(iv)
+
+    def match(b: pa.Table) -> pa.Table:
+        ivt = _get_cached_iv(iv_ref)
+        starts = ivt[start_col].to_numpy(zero_copy_only=False)
+        ends = ivt[end_col].to_numpy(zero_copy_only=False)
+        ts = b[ts_col].to_numpy(zero_copy_only=False)
+        hi = np.searchsorted(starts, ts, side="right")
+        total = int(hi.sum())
+        if not total:
+            res = b.slice(0, 0)
+            for c in (start_col, end_col, *interval_cols):
+                res = res.append_column(c, ivt[c].slice(0, 0))
+            return res
+        p_idx = np.repeat(np.arange(len(ts)), hi)
+        offsets = np.cumsum(hi) - hi
+        i_idx = np.arange(total) - np.repeat(offsets, hi)
+        mask = ends[i_idx] >= ts[p_idx]
+        p_idx, i_idx = p_idx[mask], i_idx[mask]
+        res = b.take(pa.array(p_idx, pa.int64()))
+        take_i = pa.array(i_idx, pa.int64())
+        for c in (start_col, end_col, *interval_cols):
+            res = res.append_column(c, ivt[c].take(take_i))
+        return res
+
+    return points.map_batches(match, batch_format="pyarrow")
+
+
+_IV_CACHE: dict = {}
+
+
+def _get_cached_iv(ref):
+    """Memoize the broadcast interval table once per worker process."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    if key not in _IV_CACHE:
+        _IV_CACHE.clear()
+        _IV_CACHE[key] = ray.get(ref)
+    return _IV_CACHE[key]

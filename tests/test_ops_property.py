@@ -96,6 +96,39 @@ def test_range_join_matches_bruteforce(ray_session, seed):
 
 @_few
 @given(seed=st.integers(0, 10_000))
+def test_broadcast_range_join_matches_bruteforce(ray_session, seed):
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    np_, ni = int(rng.integers(1, 40)), int(rng.integers(1, 15))
+    pts = pd.DataFrame({
+        "pid": np.arange(np_, dtype=np.int64),
+        "ts": rng.integers(0, 40, np_).astype(np.int64),
+    })
+    s = rng.integers(0, 40, ni).astype(np.int64)
+    ivs = pa.table({
+        "s": pa.array(s, pa.int64()),
+        "e": pa.array(s + rng.integers(0, 15, ni), pa.int64()),
+        "iv": pa.array(np.arange(ni), pa.int64()),
+    })
+    from aida_ray.stages.range_join import broadcast_range_join
+    got = broadcast_range_join(rd.from_pandas(pts).repartition(3), ivs,
+                               ts_col="ts", start_col="s", end_col="e",
+                               interval_cols=["iv"]).to_pandas()
+    got_set = {(int(a), int(b)) for a, b in zip(got["pid"], got["iv"])} \
+        if len(got) else set()
+    exp_set = {(int(p.pid), int(iv))
+               for p in pts.itertuples(index=False)
+               for ss, ee, iv in zip(ivs["s"].to_pylist(),
+                                     ivs["e"].to_pylist(),
+                                     ivs["iv"].to_pylist())
+               if ss <= p.ts <= ee}
+    assert got_set == exp_set
+    assert len(got) == len(exp_set)
+
+
+@_few
+@given(seed=st.integers(0, 10_000))
 def test_topk_matches_pandas(ray_session, seed):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(5, 60))

@@ -283,6 +283,31 @@ def test_multimodal_features(ray_session):
         DecodeBackend().decode_image(b"")
 
 
+def test_audio_features(ray_session):
+    from aida_ray.stages.multimodal import (AudioFeatures, DecodeBackend,
+                                            FakeDecodeBackend, make_media_table)
+    ds = ray.data.from_arrow(make_media_table(6))
+    out = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                         batch_size=2, concurrency=2, num_cpus=1).to_pandas()
+    assert len(out) == 6
+    assert set(out.columns) == {"media_id", "n_samples", "sample_rate",
+                                "duration_ms", "rms", "zero_crossings", "peak"}
+    # features are deterministic across batching/concurrency
+    out2 = ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                          batch_size=6, concurrency=1, num_cpus=1).to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert a.equals(b)
+    # direct-kernel parity: actor output == driver-side fake decode
+    sr, wave = FakeDecodeBackend().decode_audio(
+        make_media_table(6)["payload"][0].as_py())
+    assert a.loc[0, "n_samples"] == len(wave)
+    assert a.loc[0, "duration_ms"] == len(wave) * 1000 // sr
+    # real backend interface is stubbed
+    with pytest.raises(NotImplementedError):
+        DecodeBackend().decode_audio(b"")
+
+
 def test_sessionize(ray_session):
     import pandas as pd
 
