@@ -550,6 +550,34 @@ def q_ngram_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_contamination(sf_dir: str) -> pa.Table:
+    """Benchmark-contamination check: per-doc word-3-gram overlap with a
+    broadcast eval set (every 100th document) — zero-shuffle membership
+    scoring; oracle is a SQL left join against the eval gram set."""
+    from aida_ray.stages.contamination import (contamination_counts,
+                                               eval_gram_ref)
+    docs = _docs(sf_dir)
+    eval_docs = docs.map_batches(
+        lambda b: b.filter(pc.equal(
+            pc.subtract(b["doc_id"], pc.multiply(
+                pc.divide(b["doc_id"], 100), 100)), 0)),
+        batch_format="pyarrow")
+    ev = eval_gram_ref(eval_docs, n=3)
+    t = contamination_counts(docs, ev, n=3).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+
+def q_repeated_spans(sf_dir: str) -> pa.Table:
+    """Cross-document repeated-span counts (word 3-grams in >= 2 docs,
+    C4-style boilerplate signal) — one gram groupby-count shuffle + a
+    broadcast semi-join back; oracle is a SQL df>=2 left join."""
+    from aida_ray.stages.contamination import repeated_spans
+    t = repeated_spans(_docs(sf_dir), n=3, min_docs=2).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+
 def q_simhash(sf_dir: str) -> pa.Table:
     """64-bit SimHash per document (rows-only; deterministic)."""
     from aida_ray.stages.dedup import SimHasher
@@ -1131,6 +1159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "minhash_pairs": q_minhash_pairs,
         "ngram_pairs": q_ngram_pairs,
+        "contamination": q_contamination,
+        "repeated_spans": q_repeated_spans,
         "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
@@ -1335,6 +1365,44 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON a = sa.doc_id
             JOIN sizes sb ON b = sb.doc_id
             WHERE c*1.0/(sa.n+sb.n-c) >= 0.5
+        """,
+        "contamination": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w)-2, 1))]) AS g
+                FROM norm),
+            eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 0)
+            SELECT gr.doc_id, count(*) AS n_grams,
+                   count(eg.g) AS n_contaminated,
+                   round(count(eg.g)*1.0/count(*), 6) AS rate
+            FROM grams gr LEFT JOIN eval_g eg ON gr.g = eg.g
+            GROUP BY 1
+        """,
+        "repeated_spans": """
+            WITH norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w)-2, 1))]) AS g
+                FROM norm),
+            shared AS (
+                SELECT g FROM (SELECT g, count(*) c FROM grams GROUP BY g)
+                WHERE c >= 2)
+            SELECT gr.doc_id, count(*) AS n_spans, count(s.g) AS n_shared
+            FROM grams gr LEFT JOIN shared s ON gr.g = s.g
+            GROUP BY 1
         """,
         "char_jaccard": """
             SELECT doc_id,

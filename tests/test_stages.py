@@ -283,6 +283,55 @@ def test_multimodal_features(ray_session):
         DecodeBackend().decode_image(b"")
 
 
+def test_contamination_counts(ray_session):
+    from aida_ray.stages.contamination import (contamination_counts,
+                                               eval_gram_ref)
+    eval_texts = ["the quick brown fox jumps", "hello world again today"]
+    corpus = [
+        "the quick brown fox jumps over everything",  # shares eval grams
+        "completely novel text with no overlap at all",
+        "hello world again today",                    # fully contained
+    ]
+    ev = eval_gram_ref(ray.data.from_arrow(pa.table(
+        {"text": pa.array(eval_texts, pa.string())})), n=3)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(corpus, pa.string())}))
+    out = contamination_counts(ds, ev, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 0: grams of "the quick brown fox jumps over everything" (5
+    # windows); 3 of them ("the quick brown", "quick brown fox",
+    # "brown fox jumps") are in the eval set
+    assert out.loc[0, "n_grams"] == 5 and out.loc[0, "n_contaminated"] == 3
+    assert out.loc[1, "n_contaminated"] == 0
+    assert out.loc[2, "rate"] == 1.0
+
+
+def test_repeated_spans(ray_session):
+    from aida_ray.stages.contamination import repeated_spans
+    texts = [
+        "shared boilerplate header unique tail one",
+        "shared boilerplate header unique tail two",
+        "totally different content in this document",
+    ]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    out = repeated_spans(ds, n=3, min_docs=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # docs 0/1 share "shared boilerplate header", "boilerplate header
+    # unique" and "header unique tail" (3 of 4 windows each)
+    assert out.loc[0, "n_spans"] == 4 and out.loc[0, "n_shared"] == 3
+    assert out.loc[1, "n_shared"] == 3
+    assert out.loc[2, "n_shared"] == 0
+    # hash-join fallback path produces the identical result
+    low = repeated_spans(ds, n=3, min_docs=2,
+                         broadcast_threshold=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert low[["doc_id", "n_spans", "n_shared"]].equals(
+        out[["doc_id", "n_spans", "n_shared"]])
+
+
 def test_audio_features(ray_session):
     from aida_ray.stages.multimodal import (AudioFeatures, DecodeBackend,
                                             FakeDecodeBackend, make_media_table)
