@@ -445,10 +445,19 @@ def test_label_propagation_long_chain(ray_session):
         "a": pa.array([e[0] for e in edges], pa.int64()),
         "b": pa.array([e[1] for e in edges], pa.int64()),
     }))
-    # both the small-graph single-task solve (default) and the iterative
-    # join plan (forced via broadcast_nodes=0) must agree
-    for kwargs in ({}, {"broadcast_nodes": 0}):
+    # small-graph single-task solve (default), the pure iterative join
+    # plan (contraction disabled), and the local-contraction pre-pass
+    # route must all agree
+    for kwargs in ({}, {"broadcast_nodes": 0, "contract_passes": 0},
+                   {"broadcast_nodes": 0, "contract_passes": 3}):
         lp = label_propagation_clusters(pairs, **kwargs).to_pandas()
         got = dict(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
         assert all(got[i] == 0 for i in range(12))
         assert got[100] == 100 and got[101] == 100
+    # contraction across SPLIT blocks (chain broken over 4 blocks) still
+    # yields exact components
+    lp = label_propagation_clusters(
+        pairs.repartition(4), broadcast_nodes=0).to_pandas()
+    got = dict(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
+    assert all(got[i] == 0 for i in range(12))
+    assert got[100] == 100 and got[101] == 100
