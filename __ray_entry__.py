@@ -1074,6 +1074,50 @@ def q_audio_features(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+_XML_FIXTURES = [
+    ("nyt", "<nitf><body.head><hedline><hl1>NYT Title</hl1></hedline>"
+            "</body.head><body.content><block class=\"full_text\">"
+            "<p>First para.</p><p>Second para.</p></block></body.content>"
+            "</nitf>"),
+    ("tei", "<TEI><teiHeader><fileDesc><titleStmt><title>TEI Title</title>"
+            "</titleStmt></fileDesc></teiHeader><text><body>"
+            "<p>Body one.</p><p>Body two.</p></body></text></TEI>"),
+    ("alto", "<alto><Layout><TextLine><String CONTENT=\"OCR\"/>"
+             "<String CONTENT=\"words\"/></TextLine><TextLine>"
+             "<String CONTENT=\"here\"/></TextLine></Layout></alto>"),
+    ("spiegel", "<artikel><artikel-id>42</artikel-id><titel>Der Titel"
+                "</titel><vorspann>Lead text.</vorspann><absatz>Absatz "
+                "eins.</absatz></artikel>"),
+    ("robust04", "<DOC><DOCNO>FBIS-1</DOCNO><TEXT>Robust body text."
+                 "</TEXT></DOC>"),
+]
+
+
+def q_xml_formats(sf_dir: str) -> pa.Table:
+    """All five reference XML input formats (NYT/TEI/ALTO/Spiegel/
+    Robust04 — Preparator.java dispatch) parsed as a stateless
+    map_batches stage over one fixture doc each; exact VALUES oracle."""
+    from aida_ray.sources.xml_formats import parse_xml
+
+    def parse(b: pa.Table) -> pa.Table:
+        fmts, titles, bodies = [], [], []
+        for fmt, xml in zip(b["fmt"].to_pylist(), b["xml"].to_pylist()):
+            t, body = parse_xml(xml, fmt)
+            fmts.append(fmt)
+            titles.append(t)
+            bodies.append(body)
+        return pa.table({"fmt": pa.array(fmts, pa.string()),
+                         "title": pa.array(titles, pa.string()),
+                         "body": pa.array(bodies, pa.string())})
+
+    ds = ray.data.from_arrow(pa.table({
+        "fmt": pa.array([f for f, _ in _XML_FIXTURES], pa.string()),
+        "xml": pa.array([x for _, x in _XML_FIXTURES], pa.string())})) \
+        .map_batches(parse, batch_format="pyarrow")
+    t = _collect(ds).to_pandas().sort_values("fmt").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_preset_matrix(sf_dir: str) -> pa.Table:
     """Every prebuilt reference config (17 presets) × the golden fixture
     sentence, evaluated config-parallel (one Ray task per preset batch);
@@ -1189,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
+        "xml_formats": q_xml_formats,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
         "perceptron_ner": q_perceptron_ner,
@@ -1790,6 +1835,18 @@ def oracle_sql() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "xml_formats": """
+            SELECT * FROM (VALUES
+                ('alto', '', 'OCR words' || chr(10) || 'here'),
+                ('nyt', 'NYT Title',
+                 'First para.' || chr(10) || 'Second para.'),
+                ('robust04', '', 'FBIS-1 Robust body text.'),
+                ('spiegel', 'Der Titel',
+                 'Lead text.' || chr(10) || 'Absatz eins.'),
+                ('tei', 'TEI Title',
+                 'Body one.' || chr(10) || 'Body two.')
+            ) AS t(fmt, title, body)
         """,
         "audio_features": """
             SELECT * FROM (VALUES
