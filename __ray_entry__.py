@@ -811,6 +811,22 @@ def q_range_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_bottomk_sample(sf_dir: str) -> pa.Table:
+    """Deterministic per-group uniform sample (bottom-k by seeded Knuth
+    hash, map-side pruned like top-k) — 5 docs per lang with a stable
+    sample_rank; oracle replays the identical arithmetic via
+    ROW_NUMBER."""
+    from aida_ray.stages.topk import bottom_k_sample_per_group
+    docs = _docs(sf_dir).select_columns(["lang", "doc_id"])
+    t = bottom_k_sample_per_group(docs, "lang", "doc_id", k=5,
+                                  seed=1).to_pandas()
+    t = t[["lang", "doc_id", "sample_rank"]] \
+        .sort_values(["lang", "sample_rank"]).reset_index(drop=True)
+    for c in ("doc_id", "sample_rank"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_range_bcast(sf_dir: str) -> pa.Table:
     """UNKEYED range join with the interval side BROADCAST: every click
     event × each of 20 global outage windows containing it (first 20
@@ -1215,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rules": q_quality_rules,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
+        "bottomk_sample": q_bottomk_sample,
         "seq_packing": q_seq_packing,
         "url_canonical": q_url_canonical,
         "asof_join": q_asof_join,
@@ -1479,6 +1496,19 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN iv
               ON p.user_id = iv.user_id
              AND p.ts BETWEEN iv.w_start AND iv.w_end
+        """,
+        "bottomk_sample": """
+            WITH h AS (
+                SELECT lang, doc_id,
+                       ((doc_id + 1) * 2654435761) % 2147483648 AS hh
+                FROM documents),
+            r AS (
+                SELECT lang, doc_id, hh,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY lang ORDER BY hh, doc_id) AS rn
+                FROM h)
+            SELECT lang, doc_id, rn - 1 AS sample_rank
+            FROM r WHERE rn <= 5
         """,
         "range_bcast": """
             WITH p AS (

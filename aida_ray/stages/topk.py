@@ -31,3 +31,42 @@ def top_k_per_group(ds: ray.data.Dataset, group_col: str, order_col: str,
     partial = ds.map_batches(prune, batch_format="pandas")
     return partial.groupby(group_col).map_groups(prune,
                                                  batch_format="pandas")
+
+
+def bottom_k_sample_per_group(ds: ray.data.Dataset, group_col: str,
+                              id_col: str, k: int,
+                              seed: int = 1) -> ray.data.Dataset:
+    """Deterministic k-row uniform sample per group via BOTTOM-K hashing
+    (a.k.a. min-wise sampling): keep the k rows with the smallest
+    ``h(id)`` per group, h = the same Knuth multiplicative hash used by
+    ``stages/sampling.py`` over ``id + seed``.
+
+    Distribution-equivalent to a seeded reservoir sample, but with no
+    sequential state, so it composes with map-side pruning exactly like
+    :func:`top_k_per_group` (shuffle volume ≤ k × groups × blocks, not
+    corpus size) and is reproducible from SQL:
+    ``((id + seed) * 2654435761) % 2147483648``.  Output carries a
+    ``sample_rank`` column (0-based ascending hash order) so downstream
+    code can take prefixes for nested samples.
+    """
+    from aida_ray.stages.sampling import id_hash
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        shifted = pc.add(pc.cast(b[id_col], pa.int64()), seed)
+        return b.append_column("_h", id_hash(shifted))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["_h", id_col], kind="mergesort") \
+            .groupby(group_col, sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", id_col], kind="mergesort").head(k).copy()
+        df["sample_rank"] = range(len(df))
+        return df.drop(columns=["_h"])
+
+    partial = hashed.map_batches(prune, batch_format="pandas")
+    return partial.groupby(group_col).map_groups(finish,
+                                                 batch_format="pandas")

@@ -129,6 +129,32 @@ def test_broadcast_range_join_matches_bruteforce(ray_session, seed):
 
 @_few
 @given(seed=st.integers(0, 10_000))
+def test_bottomk_sample_matches_bruteforce(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(5, 80))
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), n),
+        "id": np.arange(n, dtype=np.int64),
+    })
+    from aida_ray.stages.topk import bottom_k_sample_per_group
+    got = bottom_k_sample_per_group(rd.from_pandas(df).repartition(3),
+                                    "g", "id", k=4, seed=1).to_pandas()
+    # brute force: same Knuth hash, same tie-break, per group
+    df["h"] = ((df["id"] + 1) * 2654435761) % 2147483648
+    exp = df.sort_values(["h", "id"]).groupby("g").head(4)
+    exp_ids = {(r.g, int(r.id)) for r in exp.itertuples(index=False)}
+    got_ids = {(r.g, int(r.id)) for r in got.itertuples(index=False)}
+    assert got_ids == exp_ids
+    # sample_rank is the ascending hash order within each group
+    for g, grp in got.groupby("g"):
+        ordered = grp.sort_values("sample_rank")
+        hs = ((ordered["id"] + 1) * 2654435761) % 2147483648
+        assert list(hs) == sorted(hs)
+        assert list(ordered["sample_rank"]) == list(range(len(ordered)))
+
+
+@_few
+@given(seed=st.integers(0, 10_000))
 def test_topk_matches_pandas(ray_session, seed):
     rng = np.random.default_rng(seed)
     n = int(rng.integers(5, 60))
