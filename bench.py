@@ -93,9 +93,11 @@ def run_bench() -> dict:
         ray.shutdown()
         return out
 
-    for name in ["dedup_exact", "minhash_pairs", "knn_bruteforce", "simhash",
-                 "token_stats", "window_agg", "entity_canonical",
-                 "pii_redact", "quality_rules", "seq_packing", "hash_split"]:
+    for name in ["dedup_exact", "minhash_pairs", "ngram_pairs",
+                 "knn_bruteforce", "simhash", "token_stats", "window_agg",
+                 "entity_canonical", "pii_redact", "quality_rules",
+                 "seq_packing", "hash_split", "contamination",
+                 "bottomk_sample"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
