@@ -1134,6 +1134,49 @@ def q_xml_formats(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_image_real(sf_dir: str) -> pa.Table:
+    """REAL image decode (binary PPM, pure numpy — no codec library)
+    through the same ImageFeatures actor stage; deterministic payloads →
+    exact VALUES oracle. int-valued columns only (channel stats are
+    float; phash/width/height pin the decode exactly)."""
+    from aida_ray.stages.multimodal import (ImageFeatures,
+                                            StdlibDecodeBackend, encode_ppm)
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 256, (24 + 4 * i, 16 + 2 * i, 3), dtype=np.uint8)
+            for i in range(4)]
+    media = pa.table({
+        "media_id": pa.array(range(4), pa.int64()),
+        "payload": pa.array([encode_ppm(im) for im in imgs], pa.binary())})
+    ds = ray.data.from_arrow(media).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=2,
+        concurrency=min(2, _pool()), num_cpus=1,
+        fn_constructor_kwargs={"backend": StdlibDecodeBackend()})
+    t = _collect(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    t = t[["media_id", "phash", "width", "height"]]
+    for c in t.columns:
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_audio_real(sf_dir: str) -> pa.Table:
+    """REAL WAV decode (stdlib wave module) through the AudioFeatures
+    actor stage; deterministic sine payloads → exact VALUES oracle."""
+    from aida_ray.stages.multimodal import (AudioFeatures,
+                                            StdlibDecodeBackend, encode_wav)
+    waves = [(np.sin(np.linspace(0, 20 + 5 * i, 2000 + 300 * i)) * 12000)
+             .astype(np.int16) for i in range(4)]
+    media = pa.table({
+        "media_id": pa.array(range(4), pa.int64()),
+        "payload": pa.array([encode_wav(w, 16000) for w in waves],
+                            pa.binary())})
+    ds = ray.data.from_arrow(media).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=2,
+        concurrency=min(2, _pool()), num_cpus=1,
+        fn_constructor_kwargs={"backend": StdlibDecodeBackend()})
+    t = _collect(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_preset_matrix(sf_dir: str) -> pa.Table:
     """Every prebuilt reference config (17 presets) × the golden fixture
     sentence, evaluated config-parallel (one Ray task per preset batch);
@@ -1251,6 +1294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         "audio_features": q_audio_features,
         "xml_formats": q_xml_formats,
+        "image_real": q_image_real,
+        "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
         "perceptron_ner": q_perceptron_ner,
@@ -1865,6 +1910,23 @@ def oracle_sql() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "image_real": """
+            SELECT * FROM (VALUES
+                (0, 2087100755532579997, 16, 24),
+                (1, 4111147017221638313, 18, 28),
+                (2, 2254383050974707143, 20, 32),
+                (3, 7874703093113802021, 22, 36)
+            ) AS t(media_id, phash, width, height)
+        """,
+        "audio_real": """
+            SELECT * FROM (VALUES
+                (0, 2000, 16000, 125, 8405, 6, 11999),
+                (1, 2300, 16000, 143, 8505, 7, 11999),
+                (2, 2600, 16000, 162, 8506, 9, 11999),
+                (3, 2900, 16000, 181, 8437, 11, 11999)
+            ) AS t(media_id, n_samples, sample_rate, duration_ms, rms,
+                   zero_crossings, peak)
         """,
         "xml_formats": """
             SELECT * FROM (VALUES

@@ -69,6 +69,98 @@ class FakeDecodeBackend(DecodeBackend):
         return 16000, wave
 
 
+class StdlibDecodeBackend(DecodeBackend):
+    """REAL decoders for codec-free containers, pure stdlib + numpy:
+    BMP (24-bit uncompressed BI_RGB) and binary PPM/PGM images, and WAV
+    (PCM16) audio via the ``wave`` module.  Compressed formats
+    (JPEG/PNG/MP3/MP4) still need an external codec — plug PIL/
+    soundfile into :class:`DecodeBackend` in production; video has no
+    stdlib container and stays stubbed."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"BM":
+            return self._decode_bmp(payload)
+        if payload[:2] in (b"P6", b"P5"):
+            return self._decode_pnm(payload)
+        raise ValueError("unsupported image container (BMP/PPM/PGM only)")
+
+    @staticmethod
+    def _decode_bmp(payload: bytes) -> np.ndarray:
+        import struct
+        off, = struct.unpack_from("<I", payload, 10)
+        hdr_size, = struct.unpack_from("<I", payload, 14)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0 or hdr_size < 40:
+            raise ValueError("only 24-bit uncompressed BI_RGB BMP")
+        flip = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                             offset=off).reshape(h, stride)
+        img = rows[:, :w * 3].reshape(h, w, 3)[..., ::-1]  # BGR → RGB
+        return img[::-1].copy() if flip else img.copy()
+
+    @staticmethod
+    def _decode_pnm(payload: bytes) -> np.ndarray:
+        # header: magic, whitespace/comments, width, height, maxval
+        fields, i = [], 2
+        while len(fields) < 3:
+            while i < len(payload) and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":
+                while i < len(payload) and payload[i:i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            fields.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise ValueError("16-bit PNM not supported")
+        if payload[:2] == b"P6":
+            img = np.frombuffer(payload, np.uint8, w * h * 3, i)
+            return img.reshape(h, w, 3).copy()
+        gray = np.frombuffer(payload, np.uint8, w * h, i).reshape(h, w)
+        return np.repeat(gray[..., None], 3, axis=2).copy()
+
+    def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
+        import io
+        import wave as _wave
+        with _wave.open(io.BytesIO(payload), "rb") as f:
+            if f.getsampwidth() != 2:
+                raise ValueError("only PCM16 WAV supported")
+            sr = f.getframerate()
+            raw = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+            ch = f.getnchannels()
+        if ch > 1:
+            raw = raw.reshape(-1, ch)[:, 0].copy()  # first channel
+        return sr, raw
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM bytes (test/fixture helper)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(wave_i16: np.ndarray, sr: int = 16000) -> bytes:
+    """int16 mono waveform → WAV bytes (test/fixture helper)."""
+    import io
+    import wave as _wave
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sr)
+        f.writeframes(wave_i16.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def avg_hash(img: np.ndarray) -> int:
     """8x8 average hash of an (H, W, 3) uint8 image (63-bit)."""
     gray = img.mean(axis=2)

@@ -357,6 +357,67 @@ def test_audio_features(ray_session):
         DecodeBackend().decode_audio(b"")
 
 
+def test_stdlib_decode_backend_roundtrips():
+    import struct
+
+    from aida_ray.stages.multimodal import (StdlibDecodeBackend, encode_ppm,
+                                            encode_wav)
+    b = StdlibDecodeBackend()
+    rng = np.random.default_rng(3)
+    # PPM: exact pixel roundtrip
+    img = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)
+    assert np.array_equal(b.decode_image(encode_ppm(img)), img)
+    # PGM: grayscale replicated to 3 channels
+    gray = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    pgm = b"P5\n4 5\n255\n" + gray.tobytes()
+    assert np.array_equal(b.decode_image(pgm), np.repeat(gray[..., None], 3, 2))
+    # WAV: exact PCM16 roundtrip incl. sample rate
+    w = rng.integers(-2 ** 15, 2 ** 15, 300).astype(np.int16)
+    sr, got = b.decode_audio(encode_wav(w, 8000))
+    assert sr == 8000 and np.array_equal(got, w)
+    # BMP: bottom-up 24-bit with row padding
+    hh, ww = 2, 3
+    stride = (ww * 3 + 3) & ~3
+    px = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+    rows = b""
+    for r in range(hh - 1, -1, -1):
+        row = px[r][..., ::-1].tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + \
+        struct.pack("<IiiHHIIiiII", 40, ww, hh, 1, 24, 0, len(rows),
+                    2835, 2835, 0, 0)
+    assert np.array_equal(b.decode_image(hdr + rows), px)
+    # compressed formats still refuse loudly
+    with pytest.raises(ValueError):
+        b.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_real_backend_through_actor_stages(ray_session):
+    """The stdlib backend rides the same actor-pool stages as the fake."""
+    from aida_ray.stages.multimodal import (AudioFeatures, ImageFeatures,
+                                            StdlibDecodeBackend, encode_ppm,
+                                            encode_wav)
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (10, 8, 3), dtype=np.uint8) for _ in range(3)]
+    media = pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "payload": pa.array([encode_ppm(im) for im in imgs], pa.binary())})
+    out = ray.data.from_arrow(media).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=2, concurrency=1,
+        num_cpus=1,
+        fn_constructor_kwargs={"backend": StdlibDecodeBackend()}).to_pandas()
+    assert list(out.sort_values("media_id")["width"]) == [8, 8, 8]
+    w = (np.sin(np.linspace(0, 30, 500)) * 1000).astype(np.int16)
+    amedia = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([encode_wav(w, 22050)], pa.binary())})
+    aout = ray.data.from_arrow(amedia).map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=1, num_cpus=1,
+        fn_constructor_kwargs={"backend": StdlibDecodeBackend()}).to_pandas()
+    assert aout.loc[0, "sample_rate"] == 22050
+    assert aout.loc[0, "n_samples"] == 500
+
+
 def test_sessionize(ray_session):
     import pandas as pd
 
