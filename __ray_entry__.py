@@ -865,6 +865,38 @@ def q_range_bcast(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H-Q1-style pricing summary over lineitem: map-side partial
+    aggregation (one row per key per block crosses the shuffle), int64
+    cent arithmetic so the oracle hash-matches at any parallelism."""
+    from aida_ray.stages.relational import pricing_summary
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice",
+                                        "l_discount"])
+    t = _collect(pricing_summary(ds)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_revenue_nation(sf_dir: str) -> pa.Table:
+    """Orders ⋈ customer ⋈ nation revenue rollup with both dimension
+    sides broadcast (zero shuffle on the fact side)."""
+    import pyarrow.parquet as pq
+
+    from aida_ray.stages.relational import revenue_by_nation
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey", "o_totalprice"])
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    t = _collect(revenue_by_nation(orders, customer, nation)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("n_name").reset_index(drop=True), preserve_index=False)
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -1281,6 +1313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_group": q_topk_group,
         "range_join": q_range_join,
         "range_bcast": q_range_bcast,
+        "pricing_summary": q_pricing_summary,
+        "revenue_nation": q_revenue_nation,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1541,6 +1575,28 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN iv
               ON p.user_id = iv.user_id
              AND p.ts BETWEEN iv.w_start AND iv.w_end
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                       * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "bottomk_sample": """
             WITH h AS (

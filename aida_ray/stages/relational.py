@@ -1,0 +1,126 @@
+"""Relational pipelines over the TPC-H-ish test tables.
+
+Demonstrates the engine's two core relational shapes on classic
+analytics queries, with exact integer-cent arithmetic so DuckDB oracles
+hash-match bit-for-bit:
+
+- :func:`pricing_summary` — TPC-H-Q1-style groupby aggregate: map-side
+  PARTIAL aggregation per batch (the key space is tiny, so the shuffle
+  ships one row per key per block, never the fact table), then a global
+  groupby-sum and a finishing projection.
+- :func:`revenue_by_nation` — orders ⋈ customer ⋈ nation revenue
+  rollup: both dimension sides are small, so they ship ONCE via
+  ``ray.put`` (sorted-array ``searchsorted`` lookup per batch — a
+  broadcast hash join with zero shuffle on the fact side), followed by
+  the same partial-agg pattern on the joined keys.
+
+Money stays in int64 cents (``round(x*100)``): float SUMs depend on
+reduction order across blocks, integer sums do not — the reason these
+pipelines are exactly reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from aida_ray.stages.dedup import _get_cached
+
+
+def _round_half_away(col):
+    # DuckDB's ROUND is half-away-from-zero; pyarrow defaults to
+    # half-to-even, which flips tie values — match the oracle exactly.
+    return pc.round(col, round_mode="half_towards_infinity")
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(_round_half_away(pc.multiply(col, 100.0)), pa.int64())
+
+
+def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Per (l_returnflag, l_linestatus): qty/price/discounted sums and
+    row count — TPC-H Q1 shape without the date filter."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(pc.multiply(
+            b["l_extendedprice"], pc.subtract(1.0, b["l_discount"])), 100.0)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": pc.cast(_round_half_away(b["l_quantity"]), pa.int64()),
+            "base_cents": _cents(b["l_extendedprice"]),
+            "disc_cents": pc.cast(_round_half_away(disc), pa.int64()),
+        }).to_pandas()
+        g = t.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("qty", "sum"), sum_base_cents=("base_cents", "sum"),
+            sum_disc_cents=("disc_cents", "sum"), n_rows=("qty", "size"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("sum_qty"), Sum("sum_base_cents"),
+                   Sum("sum_disc_cents"), Sum("n_rows"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "sum_qty": pc.cast(b["sum(sum_qty)"], pa.int64()),
+            "sum_base_cents": pc.cast(b["sum(sum_base_cents)"], pa.int64()),
+            "sum_disc_cents": pc.cast(b["sum(sum_disc_cents)"], pa.int64()),
+            "count_order": pc.cast(b["sum(n_rows)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_nation(orders: ray.data.Dataset, customer: pa.Table,
+                      nation: pa.Table) -> ray.data.Dataset:
+    """Total order revenue (int cents) + order count per nation name.
+
+    The customer and nation dimensions are broadcast once; the orders
+    fact table streams through a stateless map — no shuffle until the
+    (tiny) per-nation partial rows."""
+    ckeys = customer["c_custkey"].to_numpy()
+    cnation = customer["c_nationkey"].to_numpy()
+    order_c = np.argsort(ckeys, kind="stable")
+    nkeys = nation["n_nationkey"].to_numpy()
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    order_n = np.argsort(nkeys, kind="stable")
+    dim_ref = ray.put((ckeys[order_c], cnation[order_c],
+                       nkeys[order_n], nnames[order_n]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck, cn, nk, nm = _get_cached(dim_ref)
+        cust = b["o_custkey"].to_numpy()
+        idx = np.searchsorted(ck, cust)
+        idx[idx >= len(ck)] = len(ck) - 1 if len(ck) else 0
+        # inner-join semantics: drop orders with no customer row
+        hit = ck[idx] == cust if len(ck) else np.zeros(len(cust), bool)
+        nat = cn[idx[hit]]
+        nidx = np.searchsorted(nk, nat)
+        names = nm[nidx]
+        cents = _cents(b["o_totalprice"]).to_numpy(zero_copy_only=False)[hit]
+        import pandas as pd
+        g = pd.DataFrame({"n_name": names, "cents": cents}) \
+            .groupby("n_name", sort=False) \
+            .agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(Sum("revenue_cents"), Sum("n_orders"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b["n_name"],
+            "revenue_cents": pc.cast(b["sum(revenue_cents)"], pa.int64()),
+            "n_orders": pc.cast(b["sum(n_orders)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

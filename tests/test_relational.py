@@ -1,0 +1,65 @@
+"""Unit tests for the relational pipelines (pricing summary, broadcast
+dimension join): exact cent arithmetic, blocking invariance, inner-join
+drop semantics."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _lineitem(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "l_returnflag": rng.choice(["A", "N", "R"], n).tolist(),
+        "l_linestatus": rng.choice(["F", "O"], n).tolist(),
+        "l_quantity": rng.integers(1, 50, n).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 100000, n), 2),
+        "l_discount": np.round(rng.choice([0.0, 0.05, 0.1], n), 2),
+    })
+
+
+def test_pricing_summary_matches_pandas_and_blocking(ray_session):
+    from aida_ray.stages.relational import pricing_summary
+    tbl = _lineitem()
+    out = pricing_summary(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    # independent reference in plain numpy (half-away rounding)
+    import pandas as pd
+    df = tbl.to_pandas()
+
+    def away(x):
+        return np.floor(np.abs(x) + 0.5) * np.sign(x)
+
+    df["qty"] = away(df.l_quantity).astype("int64")
+    df["base"] = away(df.l_extendedprice * 100).astype("int64")
+    df["disc"] = away(
+        df.l_extendedprice * (1 - df.l_discount) * 100).astype("int64")
+    ref = df.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("qty", "sum"), sum_base_cents=("base", "sum"),
+        sum_disc_cents=("disc", "sum"), count_order=("qty", "size")) \
+        .reset_index()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+    # blocking invariance: same answer at a different partitioning
+    out13 = pricing_summary(rd.from_arrow(tbl).repartition(13)).to_pandas() \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out13)
+
+
+def test_revenue_by_nation_inner_join_drops_orphans(ray_session):
+    from aida_ray.stages.relational import revenue_by_nation
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": [1, 2, 2, 3, 99],       # 99 has no customer row
+        "o_totalprice": [10.005, 20.0, 30.0, 40.0, 1000.0],
+    }))
+    customer = pa.table({"c_custkey": [3, 1, 2],
+                         "c_nationkey": [0, 0, 1]})
+    nation = pa.table({"n_nationkey": [1, 0],
+                       "n_name": ["B", "A"]})
+    out = revenue_by_nation(orders, customer, nation).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    assert out.n_name.tolist() == ["A", "B"]
+    # 10.005 → 1001 cents (half away from zero), plus 40.0
+    assert out.revenue_cents.tolist() == [1001 + 4000, 2000 + 3000]
+    assert out.n_orders.tolist() == [2, 2]
