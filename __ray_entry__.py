@@ -897,6 +897,41 @@ def q_revenue_nation(sf_dir: str) -> pa.Table:
         t.sort_values("n_name").reset_index(drop=True), preserve_index=False)
 
 
+def q_join_large(sf_dir: str) -> pa.Table:
+    """Large-large hash SHUFFLE join (lineitem ⋈ orders on orderkey —
+    neither side broadcastable at scale), then partial-agg rollup."""
+    from aida_ray.stages.shuffle_join import order_lineitem_revenue
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_extendedprice"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_orderpriority"])
+    t = _collect(order_lineitem_revenue(li, o)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("o_orderpriority").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_join_semi_anti(sf_dir: str) -> pa.Table:
+    """Distributed semi + anti join: per-customer EXISTS / NOT EXISTS
+    against the urgent-priority order subset, via Dataset.join
+    left_semi / left_anti (both sides shuffled, no broadcast)."""
+    from aida_ray.stages.shuffle_join import (customers_with_orders,
+                                              customers_without_orders)
+    c = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_orderpriority"]) \
+        .filter(expr="o_orderpriority == '1-URGENT'")
+    semi = customers_with_orders(c, o).to_pandas()
+    anti = customers_without_orders(c, o).to_pandas()
+    import pandas as pd
+    semi["has_urgent"] = True
+    anti["has_urgent"] = False
+    t = pd.concat([semi, anti], ignore_index=True) \
+        .sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -1315,6 +1350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_bcast": q_range_bcast,
         "pricing_summary": q_pricing_summary,
         "revenue_nation": q_revenue_nation,
+        "join_large": q_join_large,
+        "join_semi_anti": q_join_semi_anti,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1597,6 +1634,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "join_large": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "join_semi_anti": """
+            SELECT c_custkey,
+                   EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+                       AS has_urgent
+            FROM customer c
         """,
         "bottomk_sample": """
             WITH h AS (
