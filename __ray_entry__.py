@@ -932,6 +932,42 @@ def q_join_semi_anti(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_distinct_count(sf_dir: str) -> pa.Table:
+    """Exact COUNT(DISTINCT): block-local dedup then a distinct-key
+    shuffle — volume tracks distinct keys, never the corpus."""
+    from aida_ray.stages.sketches import count_distinct
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey"])
+    n = count_distinct(li, "l_partkey")
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+def q_quantiles_disc(sf_dir: str) -> pa.Table:
+    """Exact discrete quantiles via the distributed value histogram
+    (DuckDB quantile_disc semantics)."""
+    from aida_ray.stages.sketches import exact_quantiles
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_quantity"])
+    return exact_quantiles(li, "l_quantity", [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def q_sketch_stats(sf_dir: str) -> pa.Table:
+    """HyperLogLog cardinality + mergeable-centroid quantile sketch
+    over o_totalprice (rows-only: approximate by construction; error
+    bounds are property-tested in tests/test_sketches.py)."""
+    from aida_ray.stages.sketches import hll_count, quantile_sketch
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_totalprice", "o_custkey"])
+    est = hll_count(o, "o_custkey", p=12)
+    qt = quantile_sketch(o, "o_totalprice", [0.5, 0.9], k=512).to_pandas()
+    return pa.table({
+        "stat": pa.array(["hll_custkeys", "p50_totalprice",
+                          "p90_totalprice"]),
+        "value": pa.array([est, float(qt.value[0]), float(qt.value[1])],
+                          pa.float64()),
+    })
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -1352,6 +1388,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_nation": q_revenue_nation,
         "join_large": q_join_large,
         "join_semi_anti": q_join_semi_anti,
+        "distinct_count": q_distinct_count,
+        "quantiles_disc": q_quantiles_disc,
+        "sketch_stats": q_sketch_stats,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1650,6 +1689,21 @@ def oracle_sql() -> dict[str, str]:
                              AND o.o_orderpriority = '1-URGENT')
                        AS has_urgent
             FROM customer c
+        """,
+        "distinct_count": """
+            SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+        "quantiles_disc": """
+            SELECT 0.1 AS q, quantile_disc(l_quantity, 0.1) AS value
+              FROM lineitem
+            UNION ALL SELECT 0.25, quantile_disc(l_quantity, 0.25)
+              FROM lineitem
+            UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5)
+              FROM lineitem
+            UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75)
+              FROM lineitem
+            UNION ALL SELECT 0.9, quantile_disc(l_quantity, 0.9)
+              FROM lineitem
         """,
         "bottomk_sample": """
             WITH h AS (

@@ -1,0 +1,203 @@
+"""Distributed cardinality and quantile statistics — exact paths plus
+mergeable sketches for the 100 TB regime.
+
+Exact paths (oracle-checkable against DuckDB):
+
+- :func:`count_distinct` — per-block partial distinct, then the built-in
+  key shuffle counts survivors.  Shuffle volume is the DISTINCT-key
+  volume, never the corpus.
+- :func:`exact_quantiles` — value-histogram route: per-block
+  ``(value, n)`` partials → global groupby-sum → the (small) histogram
+  is scanned for DuckDB's ``quantile_disc`` index ``ceil(q*n)-1``.
+  Scale assumption (document per the brief): the DISTINCT-value volume
+  of the column fits one task (true for token counts, prices in cents,
+  scores with bounded precision).  For genuinely continuous columns use
+  :func:`quantile_sketch` instead.
+
+Mergeable sketches (rows-only; error bounds property-tested):
+
+- :func:`hll_count` — HyperLogLog with 2^p registers: each block emits
+  ONE register-array row (vectorized numpy), merged by elementwise max;
+  the classic bias-corrected harmonic estimate with the small-range
+  linear-counting correction.  Standard error ≈ 1.04/sqrt(2^p).
+- :func:`quantile_sketch` — equal-weight centroid compression (a
+  simplified t-digest): each block compresses its sorted values into
+  ≤k (mean, weight) centroids; centroids merge associatively and
+  recompress, so the reduce tree never sees more than 2k centroids per
+  merge.  Rank error is O(1/k) per level; property-tested ≤2/k overall.
+
+Both sketches ship O(blocks) tiny rows through the driver — no shuffle
+at all — which is exactly the communication pattern that survives a
+256-node cluster.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+# ------------------------------------------------------------- exact
+
+def count_distinct(ds: ray.data.Dataset, col: str) -> int:
+    """Exact COUNT(DISTINCT col): block-local dedup (free, no shuffle)
+    then a key shuffle over the surviving distinct values only."""
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(
+            b[col].combine_chunks() if isinstance(b[col], pa.ChunkedArray)
+            else b[col])})
+
+    return ds.select_columns([col]) \
+        .map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(col).count().count()
+
+
+def value_histogram(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """(value, n) counts — per-block partials, global sum; shuffle
+    volume tracks distinct values."""
+    def partial(b: pa.Table) -> pa.Table:
+        vc = b[col].combine_chunks().value_counts()
+        return pa.table({col: vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = ds.select_columns([col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(col).aggregate(Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({col: b[col],
+                         "n": pc.cast(b["sum(n)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def exact_quantiles(ds: ray.data.Dataset, col: str,
+                    qs: Sequence[float]) -> pa.Table:
+    """Exact discrete quantiles (DuckDB ``quantile_disc`` semantics:
+    sorted index ``ceil(q*n) - 1``) via the distributed value
+    histogram.  Returns (q, value)."""
+    hist = value_histogram(ds, col).to_pandas().sort_values(col)
+    values = hist[col].to_numpy()
+    counts = hist["n"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        idx = max(0, math.ceil(q * n) - 1)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_q.append(q)
+        out_v.append(values[min(pos, len(values) - 1)])
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v)})
+
+
+# ------------------------------------------------------ HyperLogLog
+
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """Vectorized register maxima for one batch of 64-bit hashes."""
+    m = 1 << p
+    idx = (hashes >> np.uint64(64 - p)).astype(np.int64)
+    rest = (hashes << np.uint64(p)) | np.uint64((1 << p) - 1)
+    # rank = leading zeros of the remaining 64-p bits, +1
+    # via float trick: log2 of the top bit position
+    nz = rest != 0
+    lz = np.zeros(len(hashes), dtype=np.int64)
+    lz[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    rank = np.minimum(lz + 1, 64 - p + 1)
+    regs = np.zeros(m, dtype=np.int8)
+    np.maximum.at(regs, idx, rank.astype(np.int8))
+    return regs
+
+
+def _hash64(arr: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hashes of an arrow array via pandas'
+    stable row hash (xxhash-based, seed-fixed)."""
+    import pandas as pd
+    s = pd.Series(arr.to_pandas())
+    return pd.util.hash_pandas_object(s, index=False).to_numpy(dtype=np.uint64)
+
+
+def hll_count(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT) — one register row per block, merged
+    by elementwise max on the driver (O(blocks · 2^p) bytes total)."""
+    m = 1 << p
+
+    def per_block(b: pa.Table) -> pa.Table:
+        regs = _hll_registers(_hash64(b[col].combine_chunks()), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    rows = ds.select_columns([col]) \
+        .map_batches(per_block, batch_format="pyarrow") \
+        .take_all()
+    regs = np.zeros(m, dtype=np.int8)
+    for r in rows:
+        regs = np.maximum(regs, np.frombuffer(r["regs"], dtype=np.int8))
+    # bias-corrected estimate
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)          # linear counting
+    return float(est)
+
+
+# ------------------------------------------- mergeable quantile sketch
+
+def _compress(values: np.ndarray, weights: np.ndarray,
+              k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted weighted points into ≤k equal-weight centroids."""
+    if len(values) <= k:
+        return values, weights
+    total = weights.sum()
+    bounds = np.linspace(0, total, k + 1)
+    cum = np.cumsum(weights)
+    # bucket of each point = which equal-weight slice its cum falls in
+    bucket = np.minimum(np.searchsorted(bounds, cum, side="left"), k)
+    bucket[0] = max(bucket[0], 1)
+    out_v = np.zeros(k, dtype=np.float64)
+    out_w = np.zeros(k, dtype=np.float64)
+    np.add.at(out_w, bucket - 1, weights)
+    np.add.at(out_v, bucket - 1, values * weights)
+    nz = out_w > 0
+    return out_v[nz] / out_w[nz], out_w[nz]
+
+
+def quantile_sketch(ds: ray.data.Dataset, col: str,
+                    qs: Sequence[float], k: int = 512) -> pa.Table:
+    """Approximate quantiles via mergeable equal-weight centroids.
+    Each block emits ≤k (mean, weight) centroid pairs as one row; the
+    driver merges and recompresses — communication O(blocks · k)."""
+    def per_block(b: pa.Table) -> pa.Table:
+        v = np.sort(b[col].combine_chunks().to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        cv, cw = _compress(v, np.ones(len(v)), k)
+        return pa.table({
+            "v": pa.array([cv.tobytes()], pa.binary()),
+            "w": pa.array([cw.tobytes()], pa.binary()),
+        })
+
+    rows = ds.select_columns([col]) \
+        .map_batches(per_block, batch_format="pyarrow") \
+        .take_all()
+    vs = np.concatenate([np.frombuffer(r["v"], dtype=np.float64)
+                         for r in rows]) if rows else np.array([])
+    ws = np.concatenate([np.frombuffer(r["w"], dtype=np.float64)
+                         for r in rows]) if rows else np.array([])
+    order = np.argsort(vs, kind="stable")
+    vs, ws = _compress(vs[order], ws[order], 4 * k)
+    cum = np.cumsum(ws)
+    total = cum[-1] if len(cum) else 0.0
+    out = []
+    for q in qs:
+        target = q * total
+        pos = int(np.searchsorted(cum, target, side="left"))
+        out.append(vs[min(pos, len(vs) - 1)] if len(vs) else float("nan"))
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(out, pa.float64())})
