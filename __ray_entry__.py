@@ -968,6 +968,32 @@ def q_sketch_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_window_funcs(sf_dir: str) -> pa.Table:
+    """Per-key SQL window functions (ROW_NUMBER / LAG / LEAD / running
+    sum) via one hash shuffle + vectorized in-group computation."""
+    from aida_ray.stages.windows import partitioned_window
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "ts",
+                                        "value"])
+    t = _collect(partitioned_window(ev)).to_pandas()
+    t["prev_cents"] = t["prev_cents"].astype("float64")
+    t["next_cents"] = t["next_cents"].astype("float64")
+    t = t.sort_values(["user_id", "rn"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_rank_global(sf_dir: str) -> pa.Table:
+    """Global RANK/DENSE_RANK without sorting or shuffling the fact
+    table: distributed value histogram → broadcast cumulative counts →
+    stateless assignment."""
+    from aida_ray.stages.windows import global_rank
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_totalprice"])
+    t = _collect(global_rank(o, "o_totalprice", keep_cols=("o_orderkey",))) \
+        .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_kg_triples(sf_dir: str) -> pa.Table:
     """Flagship: full NED → (subj, pred, obj) triples over the synthetic
     pages corpus sized like the sf documents table (rows-only)."""
@@ -1391,6 +1417,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": q_distinct_count,
         "quantiles_disc": q_quantiles_disc,
         "sketch_stats": q_sketch_stats,
+        "window_funcs": q_window_funcs,
+        "rank_global": q_rank_global,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1692,6 +1720,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_count": """
             SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+        "window_funcs": """
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   CAST(ROUND(LAG(value) OVER w * 100) AS DOUBLE)
+                       AS prev_cents,
+                   CAST(ROUND(LEAD(value) OVER w * 100) AS DOUBLE)
+                       AS next_cents,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rank_global": """
+            SELECT o_orderkey, o_totalprice,
+                   RANK() OVER (ORDER BY o_totalprice) AS rank,
+                   DENSE_RANK() OVER (ORDER BY o_totalprice) AS dense_rank
+            FROM orders
         """,
         "quantiles_disc": """
             SELECT 0.1 AS q, quantile_disc(l_quantity, 0.1) AS value

@@ -1,0 +1,101 @@
+"""SQL window functions, Ray-Data-shaped.
+
+Two distribution patterns cover the standard window-function surface:
+
+- :func:`partitioned_window` — ``PARTITION BY key ORDER BY ts``
+  functions (LAG / LEAD / ROW_NUMBER / running sum): one hash shuffle
+  groups each key, then a vectorized in-group computation.  Same
+  partitioning assumption as :mod:`aida_ray.stages.sessions` — one
+  key's history fits one worker (pre-split hot keys by time bucket
+  otherwise); running sums use int64 cents so the result is bit-exact
+  regardless of DuckDB's segment-tree addition order.
+
+- :func:`global_rank` — ``RANK() / DENSE_RANK() OVER (ORDER BY x)``
+  with NO partition key: a total order normally means a global sort,
+  but rank-of-value only needs the count of smaller values.  We build
+  the distributed value histogram (shuffle volume = distinct values),
+  broadcast the sorted cumulative counts once via ``ray.put``, and
+  assign ranks in a stateless ``map_batches`` — the fact table itself
+  is never shuffled or sorted.  Scale assumption: distinct-value volume
+  fits a broadcast blob (price-like columns); for continuous columns at
+  10^12 rows, substitute the mergeable quantile sketch
+  (`sketches.quantile_sketch`) for approximate ranks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from aida_ray.stages.dedup import _get_cached
+
+
+def partitioned_window(events: ray.data.Dataset, key: str = "user_id",
+                       ts_col: str = "ts", val_col: str = "value",
+                       id_col: str = "event_id",
+                       group_size_limit: int = 50_000_000
+                       ) -> ray.data.Dataset:
+    """Per-key windowed columns over an event log, ordered by
+    (ts, id) for deterministic ties:
+
+    - ``rn`` — ROW_NUMBER() (1-based),
+    - ``prev_cents`` / ``next_cents`` — LAG/LEAD of the value in int64
+      cents (null → arrow null at the partition edges),
+    - ``cum_cents`` — running sum in int64 cents.
+    """
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > group_size_limit:
+            raise ValueError(
+                f"hot key {group[key].iloc[0]!r}: {len(group)} rows "
+                "exceed the per-group bound — pre-split by time bucket")
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        cents = np.floor(np.abs(g[val_col].to_numpy()) * 100 + 0.5) \
+            * np.sign(g[val_col].to_numpy())
+        cents = cents.astype("int64")
+        out = pd.DataFrame({
+            key: g[key],
+            id_col: g[id_col],
+            "rn": np.arange(1, len(g) + 1, dtype="int64"),
+            "prev_cents": pd.array(np.roll(cents, 1), dtype="Int64"),
+            "next_cents": pd.array(np.roll(cents, -1), dtype="Int64"),
+            "cum_cents": np.cumsum(cents),
+        })
+        if len(out):
+            out.loc[0, "prev_cents"] = pd.NA
+            out.loc[len(out) - 1, "next_cents"] = pd.NA
+        return out
+
+    return events.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def global_rank(ds: ray.data.Dataset, col: str,
+                keep_cols: tuple[str, ...] = ()) -> ray.data.Dataset:
+    """RANK and DENSE_RANK over a total value order without sorting or
+    shuffling the fact table: histogram → broadcast cumulative counts →
+    stateless rank assignment per batch."""
+    from aida_ray.stages.sketches import value_histogram
+
+    hist = value_histogram(ds, col).to_pandas().sort_values(col)
+    values = hist[col].to_numpy()
+    counts = hist["n"].to_numpy(dtype="int64")
+    # RANK of value v = (#rows with smaller value) + 1
+    smaller = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    lookup_ref = ray.put((values, smaller))
+
+    def assign(b: pa.Table) -> pa.Table:
+        vals, small = _get_cached(lookup_ref)
+        x = b[col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, x)
+        cols = {c: b[c] for c in keep_cols}
+        cols[col] = b[col]
+        cols["rank"] = pa.array(small[idx] + 1, pa.int64())
+        cols["dense_rank"] = pa.array(idx + 1, pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -1,0 +1,45 @@
+"""Unit tests for SQL window functions (partitioned + global rank)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def test_partitioned_window_reference(ray_session):
+    from aida_ray.stages.windows import partitioned_window
+    ev = pa.table({
+        "user_id": [1, 1, 1, 2, 2],
+        "event_id": [10, 11, 12, 20, 21],
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 00:05", "2024-01-01 00:01",
+             "2024-01-02 00:00", "2024-01-01 23:59"]),
+        "value": [1.0, 2.005, 3.0, 10.0, -0.5],
+    })
+    out = partitioned_window(rd.from_arrow(ev).repartition(3)) \
+        .to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True)
+    # user 1 order by ts: e10(1.0), e12(3.0), e11(2.005)
+    u1 = out[out.user_id == 1]
+    assert u1.event_id.tolist() == [10, 12, 11]
+    assert u1.rn.tolist() == [1, 2, 3]
+    assert u1.cum_cents.tolist() == [100, 400, 400 + 201]  # 2.005→201
+    assert pd.isna(u1.prev_cents.iloc[0]) and u1.prev_cents.tolist()[1:] == [100, 300]
+    # user 2 order by ts: e21(-0.5) then e20(10.0)
+    u2 = out[out.user_id == 2]
+    assert u2.event_id.tolist() == [21, 20]
+    assert u2.cum_cents.tolist() == [-50, 950]
+    assert pd.isna(u2.next_cents.iloc[-1])
+
+
+def test_global_rank_with_ties(ray_session):
+    from aida_ray.stages.windows import global_rank
+    x = pa.table({"id": list(range(7)),
+                  "v": [5.0, 1.0, 5.0, 2.0, 1.0, 9.0, 1.0]})
+    out = global_rank(rd.from_arrow(x).repartition(4), "v",
+                      keep_cols=("id",)).to_pandas().sort_values("id")
+    ref = pd.DataFrame({"v": [5.0, 1.0, 5.0, 2.0, 1.0, 9.0, 1.0]})
+    ref["rank"] = ref.v.rank(method="min").astype(int)
+    ref["dense_rank"] = ref.v.rank(method="dense").astype(int)
+    assert out["rank"].tolist() == ref["rank"].tolist()
+    assert out["dense_rank"].tolist() == ref["dense_rank"].tolist()
