@@ -968,6 +968,32 @@ def q_sketch_stats(sf_dir: str) -> pa.Table:
     })
 
 
+def q_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP: fact table aggregated once, coarser levels
+    derived from the finest (tiny) aggregate."""
+    from aida_ray.stages.relational import rollup_pricing
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice",
+                                        "l_discount"])
+    t = _collect(rollup_pricing(ds)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["l_returnflag", "l_linestatus"],
+                      na_position="last").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_pivot(sf_dir: str) -> pa.Table:
+    """PIVOT event_type into per-category count columns per user."""
+    from aida_ray.stages.relational import pivot_counts
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    t = _collect(pivot_counts(ev, "user_id", "event_type", cats)) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_window_funcs(sf_dir: str) -> pa.Table:
     """Per-key SQL window functions (ROW_NUMBER / LAG / LEAD / running
     sum) via one hash shuffle + vectorized in-group computation."""
@@ -1419,6 +1445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_stats": q_sketch_stats,
         "window_funcs": q_window_funcs,
         "rank_global": q_rank_global,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1734,6 +1762,33 @@ def oracle_sql() -> dict[str, str]:
                        AS cum_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                       * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END) AS BIGINT) AS n_view
+            FROM events
+            GROUP BY user_id
         """,
         "rank_global": """
             SELECT o_orderkey, o_totalprice,

@@ -79,6 +79,74 @@ def pricing_summary(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def rollup_pricing(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) — subtotals at every
+    prefix level plus the grand total, SQL-style NULLs marking rolled-up
+    columns.
+
+    Scale shape: the FACT table is aggregated exactly once (the same
+    map-side partial + groupby as :func:`pricing_summary`); the coarser
+    levels are derived from the finest aggregate, which is only
+    |distinct keys| rows — re-scanning the corpus per rollup level (what
+    a naive UNION ALL of GROUP BYs does) is never needed."""
+    finest = pricing_summary(lineitem)
+
+    def levels(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        l1 = df.groupby("l_returnflag", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_cents=("sum_base_cents", "sum"),
+            sum_disc_cents=("sum_disc_cents", "sum"),
+            count_order=("count_order", "sum"))
+        l1["l_linestatus"] = None
+        l0 = pd.DataFrame({
+            "l_returnflag": [None], "l_linestatus": [None],
+            "sum_qty": [df.sum_qty.sum()],
+            "sum_base_cents": [df.sum_base_cents.sum()],
+            "sum_disc_cents": [df.sum_disc_cents.sum()],
+            "count_order": [df.count_order.sum()]})
+        out = pd.concat([df, l1, l0], ignore_index=True)[
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+             "sum_disc_cents", "count_order"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the finest aggregate is tiny — one task derives all levels
+    return finest.repartition(1).map_batches(levels, batch_format="pyarrow")
+
+
+def pivot_counts(ds: ray.data.Dataset, key: str, pivot_col: str,
+                 categories: list[str]) -> ray.data.Dataset:
+    """PIVOT: one output column per category holding the per-key count.
+
+    Per-batch crosstab partials (vectorized), then a single groupby-sum
+    over |keys| rows — the category list must be known up front (pass
+    the output of a distinct pass for discovery); unlisted categories
+    are ignored.  Shuffle volume = keys × 1 row, not the event log."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.table({key: b[key], pivot_col: b[pivot_col]}).to_pandas()
+        ct = pd.crosstab(df[key], df[pivot_col])
+        out = pd.DataFrame({key: ct.index})
+        for c in categories:
+            out["n_" + c] = ct[c].to_numpy() if c in ct.columns else 0
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    aggs = [Sum("n_" + c) for c in categories]
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(*aggs)
+
+    def finish(b: pa.Table) -> pa.Table:
+        cols = {key: b[key]}
+        for c in categories:
+            cols["n_" + c] = pc.cast(b[f"sum(n_{c})"], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def revenue_by_nation(orders: ray.data.Dataset, customer: pa.Table,
                       nation: pa.Table) -> ray.data.Dataset:
     """Total order revenue (int cents) + order count per nation name.

@@ -63,3 +63,31 @@ def test_revenue_by_nation_inner_join_drops_orphans(ray_session):
     # 10.005 → 1001 cents (half away from zero), plus 40.0
     assert out.revenue_cents.tolist() == [1001 + 4000, 2000 + 3000]
     assert out.n_orders.tolist() == [2, 2]
+
+
+def test_rollup_levels(ray_session):
+    from aida_ray.stages.relational import rollup_pricing
+    tbl = _lineitem(n=120, seed=9)
+    out = rollup_pricing(rd.from_arrow(tbl).repartition(6)).to_pandas()
+    finest = out.dropna(subset=["l_returnflag", "l_linestatus"])
+    mid = out[out.l_returnflag.notna() & out.l_linestatus.isna()]
+    total = out[out.l_returnflag.isna()]
+    assert len(total) == 1
+    assert total.count_order.iloc[0] == 120
+    assert finest.count_order.sum() == 120
+    assert mid.count_order.sum() == 120
+    # each mid row equals the sum of its finest children
+    for _, r in mid.iterrows():
+        kids = finest[finest.l_returnflag == r.l_returnflag]
+        assert r.sum_disc_cents == kids.sum_disc_cents.sum()
+
+
+def test_pivot_counts(ray_session):
+    from aida_ray.stages.relational import pivot_counts
+    ev = pa.table({"user_id": [1, 1, 1, 2, 2, 3],
+                   "event_type": ["a", "b", "a", "b", "b", "zzz"]})
+    out = pivot_counts(rd.from_arrow(ev).repartition(3), "user_id",
+                       "event_type", ["a", "b"]).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out.n_a.tolist() == [2, 0, 0]
+    assert out.n_b.tolist() == [1, 2, 0]
