@@ -994,6 +994,55 @@ def q_pivot(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_unpivot(sf_dir: str) -> pa.Table:
+    """UNPIVOT the pivoted event counts back to (user, category, n)."""
+    from aida_ray.stages.relational import pivot_counts, unpivot_counts
+    cats = ["click", "error", "purchase", "signup", "view"]
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    t = _collect(unpivot_counts(
+        pivot_counts(ev, "user_id", "event_type", cats),
+        "user_id", cats)).to_pandas()
+    t = t.sort_values(["user_id", "category"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_group_quantiles(sf_dir: str) -> pa.Table:
+    """Per-group exact quantiles over the distributed (key, value)
+    histogram."""
+    from aida_ray.stages.relational import group_quantiles
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_quantity"])
+    t = _collect(group_quantiles(li, "l_returnflag", "l_quantity",
+                                 [0.25, 0.5, 0.75])).to_pandas()
+    t = t.sort_values(["l_returnflag", "q"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation from mergeable per-block sufficient stats."""
+    from aida_ray.stages.relational import correlation
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_quantity", "l_extendedprice"])
+    r = correlation(li, "l_quantity", "l_extendedprice")
+    return pa.table({"corr_qty_price": pa.array([round(r, 6)],
+                                                pa.float64())})
+
+
+def q_left_join(sf_dir: str) -> pa.Table:
+    """LEFT OUTER shuffle join + null-aware count (zero-match customers
+    keep a 0 row)."""
+    from aida_ray.stages.relational import left_join_urgent_counts
+    c = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_orderkey",
+                                       "o_orderpriority"])
+    t = _collect(left_join_urgent_counts(c, o)).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_window_funcs(sf_dir: str) -> pa.Table:
     """Per-key SQL window functions (ROW_NUMBER / LAG / LEAD / running
     sum) via one hash shuffle + vectorized in-group computation."""
@@ -1447,6 +1496,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_global": q_rank_global,
         "rollup": q_rollup,
         "pivot": q_pivot,
+        "unpivot": q_unpivot,
+        "group_quantiles": q_group_quantiles,
+        "corr": q_corr,
+        "left_join": q_left_join,
         "kg_triples": q_kg_triples,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
@@ -1789,6 +1842,42 @@ def oracle_sql() -> dict[str, str]:
                        END) AS BIGINT) AS n_view
             FROM events
             GROUP BY user_id
+        """,
+        "unpivot": """
+            WITH cats(category) AS (
+                VALUES ('click'), ('error'), ('purchase'), ('signup'),
+                       ('view')),
+            u AS (SELECT DISTINCT user_id FROM events),
+            cnt AS (SELECT user_id, event_type, COUNT(*) AS n
+                    FROM events GROUP BY user_id, event_type)
+            SELECT u.user_id, cats.category,
+                   CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+            FROM u CROSS JOIN cats
+            LEFT JOIN cnt ON cnt.user_id = u.user_id
+                         AND cnt.event_type = cats.category
+        """,
+        "group_quantiles": """
+            SELECT l_returnflag, 0.25 AS q,
+                   quantile_disc(l_quantity, 0.25) AS value
+              FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.5, quantile_disc(l_quantity, 0.5)
+              FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.75, quantile_disc(l_quantity, 0.75)
+              FROM lineitem GROUP BY l_returnflag
+        """,
+        "corr": """
+            SELECT ROUND(corr(l_quantity, l_extendedprice), 6)
+                AS corr_qty_price FROM lineitem
+        """,
+        "left_join": """
+            SELECT c_custkey,
+                   CAST(COUNT(o_orderkey) AS BIGINT) AS n_urgent
+            FROM customer
+            LEFT JOIN orders ON o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT'
+            GROUP BY c_custkey
         """,
         "rank_global": """
             SELECT o_orderkey, o_totalprice,

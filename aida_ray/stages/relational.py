@@ -147,6 +147,128 @@ def pivot_counts(ds: ray.data.Dataset, key: str, pivot_col: str,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def unpivot_counts(pivoted: ray.data.Dataset, key: str,
+                   categories: list[str],
+                   prefix: str = "n_") -> ray.data.Dataset:
+    """UNPIVOT/melt — inverse of :func:`pivot_counts`: each input row
+    explodes into one (key, category, n) row per category column.
+    Stateless per-batch, no shuffle."""
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        keys, cats, vals = [], [], []
+        for c in categories:
+            keys.append(b[key])
+            cats.append(pa.array([c] * n))
+            vals.append(pc.cast(b[prefix + c], pa.int64()))
+        return pa.table({
+            key: pa.concat_arrays([k.combine_chunks() for k in keys]),
+            "category": pa.concat_arrays(cats),
+            "n": pa.concat_arrays([v.combine_chunks() for v in vals]),
+        })
+
+    return pivoted.map_batches(melt, batch_format="pyarrow")
+
+
+def group_quantiles(ds: ray.data.Dataset, key: str, col: str,
+                    qs: list[float]) -> ray.data.Dataset:
+    """Per-group exact discrete quantiles (``quantile_disc`` semantics)
+    over the distributed per-(key, value) histogram — the shuffle and
+    the per-group state track DISTINCT values per key, never row
+    counts, so a billion-row group with bounded value precision is
+    fine."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.table({key: b[key], col: b[col]}).to_pandas()
+        g = df.groupby([key, col], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, col]).aggregate(Sum("n"))
+
+    def per_key(group) -> "pa.Table":
+        import numpy as np
+        g = group.sort_values(col)
+        counts = g["sum(n)"].to_numpy(dtype="int64")
+        values = g[col].to_numpy()
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        rows = {key: [], "q": [], "value": []}
+        for q in qs:
+            idx = max(0, math.ceil(q * n) - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            rows[key].append(g[key].iloc[0])
+            rows["q"].append(q)
+            rows["value"].append(values[min(pos, len(values) - 1)])
+        import pandas as pd
+        return pd.DataFrame(rows)
+
+    return hist.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def correlation(ds: ray.data.Dataset, x: str, y: str) -> float:
+    """Pearson correlation via mergeable sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) — one tiny row per block, summed
+    distributively; no shuffle of the fact table."""
+    def partial(b: pa.Table) -> pa.Table:
+        xv = b[x].to_numpy(zero_copy_only=False).astype(np.float64)
+        yv = b[y].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([float(len(xv))]),
+            "sx": pa.array([xv.sum()]), "sy": pa.array([yv.sum()]),
+            "sxx": pa.array([(xv * xv).sum()]),
+            "syy": pa.array([(yv * yv).sum()]),
+            "sxy": pa.array([(xv * yv).sum()]),
+        })
+
+    stats = ds.select_columns([x, y]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n = stats["n"]
+    cov = stats["sxy"] - stats["sx"] * stats["sy"] / n
+    vx = stats["sxx"] - stats["sx"] ** 2 / n
+    vy = stats["syy"] - stats["sy"] ** 2 / n
+    return float(cov / np.sqrt(vx * vy))
+
+
+def left_join_urgent_counts(customer: ray.data.Dataset,
+                            orders: ray.data.Dataset) -> ray.data.Dataset:
+    """LEFT OUTER shuffle join: every customer row survives; urgent
+    orders attach where they exist; count non-null matches per
+    customer.  Exercises Dataset.join(left_outer) + null-aware
+    aggregation."""
+    from aida_ray.stages.shuffle_join import hash_join
+    urgent = orders.filter(expr="o_orderpriority == '1-URGENT'") \
+        .select_columns(["o_custkey", "o_orderkey"])
+    joined = hash_join(customer.select_columns(["c_custkey"]), urgent,
+                       on=("c_custkey",), right_on=("o_custkey",),
+                       join_type="left_outer")
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.table({
+            "c_custkey": b["c_custkey"],
+            "hit": pc.cast(pc.is_valid(b["o_orderkey"]), pa.int64()),
+        }).to_pandas()
+        g = df.groupby("c_custkey", sort=False).agg(
+            n_urgent=("hit", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("n_urgent"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["c_custkey"],
+                         "n_urgent": pc.cast(b["sum(n_urgent)"],
+                                             pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def revenue_by_nation(orders: ray.data.Dataset, customer: pa.Table,
                       nation: pa.Table) -> ray.data.Dataset:
     """Total order revenue (int cents) + order count per nation name.

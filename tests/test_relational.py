@@ -91,3 +91,53 @@ def test_pivot_counts(ray_session):
         .sort_values("user_id").reset_index(drop=True)
     assert out.n_a.tolist() == [2, 0, 0]
     assert out.n_b.tolist() == [1, 2, 0]
+
+
+def test_unpivot_roundtrip(ray_session):
+    from aida_ray.stages.relational import pivot_counts, unpivot_counts
+    ev = pa.table({"user_id": [1, 1, 2], "event_type": ["a", "a", "b"]})
+    melted = unpivot_counts(
+        pivot_counts(rd.from_arrow(ev), "user_id", "event_type",
+                     ["a", "b"]),
+        "user_id", ["a", "b"]).to_pandas() \
+        .sort_values(["user_id", "category"]).reset_index(drop=True)
+    assert melted.n.tolist() == [2, 0, 0, 1]
+
+
+def test_group_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    from aida_ray.stages.relational import group_quantiles
+    rng = np.random.default_rng(4)
+    tbl = pa.table({"g": rng.choice(["x", "y"], 500).tolist(),
+                    "v": rng.integers(0, 40, 500).astype("float64")})
+    out = group_quantiles(rd.from_arrow(tbl).repartition(6), "g", "v",
+                          [0.5, 0.9]).to_pandas()
+    con = duckdb.connect(); con.register("t", tbl)
+    for _, r in out.iterrows():
+        ref = con.execute(
+            f"SELECT quantile_disc(v, {r.q}) FROM t WHERE g = '{r.g}'"
+        ).fetchone()[0]
+        assert r.value == ref
+
+
+def test_correlation_matches_numpy(ray_session):
+    from aida_ray.stages.relational import correlation
+    rng = np.random.default_rng(8)
+    x = rng.normal(0, 1, 2000)
+    y = 3 * x + rng.normal(0, 0.5, 2000)
+    tbl = pa.table({"x": x, "y": y})
+    r = correlation(rd.from_arrow(tbl).repartition(9), "x", "y")
+    assert abs(r - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+
+def test_left_join_zero_rows_survive(ray_session):
+    from aida_ray.stages.relational import left_join_urgent_counts
+    cust = rd.from_arrow(pa.table({"c_custkey": [1, 2, 3]}))
+    orders = rd.from_arrow(pa.table({
+        "o_custkey": [1, 1, 2],
+        "o_orderkey": [100, 101, 102],
+        "o_orderpriority": ["1-URGENT", "5-LOW", "1-URGENT"]}))
+    out = left_join_urgent_counts(cust, orders).to_pandas() \
+        .sort_values("c_custkey").reset_index(drop=True)
+    assert out.c_custkey.tolist() == [1, 2, 3]
+    assert out.n_urgent.tolist() == [1, 1, 0]
