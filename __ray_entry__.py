@@ -994,6 +994,33 @@ def q_pivot(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Misra-Gries-style heavy hitters over documents.source.  The
+    domain (20 sources) fits every block's top-m, so the sketch
+    degenerates to EXACT counts (bound 0) and hash-matches SQL; the
+    approximate regime is property-tested in tests/test_graphs.py."""
+    from aida_ray.stages.graphs import heavy_hitters
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["source"])
+    t = heavy_hitters(docs, "source", m=64) \
+        .sort_values("value").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank over the order→part bipartite graph (broadcast rank
+    vector, streamed edges; rows-only — iterative, not SQL-expressible).
+    Returns every node with its rank."""
+    from aida_ray.stages.graphs import pagerank
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+    t = pagerank(li, src="l_orderkey", dst="l_partkey", iters=10) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    t["rank"] = t["rank"].round(9)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1496,6 +1523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_global": q_rank_global,
         "rollup": q_rollup,
         "pivot": q_pivot,
+        "heavy_hitters": q_heavy_hitters,
+        "pagerank": q_pagerank,
         "unpivot": q_unpivot,
         "group_quantiles": q_group_quantiles,
         "corr": q_corr,
@@ -1842,6 +1871,11 @@ def oracle_sql() -> dict[str, str]:
                        END) AS BIGINT) AS n_view
             FROM events
             GROUP BY user_id
+        """,
+        "heavy_hitters": """
+            SELECT source AS value, COUNT(*) AS est,
+                   CAST(0 AS BIGINT) AS max_undercount
+            FROM documents GROUP BY source
         """,
         "unpivot": """
             WITH cats(category) AS (

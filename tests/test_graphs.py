@@ -1,0 +1,59 @@
+"""Tests for PageRank (vs dense numpy power iteration) and the
+heavy-hitters sketch (coverage + bound guarantees)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _numpy_pagerank(src, dst, n, damping=0.85, iters=20):
+    outd = np.bincount(src, minlength=n).astype(float)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        share = rank / np.maximum(outd, 1.0)
+        mass = np.bincount(dst, weights=share[src], minlength=n)
+        dangling = rank[outd == 0].sum()
+        rank = (1 - damping) / n + damping * (mass + dangling / n)
+    return rank
+
+
+def test_pagerank_matches_numpy(ray_session):
+    from aida_ray.stages.graphs import pagerank
+    rng = np.random.default_rng(17)
+    n = 60
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst})) \
+        .repartition(5)
+    out = pagerank(edges, iters=15).to_pandas().set_index("node")["rank"]
+    ref = _numpy_pagerank(src, dst, n, iters=15)
+    present = np.unique(np.concatenate([src, dst]))
+    # same node universe (nodes with no edges aren't in the table)
+    assert sorted(out.index) == sorted(present)
+    # ranks match the dense reference on the shared universe;
+    # isolated-node absence shifts normalization by a constant factor
+    sub = ref[present] / ref[present].sum()
+    mine = out.loc[present].to_numpy() / out.loc[present].sum()
+    assert np.allclose(mine, sub, atol=1e-9)
+    assert abs(out.sum() - 1.0) < 1e-9
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    from aida_ray.stages.graphs import heavy_hitters
+    rng = np.random.default_rng(23)
+    # 3 planted heavies + a long zipf tail
+    tail = [f"t{i}" for i in rng.integers(0, 5000, 20000)]
+    data = ["HOT_A"] * 5000 + ["HOT_B"] * 3000 + ["HOT_C"] * 1500 + tail
+    rng.shuffle(data)
+    ds = rd.from_arrow(pa.table({"v": data})).repartition(8)
+    out = heavy_hitters(ds, "v", m=32)
+    top3 = out.head(3)
+    assert set(top3.value) == {"HOT_A", "HOT_B", "HOT_C"}
+    truth = pd.Series(data).value_counts()
+    for _, r in out.iterrows():
+        t = truth[r.value]
+        assert r.est <= t <= r.est + r.max_undercount, (r.value, t, r.est)
