@@ -1021,6 +1021,27 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_month_revenue(sf_dir: str) -> pa.Table:
+    """Calendar (month) revenue rollup — date_trunc semantics."""
+    from aida_ray.stages.relational import monthly_revenue
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderdate", "o_totalprice"])
+    t = _collect(monthly_revenue(o)).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_unnest(sf_dir: str) -> pa.Table:
+    """UNNEST the embedding list column with ordinality (vectorized
+    flatten, no shuffle)."""
+    from aida_ray.stages.relational import unnest_list
+    e = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    t = _collect(unnest_list(e, "vec_id", "embedding")).to_pandas() \
+        .sort_values(["vec_id", "pos"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1525,6 +1546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
         "pagerank": q_pagerank,
+        "month_revenue": q_month_revenue,
+        "unnest": q_unnest,
         "unpivot": q_unpivot,
         "group_quantiles": q_group_quantiles,
         "corr": q_corr,
@@ -1876,6 +1899,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS value, COUNT(*) AS est,
                    CAST(0 AS BIGINT) AS max_undercount
             FROM documents GROUP BY source
+        """,
+        "month_revenue": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                       AS month,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "unnest": """
+            SELECT vec_id,
+                   CAST(generate_subscripts(embedding, 1) AS BIGINT)
+                       AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings
         """,
         "unpivot": """
             WITH cats(category) AS (

@@ -269,6 +269,56 @@ def left_join_urgent_counts(customer: ray.data.Dataset,
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def monthly_revenue(orders: ray.data.Dataset) -> ray.data.Dataset:
+    """Calendar rollup: revenue + order count per month
+    (``date_trunc('month')`` semantics, emitted as 'YYYY-MM' strings so
+    the comparison is representation-stable).  Same partial-agg shape
+    as :func:`pricing_summary` — the shuffle ships months, not orders."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        month = pc.strftime(b["o_orderdate"], format="%Y-%m")
+        t = pa.table({"month": month,
+                      "cents": _cents(b["o_totalprice"])}).to_pandas()
+        g = t.groupby("month", sort=False).agg(
+            revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    agg = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("month").aggregate(Sum("revenue_cents"), Sum("n_orders"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": b["month"],
+            "revenue_cents": pc.cast(b["sum(revenue_cents)"], pa.int64()),
+            "n_orders": pc.cast(b["sum(n_orders)"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def unnest_list(ds: ray.data.Dataset, id_col: str,
+                list_col: str) -> ray.data.Dataset:
+    """UNNEST a list column with 1-based ordinality — fully vectorized
+    per batch (flatten + repeat by list length), stateless, no
+    shuffle.  Output: (id, pos, val)."""
+    def explode(b: pa.Table) -> pa.Table:
+        arr = b[list_col].combine_chunks()
+        lengths = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        flat = arr.flatten()
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), lengths)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        pos = np.arange(len(flat), dtype=np.int64) - starts + 1
+        return pa.table({
+            id_col: pa.array(ids),
+            "pos": pa.array(pos, pa.int64()),
+            "val": pc.cast(flat, pa.float64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def revenue_by_nation(orders: ray.data.Dataset, customer: pa.Table,
                       nation: pa.Table) -> ray.data.Dataset:
     """Total order revenue (int cents) + order count per nation name.

@@ -141,3 +141,29 @@ def test_left_join_zero_rows_survive(ray_session):
         .sort_values("c_custkey").reset_index(drop=True)
     assert out.c_custkey.tolist() == [1, 2, 3]
     assert out.n_urgent.tolist() == [1, 1, 0]
+
+
+def test_unnest_list_layout(ray_session):
+    from aida_ray.stages.relational import unnest_list
+    tbl = pa.table({"id": [1, 2, 3],
+                    "xs": [[1.0, 2.0], [], [5.0]]})
+    out = unnest_list(rd.from_arrow(tbl).repartition(2), "id", "xs") \
+        .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out.id.tolist() == [1, 1, 3]
+    assert out.pos.tolist() == [1, 2, 1]
+    assert out.val.tolist() == [1.0, 2.0, 5.0]
+
+
+def test_monthly_revenue_buckets(ray_session):
+    import pandas as pd
+    from aida_ray.stages.relational import monthly_revenue
+    o = pa.table({
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-15", "2024-01-31 23:59:59", "2024-02-01"],
+            format="mixed"),
+        "o_totalprice": [10.0, 20.0, 40.0]})
+    out = monthly_revenue(rd.from_arrow(o).repartition(2)).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    assert out.month.tolist() == ["2024-01", "2024-02"]
+    assert out.revenue_cents.tolist() == [3000, 4000]
+    assert out.n_orders.tolist() == [2, 1]
