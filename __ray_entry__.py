@@ -1042,6 +1042,32 @@ def q_unnest(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_incremental_dedup(sf_dir: str) -> pa.Table:
+    """Incremental crawl-ingest dedup: Bloom prefilter built
+    distributively from the SEEN side + anti-join for the maybe-seen
+    sliver only (shuffle ~ FPR x |new|)."""
+    from aida_ray.stages.incremental import incremental_dedup
+    docs = os.path.join(sf_dir, "documents.parquet")
+    def _mod(k):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pc.equal(pc.bit_wise_and(b["doc_id"], k - 1), 0) \
+                if k & (k - 1) == 0 else \
+                pc.equal(pc.subtract(
+                    b["doc_id"],
+                    pc.multiply(pc.divide(b["doc_id"], k), k)), 0)
+            return b.filter(keep)
+        return f
+    new = ray.data.read_parquet(docs, columns=["doc_id", "text"]) \
+        .map_batches(_mod(3), batch_format="pyarrow")
+    seen = ray.data.read_parquet(docs, columns=["doc_id", "text"]) \
+        .map_batches(_mod(2), batch_format="pyarrow") \
+        .select_columns(["text"])
+    t = _collect(incremental_dedup(new, seen, "text",
+                                   num_bits=1 << 18)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1546,6 +1572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
         "pagerank": q_pagerank,
+        "incremental_dedup": q_incremental_dedup,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,
@@ -1899,6 +1926,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT source AS value, COUNT(*) AS est,
                    CAST(0 AS BIGINT) AS max_undercount
             FROM documents GROUP BY source
+        """,
+        "incremental_dedup": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id % 3 = 0
+              AND text NOT IN (SELECT text FROM documents
+                               WHERE doc_id % 2 = 0)
         """,
         "month_revenue": """
             SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
