@@ -1068,6 +1068,40 @@ def q_incremental_dedup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_kmeans(sf_dir: str) -> pa.Table:
+    """Distributed k-means over the embeddings table (broadcast
+    centroids, per-batch partial sums; rows-only — iterative).
+    Deterministic: farthest-point seeding over a blocking-invariant
+    bottom-k-hash sample."""
+    from aida_ray.stages.ml import assign_clusters, kmeans
+    e = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    cents = kmeans(e, "embedding", "vec_id", k=8, iters=5)
+    t = assign_clusters(e, "embedding", "vec_id", cents).to_pandas() \
+        .groupby("cluster").size().rename("n").reset_index() \
+        .sort_values("cluster").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_pca(sf_dir: str) -> pa.Table:
+    """Exact distributed PCA (one pass of mergeable covariance
+    partials) + stateless projection; rows-only (eigendecomposition
+    is not SQL-expressible)."""
+    from aida_ray.stages.ml import pca_fit, pca_project
+    e = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding"])
+    mean, comps = pca_fit(e, "embedding", 2)
+    t = pca_project(e, "embedding", "vec_id", mean, comps).to_pandas()
+    import pandas as pd
+    proj = pd.DataFrame(
+        {"vec_id": t.vec_id,
+         "pc1": [round(float(p[0]), 6) for p in t.proj],
+         "pc2": [round(float(p[1]), 6) for p in t.proj]})
+    return pa.Table.from_pandas(
+        proj.sort_values("vec_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1573,6 +1607,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "pagerank": q_pagerank,
         "incremental_dedup": q_incremental_dedup,
+        "kmeans": q_kmeans,
+        "pca": q_pca,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,

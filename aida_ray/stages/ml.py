@@ -1,0 +1,165 @@
+"""Distributed ML primitives over embedding columns — k-means and PCA.
+
+Both follow the mergeable-sufficient-statistics pattern (the only
+communication shape that survives 10^12 rows):
+
+- :func:`kmeans` — Lloyd's iterations with centroids BROADCAST
+  (``ray.put`` per round) and per-batch partial sums: each batch emits
+  (cluster, vec-sum, count) — k×d floats — merged by one tiny
+  groupby-free driver reduction.  The fact table streams every round;
+  nothing is ever gathered.  Deterministic: k-means++-style seeding from
+  a fixed-seed sample (`sketches`-style bottom-k hashing picks the
+  sample independently of blocking).
+- :func:`pca_fit` — covariance from per-block partials (Σx, Σxxᵀ, n —
+  d×d floats per block), eigendecomposition on the driver (d ≪ rows);
+  :func:`pca_project` broadcasts the component matrix and projects
+  statelessly.
+
+Error/equivalence bounds are tested against dense numpy references in
+``tests/test_ml.py``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from aida_ray.stages.dedup import _get_cached
+
+
+def _batch_matrix(b: pa.Table, col: str) -> np.ndarray:
+    arr = b[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    return flat.reshape(n, -1).astype(np.float64, copy=False)
+
+
+def _seed_sample(ds: ray.data.Dataset, col: str, id_col: str,
+                 n_sample: int) -> np.ndarray:
+    """Blocking-invariant deterministic sample: bottom-``n_sample``
+    rows by a stable per-id hash (same trick as
+    `sampling.bottomk_sample`)."""
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            pd.Series(b[id_col].to_numpy(zero_copy_only=False)),
+            index=False).to_numpy(dtype=np.uint64)
+        order = np.argsort(h, kind="stable")[:n_sample]
+        return pa.table({
+            "h": pa.array(h[order].astype(np.int64)),
+            "vec": pa.array(list(_batch_matrix(b, col)[order])),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = rows.sort_values("h", kind="stable").head(n_sample)
+    return np.stack(rows["vec"].to_numpy())
+
+
+def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
+           iters: int = 10, sample: int = 1024) -> np.ndarray:
+    """Returns the (k, d) centroid matrix after ``iters`` Lloyd
+    rounds.  Seeding: greedy farthest-point (k-means++ without
+    randomness) over a deterministic bottom-k-hash sample."""
+    S = _seed_sample(ds, col, id_col, sample)
+    cents = [S[0]]
+    d2 = np.sum((S - cents[0]) ** 2, axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        cents.append(S[nxt])
+        d2 = np.minimum(d2, np.sum((S - S[nxt]) ** 2, axis=1))
+    centroids = np.stack(cents)
+
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(b: pa.Table) -> pa.Table:
+            c = _get_cached(cref)
+            x = _batch_matrix(b, col)
+            # ||x-c||² = ||x||² - 2 x·cᵀ + ||c||²; argmin over c
+            assign = np.argmin(
+                -2 * x @ c.T + np.sum(c * c, axis=1), axis=1)
+            kk, dd = c.shape
+            sums = np.zeros((kk, dd))
+            np.add.at(sums, assign, x)
+            counts = np.bincount(assign, minlength=kk).astype(np.float64)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "vec_sum": pa.array(list(sums)),
+                "n": pa.array(counts),
+            })
+
+        parts = ds.map_batches(partial,
+                               batch_format="pyarrow").to_pandas()
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids))
+        for _, r in parts.iterrows():
+            sums[r.cluster] += np.asarray(r.vec_sum)
+            counts[r.cluster] += r.n
+        nz = counts > 0
+        centroids = centroids.copy()
+        centroids[nz] = sums[nz] / counts[nz, None]
+    return centroids
+
+
+def assign_clusters(ds: ray.data.Dataset, col: str, id_col: str,
+                    centroids: np.ndarray) -> ray.data.Dataset:
+    """(id, cluster) for every row — stateless broadcast assignment."""
+    cref = ray.put(centroids)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = _get_cached(cref)
+        x = _batch_matrix(b, col)
+        a = np.argmin(-2 * x @ c.T + np.sum(c * c, axis=1), axis=1)
+        return pa.table({id_col: b[id_col],
+                         "cluster": pa.array(a, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pca_fit(ds: ray.data.Dataset, col: str,
+            n_components: int) -> tuple[np.ndarray, np.ndarray]:
+    """Exact PCA from one distributed pass of (n, Σx, Σxxᵀ) partials.
+    Returns (mean, components) with components rows = top eigenvectors
+    (sign-normalized: largest-|coord| entry positive)."""
+    def partial(b: pa.Table) -> pa.Table:
+        x = _batch_matrix(b, col)
+        return pa.table({
+            "n": pa.array([float(len(x))]),
+            "sx": pa.array([x.sum(axis=0)]),
+            "sxx": pa.array([(x.T @ x).ravel()]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = parts["n"].sum()
+    sx = np.sum(np.stack(parts["sx"].to_numpy()), axis=0)
+    d = len(sx)
+    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0).reshape(d, d)
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :n_components].T
+    # deterministic sign: largest-|coordinate| positive
+    for i in range(len(comps)):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_project(ds: ray.data.Dataset, col: str, id_col: str,
+                mean: np.ndarray, comps: np.ndarray) -> ray.data.Dataset:
+    """Stateless projection onto the fitted components."""
+    pref = ray.put((mean, comps))
+
+    def project(b: pa.Table) -> pa.Table:
+        m, c = _get_cached(pref)
+        x = _batch_matrix(b, col) - m
+        z = x @ c.T
+        return pa.table({id_col: b[id_col],
+                         "proj": pa.array(list(z))})
+
+    return ds.map_batches(project, batch_format="pyarrow")
