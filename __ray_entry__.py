@@ -1102,6 +1102,21 @@ def q_pca(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_bpe_train(sf_dir: str) -> pa.Table:
+    """Train a BPE tokenizer on the corpus (distributed word counts,
+    vocab-sized merge loop) and encode every document on an actor pool
+    (rows-only — iterative merge learning is not SQL-expressible;
+    determinism + losslessness are property-tested)."""
+    from aida_ray.stages.bpe import bpe_token_counts, learn_bpe
+    docs = ray.data.read_parquet(os.path.join(sf_dir,
+                                              "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    merges = learn_bpe(docs, "text", num_merges=60, min_count=2)
+    t = _collect(bpe_token_counts(docs, merges)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1609,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": q_incremental_dedup,
         "kmeans": q_kmeans,
         "pca": q_pca,
+        "bpe_train": q_bpe_train,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,
