@@ -1117,6 +1117,28 @@ def q_bpe_train(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_quality_classifier(sf_dir: str) -> pa.Table:
+    """Train a linear quality classifier (distributed full-batch GD,
+    broadcast weights + gradient partials) on the embeddings table
+    (binary target: label < 5) and score every row (rows-only —
+    iterative; trajectory-equality vs numpy is property-tested)."""
+    from aida_ray.stages.classifier import logreg_score, logreg_train
+
+    def binlabel(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "y", pc.cast(pc.less(b["label"], 5), pa.int64()))
+
+    e = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                              columns=["vec_id", "embedding", "label"]) \
+        .map_batches(binlabel, batch_format="pyarrow")
+    w, b = logreg_train(e, "embedding", "y", iters=25, lr=0.5)
+    t = logreg_score(e, "embedding", "vec_id", w, b).to_pandas()
+    t["score"] = t["score"].round(6)
+    return pa.Table.from_pandas(
+        t.sort_values("vec_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1625,6 +1647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "pca": q_pca,
         "bpe_train": q_bpe_train,
+        "quality_classifier": q_quality_classifier,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,
