@@ -1139,6 +1139,18 @@ def q_quality_classifier(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_distinct_per_group(sf_dir: str) -> pa.Table:
+    """Exact COUNT(DISTINCT) GROUP BY via block-local pair dedup +
+    distinct-pair shuffle (volume = distinct pairs, never rows)."""
+    from aida_ray.stages.sketches import count_distinct_per_group
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_partkey"])
+    t = _collect(count_distinct_per_group(li, "l_returnflag",
+                                          "l_partkey")).to_pandas() \
+        .sort_values("l_returnflag").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1648,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca": q_pca,
         "bpe_train": q_bpe_train,
         "quality_classifier": q_quality_classifier,
+        "distinct_per_group": q_distinct_per_group,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,
@@ -1955,6 +1968,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_count": """
             SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+        "distinct_per_group": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_distinct
+            FROM lineitem GROUP BY l_returnflag
         """,
         "window_funcs": """
             SELECT user_id, event_id,

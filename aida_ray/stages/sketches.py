@@ -45,6 +45,78 @@ import ray.data
 
 # ------------------------------------------------------------- exact
 
+def count_distinct_per_group(ds: ray.data.Dataset, key: str,
+                             col: str) -> ray.data.Dataset:
+    """Exact COUNT(DISTINCT col) GROUP BY key: block-local (key, value)
+    dedup, one shuffle over surviving distinct pairs, then a per-key
+    count — shuffle volume is Σ|distinct values per key|, never rows."""
+    def local_distinct(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pa.table({key: b[key], col: b[col]}).to_pandas() \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.select_columns([key, col]) \
+        .map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby([key, col]).count()
+
+    def per_key(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = b.to_pandas().groupby(key, sort=False).size() \
+            .rename("n_distinct").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+    # the distinct-pair table may span blocks per key: count per block,
+    # then sum per key (counts of disjoint distinct pairs add exactly)
+    return pairs.map_batches(per_key, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("n_distinct")) \
+        .map_batches(lambda b: pa.table({
+            key: b[key],
+            "n_distinct": pc.cast(b[f"sum(n_distinct)"], pa.int64())}),
+            batch_format="pyarrow")
+
+
+def hll_count_per_group(ds: ray.data.Dataset, key: str, col: str,
+                        p: int = 12) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT) per key — one register row per
+    (block, key) partial, merged by elementwise max inside a per-key
+    group.  The at-scale shape when Σ|distinct per key| itself is too
+    big to shuffle: the shuffle carries keys × 2^p bytes instead."""
+    m = 1 << p
+
+    def per_block(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ks = b[key].to_pandas()
+        hs = _hash64(b[col].combine_chunks())
+        rows_k, rows_r = [], []
+        for kv, idx in pd.Series(range(len(ks))).groupby(ks).groups.items():
+            regs = _hll_registers(hs[np.asarray(idx)], p)
+            rows_k.append(kv)
+            rows_r.append(regs.tobytes())
+        return pa.table({key: pa.array(rows_k),
+                         "regs": pa.array(rows_r, pa.binary())})
+
+    partials = ds.select_columns([key, col]) \
+        .map_batches(per_block, batch_format="pyarrow")
+
+    def merge(group) -> "object":
+        import math as _math
+
+        import pandas as pd
+        regs = np.zeros(m, dtype=np.int8)
+        for r in group["regs"]:
+            regs = np.maximum(regs, np.frombuffer(r, dtype=np.int8))
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int(np.sum(regs == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * _math.log(m / zeros)
+        return pd.DataFrame({key: [group[key].iloc[0]],
+                             "approx_distinct": [float(est)]})
+
+    return partials.groupby(key).map_groups(merge, batch_format="pandas")
+
 def count_distinct(ds: ray.data.Dataset, col: str) -> int:
     """Exact COUNT(DISTINCT col): block-local dedup (free, no shuffle)
     then a key shuffle over the surviving distinct values only."""

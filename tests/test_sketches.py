@@ -53,3 +53,29 @@ def test_quantile_sketch_rank_error(ray_session):
     for q, v in zip(out.q, out.value):
         rank = np.searchsorted(xs, v) / len(xs)
         assert abs(rank - q) < 0.02, (q, v, rank)
+
+
+def test_count_distinct_per_group_exact(ray_session):
+    import pandas as pd
+    from aida_ray.stages.sketches import count_distinct_per_group
+    rng = np.random.default_rng(6)
+    g = rng.choice(["a", "b", "c"], 4000)
+    v = rng.integers(0, 300, 4000)
+    ds = rd.from_arrow(pa.table({"g": g.tolist(), "v": v})).repartition(7)
+    out = count_distinct_per_group(ds, "g", "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    ref = pd.DataFrame({"g": g, "v": v}).groupby("g").v.nunique()
+    assert out.n_distinct.tolist() == [ref["a"], ref["b"], ref["c"]]
+
+
+def test_hll_per_group_error(ray_session):
+    from aida_ray.stages.sketches import hll_count_per_group
+    gs, vs = [], []
+    for gname, n in [("big", 20000), ("small", 300)]:
+        gs += [gname] * n
+        vs += [f"{gname}_{i}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"g": gs, "v": vs})).repartition(9)
+    out = hll_count_per_group(ds, "g", "v", p=12).to_pandas() \
+        .set_index("g").approx_distinct
+    assert abs(out["big"] - 20000) / 20000 < 0.07
+    assert abs(out["small"] - 300) / 300 < 0.07
