@@ -1151,6 +1151,29 @@ def q_distinct_per_group(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_set_ops(sf_dir: str) -> pa.Table:
+    """SQL INTERSECT / EXCEPT via distinct + semi/anti shuffle joins:
+    event users ∩ customer keys, and customer keys ∖ event users."""
+    import pandas as pd
+
+    from aida_ray.stages.shuffle_join import table_except, table_intersect
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"]) \
+        .map_batches(lambda b: b.rename_columns(["key"]),
+                     batch_format="pyarrow")
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey"]) \
+        .map_batches(lambda b: b.rename_columns(["key"]),
+                     batch_format="pyarrow")
+    inter = table_intersect(ev, cust, ["key"]).to_pandas()
+    diff = table_except(cust, ev, ["key"]).to_pandas()
+    inter["op"] = "intersect"
+    diff["op"] = "except"
+    t = pd.concat([inter, diff], ignore_index=True) \
+        .sort_values(["op", "key"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1661,6 +1684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train": q_bpe_train,
         "quality_classifier": q_quality_classifier,
         "distinct_per_group": q_distinct_per_group,
+        "set_ops": q_set_ops,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,
@@ -1969,6 +1993,15 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count": """
             SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem
         """,
+        "set_ops": """
+            SELECT key, 'intersect' AS op FROM (
+                SELECT DISTINCT user_id AS key FROM events
+                INTERSECT SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT key, 'except' FROM (
+                SELECT c_custkey AS key FROM customer
+                EXCEPT SELECT DISTINCT user_id FROM events)
+        """,
         "distinct_per_group": """
             SELECT l_returnflag,
                    COUNT(DISTINCT l_partkey) AS n_distinct
@@ -1984,7 +2017,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                       AS cum_cents
+                       AS cum_cents,
+                   CAST(NTILE(4) OVER w AS BIGINT) AS ntile4,
+                   PERCENT_RANK() OVER w AS pct_rank,
+                   CAST(FIRST_VALUE(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER w AS BIGINT) AS first_cents,
+                   CAST(LAST_VALUE(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND
+                              UNBOUNDED FOLLOWING) AS BIGINT)
+                       AS last_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,

@@ -111,6 +111,58 @@ def salted_join(probe: ray.data.Dataset, build: ray.data.Dataset,
     return joined.drop_columns(["_salt"])
 
 
+def _distinct(ds: ray.data.Dataset,
+              cols: Sequence[str]) -> ray.data.Dataset:
+    """SQL-DISTINCT on `cols`: block-local dedup (free) then the key
+    shuffle dedups globally — volume tracks distinct tuples."""
+    def local(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        return pa.Table.from_pandas(
+            pa.table({c: b[c] for c in cols}).to_pandas()
+            .drop_duplicates(), preserve_index=False)
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby(list(cols)).count().drop_columns(["count()"])
+
+
+def _set_op(a: ray.data.Dataset, b: ray.data.Dataset,
+            cols: Sequence[str], want: int) -> ray.data.Dataset:
+    """Shared INTERSECT/EXCEPT plan: distinct each side, tag with a
+    presence bit (a=1, b=2), union, ONE groupby-sum — keys with
+    bitmask `want` survive.  Cheaper than a join (no aggregator actor
+    pool, one shuffle of distinct tuples)."""
+    from ray.data.aggregate import Sum
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_side", pa.array([side] * len(t), pa.int64()))
+        return f
+
+    both = _distinct(a, cols).map_batches(tag(1), batch_format="pyarrow") \
+        .union(_distinct(b, cols).map_batches(tag(2),
+                                              batch_format="pyarrow"))
+    agg = both.groupby(list(cols)).aggregate(Sum("_side"))
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t["sum(_side)"], want)
+        return t.filter(mask).select(list(cols))
+
+    return agg.map_batches(keep, batch_format="pyarrow")
+
+
+def table_intersect(a: ray.data.Dataset, b: ray.data.Dataset,
+                    cols: Sequence[str]) -> ray.data.Dataset:
+    """SQL INTERSECT — distinct rows present in both sides."""
+    return _set_op(a, b, cols, want=3)
+
+
+def table_except(a: ray.data.Dataset, b: ray.data.Dataset,
+                 cols: Sequence[str]) -> ray.data.Dataset:
+    """SQL EXCEPT — distinct rows of `a` absent from `b`."""
+    return _set_op(a, b, cols, want=1)
+
+
 # ------------------------------------------------------- demo pipelines
 
 def order_lineitem_revenue(lineitem: ray.data.Dataset,

@@ -58,13 +58,25 @@ def partitioned_window(events: ray.data.Dataset, key: str = "user_id",
         cents = np.floor(np.abs(g[val_col].to_numpy()) * 100 + 0.5) \
             * np.sign(g[val_col].to_numpy())
         cents = cents.astype("int64")
+        n = len(g)
+        # NTILE(4): first n%4 buckets get ceil(n/4) rows (SQL exact)
+        q, r = divmod(n, 4)
+        sizes = np.full(4, q, dtype="int64")
+        sizes[:r] += 1
+        ntile = np.repeat(np.arange(1, 5, dtype="int64"), sizes)[:n]
+        idx0 = np.arange(n, dtype="int64")
+        pct = idx0 / (n - 1) if n > 1 else np.zeros(n)
         out = pd.DataFrame({
             key: g[key],
             id_col: g[id_col],
-            "rn": np.arange(1, len(g) + 1, dtype="int64"),
+            "rn": idx0 + 1,
             "prev_cents": pd.array(np.roll(cents, 1), dtype="Int64"),
             "next_cents": pd.array(np.roll(cents, -1), dtype="Int64"),
             "cum_cents": np.cumsum(cents),
+            "ntile4": ntile,
+            "pct_rank": pct,
+            "first_cents": np.full(n, cents[0] if n else 0),
+            "last_cents": np.full(n, cents[-1] if n else 0),
         })
         if len(out):
             out.loc[0, "prev_cents"] = pd.NA

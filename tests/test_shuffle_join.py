@@ -49,3 +49,16 @@ def test_salted_join_equals_plain_under_skew(ray_session):
     key = lambda df: sorted(map(tuple, df[["k", "v", "w"]].values))
     assert key(plain) == key(salted)
     assert len(salted) == 1000
+
+
+def test_set_ops_semantics(ray_session):
+    from aida_ray.stages.shuffle_join import table_except, table_intersect
+    a = rd.from_arrow(pa.table({"k": [1, 1, 2, 3, 3, 3, 4]}))
+    b = rd.from_arrow(pa.table({"k": [3, 4, 4, 5]}))
+    inter = sorted(table_intersect(a, b, ["k"]).to_pandas().k)
+    exc = sorted(table_except(a, b, ["k"]).to_pandas().k)
+    assert inter == [3, 4]
+    assert exc == [1, 2]
+    # EXCEPT is directional
+    exc_ba = sorted(table_except(b, a, ["k"]).to_pandas().k)
+    assert exc_ba == [5]

@@ -43,3 +43,21 @@ def test_global_rank_with_ties(ray_session):
     ref["dense_rank"] = ref.v.rank(method="dense").astype(int)
     assert out["rank"].tolist() == ref["rank"].tolist()
     assert out["dense_rank"].tolist() == ref["dense_rank"].tolist()
+
+
+def test_window_ntile_pct_first_last(ray_session):
+    import pandas as pd
+    from aida_ray.stages.windows import partitioned_window
+    ev = pa.table({
+        "user_id": [1] * 6,
+        "event_id": list(range(6)),
+        "ts": pd.to_datetime([f"2024-01-0{i+1}" for i in range(6)]),
+        "value": [float(i) for i in range(6)],
+    })
+    out = partitioned_window(rd.from_arrow(ev).repartition(3)) \
+        .to_pandas().sort_values("rn").reset_index(drop=True)
+    # NTILE(4) over 6 rows: sizes 2,2,1,1
+    assert out.ntile4.tolist() == [1, 1, 2, 2, 3, 4]
+    assert out.pct_rank.tolist() == [i / 5 for i in range(6)]
+    assert out.first_cents.tolist() == [0] * 6
+    assert out.last_cents.tolist() == [500] * 6
