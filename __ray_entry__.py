@@ -1174,6 +1174,35 @@ def q_set_ops(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_latest_snapshot(sf_dir: str) -> pa.Table:
+    """Crawl-recrawl dedup: keep the LATEST snapshot per url.  A
+    deterministic multi-snapshot crawl is derived from documents
+    (doc_id % 3 + 1 snapshots each, increasing warc_ts), then
+    top-1-per-url by timestamp via the map-side-pruned top-k operator
+    — shuffle volume ≤ urls × blocks, never snapshots."""
+    from aida_ray.stages.topk import top_k_per_group
+
+    def snapshots(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False)
+        reps = (did % 3 + 1).astype("int64")
+        rid = np.repeat(did, reps)
+        starts = np.repeat(np.cumsum(reps) - reps, reps)
+        rev = np.arange(len(rid), dtype="int64") - starts
+        return pa.table({
+            "url": pa.array(["http://doc/" + str(i) for i in rid]),
+            "warc_ts_ms": pa.array(EPOCH_MS + rid * 1000 + rev * 100,
+                                   pa.int64()),
+            "rev": pa.array(rev, pa.int64()),
+        })
+
+    crawl = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]) \
+        .map_batches(snapshots, batch_format="pyarrow")
+    t = _collect(top_k_per_group(crawl, "url", "warc_ts_ms", k=1)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_unpivot(sf_dir: str) -> pa.Table:
     """UNPIVOT the pivoted event counts back to (user, category, n)."""
     from aida_ray.stages.relational import pivot_counts, unpivot_counts
@@ -1685,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "distinct_per_group": q_distinct_per_group,
         "set_ops": q_set_ops,
+        "latest_snapshot": q_latest_snapshot,
         "month_revenue": q_month_revenue,
         "unnest": q_unnest,
         "unpivot": q_unpivot,
@@ -1992,6 +2022,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_count": """
             SELECT COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem
+        """,
+        "latest_snapshot": f"""
+            WITH crawl AS (
+                SELECT 'http://doc/' || CAST(doc_id AS VARCHAR) AS url,
+                       {EPOCH_MS} + doc_id * 1000 + rev * 100
+                           AS warc_ts_ms,
+                       CAST(rev AS BIGINT) AS rev
+                FROM documents,
+                     (SELECT UNNEST([0, 1, 2]) AS rev) revs
+                WHERE rev <= doc_id % 3
+            )
+            SELECT url, warc_ts_ms, rev FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+                           ORDER BY warc_ts_ms DESC) AS rn
+                FROM crawl) WHERE rn = 1
         """,
         "set_ops": """
             SELECT key, 'intersect' AS op FROM (

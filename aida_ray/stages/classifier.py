@@ -36,7 +36,9 @@ def logreg_train(ds: ray.data.Dataset, feat_col: str, label_col: str,
                  l2: float = 1e-4) -> tuple[np.ndarray, float]:
     """Returns (weights, bias) after ``iters`` full-batch GD steps with
     per-step gradient normalization by n (so lr is scale-free)."""
-    # feature dim + row count from one cheap pass
+    # pin the (pruned) input once — each GD step re-streams these
+    # blocks instead of re-executing the read pipeline per pass
+    ds = ds.select_columns([feat_col, label_col]).materialize()
     first = ds.take_batch(1, batch_format="pyarrow")
     d = len(first[feat_col][0])
     w = np.zeros(d)

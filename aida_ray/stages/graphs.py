@@ -33,7 +33,8 @@ from aida_ray.stages.dedup import _get_cached
 
 
 def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
-             damping: float = 0.85, iters: int = 20) -> pa.Table:
+             damping: float = 0.85, iters: int = 20,
+             dense_threshold: int = 4_000_000) -> pa.Table:
     """PageRank over a (src, dst) edge Dataset.  Returns
     (node, rank) for every node, ranks summing to 1."""
     from ray.data.aggregate import Sum
@@ -62,25 +63,49 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     rank = np.full(n, 1.0 / n)
 
     edges = edges.materialize()           # reused every iteration
+    dense = n <= dense_threshold   # dense partials ≤ 32 MB per block row
     for _ in range(iters):
         state_ref = ray.put((nodes, rank / np.maximum(outd, 1.0)))
 
-        def contrib(b: pa.Table) -> pa.Table:
-            nd, share = _get_cached(state_ref)
-            si = np.searchsorted(nd, b[src].to_numpy(zero_copy_only=False))
-            df = pd.DataFrame({
-                "node": b[dst].to_numpy(zero_copy_only=False),
-                "mass": share[si],
-            })
-            g = df.groupby("node", sort=False).agg(
-                mass=("mass", "sum")).reset_index()
-            return pa.Table.from_pandas(g, preserve_index=False)
+        if dense:
+            # one map-only pass: each block emits a DENSE length-n mass
+            # vector (np.bincount — no shuffle at all); the driver sums
+            # O(blocks) vectors.  For n beyond broadcast scale, the
+            # groupby route below keeps the shuffle sparse.
+            def contrib_dense(b: pa.Table) -> pa.Table:
+                nd, share = _get_cached(state_ref)
+                si = np.searchsorted(nd, b[src].to_numpy(
+                    zero_copy_only=False))
+                di = np.searchsorted(nd, b[dst].to_numpy(
+                    zero_copy_only=False))
+                mass = np.bincount(di, weights=share[si],
+                                   minlength=len(nd))
+                return pa.table({"mass": pa.array([mass.tobytes()],
+                                                  pa.binary())})
 
-        got = edges.map_batches(contrib, batch_format="pyarrow") \
-            .groupby("node").aggregate(Sum("mass")).to_pandas()
-        mass = np.zeros(n)
-        gi = np.searchsorted(nodes, got["node"].to_numpy())
-        mass[gi] = got["sum(mass)"].to_numpy(dtype="float64")
+            rows = edges.map_batches(contrib_dense,
+                                     batch_format="pyarrow").take_all()
+            mass = np.zeros(n)
+            for r in rows:
+                mass += np.frombuffer(r["mass"], dtype=np.float64)
+        else:
+            def contrib(b: pa.Table) -> pa.Table:
+                nd, share = _get_cached(state_ref)
+                si = np.searchsorted(nd, b[src].to_numpy(
+                    zero_copy_only=False))
+                df = pd.DataFrame({
+                    "node": b[dst].to_numpy(zero_copy_only=False),
+                    "mass": share[si],
+                })
+                g = df.groupby("node", sort=False).agg(
+                    mass=("mass", "sum")).reset_index()
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            got = edges.map_batches(contrib, batch_format="pyarrow") \
+                .groupby("node").aggregate(Sum("mass")).to_pandas()
+            mass = np.zeros(n)
+            gi = np.searchsorted(nodes, got["node"].to_numpy())
+            mass[gi] = got["sum(mass)"].to_numpy(dtype="float64")
         dangling = rank[outd == 0].sum()
         rank = (1 - damping) / n + damping * (mass + dangling / n)
 

@@ -64,6 +64,7 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
     """Returns the (k, d) centroid matrix after ``iters`` Lloyd
     rounds.  Seeding: greedy farthest-point (k-means++ without
     randomness) over a deterministic bottom-k-hash sample."""
+    ds = ds.select_columns([id_col, col]).materialize()   # reused per round
     S = _seed_sample(ds, col, id_col, sample)
     cents = [S[0]]
     d2 = np.sum((S - cents[0]) ** 2, axis=1)

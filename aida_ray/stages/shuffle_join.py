@@ -126,26 +126,35 @@ def _distinct(ds: ray.data.Dataset,
 
 
 def _set_op(a: ray.data.Dataset, b: ray.data.Dataset,
-            cols: Sequence[str], want: int) -> ray.data.Dataset:
-    """Shared INTERSECT/EXCEPT plan: distinct each side, tag with a
-    presence bit (a=1, b=2), union, ONE groupby-sum — keys with
-    bitmask `want` survive.  Cheaper than a join (no aggregator actor
-    pool, one shuffle of distinct tuples)."""
-    from ray.data.aggregate import Sum
+            cols: Sequence[str], want_max: int) -> ray.data.Dataset:
+    """Shared INTERSECT/EXCEPT plan: block-LOCAL dedup per side (free),
+    tag with a side id (a=1, b=2), union, ONE groupby Min/Max — no
+    per-side global distinct, no join aggregator pool.  A key present
+    in both sides has min=1 ∧ max=2 (INTERSECT); only in `a` ⇒ max=1
+    (EXCEPT).  Multiplicity across blocks doesn't matter, so one
+    shuffle of block-distinct tuples is the whole cost."""
+    from ray.data.aggregate import Max, Min
 
-    def tag(side: int):
+    def local_tag(side: int):
         def f(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_side", pa.array([side] * len(t), pa.int64()))
+            import pandas as pd
+            df = pa.table({c: t[c] for c in cols}).to_pandas() \
+                .drop_duplicates()
+            out = pa.Table.from_pandas(df, preserve_index=False)
+            return out.append_column(
+                "_side", pa.array([side] * len(out), pa.int64()))
         return f
 
-    both = _distinct(a, cols).map_batches(tag(1), batch_format="pyarrow") \
-        .union(_distinct(b, cols).map_batches(tag(2),
-                                              batch_format="pyarrow"))
-    agg = both.groupby(list(cols)).aggregate(Sum("_side"))
+    both = a.map_batches(local_tag(1), batch_format="pyarrow") \
+        .union(b.map_batches(local_tag(2), batch_format="pyarrow"))
+    agg = both.groupby(list(cols)).aggregate(Min("_side"), Max("_side"))
 
     def keep(t: pa.Table) -> pa.Table:
-        mask = pc.equal(t["sum(_side)"], want)
+        if want_max == 2:      # intersect: seen from both sides
+            mask = pc.and_(pc.equal(t["min(_side)"], 1),
+                           pc.equal(t["max(_side)"], 2))
+        else:                  # except: never seen from side b
+            mask = pc.equal(t["max(_side)"], 1)
         return t.filter(mask).select(list(cols))
 
     return agg.map_batches(keep, batch_format="pyarrow")
@@ -154,13 +163,13 @@ def _set_op(a: ray.data.Dataset, b: ray.data.Dataset,
 def table_intersect(a: ray.data.Dataset, b: ray.data.Dataset,
                     cols: Sequence[str]) -> ray.data.Dataset:
     """SQL INTERSECT — distinct rows present in both sides."""
-    return _set_op(a, b, cols, want=3)
+    return _set_op(a, b, cols, want_max=2)
 
 
 def table_except(a: ray.data.Dataset, b: ray.data.Dataset,
                  cols: Sequence[str]) -> ray.data.Dataset:
     """SQL EXCEPT — distinct rows of `a` absent from `b`."""
-    return _set_op(a, b, cols, want=1)
+    return _set_op(a, b, cols, want_max=1)
 
 
 # ------------------------------------------------------- demo pipelines

@@ -56,25 +56,17 @@ def count_distinct_per_group(ds: ray.data.Dataset, key: str,
             .drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    pairs = ds.select_columns([key, col]) \
-        .map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby([key, col]).count()
-
-    def per_key(b: pa.Table) -> pa.Table:
+    def per_key(group) -> "object":
         import pandas as pd
-        g = b.to_pandas().groupby(key, sort=False).size() \
-            .rename("n_distinct").reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd.DataFrame({
+            key: [group[key].iloc[0]],
+            "n_distinct": [int(group[col].nunique())]})
 
-    from ray.data.aggregate import Sum
-    # the distinct-pair table may span blocks per key: count per block,
-    # then sum per key (counts of disjoint distinct pairs add exactly)
-    return pairs.map_batches(per_key, batch_format="pyarrow") \
-        .groupby(key).aggregate(Sum("n_distinct")) \
-        .map_batches(lambda b: pa.table({
-            key: b[key],
-            "n_distinct": pc.cast(b[f"sum(n_distinct)"], pa.int64())}),
-            batch_format="pyarrow")
+    # ONE shuffle: block-local pair dedup, then each key's (already
+    # block-deduped) pairs land in one group and a nunique finishes
+    return ds.select_columns([key, col]) \
+        .map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby(key).map_groups(per_key, batch_format="pandas")
 
 
 def hll_count_per_group(ds: ray.data.Dataset, key: str, col: str,

@@ -57,3 +57,18 @@ def test_heavy_hitters_guarantee(ray_session):
     for _, r in out.iterrows():
         t = truth[r.value]
         assert r.est <= t <= r.est + r.max_undercount, (r.value, t, r.est)
+
+
+def test_pagerank_dense_equals_sparse_route(ray_session):
+    import pyarrow as pa
+
+    from aida_ray.stages.graphs import pagerank
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 40, 200)
+    dst = rng.integers(0, 40, 200)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    dense = pagerank(edges, iters=6).to_pandas().set_index("node")
+    sparse = pagerank(edges, iters=6, dense_threshold=0).to_pandas() \
+        .set_index("node")
+    assert np.allclose(dense["rank"], sparse.loc[dense.index, "rank"],
+                       atol=1e-12)
