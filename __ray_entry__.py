@@ -1292,6 +1292,39 @@ def q_kg_triples(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_kg_pagerank(sf_dir: str) -> pa.Table:
+    """Entity importance over the flagship KG: PageRank on the
+    entity↔url bipartite graph of the NED-emitted mentionedIn triples
+    (rows-only — iterative).  Returns the top 50 entities by rank —
+    the KG analogue of link-based entity ranking (the reference keeps
+    a precomputed entity_rank per entity; `KB.candidates` filters on
+    it — this derives one from the graph itself)."""
+    from aida_ray.pipelines.kg import dedup_triples, link_pages, read_pages
+    from aida_ray.stages.graphs import pagerank
+    from aida_ray.state.broadcast import put_kb
+    kb, pages_dir, _gold = _kg_cache(sf_dir)
+    triples = dedup_triples(
+        link_pages(read_pages(pages_dir), put_kb(kb),
+                   concurrency=_pool(), batch_size=64))
+
+    # undirected bipartite: entity → url and url → entity
+    def edges_fwd(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["subj"], "dst": b["obj"]})
+
+    def edges_rev(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["obj"], "dst": b["subj"]})
+
+    t = triples.materialize()
+    edges = t.map_batches(edges_fwd, batch_format="pyarrow") \
+        .union(t.map_batches(edges_rev, batch_format="pyarrow"))
+    ranks = pagerank(edges, iters=8).to_pandas()
+    ents = ranks[~ranks.node.str.startswith("http")] \
+        .sort_values(["rank", "node"], ascending=[False, True]).head(50)
+    ents["rank"] = ents["rank"].round(9)
+    return pa.Table.from_pandas(ents.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_conformance_pr(sf_dir: str) -> pa.Table:
     """CoNLL-testb-style conformance: pipeline decisions vs gold on a
     deterministic TSV corpus; returns the P/R summary row (rows-only).
@@ -1722,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr": q_corr,
         "left_join": q_left_join,
         "kg_triples": q_kg_triples,
+        "kg_pagerank": q_kg_pagerank,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
         "fuzzy_lookup": q_fuzzy_lookup,
