@@ -1325,6 +1325,34 @@ def q_kg_pagerank(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def q_fuzzy_join(sf_dir: str) -> pa.Table:
+    """Similarity join: customer names with a deterministically typo'd
+    probe set (char 3 dropped) fuzzy-joined back via broadcast
+    trigram-MinHash LSH + exact-Jaccard verify (rows-only — LSH
+    banding; semantics pinned in tests/test_fuzzy_join.py)."""
+    import pyarrow.parquet as pq
+
+    from aida_ray.stages.fuzzy_join import fuzzy_join
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+
+    def typo(b: pa.Table) -> pa.Table:
+        names = [n[:3] + n[4:] if len(n) > 4 else n
+                 for n in b["c_name"].to_pylist()]
+        return pa.table({"probe_id": b["c_custkey"],
+                         "probe": pa.array(names, pa.string())})
+
+    probes = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"]) \
+        .map_batches(typo, batch_format="pyarrow")
+    t = _collect(fuzzy_join(probes, cust, "probe_id", "probe",
+                            "c_custkey", "c_name", minsim=0.6)) \
+        .to_pandas().sort_values(["probe_id", "c_custkey"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_conformance_pr(sf_dir: str) -> pa.Table:
     """CoNLL-testb-style conformance: pipeline decisions vs gold on a
     deterministic TSV corpus; returns the P/R summary row (rows-only).
@@ -1756,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join": q_left_join,
         "kg_triples": q_kg_triples,
         "kg_pagerank": q_kg_pagerank,
+        "fuzzy_join": q_fuzzy_join,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
         "fuzzy_lookup": q_fuzzy_lookup,
