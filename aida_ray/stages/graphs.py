@@ -52,6 +52,9 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 
     deg = edges.map_batches(degree_partial, batch_format="pyarrow") \
         .groupby("node").aggregate(Sum("outd")).to_pandas()
+    if deg.empty:           # empty edge set → empty graph
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.float64())})
     nodes = deg["node"].to_numpy()
     order = np.argsort(nodes, kind="stable")
     nodes = nodes[order]

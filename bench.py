@@ -97,7 +97,9 @@ def run_bench() -> dict:
                  "knn_bruteforce", "simhash", "token_stats", "window_agg",
                  "entity_canonical", "pii_redact", "quality_rules",
                  "seq_packing", "hash_split", "contamination",
-                 "bottomk_sample", "pricing_summary", "join_large"]:
+                 "bottomk_sample", "pricing_summary", "join_large",
+                 "rank_global", "set_ops", "distinct_per_group",
+                 "latest_snapshot", "window_funcs"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
