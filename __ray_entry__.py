@@ -1353,6 +1353,34 @@ def q_fuzzy_join(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_json_props(sf_dir: str) -> pa.Table:
+    """Flat-JSON property extraction (vectorized Arrow RE2 kernel, no
+    Python row loop) + per-type rollup of the extracted field."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.jsonx import json_int_field
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+    ext = json_int_field(ev, "props", "k", keep=("event_type",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        g = df.groupby("event_type", sort=False).agg(
+            sum_k=("k", "sum"), n=("k", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ext.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("sum_k"), Sum("n"))
+    t = _collect(agg.map_batches(lambda b: pa.table({
+        "event_type": b["event_type"],
+        "sum_k": pc.cast(b["sum(sum_k)"], pa.int64()),
+        "n": pc.cast(b["sum(n)"], pa.int64())}),
+        batch_format="pyarrow")).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_conformance_pr(sf_dir: str) -> pa.Table:
     """CoNLL-testb-style conformance: pipeline decisions vs gold on a
     deterministic TSV corpus; returns the P/R summary row (rows-only).
@@ -1785,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_pagerank": q_kg_pagerank,
         "fuzzy_join": q_fuzzy_join,
+        "json_props": q_json_props,
         "kg_canonical": q_kg_canonical,
         "conformance_pr": q_conformance_pr,
         "fuzzy_lookup": q_fuzzy_lookup,
@@ -2100,6 +2129,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, ROW_NUMBER() OVER (PARTITION BY url
                            ORDER BY warc_ts_ms DESC) AS rn
                 FROM crawl) WHERE rn = 1
+        """,
+        "json_props": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                       AS BIGINT)) AS BIGINT) AS sum_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
         """,
         "set_ops": """
             SELECT key, 'intersect' AS op FROM (
