@@ -983,6 +983,31 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE over the pricing summary — all four grouping sets
+    derived from ONE corpus aggregation (no per-set rescans)."""
+    from aida_ray.stages.relational import cube_pricing
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice",
+                                        "l_discount"])
+    t = _collect(cube_pricing(ds)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["l_returnflag", "l_linestatus"],
+                      na_position="last").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_quantiles_cont(sf_dir: str) -> pa.Table:
+    """Interpolated (continuous) quantiles via the distributed value
+    histogram (DuckDB quantile_cont semantics)."""
+    from aida_ray.stages.sketches import interp_quantiles
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_extendedprice"])
+    return interp_quantiles(li, "l_extendedprice",
+                            [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
 def q_pivot(sf_dir: str) -> pa.Table:
     """PIVOT event_type into per-category count columns per user."""
     from aida_ray.stages.relational import pivot_counts
@@ -1793,6 +1818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_funcs": q_window_funcs,
         "rank_global": q_rank_global,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
         "pagerank": q_pagerank,
@@ -2185,6 +2212,30 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                       * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "quantiles_cont": """
+            SELECT 0.10 AS q, quantile_cont(l_extendedprice, 0.10) AS value
+            FROM lineitem UNION ALL
+            SELECT 0.25, quantile_cont(l_extendedprice, 0.25)
+            FROM lineitem UNION ALL
+            SELECT 0.50, quantile_cont(l_extendedprice, 0.50)
+            FROM lineitem UNION ALL
+            SELECT 0.75, quantile_cont(l_extendedprice, 0.75)
+            FROM lineitem UNION ALL
+            SELECT 0.90, quantile_cont(l_extendedprice, 0.90)
+            FROM lineitem
         """,
         "pivot": """
             SELECT user_id,

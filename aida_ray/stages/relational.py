@@ -115,6 +115,53 @@ def rollup_pricing(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     return finest.repartition(1).map_batches(levels, batch_format="pyarrow")
 
 
+def grouping_sets_from_finest(finest: ray.data.Dataset, keys: list[str],
+                              sets: list[tuple[str, ...]],
+                              agg_cols: list[str]) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS derived from the finest aggregate.
+
+    The fact table is aggregated exactly ONCE (at the finest grouping);
+    every requested set — including the full 2^k sets of a CUBE — is
+    then re-aggregated from that tiny |distinct keys| table, so the
+    corpus is never rescanned per set (what a naive UNION ALL of GROUP
+    BYs does).  Works for distributive aggregates (SUM/COUNT/MIN/MAX);
+    derive AVG as SUM/COUNT in a finishing projection.  Rolled-up key
+    columns carry SQL-style NULLs."""
+    def levels(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        frames = []
+        for s in sets:
+            keep = [k for k in keys if k in s]
+            if len(keep) == len(keys):
+                frames.append(df[keys + agg_cols].copy())
+                continue
+            if keep:
+                g = df.groupby(keep, as_index=False)[agg_cols].sum()
+            else:
+                g = df[agg_cols].sum().to_frame().T
+            for k in keys:
+                if k not in keep:
+                    g[k] = None
+            frames.append(g[keys + agg_cols])
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # the finest aggregate is tiny — one task derives all sets
+    return finest.repartition(1).map_batches(levels, batch_format="pyarrow")
+
+
+def cube_pricing(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets from one corpus aggregation (:func:`pricing_summary`)."""
+    keys = ["l_returnflag", "l_linestatus"]
+    aggs = ["sum_qty", "sum_base_cents", "sum_disc_cents", "count_order"]
+    sets = [("l_returnflag", "l_linestatus"), ("l_returnflag",),
+            ("l_linestatus",), ()]
+    return grouping_sets_from_finest(pricing_summary(lineitem), keys,
+                                     sets, aggs)
+
+
 def pivot_counts(ds: ray.data.Dataset, key: str, pivot_col: str,
                  categories: list[str]) -> ray.data.Dataset:
     """PIVOT: one output column per category holding the per-key count.

@@ -162,6 +162,36 @@ def exact_quantiles(ds: ray.data.Dataset, col: str,
                      "value": pa.array(out_v)})
 
 
+def interp_quantiles(ds: ray.data.Dataset, col: str,
+                     qs: Sequence[float]) -> pa.Table:
+    """Exact continuous quantiles (DuckDB ``quantile_cont`` /
+    PERCENTILE_CONT semantics: linear interpolation at sorted position
+    ``q*(n-1)``) via the same distributed value histogram as
+    :func:`exact_quantiles` — no global sort; shuffle and driver state
+    track DISTINCT values, never row counts.  Uses DuckDB's exact
+    interpolation formula ``v[lo]*(hi-p) + v[hi]*(p-lo)`` so the float
+    result is bit-comparable."""
+    hist = value_histogram(ds, col).to_pandas().sort_values(col)
+    values = hist[col].to_numpy().astype(np.float64)
+    counts = hist["n"].to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        pos = q * (n - 1)
+        lo, hi = math.floor(pos), math.ceil(pos)
+        vlo = values[int(np.searchsorted(cum, lo + 1))]
+        if hi == lo:
+            v = vlo
+        else:
+            vhi = values[int(np.searchsorted(cum, hi + 1))]
+            v = vlo * (hi - pos) + vhi * (pos - lo)
+        out_q.append(q)
+        out_v.append(v)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v, pa.float64())})
+
+
 # ------------------------------------------------------ HyperLogLog
 
 def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:

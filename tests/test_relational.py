@@ -167,3 +167,28 @@ def test_monthly_revenue_buckets(ray_session):
     assert out.month.tolist() == ["2024-01", "2024-02"]
     assert out.revenue_cents.tolist() == [3000, 4000]
     assert out.n_orders.tolist() == [2, 1]
+
+
+def test_cube_matches_duckdb(ray_session):
+    from aida_ray.stages.relational import cube_pricing
+    import duckdb
+    tbl = _lineitem(n=150, seed=11)
+    out = cube_pricing(rd.from_arrow(tbl)).to_pandas()
+    ref = duckdb.connect().execute("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                   AS BIGINT) AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                   * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+               COUNT(*) AS count_order
+        FROM tbl GROUP BY CUBE(l_returnflag, l_linestatus)
+    """).df()
+    import pandas as pd
+    key = ["l_returnflag", "l_linestatus"]
+    out = out.sort_values(key, na_position="last").reset_index(drop=True)
+    ref = ref.sort_values(key, na_position="last").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # 4 grouping sets: finest + 2 one-key sets + grand total
+    assert (out.l_returnflag.isna() & out.l_linestatus.isna()).sum() == 1

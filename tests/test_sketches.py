@@ -79,3 +79,21 @@ def test_hll_per_group_error(ray_session):
         .set_index("g").approx_distinct
     assert abs(out["big"] - 20000) / 20000 < 0.07
     assert abs(out["small"] - 300) / 300 < 0.07
+
+
+def test_interp_quantiles_duckdb_semantics(ray_session):
+    from aida_ray.stages.sketches import interp_quantiles
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    vals = np.round(rng.uniform(0, 1000, 501), 2)
+    ds = rd.from_arrow(pa.table({"x": vals})).repartition(7)
+    qs = [0.0, 0.1, 0.33, 0.5, 0.9, 1.0]
+    out = interp_quantiles(ds, "x", qs).to_pandas()
+    ref = {q: duckdb.connect().execute(
+        "SELECT quantile_cont(x, ?) FROM (SELECT unnest(?) AS x)",
+        [q, vals.tolist()]).fetchone()[0] for q in qs}
+    for q, v in zip(out.q, out.value):
+        assert v == ref[q], (q, v, ref[q])
