@@ -983,6 +983,15 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_funnel(sf_dir: str) -> pa.Table:
+    """Ordered view→click→purchase funnel over the event log
+    (first-touch, strictly-increasing timestamps)."""
+    from aida_ray.stages.funnel import funnel_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def q_cube(sf_dir: str) -> pa.Table:
     """GROUP BY CUBE over the pricing summary — all four grouping sets
     derived from ONE corpus aggregation (no per-set rescans)."""
@@ -1819,6 +1828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_global": q_rank_global,
         "rollup": q_rollup,
         "cube": q_cube,
+        "funnel": q_funnel,
         "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
@@ -2224,6 +2234,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+                   (SELECT COUNT(*) FROM s1) AS users
+            UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
         """,
         "quantiles_cont": """
             SELECT 0.10 AS q, quantile_cont(l_extendedprice, 0.10) AS value
