@@ -983,6 +983,28 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_inverted_index(sf_dir: str) -> pa.Table:
+    """Inverted-index statistics (term, df, tf) over documents; top-100
+    by document frequency with a term tie-break."""
+    from aida_ray.stages.tfidf import term_stats
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    top = term_stats(docs).sort(["df", "term"],
+                                descending=[True, False]).limit(100)
+    return _collect(top)
+
+
+def q_tfidf_terms(sf_dir: str) -> pa.Table:
+    """Per-document top-5 TF-IDF terms (integer-deterministic ranking,
+    float score emitted)."""
+    from aida_ray.stages.tfidf import tfidf_top_terms
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    t = _collect(tfidf_top_terms(docs, k=5)).to_pandas() \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_funnel(sf_dir: str) -> pa.Table:
     """Ordered view→click→purchase funnel over the event log
     (first-touch, strictly-increasing timestamps)."""
@@ -1829,6 +1851,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "funnel": q_funnel,
+        "inverted_index": q_inverted_index,
+        "tfidf_terms": q_tfidf_terms,
         "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
@@ -2234,6 +2258,37 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "inverted_index": """
+            WITH terms AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+')) AS term
+                FROM documents),
+            stats AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df,
+                       COUNT(*) AS tf
+                FROM terms WHERE term <> '' GROUP BY term)
+            SELECT term, df, tf FROM stats
+            ORDER BY df DESC, term LIMIT 100
+        """,
+        "tfidf_terms": """
+            WITH terms AS (
+                SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+')) AS term
+                FROM documents),
+            tfs AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM terms
+                WHERE term <> '' GROUP BY doc_id, term),
+            dfs AS (SELECT term, COUNT(*) AS df FROM tfs GROUP BY term),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       CAST(t.tf AS DOUBLE) * ln(n.n / CAST(d.df AS DOUBLE))
+                           AS tfidf,
+                       ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                           ORDER BY t.tf DESC, d.df ASC, t.term) AS rn
+                FROM tfs t JOIN dfs d ON t.term = d.term CROSS JOIN n)
+            SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rn <= 5
         """,
         "funnel": """
             WITH s1 AS (
