@@ -983,6 +983,20 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Data-mixture rebalancing toward a skewed target mixture
+    (weight 1-4 derived from the source name) via integer-exact hash
+    thresholds; deterministic, map-side, no corpus shuffle."""
+    from aida_ray.stages.sampling import mixture_sample
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "source"])
+    weights = {f"src{i}": 1 + i % 4 for i in range(64)}
+    t = _collect(mixture_sample(docs, domain_col="source",
+                                weights=weights)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_inverted_index(sf_dir: str) -> pa.Table:
     """Inverted-index statistics (term, df, tf) over documents; top-100
     by document frequency with a term tie-break."""
@@ -1853,6 +1867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "inverted_index": q_inverted_index,
         "tfidf_terms": q_tfidf_terms,
+        "mixture_sample": q_mixture_sample,
         "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
@@ -2258,6 +2273,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "mixture_sample": """
+            WITH cnt AS (
+                SELECT source, COUNT(*) AS n,
+                       1 + (CAST(SUBSTR(source, 4) AS BIGINT) % 4) AS w
+                FROM documents GROUP BY source),
+            best AS (SELECT n AS nb, w AS wb FROM cnt
+                     ORDER BY w * 1.0 / n DESC, source LIMIT 1),
+            th AS (SELECT source, (2147483648 * w * nb) // (n * wb) AS t
+                   FROM cnt, best)
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN th USING (source)
+            WHERE (d.doc_id * 2654435761) % 2147483648 < th.t
         """,
         "inverted_index": """
             WITH terms AS (

@@ -52,6 +52,55 @@ def hash_split(ds: ray.data.Dataset, id_col: str = "doc_id",
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mixture_thresholds(counts: dict[str, int],
+                       weights: dict[str, int] | None = None
+                       ) -> dict[str, int]:
+    """Per-domain keep thresholds that rebalance the corpus toward a
+    target mixture, as PURE INTEGER arithmetic (no float rates — a
+    float rate times 2^31 can floor differently across engines, which
+    would flip individual documents at the threshold boundary).
+
+    Domain d with n_d docs and integer target weight w_d keeps docs
+    whose id-hash < MOD * (w_d/n_d) / max_m(w_m/n_m), i.e. the most
+    over-weighted-per-doc domain keeps everything and every other
+    domain downsamples proportionally; expected kept counts follow the
+    target weights.  With uniform weights this downsamples every
+    domain to the rarest domain's size."""
+    weights = weights or {d: 1 for d in counts}
+    # argmax of w/n by integer cross-multiplication (no float compare)
+    best = None
+    for d in sorted(counts):
+        if best is None or weights[d] * counts[best] > weights[best] * counts[d]:
+            best = d
+    return {d: (MOD * weights[d] * counts[best])
+            // (counts[d] * weights[best]) for d in counts}
+
+
+def mixture_sample(ds: ray.data.Dataset, domain_col: str = "source",
+                   id_col: str = "doc_id",
+                   weights: dict[str, int] | None = None,
+                   thresholds: dict[str, int] | None = None
+                   ) -> ray.data.Dataset:
+    """Deterministic data-mixture rebalancing: keep each doc iff its
+    id-hash clears its domain's threshold.  One tiny counting aggregate
+    (shuffle volume = |domains|), then a stateless map-side filter —
+    the corpus itself never shuffles, reruns select identical docs."""
+    if thresholds is None:
+        from aida_ray.stages.sketches import value_histogram
+        hist = value_histogram(ds, domain_col).to_pandas()
+        thresholds = mixture_thresholds(
+            dict(zip(hist[domain_col], hist["n"].astype(int))), weights)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = id_hash(b[id_col]).to_numpy(zero_copy_only=False)
+        th = pd.Series(b[domain_col].to_pandas()) \
+            .map(thresholds).fillna(0).to_numpy(dtype="int64")
+        return b.filter(pa.array(h < th))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def stratified_sample(ds: ray.data.Dataset, every_k: int = 10,
                       stratum_col: str = "lang",
                       id_col: str = "doc_id") -> ray.data.Dataset:

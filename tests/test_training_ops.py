@@ -259,3 +259,30 @@ def test_range_join_preserves_huge_int64_ids(ray_session):
                      interval_cols=["iv"]).to_pandas()
     assert out["pid"].tolist() == [big]
     assert out["iv"].tolist() == [big + 7]
+
+
+def test_mixture_sample_rebalances_and_is_deterministic(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.sampling import mixture_sample, mixture_thresholds
+    n = 3000
+    rng = np.random.default_rng(5)
+    dom = np.where(np.arange(n) < 2400, "common", "rare")
+    rng.shuffle(dom)
+    tbl = pa.table({"doc_id": np.arange(n, dtype="int64"), "source": dom})
+    out = mixture_sample(rd.from_arrow(tbl), domain_col="source") \
+        .to_pandas()
+    vc = out.source.value_counts()
+    # rare domain keeps everything; common downsamples to ~rare size
+    assert vc["rare"] == 600
+    assert abs(vc["common"] - 600) < 120
+    # identical selection at any blocking (pure id arithmetic)
+    out13 = mixture_sample(rd.from_arrow(tbl).repartition(13),
+                           domain_col="source").to_pandas()
+    assert sorted(out.doc_id) == sorted(out13.doc_id)
+    # integer thresholds: weighted variant puts 3x weight on common
+    th = mixture_thresholds({"common": 2400, "rare": 600},
+                            {"common": 3, "rare": 1})
+    assert th["rare"] == 1 << 31          # w/n: 3/2400 < 1/600 -> rare max
+    assert th["common"] == ((1 << 31) * 3 * 600) // (2400 * 1)
