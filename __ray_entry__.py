@@ -983,6 +983,52 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_full_join(sf_dir: str) -> pa.Table:
+    """FULL OUTER hash shuffle join of two pre-aggregated sides with
+    partially disjoint key spaces (per-user event counts vs
+    per-customer order counts); unmatched keys survive from BOTH
+    sides with zero-filled counts."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def counted(path, key, out_key, out_n):
+        ds = ray.data.read_parquet(os.path.join(sf_dir, path),
+                                   columns=[key])
+
+        def partial(b: pa.Table) -> pa.Table:
+            vc = b[key].combine_chunks().value_counts()
+            return pa.table({out_key: vc.field("values"),
+                             out_n: pc.cast(vc.field("counts"), pa.int64())})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(out_key).aggregate(Sum(out_n))
+        return agg.map_batches(lambda b: pa.table({
+            out_key: b[out_key],
+            out_n: pc.cast(b[f"sum({out_n})"], pa.int64())}),
+            batch_format="pyarrow") \
+            .repartition(4)  # coalesce away the aggregate's empty
+        # schema-less blocks — they break the join's key resolution
+
+    ev = counted("events.parquet", "user_id", "uk", "n_events")
+    od = counted("orders.parquet", "o_custkey", "ck", "n_orders")
+    j = hash_join(ev, od, on=("uk",), right_on=("ck",),
+                  join_type="full_outer")
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Dataset.join(full_outer) coalesces the key pair into the
+        # left key column, so `uk` is already non-null on every row
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "k": pc.cast(b["uk"], pa.int64()),
+            "n_events": pc.coalesce(b["n_events"], zero),
+            "n_orders": pc.coalesce(b["n_orders"], zero)})
+
+    t = _collect(j.map_batches(finish, batch_format="pyarrow")) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_mixture_sample(sf_dir: str) -> pa.Table:
     """Data-mixture rebalancing toward a skewed target mixture
     (weight 1-4 derived from the source name) via integer-exact hash
@@ -1868,6 +1914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "tfidf_terms": q_tfidf_terms,
         "mixture_sample": q_mixture_sample,
+        "full_join": q_full_join,
         "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
@@ -2273,6 +2320,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "full_join": """
+            WITH ev AS (SELECT user_id AS k, COUNT(*) AS n_events
+                        FROM events GROUP BY user_id),
+            od AS (SELECT o_custkey AS k, COUNT(*) AS n_orders
+                   FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(ev.k, od.k) AS k,
+                   COALESCE(ev.n_events, 0) AS n_events,
+                   COALESCE(od.n_orders, 0) AS n_orders
+            FROM ev FULL OUTER JOIN od ON ev.k = od.k
         """,
         "mixture_sample": """
             WITH cnt AS (

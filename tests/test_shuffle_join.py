@@ -62,3 +62,18 @@ def test_set_ops_semantics(ray_session):
     # EXCEPT is directional
     exc_ba = sorted(table_except(b, a, ["k"]).to_pandas().k)
     assert exc_ba == [5]
+
+
+def test_full_outer_join_keeps_both_sides(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.shuffle_join import hash_join
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    right = rd.from_arrow(pa.table({"rk": [2, 3, 4], "b": [200, 300, 400]}))
+    out = hash_join(left, right, on=("k",), right_on=("rk",),
+                    join_type="full_outer", num_partitions=2) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    # join coalesces the key pair into the left key column
+    assert out.k.tolist() == [1, 2, 3, 4]
+    assert out.a.isna().tolist() == [False, False, False, True]
+    assert out.b.isna().tolist() == [True, False, False, False]
