@@ -983,6 +983,21 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_triangles(sf_dir: str) -> pa.Table:
+    """Co-purchase graph build (distinct part pairs sharing an order,
+    part < 2000) + exact distributed triangle count via degree-ordered
+    wedge closure."""
+    from aida_ray.stages.graphs import cooccurrence_edges, triangle_count
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_item=2000).materialize()
+    n_edges = edges.count()
+    n_tri = triangle_count(edges)
+    return pa.table({"n_edges": pa.array([n_edges], pa.int64()),
+                     "n_triangles": pa.array([n_tri], pa.int64())})
+
+
 def q_full_join(sf_dir: str) -> pa.Table:
     """FULL OUTER hash shuffle join of two pre-aggregated sides with
     partially disjoint key spaces (per-user event counts vs
@@ -1915,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_terms": q_tfidf_terms,
         "mixture_sample": q_mixture_sample,
         "full_join": q_full_join,
+        "triangles": q_triangles,
         "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
@@ -2320,6 +2336,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "triangles": """
+            WITH pairs AS (
+                SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                WHERE a.l_partkey < b.l_partkey
+                  AND a.l_partkey < 2000 AND b.l_partkey < 2000)
+            SELECT (SELECT COUNT(*) FROM pairs) AS n_edges,
+                   (SELECT COUNT(*) FROM pairs e1
+                     JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+                     JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b)
+                       AS n_triangles
         """,
         "full_join": """
             WITH ev AS (SELECT user_id AS k, COUNT(*) AS n_events

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -114,6 +115,118 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
 
     return pa.table({"node": pa.array(nodes),
                      "rank": pa.array(rank, pa.float64())})
+
+
+def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
+                       item_col: str,
+                       max_item: int | None = None) -> ray.data.Dataset:
+    """Distinct co-occurrence edges (a < b) between items sharing a
+    group — the market-basket / co-mention graph build.
+
+    One hash shuffle groups each basket; per-group distinct pairs come
+    from vectorized ``np.triu_indices`` (quadratic in BASKET size, not
+    corpus size — baskets are small by nature; cap or sample items per
+    group if yours are not).  Pairs dedup block-locally on a packed
+    ``a<<32|b`` int64 key, then one groupby on the packed key ships
+    only DISTINCT-edge rows.  Output: (a, b) int64 edges."""
+    def prune(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b[group_col], item_col: b[item_col]})
+        if max_item is not None:
+            t = t.filter(pc.less(t[item_col], pa.scalar(max_item)))
+        return t
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        items = np.unique(g[item_col].to_numpy())
+        if len(items) < 2:
+            return pd.DataFrame({"ab": np.empty(0, dtype="int64")})
+        iu, ju = np.triu_indices(len(items), k=1)
+        return pd.DataFrame(
+            {"ab": (items[iu].astype("int64") << 32) | items[ju]})
+
+    def local_distinct(b: pa.Table) -> pa.Table:
+        return pa.table({"ab": np.unique(
+            b["ab"].to_numpy(zero_copy_only=False))})
+
+    pairs = ds.map_batches(prune, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(per_group, batch_format="pandas") \
+        .map_batches(local_distinct, batch_format="pyarrow") \
+        .groupby("ab").count()
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ab = b["ab"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ab >> 32, pa.int64()),
+                         "b": pa.array(ab & 0xFFFFFFFF, pa.int64())})
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")
+
+
+def triangle_count(edges: ray.data.Dataset, a: str = "a",
+                   b: str = "b") -> int:
+    """Exact triangle count over a distinct undirected edge set, via
+    degree-ordered orientation + wedge closure:
+
+    1. one counting aggregate gives every node's degree (node-bounded
+       state, broadcast once — same assumption as :func:`pagerank`);
+    2. each edge orients low→high in (degree, node) order, capping
+       out-degrees at O(sqrt(m));
+    3. one hash shuffle groups each node's out-neighbors; wedges
+       (v, w) from ``np.triu_indices`` over the rank-sorted adjacency;
+    4. wedges close against the broadcast packed oriented-edge set
+       (sorted int64 ``searchsorted`` per batch — swap in a hash
+       semi-join when the edge set outgrows a broadcast blob).
+
+    Deterministic and blocking-invariant; wedge volume is the
+    arboricity-bounded sum of C(outdeg, 2)."""
+    from ray.data.aggregate import Sum
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([t[a].to_numpy(zero_copy_only=False),
+                               t[b].to_numpy(zero_copy_only=False)])
+        nodes, counts = np.unique(both, return_counts=True)
+        return pa.table({"node": nodes, "d": counts.astype("int64")})
+
+    deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("d")).to_pandas()
+    if deg.empty:
+        return 0
+    nodes = deg["node"].to_numpy()
+    order = np.argsort(nodes, kind="stable")
+    nodes, degs = nodes[order], deg["sum(d)"].to_numpy()[order]
+    # rank = position in (degree, node) lexicographic order
+    rank = np.empty(len(nodes), dtype="int64")
+    rank[np.lexsort((nodes, degs))] = np.arange(len(nodes))
+    rank_ref = ray.put((nodes, rank))
+
+    def orient(t: pa.Table) -> pa.Table:
+        nd, rk = _get_cached(rank_ref)
+        av = t[a].to_numpy(zero_copy_only=False)
+        bv = t[b].to_numpy(zero_copy_only=False)
+        ra, rb = rk[np.searchsorted(nd, av)], rk[np.searchsorted(nd, bv)]
+        lo = np.where(ra < rb, ra, rb)
+        hi = np.where(ra < rb, rb, ra)
+        return pa.table({"lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow") \
+        .materialize()                      # reused: wedge pass + probe set
+    packed = np.sort((oriented.to_pandas().lo.to_numpy() << 32)
+                     | oriented.to_pandas().hi.to_numpy())
+    edge_ref = ray.put(packed)
+
+    def wedges_closed(g: pd.DataFrame) -> pd.DataFrame:
+        nbrs = np.sort(g["hi"].to_numpy())       # rank order = closure key
+        if len(nbrs) < 2:
+            return pd.DataFrame({"n": [0]})
+        iu, ju = np.triu_indices(len(nbrs), k=1)
+        probe = (nbrs[iu] << 32) | nbrs[ju]
+        es = _get_cached(edge_ref)
+        idx = np.searchsorted(es, probe)
+        hits = (idx < len(es)) & (es[np.minimum(idx, len(es) - 1)] == probe)
+        return pd.DataFrame({"n": [int(hits.sum())]})
+
+    counts = oriented.groupby("lo").map_groups(
+        wedges_closed, batch_format="pandas").to_pandas()
+    return int(counts["n"].sum())
 
 
 def heavy_hitters(ds: ray.data.Dataset, col: str,

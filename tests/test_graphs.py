@@ -72,3 +72,41 @@ def test_pagerank_dense_equals_sparse_route(ray_session):
         .set_index("node")
     assert np.allclose(dense["rank"], sparse.loc[dense.index, "rank"],
                        atol=1e-12)
+
+
+def test_cooccurrence_edges_and_triangles(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from itertools import combinations
+    from aida_ray.stages.graphs import cooccurrence_edges, triangle_count
+    rng = np.random.default_rng(11)
+    groups, items = [], []
+    baskets = {}
+    for g in range(60):
+        sz = rng.integers(2, 7)
+        its = rng.choice(40, sz, replace=False)
+        baskets[g] = set(its.tolist())
+        # duplicates within a basket must not create self/duplicate edges
+        its = np.concatenate([its, its[:1]])
+        groups += [g] * len(its)
+        items += its.tolist()
+    tbl = pa.table({"g": groups, "i": pa.array(items, pa.int64())})
+    edges = cooccurrence_edges(rd.from_arrow(tbl).repartition(5), "g", "i") \
+        .to_pandas()
+    ref_edges = set()
+    for its in baskets.values():
+        for x, y in combinations(sorted(its), 2):
+            ref_edges.add((x, y))
+    got = set(zip(edges.a, edges.b))
+    assert got == ref_edges
+    # brute-force triangle reference
+    adj = {}
+    for x, y in ref_edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    ref_tri = sum(1 for x, y in ref_edges
+                  for z in adj[x] & adj[y] if z > y)
+    assert triangle_count(
+        rd.from_arrow(pa.Table.from_pandas(edges)).repartition(4)) == ref_tri
+    assert ref_tri > 0
