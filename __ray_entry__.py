@@ -983,6 +983,17 @@ def q_rollup(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_gap_fill(sf_dir: str) -> pa.Table:
+    """Per-user daily gap-fill resample of the event stream with
+    forward-filled values (ASOF-join semantics on a generated grid)."""
+    from aida_ray.stages.timeseries import gap_fill_ffill
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    t = _collect(gap_fill_ffill(ev)).to_pandas() \
+        .sort_values(["user_id", "gt"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_triangles(sf_dir: str) -> pa.Table:
     """Co-purchase graph build (distinct part pairs sharing an order,
     part < 2000) + exact distributed triangle count via degree-ordered
@@ -1931,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "full_join": q_full_join,
         "triangles": q_triangles,
+        "gap_fill": q_gap_fill,
         "quantiles_cont": q_quantiles_cont,
         "pivot": q_pivot,
         "heavy_hitters": q_heavy_hitters,
@@ -2336,6 +2348,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "gap_fill": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, MAX(value) AS v
+                FROM events GROUP BY user_id, epoch_us(ts)),
+            bounds AS (
+                SELECT user_id, MIN(t) AS t0, MAX(t) AS t1
+                FROM e GROUP BY user_id),
+            grid AS (
+                SELECT user_id,
+                       unnest(generate_series(t0, t1, 86400000000)) AS gt
+                FROM bounds)
+            SELECT g.user_id, g.gt, e.v AS value
+            FROM grid g ASOF JOIN e
+              ON g.user_id = e.user_id AND g.gt >= e.t
         """,
         "triangles": """
             WITH pairs AS (

@@ -522,3 +522,26 @@ def test_label_propagation_long_chain(ray_session):
     got = dict(zip(lp["doc_id"].astype(int), lp["cluster"].astype(int)))
     assert all(got[i] == 0 for i in range(12))
     assert got[100] == 100 and got[101] == 100
+
+
+def test_gap_fill_ffill(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.timeseries import gap_fill_ffill
+    ts = pa.array([0, 250, 250, 900, 100], pa.timestamp("us"))
+    ev = pa.table({"user_id": [1, 1, 1, 1, 2], "ts": ts,
+                   "value": [1.0, 5.0, 7.0, 2.0, 9.0]})
+    out = gap_fill_ffill(rd.from_arrow(ev), step_us=100).to_pandas() \
+        .sort_values(["user_id", "gt"]).reset_index(drop=True)
+    u1 = out[out.user_id == 1]
+    # grid 0..900; dup ts=250 collapses to MAX=7; ffill in between
+    assert u1["gt"].tolist() == [0, 100, 200, 300, 400, 500,
+                              600, 700, 800, 900]
+    assert u1.value.tolist() == [1, 1, 1, 7, 7, 7, 7, 7, 7, 2]
+    u2 = out[out.user_id == 2]
+    assert u2["gt"].tolist() == [100] and u2.value.tolist() == [9.0]
+    # blocking invariance
+    out5 = gap_fill_ffill(rd.from_arrow(ev).repartition(5), step_us=100) \
+        .to_pandas().sort_values(["user_id", "gt"]).reset_index(drop=True)
+    assert out5.value.tolist() == out.value.tolist()
