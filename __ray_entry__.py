@@ -1874,6 +1874,64 @@ def q_media_features(sf_dir: str) -> pa.Table:
     })
 
 
+def q_bfs_hops(sf_dir: str) -> pa.Table:
+    """Multi-source BFS hop distance (≤ 4 hops) over the co-purchase
+    graph from seeds = every 100th part id.  Dense (node-bounded
+    broadcast, map-only levels) route; the sparse hash-join route is
+    asserted bit-equal in tests/test_graphs.py."""
+    from aida_ray.stages.graphs import bfs_hops, cooccurrence_edges
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_item=2000)
+    return bfs_hops(edges, seeds=np.arange(0, 2000, 100), max_hops=4)
+
+
+def q_taxonomy_closure(sf_dir: str) -> pa.Table:
+    """Transitive ancestor closure of a synthetic category taxonomy
+    (parent(n) = n // 2 over doc ids) by pointer doubling — O(log
+    depth) distributed rounds (SURVEY §2.4: type_taxonomy closure)."""
+    from aida_ray.stages.graphs import ancestor_closure
+
+    def tax_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        ids = ids[ids >= 1]
+        return pa.table({"child": pa.array(ids, pa.int64()),
+                         "parent": pa.array(ids // 2, pa.int64())})
+
+    edges = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id"]).map_batches(tax_edges, batch_format="pyarrow")
+    t = _collect(ancestor_closure(edges)).to_pandas() \
+        .sort_values(["node", "dist"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_lm_score(sf_dir: str) -> pa.Table:
+    """Bigram-LM perplexity scoring: distributed add-one-smoothed LM
+    training (vocabulary-bounded shuffles) + broadcast-model map-only
+    scoring — the CCNet-style LM quality signal."""
+    from aida_ray.stages.lm import bigram_lm_scores
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    t = _collect(bigram_lm_scores(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_doc_sim(sf_dir: str) -> pa.Table:
+    """Sparse document-similarity join on the rare-4-gram inverted
+    index (df ∈ [2, 20], ≥ 2 shared grams): prefix filtering bounds
+    the quadratic fan-out by df_max."""
+    from aida_ray.stages.tfidf import rare_gram_doc_pairs
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    t = _collect(rare_gram_doc_pairs(docs, n=4, df_min=2, df_max=20,
+                                     min_shared=2)).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -1982,6 +2040,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
         "perceptron_ner": q_perceptron_ner,
+        "bfs_hops": q_bfs_hops,
+        "taxonomy_closure": q_taxonomy_closure,
+        "lm_score": q_lm_score,
+        "doc_sim": q_doc_sim,
     }
 
 
@@ -2965,5 +3027,83 @@ def oracle_sql() -> dict[str, str]:
                 (5, 1813, 16000, 113, 18790, 933, 32753)
             ) AS t(media_id, n_samples, sample_rate, duration_ms, rms,
                    zero_crossings, peak)
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE und AS (
+                SELECT DISTINCT la.l_partkey AS s, lb.l_partkey AS d
+                FROM lineitem la JOIN lineitem lb
+                  ON la.l_orderkey = lb.l_orderkey
+                WHERE la.l_partkey <> lb.l_partkey
+                  AND la.l_partkey < 2000 AND lb.l_partkey < 2000),
+            bfs(node, hop) AS (
+                SELECT CAST(r AS BIGINT), 0
+                FROM (SELECT UNNEST(range(0, 2000, 100)) AS r)
+                UNION
+                SELECT u.d, b.hop + 1
+                FROM bfs b JOIN und u ON u.s = b.node
+                WHERE b.hop < 4)
+            SELECT node, MIN(hop) AS hop FROM bfs GROUP BY node
+        """,
+        "taxonomy_closure": """
+            WITH RECURSIVE anc(node, anc, dist) AS (
+                SELECT doc_id, doc_id // 2, 1
+                FROM documents WHERE doc_id >= 1
+                UNION ALL
+                SELECT a.node, a.anc // 2, a.dist + 1
+                FROM anc a WHERE a.anc >= 1)
+            SELECT node, anc, dist FROM anc
+        """,
+        "lm_score": """
+            WITH toks AS (
+                SELECT doc_id, generate_subscripts(l, 1) AS i,
+                       unnest(l) AS tok
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+                      FROM documents)),
+            uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            v AS (SELECT COUNT(*) AS v FROM uni),
+            big AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c
+                    FROM toks a JOIN toks b
+                      ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                    GROUP BY 1, 2),
+            sc AS (SELECT a.doc_id,
+                          -ln((COALESCE(bg.c, 0) + 1.0) / (u.c + v.v))
+                              AS nll
+                   FROM toks a JOIN toks b
+                     ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                   JOIN uni u ON u.tok = a.tok
+                   LEFT JOIN big bg ON bg.t1 = a.tok AND bg.t2 = b.tok
+                   CROSS JOIN v)
+            SELECT d.doc_id,
+                   COALESCE(s.n, 0) AS n_bigrams,
+                   COALESCE(s.avg_nll, 0.0) AS avg_nll
+            FROM documents d
+            LEFT JOIN (SELECT doc_id, COUNT(*) AS n,
+                              ROUND(AVG(nll), 6) AS avg_nll
+                       FROM sc GROUP BY doc_id) s USING (doc_id)
+        """,
+        "doc_sim": """
+            WITH norm AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(w[i:i+3], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w)-3, 1))]) AS g
+                FROM norm WHERE len(w) >= 4),
+            rare AS (
+                SELECT g FROM (SELECT g, COUNT(*) AS df
+                               FROM grams GROUP BY g)
+                WHERE df BETWEEN 2 AND 20)
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS n_shared
+            FROM grams a JOIN grams b ON a.g = b.g
+                                     AND a.doc_id < b.doc_id
+            JOIN rare r ON a.g = r.g
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
     }

@@ -229,6 +229,176 @@ def triangle_count(edges: ray.data.Dataset, a: str = "a",
     return int(counts["n"].sum())
 
 
+def bfs_hops(edges: ray.data.Dataset, seeds: np.ndarray,
+             max_hops: int = 4, a: str = "a", b: str = "b",
+             route: str = "auto",
+             dense_threshold: int = 4_000_000) -> pa.Table:
+    """Multi-source BFS hop distance over an undirected edge Dataset.
+
+    Returns (node, hop) for every node within ``max_hops`` of a seed
+    (hop 0 = the seeds themselves).  Two routes, bit-equal:
+
+    - **dense** (node-bounded graphs, same assumption as
+      :func:`pagerank`): the sorted node universe is broadcast once and
+      each BFS level is one map-only pass — every block emits a packed
+      reached-bitmask over the CURRENT FRONTIER's neighbors, the driver
+      ORs O(blocks) masks.  No shuffle at all; level latency is one
+      pass over the edges.
+    - **sparse** (scale path, nothing node-bounded is ever
+      broadcast): the distance table is a Dataset; each level
+      hash-joins the frontier against the edges and folds candidates
+      in with a groupby-``Min(hop)``.  Frontier/distance volume ships
+      through the shuffle, edges stream from the object store.
+
+    Deterministic for a fixed seed set; seeds not present in the edge
+    set are still reported at hop 0."""
+    from ray.data.aggregate import Min
+
+    seeds = np.unique(np.asarray(seeds, dtype="int64"))
+
+    def und(t: pa.Table) -> pa.Table:
+        av = t[a].to_numpy(zero_copy_only=False)
+        bv = t[b].to_numpy(zero_copy_only=False)
+        return pa.table({"s": np.concatenate([av, bv]),
+                         "d": np.concatenate([bv, av])})
+
+    undirected = edges.map_batches(und, batch_format="pyarrow") \
+        .materialize()                       # reused once per BFS level
+
+    if route == "sparse" or (route == "auto"
+                             and len(seeds) > dense_threshold):
+        dist = ray.data.from_arrow(pa.table({
+            "node": pa.array(seeds, pa.int64()),
+            "hop": pa.array(np.zeros(len(seeds), dtype="int64"))}))
+        for k in range(1, max_hops + 1):
+            def front(t: pa.Table, k=k) -> pa.Table:
+                return t.filter(pc.equal(t["hop"], pa.scalar(k - 1)))
+
+            frontier = dist.map_batches(front, batch_format="pyarrow")
+            if frontier.count() == 0:
+                break
+            from aida_ray.stages.shuffle_join import hash_join
+            cand = hash_join(undirected, frontier,
+                             on=("s",), right_on=("node",))
+
+            def step(t: pa.Table, k=k) -> pa.Table:
+                n = t.num_rows
+                return pa.table({"node": t["d"], "hop": pa.array(
+                    np.full(n, k, dtype="int64"))})
+
+            dist = dist.union(cand.map_batches(step,
+                                               batch_format="pyarrow")) \
+                .groupby("node").aggregate(Min("hop"))
+            dist = dist.map_batches(lambda t: pa.table({
+                "node": t["node"],
+                "hop": pc.cast(t["min(hop)"], pa.int64())}),
+                batch_format="pyarrow").materialize()
+        out = dist.to_pandas().sort_values("node")
+        return pa.Table.from_pandas(out.reset_index(drop=True),
+                                    preserve_index=False)
+
+    # dense route: node universe broadcast, one map-only pass per level
+    def node_partial(t: pa.Table) -> pa.Table:
+        return pa.table({"node": np.unique(
+            t["s"].to_numpy(zero_copy_only=False))})
+
+    nd = undirected.map_batches(node_partial, batch_format="pyarrow") \
+        .groupby("node").count().to_pandas()
+    nodes = np.unique(np.concatenate(
+        [nd["node"].to_numpy(dtype="int64"), seeds])) \
+        if not nd.empty else seeds
+    n = len(nodes)
+    dist = np.full(n, -1, dtype="int64")
+    dist[np.searchsorted(nodes, seeds)] = 0
+    for k in range(1, max_hops + 1):
+        frontier = nodes[dist == k - 1]
+        if len(frontier) == 0:
+            break
+        state_ref = ray.put((nodes, frontier))
+
+        def reach(t: pa.Table) -> pa.Table:
+            nd_, fr = _get_cached(state_ref)
+            sv = t["s"].to_numpy(zero_copy_only=False)
+            dv = t["d"].to_numpy(zero_copy_only=False)
+            fi = np.searchsorted(fr, sv)
+            hit = (fi < len(fr)) & (fr[np.minimum(fi, len(fr) - 1)] == sv)
+            mask = np.zeros(len(nd_), dtype=bool)
+            mask[np.searchsorted(nd_, dv[hit])] = True
+            return pa.table({"mask": pa.array([np.packbits(mask)
+                                               .tobytes()], pa.binary())})
+
+        rows = undirected.map_batches(reach,
+                                      batch_format="pyarrow").take_all()
+        reached = np.zeros(n, dtype=bool)
+        for r in rows:
+            reached |= np.unpackbits(
+                np.frombuffer(r["mask"], dtype=np.uint8),
+                count=n).astype(bool)
+        dist[reached & (dist < 0)] = k
+    keep = dist >= 0
+    return pa.table({"node": pa.array(nodes[keep], pa.int64()),
+                     "hop": pa.array(dist[keep], pa.int64())})
+
+
+def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
+                     parent: str = "parent",
+                     max_rounds: int = 48) -> ray.data.Dataset:
+    """Transitive ancestor closure of a functional (≤1 parent per node)
+    edge set — the type-taxonomy / category-hierarchy closure
+    (reference analogue: the `type_taxonomy` table,
+    `DataAccessSQL.java:78`) — by POINTER DOUBLING: O(log depth)
+    distributed rounds instead of depth rounds.
+
+    Invariant per round r: ``C`` holds exactly the pairs with
+    dist ≤ 2^r, ``J`` exactly the 2^r-jump pointers.  The round is
+      C ← C ∪ (C ⋈ J)   (extends every pair by exactly 2^r)
+      J ← J ⋈ J         (doubles the jump)
+    Both joins are hash shuffles on the ancestor/node key; outputs are
+    disjoint by construction (dist ranges don't overlap and each
+    (node, dist) has a unique ancestor in a functional graph), so no
+    dedup pass is needed.  Terminates when J empties (depth exhausted).
+
+    Returns a Dataset (node, anc, dist), dist ≥ 1."""
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def init(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"node": pc.cast(t[child], pa.int64()),
+                         "anc": pc.cast(t[parent], pa.int64()),
+                         "dist": pa.array(np.ones(n, dtype="int64"))})
+
+    c = edges.map_batches(init, batch_format="pyarrow").materialize()
+    j = c
+    jump = 1
+    for _ in range(max_rounds):
+        if j.count() == 0:
+            break
+
+        def jr(t: pa.Table) -> pa.Table:
+            return pa.table({"jn": t["node"], "janc": t["anc"]})
+
+        jside = j.map_batches(jr, batch_format="pyarrow").materialize()
+
+        ext = hash_join(c, jside, on=("anc",), right_on=("jn",))
+
+        def fold(t: pa.Table, jump=jump) -> pa.Table:
+            return pa.table({"node": t["node"], "anc": t["janc"],
+                             "dist": pc.add(t["dist"],
+                                            pa.scalar(jump, pa.int64()))})
+
+        new = ext.map_batches(fold, batch_format="pyarrow")
+        c = c.union(new).materialize()
+
+        j2 = hash_join(j, jside, on=("anc",), right_on=("jn",))
+
+        def jfold(t: pa.Table) -> pa.Table:
+            return pa.table({"node": t["node"], "anc": t["janc"]})
+
+        j = j2.map_batches(jfold, batch_format="pyarrow").materialize()
+        jump *= 2
+    return c
+
+
 def heavy_hitters(ds: ray.data.Dataset, col: str,
                   m: int = 64) -> pd.DataFrame:
     """Approximate most-frequent values.  Returns a DataFrame

@@ -1,0 +1,120 @@
+"""Count-based bigram language model: distributed training + perplexity
+scoring — the CCNet-style "score every document against a corpus LM"
+quality signal for training-data pipelines.
+
+Training is two vocabulary-bounded aggregations (unigram counts, bigram
+counts): map-side partials per batch, one groupby-sum each — shuffle
+volume tracks the VOCABULARY (and bigram vocabulary), never the corpus.
+The finished model (unigram counts, bigram counts, |V|) is broadcast
+once via ``ray.put`` and every batch scores its own documents locally —
+the scoring pass is map-only, zero shuffle.
+
+Scoring: add-one (Laplace) smoothed conditional likelihood
+
+    nll(w_{i-1} w_i) = -ln( (B(w_{i-1}, w_i) + 1) / (U(w_{i-1}) + |V|) )
+
+averaged over a document's bigram positions; documents with < 2 tokens
+score 0.0 with n_bigrams = 0.  Tokenization matches the TF-IDF stage
+(lower → RE2 split on ``[^a-z0-9]+``) so a DuckDB oracle reproduces it
+exactly; the average is rounded to 6 decimals on both sides.
+
+Scale note: the broadcast assumes the bigram table ≪ corpus (true for
+natural language: bigram vocabulary grows sub-linearly and is further
+boundable with a min-count cutoff).  For open token spaces substitute a
+hash join of the position pairs against the bigram table on a packed
+(t1, t2) key — the scoring formula is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from aida_ray.stages.dedup import _get_cached
+from aida_ray.stages.tfidf import _doc_terms
+
+
+def _doc_bigrams(b: pa.Table, id_col: str,
+                 text_col: str) -> pd.DataFrame:
+    """(doc_id, t1, t2) rows for every adjacent token pair per doc."""
+    dt = _doc_terms(b, id_col, text_col).reset_index(drop=True)
+    if dt.empty:
+        return pd.DataFrame({"doc_id": [], "t1": [], "t2": []})
+    ids = dt.doc_id.to_numpy()
+    same = ids[:-1] == ids[1:]
+    terms = dt.term.to_numpy()
+    return pd.DataFrame({"doc_id": ids[:-1][same],
+                         "t1": terms[:-1][same],
+                         "t2": terms[1:][same]})
+
+
+def train_bigram_lm(ds: ray.data.Dataset, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Two vocabulary-bounded aggregations → (uni_counts: dict,
+    bigram_counts: dict keyed by "t1 t2", vocab_size)."""
+    from ray.data.aggregate import Sum
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        dt = _doc_terms(b, id_col, text_col)
+        g = dt.groupby("term", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uni = ds.map_batches(uni_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("n")).to_pandas()
+
+    def big_partial(b: pa.Table) -> pa.Table:
+        bg = _doc_bigrams(b, id_col, text_col)
+        if bg.empty:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        key = bg.t1 + " " + bg.t2
+        g = key.value_counts().rename("n").reset_index()
+        g.columns = ["bigram", "n"]
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    big = ds.map_batches(big_partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n")).to_pandas()
+
+    uni_map = dict(zip(uni.term, uni["sum(n)"].astype("int64")))
+    big_map = dict(zip(big.bigram, big["sum(n)"].astype("int64")))
+    return uni_map, big_map, len(uni_map)
+
+
+def bigram_lm_scores(ds: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text") -> ray.data.Dataset:
+    """Per-document add-one-smoothed bigram negative log-likelihood:
+    (doc_id, n_bigrams, avg_nll)."""
+    uni_map, big_map, vocab = train_bigram_lm(ds, id_col, text_col)
+    model_ref = ray.put((uni_map, big_map, vocab))
+
+    def score(b: pa.Table) -> pa.Table:
+        uni, big, v = _get_cached(model_ref)
+        all_ids = b[id_col].to_numpy(zero_copy_only=False)
+        bg = _doc_bigrams(b, id_col, text_col)
+        if bg.empty:
+            return pa.table({
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "n_bigrams": pa.array(np.zeros(len(all_ids), "int64")),
+                "avg_nll": pa.array(np.zeros(len(all_ids)), pa.float64()),
+            })
+        bc = (bg.t1 + " " + bg.t2).map(big).fillna(0).to_numpy("float64")
+        uc = bg.t1.map(uni).to_numpy(dtype="float64")
+        bg["nll"] = -np.log((bc + 1.0) / (uc + float(v)))
+        g = bg.groupby("doc_id", sort=False)["nll"] \
+            .agg(["count", "mean"]).reset_index()
+        out = pd.DataFrame({"doc_id": all_ids}).merge(
+            g, on="doc_id", how="left")
+        return pa.table({
+            "doc_id": pa.array(out.doc_id.to_numpy(), pa.int64()),
+            "n_bigrams": pa.array(
+                out["count"].fillna(0).to_numpy("int64")),
+            "avg_nll": pa.array(
+                np.round(out["mean"].fillna(0.0).to_numpy("float64"), 6),
+                pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

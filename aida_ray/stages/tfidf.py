@@ -100,3 +100,81 @@ def tfidf_top_terms(ds: ray.data.Dataset, k: int = 5,
                                     preserve_index=False)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def _doc_ngrams(b: pa.Table, id_col: str, text_col: str,
+                n: int) -> pd.DataFrame:
+    """Distinct (doc_id, gram) rows per batch — word n-grams joined
+    with single spaces.  Per-batch distinct is globally distinct
+    because every document lives in exactly one row."""
+    dt = _doc_terms(b, id_col, text_col)
+    if dt.empty:
+        return pd.DataFrame({"doc_id": [], "gram": []})
+    ids = dt.doc_id.to_numpy()
+    terms = dt.term.to_numpy()
+    if len(terms) < n:
+        return pd.DataFrame({"doc_id": [], "gram": []})
+    same = np.ones(len(ids) - n + 1, dtype=bool)
+    gram = terms[: len(terms) - n + 1].astype(object)
+    for k in range(1, n):
+        same &= ids[: len(ids) - n + 1] == ids[k: len(ids) - n + 1 + k]
+        gram = gram + " " + terms[k: len(terms) - n + 1 + k]
+    out = pd.DataFrame({"doc_id": ids[: len(ids) - n + 1][same],
+                        "gram": gram[same]})
+    return out.drop_duplicates()
+
+
+def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
+                        df_min: int = 2, df_max: int = 20,
+                        min_shared: int = 2,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> ray.data.Dataset:
+    """Sparse document-similarity join via the RARE-term inverted
+    index: documents sharing ≥ ``min_shared`` word ``n``-grams whose
+    document frequency is in [df_min, df_max].  Output (a, b,
+    n_shared) with a < b.
+
+    The classic prefix-filtered similarity-join shape: common grams
+    (df > df_max) can never discriminate and are dropped BEFORE pair
+    generation, so per-gram group size — and hence the quadratic pair
+    fan-out — is bounded by df_max.  Stages: per-batch distinct
+    (doc, gram) → one groupby on gram emits each qualifying posting
+    list's C(df, 2) pairs (vectorized ``np.triu_indices``) → pairs
+    dedup/count on a packed ``a<<32|b`` key → threshold filter.  All
+    shuffle volume tracks postings of RARE grams, never the corpus."""
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pandas(_doc_ngrams(b, id_col, text_col, n),
+                                    preserve_index=False)
+
+    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.unique(g.doc_id.to_numpy())
+        if not (df_min <= len(docs) <= df_max):
+            return pd.DataFrame({"ab": np.empty(0, dtype="int64")})
+        iu, ju = np.triu_indices(len(docs), k=1)
+        return pd.DataFrame(
+            {"ab": (docs[iu].astype("int64") << 32) | docs[ju]})
+
+    def local_count(b: pa.Table) -> pa.Table:
+        # normalize map_groups' pandas blocks back to Arrow (empty
+        # pandas blocks otherwise leak through the groupby) and
+        # pre-count block-locally so the shuffle ships distinct pairs
+        ab, n = np.unique(b["ab"].to_numpy(zero_copy_only=False),
+                          return_counts=True)
+        return pa.table({"ab": pa.array(ab, pa.int64()),
+                         "n": pa.array(n.astype("int64"))})
+
+    from ray.data.aggregate import Sum
+    pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("gram").map_groups(per_gram, batch_format="pandas") \
+        .map_batches(local_count, batch_format="pyarrow") \
+        .groupby("ab").aggregate(Sum("n"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b["sum(n)"],
+                                      pa.scalar(min_shared)))
+        ab = t["ab"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ab >> 32, pa.int64()),
+                         "b": pa.array(ab & 0xFFFFFFFF, pa.int64()),
+                         "n_shared": pc.cast(t["sum(n)"], pa.int64())})
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")

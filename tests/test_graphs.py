@@ -110,3 +110,68 @@ def test_cooccurrence_edges_and_triangles(ray_session):
     assert triangle_count(
         rd.from_arrow(pa.Table.from_pandas(edges)).repartition(4)) == ref_tri
     assert ref_tri > 0
+
+
+def _py_bfs(edges, seeds, max_hops):
+    from collections import deque
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_dense_sparse_equal(ray_session):
+    from aida_ray.stages.graphs import bfs_hops
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 200, 500)
+    b = rng.integers(0, 200, 500)
+    keep = a != b
+    pairs = sorted({(min(x, y), max(x, y))
+                    for x, y in zip(a[keep], b[keep])})
+    edges = rd.from_arrow(pa.table({
+        "a": np.array([p[0] for p in pairs], dtype="int64"),
+        "b": np.array([p[1] for p in pairs], dtype="int64")})) \
+        .repartition(4)
+    seeds = np.array([0, 50, 100, 150, 300])  # 300 isolated: hop 0 only
+    dense = bfs_hops(edges, seeds, max_hops=3, route="dense").to_pandas()
+    sparse = bfs_hops(edges, seeds, max_hops=3,
+                      route="sparse").to_pandas()
+    ref = _py_bfs(pairs, list(seeds), 3)
+    assert dict(zip(dense.node, dense.hop)) == ref
+    pd.testing.assert_frame_equal(
+        dense.sort_values("node").reset_index(drop=True),
+        sparse.sort_values("node").reset_index(drop=True))
+
+
+def test_ancestor_closure_random_forest(ray_session):
+    from aida_ray.stages.graphs import ancestor_closure
+    # functional forest: parent(n) = n // 3 for n >= 1 (root 0)
+    n = 120
+    child = np.arange(1, n, dtype="int64")
+    parent = child // 3
+    edges = rd.from_arrow(pa.table({"child": child,
+                                    "parent": parent})).repartition(5)
+    out = ancestor_closure(edges).to_pandas()
+    ref = set()
+    for c in child:
+        anc, d = int(c) // 3, 1
+        while True:
+            ref.add((int(c), anc, d))
+            if anc == 0:
+                break
+            anc, d = anc // 3, d + 1
+    got = set(zip(out.node, out.anc, out.dist))
+    assert got == ref
+    # no duplicate (node, anc) pairs from the doubling rounds
+    assert len(out) == len(out[["node", "anc"]].drop_duplicates())
