@@ -1932,6 +1932,48 @@ def q_doc_sim(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_skyline(sf_dir: str) -> pa.Table:
+    """Pareto-frontier (skyline) query — minimize l_extendedprice,
+    maximize l_quantity.  Block-local skylines are a correct prune, so
+    only per-block frontiers ever leave the workers."""
+    from aida_ray.stages.relational import skyline
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_extendedprice", "l_quantity"])
+    return skyline(li, "l_extendedprice", "l_quantity")
+
+
+def q_group_mode(sf_dir: str) -> pa.Table:
+    """Per-user MODE(event_type) with lexicographic tie-break + ordered
+    STRING_AGG of the distinct event types (shuffle tracks the
+    key × value-domain space)."""
+    from aida_ray.stages.relational import group_mode_concat
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    t = _collect(group_mode_concat(ev, "user_id", "event_type")) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_kcore(sf_dir: str) -> pa.Table:
+    """k-core of the co-purchase graph at k = 0.7 × average degree —
+    distributed peeling to the fixpoint (rows-only: iterative, not
+    SQL-expressible; peeling is property-tested vs a python reference
+    in tests/test_graphs.py)."""
+    from aida_ray.stages.graphs import cooccurrence_edges, kcore
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_item=2000).materialize()
+    n_edges = edges.count()
+    n_nodes = edges.map_batches(
+        lambda t: pa.table({"node": np.unique(np.concatenate(
+            [t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)]))}),
+        batch_format="pyarrow").groupby("node").count().count()
+    k = max(3, int(0.7 * (2.0 * n_edges / max(n_nodes, 1))))
+    return kcore(edges, k)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2044,6 +2086,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxonomy_closure": q_taxonomy_closure,
         "lm_score": q_lm_score,
         "doc_sim": q_doc_sim,
+        "skyline": q_skyline,
+        "group_mode": q_group_mode,
+        "kcore": q_kcore,
     }
 
 
@@ -3105,5 +3150,35 @@ def oracle_sql() -> dict[str, str]:
                                      AND a.doc_id < b.doc_id
             JOIN rare r ON a.g = r.g
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        "skyline": """
+            WITH pts AS (
+                SELECT DISTINCT l_extendedprice AS price,
+                       CAST(l_quantity AS DOUBLE) AS qty
+                FROM lineitem)
+            SELECT price, qty FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.price <= p.price AND q.qty >= p.qty
+                  AND (q.price < p.price OR q.qty > p.qty))
+        """,
+        "group_mode": """
+            WITH c AS (
+                SELECT user_id, event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT user_id, event_type, n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rn
+                FROM c),
+            sa AS (
+                SELECT user_id,
+                       string_agg(event_type, ',' ORDER BY event_type)
+                           AS all_vals
+                FROM c GROUP BY 1)
+            SELECT r.user_id, r.event_type AS mode_val,
+                   r.n AS mode_n, sa.all_vals
+            FROM r JOIN sa USING (user_id) WHERE rn = 1
         """,
     }

@@ -399,6 +399,61 @@ def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
     return c
 
 
+def kcore(edges: ray.data.Dataset, k: int, a: str = "a", b: str = "b",
+          max_rounds: int = 1000) -> pa.Table:
+    """k-core of an undirected distinct edge set by distributed
+    peeling: each round recomputes alive-subgraph degrees with one
+    counting aggregate (map-side partials — shuffle tracks the node
+    space) and drops nodes below ``k``; terminates at the fixpoint.
+
+    The alive set is node-bounded state broadcast per round (same
+    assumption as :func:`pagerank`); the edge table streams and is
+    never collected.  Returns (node, degree) of the surviving core —
+    deterministic, blocking-invariant."""
+    from ray.data.aggregate import Sum
+
+    edges = edges.materialize()              # reused every peel round
+    alive: np.ndarray | None = None          # None = all alive
+    for _ in range(max_rounds):
+        ref = ray.put(alive)
+
+        def deg_partial(t: pa.Table) -> pa.Table:
+            al = _get_cached(ref)
+            av = t[a].to_numpy(zero_copy_only=False)
+            bv = t[b].to_numpy(zero_copy_only=False)
+            if al is not None:
+                ia = np.searchsorted(al, av)
+                ib = np.searchsorted(al, bv)
+                ok = ((ia < len(al)) & (al[np.minimum(ia, len(al) - 1)]
+                                        == av)
+                      & (ib < len(al)) & (al[np.minimum(ib, len(al) - 1)]
+                                          == bv))
+                av, bv = av[ok], bv[ok]
+            nodes, counts = np.unique(np.concatenate([av, bv]),
+                                      return_counts=True)
+            return pa.table({"node": nodes,
+                             "d": counts.astype("int64")})
+
+        deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+            .groupby("node").aggregate(Sum("d")).to_pandas()
+        if deg.empty:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64())})
+        nodes = deg["node"].to_numpy(dtype="int64")
+        degs = deg["sum(d)"].to_numpy(dtype="int64")
+        survivors = np.sort(nodes[degs >= k])
+        if alive is not None and len(survivors) == len(alive):
+            order = np.argsort(nodes)
+            return pa.table({
+                "node": pa.array(nodes[order], pa.int64()),
+                "degree": pa.array(degs[order], pa.int64())})
+        alive = survivors
+        if len(alive) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "degree": pa.array([], pa.int64())})
+    raise RuntimeError("kcore: no fixpoint within max_rounds")
+
+
 def heavy_hitters(ds: ray.data.Dataset, col: str,
                   m: int = 64) -> pd.DataFrame:
     """Approximate most-frequent values.  Returns a DataFrame

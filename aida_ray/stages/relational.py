@@ -366,6 +366,86 @@ def unnest_list(ds: ray.data.Dataset, id_col: str,
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def _skyline_sweep(price: np.ndarray, qty: np.ndarray):
+    """Pareto frontier (minimize price, maximize qty) of distinct
+    points via the O(n log n) sort-sweep: after sorting by (price asc,
+    qty desc), a point survives iff it is the qty-max of its price
+    group AND beats the running qty max of all cheaper points."""
+    pts = np.unique(np.stack([price, -qty], axis=1), axis=0)
+    p, q = pts[:, 0], -pts[:, 1]
+    first_of_price = np.ones(len(p), dtype=bool)
+    first_of_price[1:] = p[1:] != p[:-1]
+    best = np.maximum.accumulate(np.where(first_of_price, q, -np.inf))
+    prev_best = np.concatenate([[-np.inf], best[:-1]])
+    keep = first_of_price & (q > prev_best)
+    return p[keep], q[keep]
+
+
+def skyline(ds: ray.data.Dataset, price_col: str,
+            qty_col: str) -> pa.Table:
+    """Distributed skyline (Pareto-frontier) query: points not
+    dominated by any other on (price minimized, qty maximized).
+
+    Block-local skylines are a CORRECT prune — a globally
+    non-dominated point is non-dominated within its block — so each
+    block ships only its own frontier (typically O(log) of the block)
+    and the driver sweeps the tiny candidate union.  No shuffle of the
+    fact table; deterministic under any blocking."""
+    def local(b: pa.Table) -> pa.Table:
+        p, q = _skyline_sweep(
+            b[price_col].to_numpy(zero_copy_only=False).astype("float64"),
+            b[qty_col].to_numpy(zero_copy_only=False).astype("float64"))
+        return pa.table({"price": pa.array(p, pa.float64()),
+                         "qty": pa.array(q, pa.float64())})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    p, q = _skyline_sweep(cand.price.to_numpy(), cand.qty.to_numpy())
+    return pa.table({"price": pa.array(p, pa.float64()),
+                     "qty": pa.array(q, pa.float64())})
+
+
+def group_mode_concat(ds: ray.data.Dataset, key: str,
+                      val: str) -> ray.data.Dataset:
+    """Per-group MODE (most frequent value, lexicographic tie-break)
+    and ordered STRING_AGG of the distinct values.
+
+    Map-side (key, val) partial counts make the shuffle track the
+    (key × value-domain) space, never the fact table; the per-group
+    finish is a tiny sort over that group's distinct values."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({
+            "k": b[key].to_numpy(zero_copy_only=False),
+            "v": b[val].to_pandas()}).groupby(["k", "v"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["k", "v"]).aggregate(Sum("n"))
+
+    def finish(g):
+        import pandas as pd
+        g = g.sort_values("v")
+        n = g["sum(n)"].to_numpy()
+        top = int(np.argmax(n))   # g sorted by value → first max = tie-break
+        return pd.DataFrame({
+            key: [g.k.iloc[0]],
+            "mode_val": [g.v.iloc[top]],
+            "mode_n": [int(n[top])],
+            "all_vals": [",".join(g.v)],
+        })
+
+    out = counts.groupby("k").map_groups(finish, batch_format="pandas")
+    return out.map_batches(
+        lambda t: pa.table({key: pc.cast(t[key], pa.int64()),
+                            "mode_val": t["mode_val"],
+                            "mode_n": pc.cast(t["mode_n"], pa.int64()),
+                            "all_vals": t["all_vals"]}),
+        batch_format="pyarrow")
+
+
 def revenue_by_nation(orders: ray.data.Dataset, customer: pa.Table,
                       nation: pa.Table) -> ray.data.Dataset:
     """Total order revenue (int cents) + order count per nation name.

@@ -175,3 +175,37 @@ def test_ancestor_closure_random_forest(ray_session):
     assert got == ref
     # no duplicate (node, anc) pairs from the doubling rounds
     assert len(out) == len(out[["node", "anc"]].drop_duplicates())
+
+
+def test_kcore_matches_python_peel(ray_session):
+    from aida_ray.stages.graphs import kcore
+    rng = np.random.default_rng(13)
+    # planted clique (high core) + sparse tail
+    clique = list(range(10))
+    edges = {(i, j) for i in clique for j in clique if i < j}
+    a = rng.integers(0, 80, 300)
+    b = rng.integers(0, 80, 300)
+    edges |= {(min(x, y), max(x, y)) for x, y in zip(a, b) if x != y}
+    edges = sorted(edges)
+    ds = rd.from_arrow(pa.table({
+        "a": np.array([e[0] for e in edges], dtype="int64"),
+        "b": np.array([e[1] for e in edges], dtype="int64")})) \
+        .repartition(4)
+    for k in (3, 6, 9):
+        out = kcore(ds, k).to_pandas()
+        # python peeling reference
+        alive = {n for e in edges for n in e}
+        while True:
+            deg = {}
+            for x, y in edges:
+                if x in alive and y in alive:
+                    deg[x] = deg.get(x, 0) + 1
+                    deg[y] = deg.get(y, 0) + 1
+            surv = {n for n, d in deg.items() if d >= k}
+            if surv == alive or not surv:
+                break
+            alive = surv
+        ref = deg if surv else {}
+        ref = {n: d for n, d in ref.items() if n in surv}
+        assert dict(zip(out.node, out.degree)) == ref
+    assert set(kcore(ds, 9).to_pandas().node) >= set(clique)

@@ -192,3 +192,39 @@ def test_cube_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(out, ref, check_dtype=False)
     # 4 grouping sets: finest + 2 one-key sets + grand total
     assert (out.l_returnflag.isna() & out.l_linestatus.isna()).sum() == 1
+
+
+def test_skyline_bruteforce(ray_session):
+    from aida_ray.stages.relational import skyline
+    rng = np.random.default_rng(5)
+    price = rng.uniform(1, 100, 800).round(1)
+    qty = rng.integers(1, 50, 800).astype("float64")
+    ds = rd.from_arrow(pa.table({"p": price, "q": qty})).repartition(6)
+    out = skyline(ds, "p", "q")
+    got = set(zip(out["price"].to_pylist(), out["qty"].to_pylist()))
+    pts = set(zip(price, qty))
+    ref = {(p, q) for p, q in pts
+           if not any(op <= p and oq >= q and (op < p or oq > q)
+                      for op, oq in pts)}
+    assert got == ref and len(ref) > 1
+
+
+def test_group_mode_concat_pandas(ray_session):
+    from aida_ray.stages.relational import group_mode_concat
+    rng = np.random.default_rng(9)
+    k = rng.integers(0, 12, 600)
+    v = rng.choice(["aa", "bb", "cc", "dd"], 600)
+    ds = rd.from_arrow(pa.table({"user_id": k, "event_type": v})) \
+        .repartition(5)
+    out = group_mode_concat(ds, "user_id", "event_type").to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    import pandas as pd
+    df = pd.DataFrame({"k": k, "v": v})
+    for _, r in out.iterrows():
+        vc = df[df.k == r.user_id].v.value_counts()
+        best = vc[vc == vc.max()].index.min()   # lexicographic tie-break
+        assert r.mode_val == best
+        assert r.mode_n == vc.max()
+        assert r.all_vals == ",".join(sorted(df[df.k == r.user_id]
+                                             .v.unique()))
+    assert set(out.user_id) == set(np.unique(k))
