@@ -1974,6 +1974,45 @@ def q_kcore(sf_dir: str) -> pa.Table:
     return kcore(edges, k)
 
 
+def q_cheapest_path(sf_dir: str) -> pa.Table:
+    """Hop-bounded multi-source cheapest paths (min-plus Bellman-Ford,
+    integer weights → exactly SQL-checkable) over a synthetic
+    skip-graph: i→i+1 (w=1+i%5) and i→2i (w=3+i%7) on doc ids."""
+    from aida_ray.stages.graphs import cheapest_paths
+
+    def skip_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        hi = int(b["max_id"][0].as_py())
+        s1 = ids[ids + 1 <= hi]
+        s2 = ids[(ids >= 1) & (2 * ids <= hi)]
+        return pa.table({
+            "src": pa.array(np.concatenate([s1, s2]), pa.int64()),
+            "dst": pa.array(np.concatenate([s1 + 1, 2 * s2]), pa.int64()),
+            "w": pa.array(np.concatenate([1 + s1 % 5, 3 + s2 % 7]),
+                          pa.int64())})
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    hi = int(docs.max("doc_id"))
+    edges = docs.map_batches(
+        lambda b, hi=hi: skip_edges(b.append_column(
+            "max_id", pa.array([hi] * b.num_rows, pa.int64()))),
+        batch_format="pyarrow")
+    return cheapest_paths(edges, seeds=np.array([0, 1, 2, 3]), max_hops=4)
+
+
+def q_peak_concurrency(sf_dir: str) -> pa.Table:
+    """Sweep-line peak interval overlap (events as 1-hour half-open
+    intervals): a distributed prefix scan — per-bucket local sweeps +
+    a partitions-sized driver offset pass; integer-exact."""
+    from aida_ray.stages.sessions import peak_concurrency
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+    mx, at = peak_concurrency(ev, duration_s=3600)
+    return pa.table({"max_concurrent": pa.array([mx], pa.int64()),
+                     "at_us": pa.array([at], pa.int64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2089,6 +2128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "group_mode": q_group_mode,
         "kcore": q_kcore,
+        "cheapest_path": q_cheapest_path,
+        "peak_concurrency": q_peak_concurrency,
     }
 
 
@@ -3180,5 +3221,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.user_id, r.event_type AS mode_val,
                    r.n AS mode_n, sa.all_vals
             FROM r JOIN sa USING (user_id) WHERE rn = 1
+        """,
+        "cheapest_path": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS s, doc_id + 1 AS d,
+                       1 + doc_id % 5 AS w
+                FROM documents
+                WHERE doc_id + 1 <= (SELECT MAX(doc_id) FROM documents)
+                UNION ALL
+                SELECT doc_id, 2 * doc_id, 3 + doc_id % 7
+                FROM documents
+                WHERE doc_id >= 1
+                  AND 2 * doc_id <= (SELECT MAX(doc_id) FROM documents)),
+            p(node, cost, hop) AS (
+                SELECT CAST(r AS BIGINT), CAST(0 AS BIGINT), 0
+                FROM (SELECT UNNEST([0, 1, 2, 3]) AS r)
+                UNION ALL
+                SELECT e.d, p.cost + e.w, p.hop + 1
+                FROM p JOIN e ON e.s = p.node WHERE p.hop < 4)
+            SELECT node, MIN(cost) AS cost FROM p GROUP BY node
+        """,
+        "peak_concurrency": """
+            WITH pts AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) AS t, 1 AS d
+                FROM events
+                UNION ALL
+                SELECT CAST(epoch_us(ts) AS BIGINT) + 3600000000, -1
+                FROM events),
+            g AS (SELECT t, d, SUM(d) AS dd FROM pts GROUP BY t, d),
+            c AS (SELECT t,
+                         CAST(SUM(dd) OVER (ORDER BY t, d) AS BIGINT)
+                             AS conc
+                  FROM g)
+            SELECT (SELECT MAX(conc) FROM c) AS max_concurrent,
+                   (SELECT MIN(t) FROM c
+                    WHERE conc = (SELECT MAX(conc) FROM c)) AS at_us
         """,
     }

@@ -117,40 +117,85 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
                      "rank": pa.array(rank, pa.float64())})
 
 
+def _basket_pairs(g: np.ndarray, it: np.ndarray) -> np.ndarray:
+    """Packed a<<32|b distinct pairs per basket run (``g`` sorted)."""
+    if len(g) == 0:
+        return np.empty(0, dtype="int64")
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], len(g)]
+    out = []
+    for s, e in zip(starts, ends):
+        items = np.unique(it[s:e])
+        if len(items) < 2:
+            continue
+        iu, ju = np.triu_indices(len(items), k=1)
+        out.append((items[iu].astype("int64") << 32) | items[ju])
+    return np.unique(np.concatenate(out)) if out \
+        else np.empty(0, dtype="int64")
+
+
 def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
                        item_col: str,
                        max_item: int | None = None) -> ray.data.Dataset:
     """Distinct co-occurrence edges (a < b) between items sharing a
     group — the market-basket / co-mention graph build.
 
-    One hash shuffle groups each basket; per-group distinct pairs come
-    from vectorized ``np.triu_indices`` (quadratic in BASKET size, not
-    corpus size — baskets are small by nature; cap or sample items per
-    group if yours are not).  Pairs dedup block-locally on a packed
-    ``a<<32|b`` int64 key, then one groupby on the packed key ships
-    only DISTINCT-edge rows.  Output: (a, b) int64 edges."""
+    One RANGE shuffle (``sort(group_col)``) co-locates each basket,
+    then every batch vectorizes ALL its fully-contained baskets in one
+    numpy pass (``np.triu_indices`` per run — quadratic in BASKET
+    size, not corpus size).  A per-basket ``map_groups`` here would
+    pay ~ms of pandas overhead × millions of tiny baskets — that
+    overhead, not pair math, dominated the old plan.  Baskets that
+    straddle a batch boundary (≤ 2 basket keys per batch) are re-
+    emitted raw and closed by ONE small task over the bounded
+    boundary sliver.  Pairs then dedup block-locally on the packed
+    ``a<<32|b`` key + one groupby on it (ships DISTINCT edges only).
+    Output: (a, b) int64 edges; deterministic under any blocking."""
     def prune(b: pa.Table) -> pa.Table:
         t = pa.table({group_col: b[group_col], item_col: b[item_col]})
         if max_item is not None:
             t = t.filter(pc.less(t[item_col], pa.scalar(max_item)))
         return t
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        items = np.unique(g[item_col].to_numpy())
-        if len(items) < 2:
-            return pd.DataFrame({"ab": np.empty(0, dtype="int64")})
-        iu, ju = np.triu_indices(len(items), k=1)
-        return pd.DataFrame(
-            {"ab": (items[iu].astype("int64") << 32) | items[ju]})
+    srt = ds.map_batches(prune, batch_format="pyarrow") \
+        .sort(group_col).materialize()
 
-    def local_distinct(b: pa.Table) -> pa.Table:
-        return pa.table({"ab": np.unique(
-            b["ab"].to_numpy(zero_copy_only=False))})
+    def inner_pairs(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        it = b[item_col].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table({"ab": pa.array([], pa.int64())})
+        inner = (g != g[0]) & (g != g[-1])
+        return pa.table({"ab": pa.array(
+            _basket_pairs(g[inner], it[inner]), pa.int64())})
 
-    pairs = ds.map_batches(prune, batch_format="pyarrow") \
-        .groupby(group_col).map_groups(per_group, batch_format="pandas") \
-        .map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby("ab").count()
+    def boundary(b: pa.Table) -> pa.Table:
+        g = b[group_col].to_numpy(zero_copy_only=False)
+        it = b[item_col].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64())})
+        keep = (g == g[0]) | (g == g[-1])
+        return pa.table({"g": pa.array(g[keep].astype("int64")),
+                         "i": pa.array(it[keep].astype("int64"))})
+
+    @ray.remote
+    def close_boundaries(*tabs: pa.Table) -> pa.Table:
+        t = pa.concat_tables(tabs)
+        g = t["g"].to_numpy(zero_copy_only=False)
+        it = t["i"].to_numpy(zero_copy_only=False)
+        order = np.argsort(g, kind="stable")
+        return pa.table({"ab": pa.array(
+            _basket_pairs(g[order], it[order]), pa.int64())})
+
+    inner = srt.map_batches(inner_pairs, batch_format="pyarrow")
+    brefs = srt.map_batches(boundary,
+                            batch_format="pyarrow").to_arrow_refs()
+    bpairs = ray.data.from_arrow_refs([close_boundaries.remote(*brefs)]) \
+        if brefs else ray.data.from_arrow(
+            pa.table({"ab": pa.array([], pa.int64())}))
+
+    pairs = inner.union(bpairs).groupby("ab").count()
 
     def unpack(b: pa.Table) -> pa.Table:
         ab = b["ab"].to_numpy(zero_copy_only=False)
@@ -292,7 +337,10 @@ def bfs_hops(edges: ray.data.Dataset, seeds: np.ndarray,
             dist = dist.map_batches(lambda t: pa.table({
                 "node": t["node"],
                 "hop": pc.cast(t["min(hop)"], pa.int64())}),
-                batch_format="pyarrow").materialize()
+                batch_format="pyarrow") \
+                .repartition(8).materialize()
+            # repartition coalesces the aggregate's schema-less empty
+            # blocks — they break the next round's join key resolution
         out = dist.to_pandas().sort_values("node")
         return pa.Table.from_pandas(out.reset_index(drop=True),
                                     preserve_index=False)
@@ -353,10 +401,18 @@ def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
     dist ≤ 2^r, ``J`` exactly the 2^r-jump pointers.  The round is
       C ← C ∪ (C ⋈ J)   (extends every pair by exactly 2^r)
       J ← J ⋈ J         (doubles the jump)
-    Both joins are hash shuffles on the ancestor/node key; outputs are
-    disjoint by construction (dist ranges don't overlap and each
-    (node, dist) has a unique ancestor in a functional graph), so no
-    dedup pass is needed.  Terminates when J empties (depth exhausted).
+    Outputs are disjoint by construction (dist ranges don't overlap
+    and each (node, dist) has a unique ancestor in a functional
+    graph), so no dedup pass is needed.  Terminates when J empties
+    (depth exhausted).
+
+    The jump table J is NODE-bounded (≤ one row per node — the graph
+    is functional), so while it fits the broadcast budget each round
+    is two map-only passes (``ray.put`` the sorted jn→janc arrays,
+    ``searchsorted`` per batch); a hash shuffle join takes over only
+    beyond that — each join spins an aggregator pool with seconds of
+    fixed latency, which dominated small inputs (2 joins × log-depth
+    rounds).
 
     Returns a Dataset (node, anc, dist), dist ≥ 1."""
     from aida_ray.stages.shuffle_join import hash_join
@@ -370,33 +426,115 @@ def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
     c = edges.map_batches(init, batch_format="pyarrow").materialize()
     j = c
     jump = 1
+    broadcast_rows = 8_000_000      # ~128 MB of int64 pointer pairs
     for _ in range(max_rounds):
-        if j.count() == 0:
+        n_j = j.count()
+        if n_j == 0:
             break
 
-        def jr(t: pa.Table) -> pa.Table:
-            return pa.table({"jn": t["node"], "janc": t["anc"]})
+        if n_j <= broadcast_rows:
+            jt = pa.concat_tables(
+                [ray.get(r) for r in j.to_arrow_refs()])
+            jn = jt["node"].to_numpy(zero_copy_only=False)
+            order = np.argsort(jn, kind="stable")
+            jref = ray.put((jn[order],
+                            jt["anc"].to_numpy(
+                                zero_copy_only=False)[order]))
 
-        jside = j.map_batches(jr, batch_format="pyarrow").materialize()
+            def jump_map(t: pa.Table, jump=jump, jref=jref,
+                         add_dist: bool = True) -> pa.Table:
+                # follow each row's ancestor through the broadcast
+                # 2^r-jump pointers; rows whose ancestor has no jump
+                # (chain exhausted) drop out
+                jn_, ja_ = _get_cached(jref)
+                av = t["anc"].to_numpy(zero_copy_only=False)
+                i = np.searchsorted(jn_, av)
+                hit = (i < len(jn_)) \
+                    & (jn_[np.minimum(i, len(jn_) - 1)] == av)
+                dist = t["dist"].to_numpy(zero_copy_only=False)[hit] \
+                    + jump if add_dist \
+                    else np.zeros(int(hit.sum()), dtype="int64")
+                return pa.table({
+                    "node": pa.array(t["node"].to_numpy(
+                        zero_copy_only=False)[hit], pa.int64()),
+                    "anc": pa.array(ja_[i[hit]], pa.int64()),
+                    "dist": pa.array(dist, pa.int64())})
 
-        ext = hash_join(c, jside, on=("anc",), right_on=("jn",))
+            c = c.union(c.map_batches(jump_map, batch_format="pyarrow")) \
+                .materialize()
+            j = j.map_batches(jump_map, fn_kwargs={"add_dist": False},
+                              batch_format="pyarrow").materialize()
+        else:
+            def jr(t: pa.Table) -> pa.Table:
+                return pa.table({"jn": t["node"], "janc": t["anc"]})
 
-        def fold(t: pa.Table, jump=jump) -> pa.Table:
-            return pa.table({"node": t["node"], "anc": t["janc"],
-                             "dist": pc.add(t["dist"],
-                                            pa.scalar(jump, pa.int64()))})
+            jside = j.map_batches(jr, batch_format="pyarrow") \
+                .materialize()
+            ext = hash_join(c, jside, on=("anc",), right_on=("jn",))
 
-        new = ext.map_batches(fold, batch_format="pyarrow")
-        c = c.union(new).materialize()
+            def fold(t: pa.Table, jump=jump) -> pa.Table:
+                return pa.table({
+                    "node": t["node"], "anc": t["janc"],
+                    "dist": pc.add(t["dist"],
+                                   pa.scalar(jump, pa.int64()))})
 
-        j2 = hash_join(j, jside, on=("anc",), right_on=("jn",))
-
-        def jfold(t: pa.Table) -> pa.Table:
-            return pa.table({"node": t["node"], "anc": t["janc"]})
-
-        j = j2.map_batches(jfold, batch_format="pyarrow").materialize()
+            c = c.union(ext.map_batches(fold, batch_format="pyarrow")) \
+                .materialize()
+            j2 = hash_join(j, jside, on=("anc",), right_on=("jn",))
+            j = j2.map_batches(
+                lambda t: pa.table({
+                    "node": t["node"], "anc": t["janc"],
+                    "dist": pa.array(np.zeros(t.num_rows,
+                                              dtype="int64"))}),
+                batch_format="pyarrow").materialize()
         jump *= 2
     return c
+
+
+def cheapest_paths(edges: ray.data.Dataset, seeds: np.ndarray,
+                   max_hops: int, src: str = "src", dst: str = "dst",
+                   w: str = "w") -> pa.Table:
+    """Hop-bounded single/multi-source cheapest paths (min-plus
+    Bellman-Ford) over a DIRECTED weighted edge Dataset with INTEGER
+    weights — integer path costs make every engine compute identical
+    values, so the result is exactly SQL-checkable.
+
+    Each round hash-joins the whole distance table against the edges
+    and folds relaxations in with groupby-``Min(cost)``; after round r
+    the table holds the exact min cost over paths of ≤ r edges
+    (collapsing to the per-node min between rounds is exact in the
+    min-plus semiring).  Distance volume ships through the shuffle,
+    edges stream; nothing is broadcast."""
+    from ray.data.aggregate import Min
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    seeds = np.unique(np.asarray(seeds, dtype="int64"))
+    edges = edges.materialize()              # reused every round
+    dist = ray.data.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.int64()),
+        "cost": pa.array(np.zeros(len(seeds), dtype="int64"))}))
+    for _ in range(max_hops):
+        cand = hash_join(edges, dist, on=(src,), right_on=("node",))
+
+        def relax(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pc.cast(t[dst], pa.int64()),
+                "cost": pc.add(pc.cast(t["cost"], pa.int64()),
+                               pc.cast(t[w], pa.int64()))})
+
+        dist = dist.union(cand.map_batches(relax,
+                                           batch_format="pyarrow")) \
+            .groupby("node").aggregate(Min("cost"))
+        dist = dist.map_batches(lambda t: pa.table({
+            "node": t["node"],
+            "cost": pc.cast(t["min(cost)"], pa.int64())}),
+            batch_format="pyarrow") \
+            .repartition(8).materialize()
+        # repartition coalesces the aggregate's schema-less empty
+        # blocks — they break the next round's join key resolution
+    out = dist.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def kcore(edges: ray.data.Dataset, k: int, a: str = "a", b: str = "b",

@@ -136,45 +136,118 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
 
     The classic prefix-filtered similarity-join shape: common grams
     (df > df_max) can never discriminate and are dropped BEFORE pair
-    generation, so per-gram group size — and hence the quadratic pair
-    fan-out — is bounded by df_max.  Stages: per-batch distinct
-    (doc, gram) → one groupby on gram emits each qualifying posting
-    list's C(df, 2) pairs (vectorized ``np.triu_indices``) → pairs
-    dedup/count on a packed ``a<<32|b`` key → threshold filter.  All
-    shuffle volume tracks postings of RARE grams, never the corpus."""
-    def partial(b: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(_doc_ngrams(b, id_col, text_col, n),
-                                    preserve_index=False)
+    generation, so per-gram posting size — and hence the quadratic
+    pair fan-out — is bounded by df_max.  Same gated plan as the
+    MinHash/n-gram near-dup candidate stage (stages/dedup.py):
 
-    def per_gram(g: pd.DataFrame) -> pd.DataFrame:
-        docs = np.unique(g.doc_id.to_numpy())
-        if not (df_min <= len(docs) <= df_max):
-            return pd.DataFrame({"ab": np.empty(0, dtype="int64")})
-        iu, ju = np.triu_indices(len(docs), k=1)
-        return pd.DataFrame(
-            {"ab": (docs[iu].astype("int64") << 32) | docs[ju]})
+    1. per-batch distinct (doc_id, gram-hash) postings (map-only);
+    2. gram dfs via one groupby-count; the Σ C(df, 2) pair volume is
+       estimated distributed from that table;
+    3. the rare-gram id set re-attaches by broadcast ``pc.is_in``
+       semi-join when small, inner hash join when huge;
+    4. pair counting: below the volume gate ONE numpy task sorts the
+       rare postings and counts packed a<<32|b pairs (no join pools,
+       no per-group pandas calls — 10k+ tiny map_groups previously
+       dominated wall time); above it, a distributed self-join on the
+       gram hash + groupby count.
 
-    def local_count(b: pa.Table) -> pa.Table:
-        # normalize map_groups' pandas blocks back to Arrow (empty
-        # pandas blocks otherwise leak through the groupby) and
-        # pre-count block-locally so the shuffle ships distinct pairs
-        ab, n = np.unique(b["ab"].to_numpy(zero_copy_only=False),
-                          return_counts=True)
-        return pa.table({"ab": pa.array(ab, pa.int64()),
-                         "n": pa.array(n.astype("int64"))})
-
+    Grams compare by stable 64-bit hash (collisions ~ |grams|²/2⁶⁴ —
+    negligible; swap in the string key if exactness at 10¹⁰ grams
+    matters)."""
     from ray.data.aggregate import Sum
-    pairs = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("gram").map_groups(per_gram, batch_format="pandas") \
-        .map_batches(local_count, batch_format="pyarrow") \
-        .groupby("ab").aggregate(Sum("n"))
 
-    def unpack(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.greater_equal(b["sum(n)"],
-                                      pa.scalar(min_shared)))
-        ab = t["ab"].to_numpy(zero_copy_only=False)
-        return pa.table({"a": pa.array(ab >> 32, pa.int64()),
-                         "b": pa.array(ab & 0xFFFFFFFF, pa.int64()),
-                         "n_shared": pc.cast(t["sum(n)"], pa.int64())})
+    def postings(b: pa.Table) -> pa.Table:
+        dt = _doc_ngrams(b, id_col, text_col, n)
+        gh = pd.util.hash_pandas_object(
+            dt.gram.astype(str), index=False).to_numpy(dtype="uint64") \
+            .view("int64")
+        return pa.table({"doc_id": pa.array(
+            dt.doc_id.to_numpy(dtype="int64")),
+            "gh": pa.array(gh, pa.int64())})
 
-    return pairs.map_batches(unpack, batch_format="pyarrow")
+    ex = ds.map_batches(postings, batch_format="pyarrow").materialize()
+    dfc = ex.groupby("gh").count() \
+        .map_batches(lambda b: b.rename_columns(["gh", "df"]),
+                     batch_format="pyarrow") \
+        .filter(expr=f"df >= {df_min} and df <= {df_max}").materialize()
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        d = b["df"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"p": pa.array([int((d * (d - 1) // 2).sum())],
+                                       pa.int64())})
+
+    est_pairs = dfc.map_batches(pair_partial,
+                                batch_format="pyarrow").sum("p") or 0
+    broadcast_threshold = 2_000_000
+    rare = dfc.select_columns(["gh"]).materialize()
+    if rare.count() <= broadcast_threshold:
+        rare_tbl = pa.concat_tables([ray.get(r)
+                                     for r in rare.to_arrow_refs()])
+        rare_ref = ray.put(pa.array(rare_tbl["gh"].to_numpy(
+            zero_copy_only=False), pa.int64()))
+
+        def keep_rare(b: pa.Table) -> pa.Table:
+            from aida_ray.stages.dedup import _get_cached
+            want = _get_cached(rare_ref)
+            return b.filter(pc.is_in(b["gh"], value_set=want))
+
+        rare_rows = ex.map_batches(keep_rare, batch_format="pyarrow")
+    else:
+        rare_rows = ex.join(rare, join_type="inner", num_partitions=32,
+                            on=("gh",))
+
+    if est_pairs <= 50_000_000:
+        @ray.remote
+        def pairs_task(*tabs: pa.Table) -> pa.Table:
+            t = pa.concat_tables(tabs)
+            gh = t["gh"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, gh))
+            gh, ids = gh[order], ids[order]
+            starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]]) \
+                if len(gh) else np.array([], dtype=np.int64)
+            ends = np.r_[starts[1:], len(gh)] if len(starts) \
+                else np.array([], dtype=np.int64)
+            packed = []
+            for s, e in zip(starts, ends):
+                m = e - s
+                if m < 2:
+                    continue
+                g = ids[s:e]
+                iu, ju = np.triu_indices(m, k=1)
+                packed.append((g[iu] << 32) | g[ju])
+            if packed:
+                ab, cnt = np.unique(np.concatenate(packed),
+                                    return_counts=True)
+                keep = cnt >= min_shared
+                ab, cnt = ab[keep], cnt[keep].astype("int64")
+            else:
+                ab = np.empty(0, dtype="int64")
+                cnt = np.empty(0, dtype="int64")
+            return pa.table({"a": pa.array(ab >> 32, pa.int64()),
+                             "b": pa.array(ab & 0xFFFFFFFF, pa.int64()),
+                             "n_shared": pa.array(cnt)})
+
+        refs = rare_rows.to_arrow_refs()
+        if not refs:
+            return ray.data.from_arrow(pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "n_shared": pa.array([], pa.int64())}))
+        return ray.data.from_arrow_refs([pairs_task.remote(*refs)])
+
+    left = rare_rows.map_batches(
+        lambda b: pa.table({"gh": b["gh"], "a": b["doc_id"]}),
+        batch_format="pyarrow")
+    right = rare_rows.map_batches(
+        lambda b: pa.table({"gh": b["gh"], "b": b["doc_id"]}),
+        batch_format="pyarrow")
+    pairs = left.join(right, join_type="inner", num_partitions=32,
+                      on=("gh",)).filter(expr="a < b") \
+        .groupby(["a", "b"]).count()
+    return pairs.map_batches(
+        lambda b: pa.table({
+            "a": pc.cast(b["a"], pa.int64()),
+            "b": pc.cast(b["b"], pa.int64()),
+            "n_shared": pc.cast(b["count()"], pa.int64())}),
+        batch_format="pyarrow").filter(expr=f"n_shared >= {min_shared}")

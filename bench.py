@@ -99,7 +99,9 @@ def run_bench() -> dict:
                  "seq_packing", "hash_split", "contamination",
                  "bottomk_sample", "pricing_summary", "join_large",
                  "rank_global", "set_ops", "distinct_per_group",
-                 "latest_snapshot", "window_funcs"]:
+                 "latest_snapshot", "window_funcs", "lm_score",
+                 "doc_sim", "bfs_hops", "taxonomy_closure", "skyline",
+                 "group_mode"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
@@ -114,6 +116,10 @@ def run_bench() -> dict:
         kb01, pages01, _ = E._kg_cache("/root/testdata/sf0.01")
         from aida_ray.pipelines.sharded import link_pages_sharded
         kbr01 = put_kb(kb01)
+        # per-pool scorer concurrency scaled to the session: 6 at 32
+        # CPUs (unchanged), 2 at 8 — a fixed 6 oversubscribes small
+        # sessions (2 pools x 6 actors > 8 CPUs) and the chain thrashes
+        shard_conc = max(2, num_cpus * 3 // 16)
 
         def best_of(n, fn):
             best = float("inf")
@@ -139,7 +145,7 @@ def run_bench() -> dict:
                 ctx.op_resource_reservation_ratio = 0.1
                 shardeds.append(best_of(1, lambda: link_pages_sharded(
                     read_pages(pages01), kb01, n_shards=4, shards_per_pool=2,
-                    concurrency=6, batch_size=256).count()))
+                    concurrency=shard_conc, batch_size=256).count()))
             timings["kg_single_sf001"] = min(singles)
             timings["kg_sharded4_sf001"] = min(shardeds)
             extras["sharded_over_single"] = round(
@@ -155,7 +161,7 @@ def run_bench() -> dict:
             ctx.op_resource_reservation_ratio = 0.1
             t0 = time.time()
             link_pages_sharded(read_pages(pages_dir), kb, n_shards=4,
-                               shards_per_pool=2, concurrency=6,
+                               shards_per_pool=2, concurrency=shard_conc,
                                batch_size=512).count()
             timings["kg_sharded4_full"] = round(time.time() - t0, 3)
             extras["sharded_over_single_full"] = round(

@@ -209,3 +209,29 @@ def test_kcore_matches_python_peel(ray_session):
         ref = {n: d for n, d in ref.items() if n in surv}
         assert dict(zip(out.node, out.degree)) == ref
     assert set(kcore(ds, 9).to_pandas().node) >= set(clique)
+
+
+def test_cheapest_paths_matches_python(ray_session):
+    from aida_ray.stages.graphs import cheapest_paths
+    rng = np.random.default_rng(41)
+    src = rng.integers(0, 60, 250).astype("int64")
+    dst = rng.integers(0, 60, 250).astype("int64")
+    w = rng.integers(1, 20, 250).astype("int64")
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst, "w": w})) \
+        .repartition(4)
+    seeds = [0, 7]
+    out = cheapest_paths(ds, np.array(seeds), max_hops=3)
+    got = dict(zip(out["node"].to_pylist(), out["cost"].to_pylist()))
+    # python hop-bounded Bellman-Ford (same min-plus semantics)
+    INF = float("inf")
+    dist = {s: 0 for s in seeds}
+    for _ in range(3):
+        new = dict(dist)
+        for s, d, ww in zip(src, dst, w):
+            c = dist.get(int(s), INF)
+            if c + int(ww) < new.get(int(d), INF):
+                new[int(d)] = c + int(ww)
+        dist = new
+    assert got == dist

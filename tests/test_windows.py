@@ -61,3 +61,35 @@ def test_window_ntile_pct_first_last(ray_session):
     assert out.pct_rank.tolist() == [i / 5 for i in range(6)]
     assert out.first_cents.tolist() == [0] * 6
     assert out.last_cents.tolist() == [500] * 6
+
+
+def test_peak_concurrency_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from aida_ray.stages.sessions import peak_concurrency
+    rng = np.random.default_rng(3)
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    ts_us = base + rng.integers(0, 3_000_000_000, 400)
+    ts_us[::50] = ts_us[0]          # planted exact ties
+    ev = rd.from_arrow(pa.table({
+        "ts": pa.array(ts_us, pa.timestamp("us"))})).repartition(6)
+    for dur in (60, 1800):
+        mx, at = peak_concurrency(ev, duration_s=dur, partitions=7)
+        # brute force sweep
+        d_us = dur * 1_000_000
+        pts = sorted([(int(t), 1) for t in ts_us]
+                     + [(int(t) + d_us, -1) for t in ts_us])
+        # collapse (t, d) ties like the operator/oracle
+        agg = {}
+        for t, d in pts:
+            agg[(t, d)] = agg.get((t, d), 0) + d
+        run, best, best_t = 0, None, None
+        for (t, d) in sorted(agg):
+            run += agg[(t, d)]
+            if best is None or run > best:
+                best, best_t = run, t
+        assert (mx, at) == (best, best_t)
