@@ -2013,6 +2013,70 @@ def q_peak_concurrency(sf_dir: str) -> pa.Table:
                      "at_us": pa.array([at], pa.int64())})
 
 
+def q_dup_coverage(sf_dir: str) -> pa.Table:
+    """Exact-substring dedup coverage (Lee et al. 2022 ExactSubstr):
+    per doc, token positions covered by a word 4-gram occurring ≥ 2
+    times corpus-wide.  Gram counting is a vocabulary-bounded shuffle;
+    the interval union is a range-partitioned batch-local sweep with a
+    boundary-sliver closer."""
+    from aida_ray.stages.substring import dup_span_coverage
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return _collect(dup_span_coverage(docs, k=4, min_count=2))
+
+
+def q_q3_shipping(sf_dir: str) -> pa.Table:
+    """TPC-H-Q3-style top-10 unshipped orders by revenue for one
+    market segment: filter-then-broadcast customer semi-join + ONE
+    large-large hash shuffle join + per-order partial aggregation;
+    exact int64 centi-cent revenue."""
+    from aida_ray.stages.relational import shipping_priority
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+    o = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    return shipping_priority(li, o, cust)
+
+
+def q_cheapest_supplier(sf_dir: str) -> pa.Table:
+    """Min-cost supplier per part (TPC-H-Q2's correlated subquery) as
+    ONE groupby: the argmin and its suppkey tie-break ride a packed
+    int64 key, so there is no join-back against the aggregate."""
+    from aida_ray.stages.relational import cheapest_supplier
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    return _collect(cheapest_supplier(li))
+
+
+def q_price_histogram(sf_dir: str) -> pa.Table:
+    """Fixed-width numeric histogram ($5,000 bins on extended price):
+    count + exact cent sum per bin, map-side partials only."""
+    from aida_ray.stages.relational import price_histogram
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"])
+    return _collect(price_histogram(li))
+
+
+def q_ohlc_bars(sf_dir: str) -> pa.Table:
+    """Per-(event_type, hour) OHLC downsample bars with the total
+    (ts, event_id) order fixing open/close under equal timestamps —
+    mergeable per-batch partials, raw events never shuffle."""
+    from aida_ray.stages.timeseries import ohlc_bars
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type", "value"])
+    return _collect(ohlc_bars(ev))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2130,6 +2194,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore": q_kcore,
         "cheapest_path": q_cheapest_path,
         "peak_concurrency": q_peak_concurrency,
+        "dup_coverage": q_dup_coverage,
+        "q3_shipping": q_q3_shipping,
+        "cheapest_supplier": q_cheapest_supplier,
+        "price_histogram": q_price_histogram,
+        "ohlc_bars": q_ohlc_bars,
     }
 
 
@@ -3256,5 +3325,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT MAX(conc) FROM c) AS max_concurrent,
                    (SELECT MIN(t) FROM c
                     WHERE conc = (SELECT MAX(conc) FROM c)) AS at_us
+        """,
+        "dup_coverage": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(l, 1) AS BIGINT) - 1
+                           AS pos,
+                       unnest(l) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)),
+            nt AS (SELECT doc_id, COUNT(*) AS n_tokens
+                   FROM toks GROUP BY doc_id),
+            grams AS (
+                SELECT doc_id, pos,
+                       tok || ' ' || LEAD(tok, 1) OVER w || ' '
+                           || LEAD(tok, 2) OVER w || ' '
+                           || LEAD(tok, 3) OVER w AS gram
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY LEAD(tok, 3) OVER w IS NOT NULL),
+            dup AS (SELECT gram FROM grams
+                    GROUP BY gram HAVING COUNT(*) >= 2),
+            starts AS (SELECT g.doc_id, g.pos
+                       FROM grams g JOIN dup USING (gram)),
+            cov AS (
+                SELECT t.doc_id, COUNT(DISTINCT t.pos) AS c
+                FROM toks t JOIN starts s
+                  ON s.doc_id = t.doc_id
+                 AND t.pos BETWEEN s.pos AND s.pos + 3
+                GROUP BY t.doc_id)
+            SELECT nt.doc_id, nt.n_tokens,
+                   COALESCE(cov.c, 0) AS dup_covered
+            FROM nt LEFT JOIN cov USING (doc_id)
+        """,
+        "q3_shipping": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_cc
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cc DESC, o_orderdate, l_orderkey
+            LIMIT 10
+        """,
+        "cheapest_supplier": """
+            WITH packed AS (
+                SELECT l_partkey,
+                       MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * 1048576 + l_suppkey) AS p
+                FROM lineitem GROUP BY l_partkey)
+            SELECT l_partkey, p // 1048576 AS min_price_cents,
+                   p % 1048576 AS best_suppkey
+            FROM packed
+        """,
+        "price_histogram": """
+            SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       // 500000 AS bin,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM lineitem GROUP BY 1
+        """,
+        "ohlc_bars": """
+            WITH e AS (
+                SELECT event_type AS k,
+                       (CAST(epoch_us(ts) AS BIGINT) // 3600000000)
+                           * 3600000000 AS bucket,
+                       CAST(epoch_us(ts) AS BIGINT) AS t,
+                       event_id, value
+                FROM events),
+            r AS (
+                SELECT *,
+                       ROW_NUMBER() OVER (PARTITION BY k, bucket
+                                          ORDER BY t, event_id) AS ra,
+                       ROW_NUMBER() OVER (PARTITION BY k, bucket
+                                          ORDER BY t DESC,
+                                                   event_id DESC) AS rd
+                FROM e)
+            SELECT k, bucket,
+                   MIN(CASE WHEN ra = 1 THEN value END) AS "open",
+                   MAX(value) AS high, MIN(value) AS low,
+                   MIN(CASE WHEN rd = 1 THEN value END) AS "close",
+                   COUNT(*) AS n
+            FROM r GROUP BY k, bucket
         """,
     }

@@ -491,3 +491,155 @@ def revenue_by_nation(orders: ray.data.Dataset, customer: pa.Table,
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def shipping_priority(lineitem: ray.data.Dataset,
+                      orders: ray.data.Dataset, customer: pa.Table,
+                      segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01",
+                      limit: int = 10) -> pa.Table:
+    """TPC-H-Q3-style shipping priority: top unshipped orders by
+    revenue for one market segment.
+
+    The multi-way join plan, Ray-Data-first:
+
+    - the CUSTOMER side is filtered to the segment FIRST and only the
+      surviving custkey set broadcasts (``ray.put`` + ``pc.is_in``
+      semi-join inside the orders map) — the classic
+      filter-then-broadcast dimension reduction;
+    - ORDERS filters on date at the Arrow kernel level, semi-joins the
+      broadcast custkeys, and only then enters the one genuine
+      large-large hash SHUFFLE join against date-filtered LINEITEM;
+    - revenue partial-aggregates per (orderkey, orderdate, priority)
+      inside each joined batch before the final small groupby, so the
+      shuffle after the join ships per-order rows, not line items.
+
+    Money is exact int64 centi-cents (price_cents × (100 − disc_pct)),
+    so the DuckDB oracle hash-matches at any parallelism; final order
+    (revenue DESC, o_orderdate, l_orderkey) is total, making the
+    LIMIT deterministic."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    ck = customer.filter(pc.equal(customer["c_mktsegment"],
+                                  pa.scalar(segment)))["c_custkey"] \
+        .to_numpy(zero_copy_only=False)
+    ck_ref = ray.put(pa.array(np.sort(ck), pa.int64()))
+    cut = pa.scalar(np.datetime64(cutoff + "T00:00:00", "us"),
+                    pa.timestamp("us"))
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(b["o_orderdate"], cut),
+                       pc.is_in(b["o_custkey"],
+                                value_set=_get_cached(ck_ref)))
+        t = b.filter(keep)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_orderdate": pc.strftime(t["o_orderdate"],
+                                       format="%Y-%m-%d"),
+            "o_orderpriority": t["o_orderpriority"]})
+
+    def lineitem_side(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["l_shipdate"], cut))
+        disc_pct = pc.cast(_round_half_away(
+            pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": pc.multiply(_cents(t["l_extendedprice"]),
+                               pc.subtract(pa.scalar(100, pa.int64()),
+                                           disc_pct))})
+
+    o = orders.map_batches(orders_side, batch_format="pyarrow")
+    li = lineitem.map_batches(lineitem_side, batch_format="pyarrow")
+    joined = hash_join(li, o, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_orderpriority": b["o_orderpriority"],
+            "rev": b["rev"]}).to_pandas() \
+            .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                     sort=False).agg(rev=("rev", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("rev"))
+    top = agg.map_batches(lambda b: pa.table({
+        "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+        "o_orderdate": b["o_orderdate"],
+        "o_orderpriority": b["o_orderpriority"],
+        "revenue_cc": pc.cast(b["sum(rev)"], pa.int64())}),
+        batch_format="pyarrow") \
+        .sort(["revenue_cc", "o_orderdate", "l_orderkey"],
+              descending=[True, False, False]).limit(limit)
+    return pa.concat_tables([ray.get(r) for r in top.to_arrow_refs()])
+
+
+def cheapest_supplier(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+    """Per part: the minimum extended price ever quoted and the
+    supplier quoting it (lowest suppkey on price ties) — the TPC-H-Q2
+    "min-cost supplier" correlated subquery as ONE groupby.
+
+    The argmin rides a PACKED int64 key (price_cents << 20 | suppkey):
+    ``Min`` over the packed key is simultaneously the price argmin and
+    the deterministic tie-break, so there is no join-back against the
+    aggregate — one partial-agg shuffle total.  Bounds: price_cents <
+    2^43, suppkey < 2^20 (assert-guarded)."""
+    from ray.data.aggregate import Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        cents = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        assert cents.max(initial=0) < (1 << 43) \
+            and supp.max(initial=0) < (1 << 20)
+        g = pd.DataFrame({
+            "l_partkey": b["l_partkey"].to_numpy(zero_copy_only=False),
+            "packed": (cents.astype("int64") << 20) | supp}) \
+            .groupby("l_partkey", sort=False).agg(
+                packed=("packed", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Min("packed"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        packed = b["min(packed)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "min_price_cents": pa.array(packed >> 20, pa.int64()),
+            "best_suppkey": pa.array(packed & ((1 << 20) - 1),
+                                     pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def price_histogram(lineitem: ray.data.Dataset,
+                    bin_cents: int = 500_000) -> ray.data.Dataset:
+    """Fixed-width histogram of l_extendedprice: per bin (floor
+    division on int cents), row count and exact cent sum.  Map-side
+    partials make the shuffle ship one row per bin per block."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        cents = _cents(b["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)
+        g = pd.DataFrame({"bin": cents // bin_cents, "cents": cents}) \
+            .groupby("bin", sort=False).agg(
+                n=("cents", "size"), sum_cents=("cents", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n"), Sum("sum_cents"))
+    return agg.map_batches(lambda b: pa.table({
+        "bin": pc.cast(b["bin"], pa.int64()),
+        "n": pc.cast(b["sum(n)"], pa.int64()),
+        "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64())}),
+        batch_format="pyarrow")

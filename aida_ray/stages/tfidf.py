@@ -193,8 +193,9 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
 
         rare_rows = ex.map_batches(keep_rare, batch_format="pyarrow")
     else:
-        rare_rows = ex.join(rare, join_type="inner", num_partitions=32,
-                            on=("gh",))
+        from aida_ray.stages.shuffle_join import hash_join
+        rare_rows = hash_join(ex, rare, on=("gh",),
+                              join_type="left_semi")
 
     if est_pairs <= 50_000_000:
         @ray.remote
@@ -242,8 +243,8 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
     right = rare_rows.map_batches(
         lambda b: pa.table({"gh": b["gh"], "b": b["doc_id"]}),
         batch_format="pyarrow")
-    pairs = left.join(right, join_type="inner", num_partitions=32,
-                      on=("gh",)).filter(expr="a < b") \
+    from aida_ray.stages.shuffle_join import hash_join
+    pairs = hash_join(left, right, on=("gh",)).filter(expr="a < b") \
         .groupby(["a", "b"]).count()
     return pairs.map_batches(
         lambda b: pa.table({

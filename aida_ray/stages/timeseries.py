@@ -51,3 +51,67 @@ def gap_fill_ffill(events: ray.data.Dataset, key: str = "user_id",
 
     return events.map_batches(prep, batch_format="pyarrow") \
         .groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+HOUR_US = 3_600_000_000
+
+
+def ohlc_bars(events: ray.data.Dataset, key: str = "event_type",
+              ts_col: str = "ts", val_col: str = "value",
+              id_col: str = "event_id",
+              bucket_us: int = HOUR_US) -> ray.data.Dataset:
+    """Per-(key, time bucket) OHLC bars: open / high / low / close of
+    the value plus the row count — the classic market-data downsample.
+
+    Open/close are picked by the TOTAL order (ts, event_id), so equal
+    timestamps never make the answer depend on block order.  Every
+    per-bar statistic is MERGEABLE: each batch emits one partial row
+    per (key, bucket) it sees (its own open/close candidates with
+    their order keys, min, max, count), and the finishing merge runs
+    over |keys × buckets × blocks| partial rows — the raw event log
+    never crosses the shuffle.  Values pass through min/max/first/last
+    untouched (no float arithmetic), so the oracle hash-matches
+    exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):   # normalize ns/ms inputs
+            ts = pc.cast(ts, pa.timestamp("us"))
+        t = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "k": b[key].to_pandas(),
+            "bucket": (t // bucket_us) * bucket_us,
+            "t": t,
+            "eid": b[id_col].to_numpy(zero_copy_only=False),
+            "v": b[val_col].to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["k", "bucket", "t", "eid"])
+        g = df.groupby(["k", "bucket"], sort=False).agg(
+            open_t=("t", "first"), open_eid=("eid", "first"),
+            open=("v", "first"),
+            close_t=("t", "last"), close_eid=("eid", "last"),
+            close=("v", "last"),
+            high=("v", "max"), low=("v", "min"), n=("v", "size"))
+        return pa.Table.from_pandas(g.reset_index(),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        io = np.lexsort((g.open_eid.to_numpy(), g.open_t.to_numpy()))[0]
+        ic = np.lexsort((g.close_eid.to_numpy(),
+                         g.close_t.to_numpy()))[-1]
+        return pd.DataFrame({
+            "k": [g.k.iloc[0]], "bucket": [g.bucket.iloc[0]],
+            "open": [g.open.iloc[io]], "high": [g.high.max()],
+            "low": [g.low.min()], "close": [g.close.iloc[ic]],
+            "n": [int(g.n.sum())]})
+
+    out = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["k", "bucket"]).map_groups(merge,
+                                             batch_format="pandas")
+    return out.map_batches(lambda b: pa.table({
+        "k": b["k"], "bucket": pc.cast(b["bucket"], pa.int64()),
+        "open": pc.cast(b["open"], pa.float64()),
+        "high": pc.cast(b["high"], pa.float64()),
+        "low": pc.cast(b["low"], pa.float64()),
+        "close": pc.cast(b["close"], pa.float64()),
+        "n": pc.cast(b["n"], pa.int64())}), batch_format="pyarrow")

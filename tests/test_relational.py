@@ -228,3 +228,64 @@ def test_group_mode_concat_pandas(ray_session):
         assert r.all_vals == ",".join(sorted(df[df.k == r.user_id]
                                              .v.unique()))
     assert set(out.user_id) == set(np.unique(k))
+
+
+def test_cheapest_supplier_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.relational import cheapest_supplier
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame({
+        "l_partkey": rng.integers(0, 40, n),
+        "l_suppkey": rng.integers(0, 9, n),
+        "l_extendedprice": rng.integers(100, 5000, n) / 100.0})
+    out = cheapest_supplier(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)) \
+        .to_pandas().sort_values("l_partkey").reset_index(drop=True)
+    cents = (df.l_extendedprice * 100).round().astype("int64")
+    ref = df.assign(c=cents).sort_values(["c", "l_suppkey"]) \
+        .groupby("l_partkey").first().reset_index()
+    assert (out.min_price_cents.to_numpy()
+            == ref.sort_values("l_partkey").c.to_numpy()).all()
+    assert (out.best_suppkey.to_numpy()
+            == ref.sort_values("l_partkey").l_suppkey.to_numpy()).all()
+
+
+def test_ohlc_bars_blocking_invariant_and_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.timeseries import ohlc_bars
+    rng = np.random.default_rng(5)
+    n = 300
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 4 * 3_600_000_000, n)
+    ts[10:20] = ts[10]          # equal-timestamp ties
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "event_type": rng.choice(["a", "b"], n),
+        "value": rng.normal(size=n)})
+    outs = []
+    for parts in (1, 4, 8):
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts)
+        o = ohlc_bars(ds).to_pandas() \
+            .sort_values(["k", "bucket"]).reset_index(drop=True)
+        outs.append(o)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    # reference: pandas on the total (ts, event_id) order
+    d2 = df.assign(t=ts, bucket=(ts // 3_600_000_000) * 3_600_000_000) \
+        .sort_values(["t", "event_id"])
+    ref = d2.groupby(["event_type", "bucket"]).agg(
+        open=("value", "first"), high=("value", "max"),
+        low=("value", "min"), close=("value", "last"),
+        n=("value", "size")).reset_index() \
+        .sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    got = outs[0]
+    assert np.allclose(got[["open", "high", "low", "close"]].to_numpy(),
+                       ref[["open", "high", "low", "close"]].to_numpy())
+    assert (got.n.to_numpy() == ref.n.to_numpy()).all()
