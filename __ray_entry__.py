@@ -67,6 +67,10 @@ def _coalesce(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 def _collect(ds: ray.data.Dataset) -> pa.Table:
     tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    # to_arrow_refs can hand back raw pandas blocks (empty map_groups
+    # outputs leak through groupbys unconverted) — coerce them
+    tabs = [pa.Table.from_pandas(t, preserve_index=False)
+            if not isinstance(t, pa.Table) else t for t in tabs]
     nonempty = [t for t in tabs if t.num_rows > 0]
     if not nonempty:
         # keep whichever empty block still carries a schema
@@ -2077,6 +2081,38 @@ def q_ohlc_bars(sf_dir: str) -> pa.Table:
     return _collect(ohlc_bars(ev))
 
 
+def q_event_transitions(sf_dir: str) -> pa.Table:
+    """Markov transition counts between consecutive event types per
+    user ((ts, event_id) total order), summed globally — per-key
+    partials ship the |types|² matrix, never the log."""
+    from aida_ray.stages.sequences import event_transitions
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return _collect(event_transitions(ev))
+
+
+def q_retention_cohorts(sf_dir: str) -> pa.Table:
+    """Cohort-retention triangle: users per (first-seen week, active
+    week offset) — per-user distinct offsets out of one key shuffle,
+    then a tiny groupby-count."""
+    from aida_ray.stages.sequences import retention_cohorts
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+    return _collect(retention_cohorts(ev))
+
+
+def q_collapse_repeats(sf_dir: str) -> pa.Table:
+    """Consecutive-duplicate-type collapse (log cleaning): per-user
+    surviving-event count over the (ts, event_id) order."""
+    from aida_ray.stages.sequences import collapse_repeats
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "event_id"])
+    return _collect(collapse_repeats(ev))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2199,6 +2235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_supplier": q_cheapest_supplier,
         "price_histogram": q_price_histogram,
         "ohlc_bars": q_ohlc_bars,
+        "event_transitions": q_event_transitions,
+        "retention_cohorts": q_retention_cohorts,
+        "collapse_repeats": q_collapse_repeats,
     }
 
 
@@ -3415,5 +3454,41 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CASE WHEN rd = 1 THEN value END) AS "close",
                    COUNT(*) AS n
             FROM r GROUP BY k, bucket
+        """,
+        "event_transitions": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       LEAD(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS nxt
+                FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   COUNT(*) AS n
+            FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "retention_cohorts": """
+            WITH wk AS (
+                SELECT user_id, date_trunc('week', ts) AS w
+                FROM events),
+            f AS (SELECT user_id, MIN(w) AS cw FROM wk
+                  GROUP BY user_id),
+            a AS (SELECT DISTINCT wk.user_id, f.cw,
+                         CAST((epoch(wk.w) - epoch(f.cw)) / 604800
+                              AS BIGINT) AS week_offset
+                  FROM wk JOIN f USING (user_id))
+            SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+                   week_offset, COUNT(*) AS n_users
+            FROM a GROUP BY 1, 2
+        """,
+        "collapse_repeats": """
+            WITH o AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS prev
+                FROM events)
+            SELECT user_id, COUNT(*) AS n_kept
+            FROM o WHERE prev IS NULL OR prev <> event_type
+            GROUP BY user_id
         """,
     }

@@ -1,0 +1,69 @@
+"""Ordered-sequence analytics: pandas parity + blocking invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from aida_ray.stages.sequences import (collapse_repeats,
+                                       event_transitions,
+                                       retention_cohorts)
+
+
+def _events(n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    base = 1_700_000_000_000_000
+    ts = base + rng.integers(0, 30 * 86_400_000_000, n)
+    ts[5:15] = ts[5]                       # equal-timestamp ties
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(ts, unit="us"),
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(["view", "click", "buy"], n)})
+
+
+def test_event_transitions_matches_pandas(ray_session):
+    df = _events()
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = event_transitions(ds).to_pandas() \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    d = df.assign(t=df.ts.astype("int64")) \
+        .sort_values(["user_id", "t", "event_id"])
+    d["nxt"] = d.groupby("user_id").event_type.shift(-1)
+    ref = d.dropna(subset=["nxt"]) \
+        .groupby(["event_type", "nxt"]).size().rename("n") \
+        .reset_index().rename(columns={"event_type": "from_type",
+                                       "nxt": "to_type"}) \
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    assert (got.n.to_numpy() == ref.n.to_numpy()).all()
+    assert list(got.from_type) == list(ref.from_type)
+
+
+def test_collapse_repeats_matches_pandas(ray_session):
+    df = _events(seed=12)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = collapse_repeats(ds).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    d = df.assign(t=df.ts.astype("int64")) \
+        .sort_values(["user_id", "t", "event_id"])
+    d["prev"] = d.groupby("user_id").event_type.shift(1)
+    ref = d[(d.prev.isna()) | (d.prev != d.event_type)] \
+        .groupby("user_id").size().rename("n_kept").reset_index()
+    assert (got.n_kept.to_numpy() == ref.n_kept.to_numpy()).all()
+
+
+def test_retention_cohorts_blocking_invariant(ray_session):
+    df = _events(seed=13)
+    tbl = pa.Table.from_pandas(df)
+    outs = []
+    for parts in (1, 4, 8):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        o = retention_cohorts(ds).to_pandas() \
+            .sort_values(["cohort_week", "week_offset"]) \
+            .reset_index(drop=True)
+        outs.append(o)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    # every user appears exactly once at offset 0 of their own cohort
+    total_offset0 = outs[0][outs[0].week_offset == 0].n_users.sum()
+    assert total_offset0 == df.user_id.nunique()
