@@ -52,6 +52,17 @@ def _get_cached(ref):
     return _BROADCAST_CACHE[key]
 
 
+def _concat_blocks(tabs, schema: pa.Schema) -> pa.Table:
+    """Robust concat of Dataset blocks: groupby/map_groups leak empty
+    SCHEMA-LESS (even raw pandas) blocks — drop them, promote the
+    rest, fall back to an empty table of the expected schema."""
+    ne = [t for t in tabs
+          if isinstance(t, pa.Table) and t.num_rows > 0]
+    if not ne:
+        return schema.empty_table()
+    return pa.concat_tables(ne, promote_options="default")
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text",
                      out_col: str = "content_hash") -> pa.Table:
     hashes = [_md5_64(t) for t in batch[text_col].to_pylist()]

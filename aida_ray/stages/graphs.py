@@ -499,33 +499,74 @@ def cheapest_paths(edges: ray.data.Dataset, seeds: np.ndarray,
     weights — integer path costs make every engine compute identical
     values, so the result is exactly SQL-checkable.
 
-    Each round hash-joins the whole distance table against the edges
-    and folds relaxations in with groupby-``Min(cost)``; after round r
-    the table holds the exact min cost over paths of ≤ r edges
-    (collapsing to the per-node min between rounds is exact in the
-    min-plus semiring).  Distance volume ships through the shuffle,
-    edges stream; nothing is broadcast."""
+    After round r the table holds the exact min cost over paths of
+    ≤ r edges (collapsing to the per-node min between rounds is exact
+    in the min-plus semiring).  The per-round relaxation is ADAPTIVE:
+    while the distance table is broadcastable it ships once via
+    ``ray.put`` and each edge batch relaxes map-only (sorted-array
+    ``searchsorted`` + per-batch per-node partial min), leaving one
+    int-keyed groupby-``Min`` per round; beyond the broadcast budget
+    the distance table hash-joins against the streaming edges —
+    distance volume through the shuffle, edges never move."""
     from ray.data.aggregate import Min
 
+    from aida_ray.stages.dedup import _get_cached
     from aida_ray.stages.shuffle_join import hash_join
 
     seeds = np.unique(np.asarray(seeds, dtype="int64"))
     edges = edges.materialize()              # reused every round
     dist = ray.data.from_arrow(pa.table({
         "node": pa.array(seeds, pa.int64()),
-        "cost": pa.array(np.zeros(len(seeds), dtype="int64"))}))
+        "cost": pa.array(np.zeros(len(seeds), dtype="int64"))})) \
+        .materialize()
+    broadcast_rows = 8_000_000          # ~128 MB of (node, cost) int64
     for _ in range(max_hops):
-        cand = hash_join(edges, dist, on=(src,), right_on=("node",))
+        if dist.count() <= broadcast_rows:
+            tabs = [ray.get(r) for r in dist.to_arrow_refs()]
+            ne = [t for t in tabs
+                  if isinstance(t, pa.Table) and t.num_rows > 0]
+            dt = pa.concat_tables(ne, promote_options="default") \
+                if ne else pa.table({"node": pa.array([], pa.int64()),
+                                     "cost": pa.array([], pa.int64())})
+            dn = dt["node"].to_numpy(zero_copy_only=False)
+            order = np.argsort(dn, kind="stable")
+            dref = ray.put((dn[order], dt["cost"].to_numpy(
+                zero_copy_only=False)[order]))
 
-        def relax(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "node": pc.cast(t[dst], pa.int64()),
-                "cost": pc.add(pc.cast(t["cost"], pa.int64()),
-                               pc.cast(t[w], pa.int64()))})
+            def relax_bc(t: pa.Table) -> pa.Table:
+                dn_, dc_ = _get_cached(dref)
+                sv = t[src].to_numpy(zero_copy_only=False)
+                i = np.searchsorted(dn_, sv)
+                hit = (i < len(dn_)) \
+                    & (dn_[np.minimum(i, len(dn_) - 1)] == sv)
+                node = t[dst].to_numpy(zero_copy_only=False)[hit]
+                cost = dc_[i[hit]] \
+                    + t[w].to_numpy(zero_copy_only=False)[hit]
+                if len(node) == 0:
+                    return pa.table({
+                        "node": pa.array([], pa.int64()),
+                        "cost": pa.array([], pa.int64())})
+                # per-batch partial min per node
+                o = np.lexsort((cost, node))
+                node, cost = node[o], cost[o]
+                first = np.r_[True, node[1:] != node[:-1]]
+                return pa.table({
+                    "node": pa.array(node[first], pa.int64()),
+                    "cost": pa.array(cost[first], pa.int64())})
 
-        dist = dist.union(cand.map_batches(relax,
-                                           batch_format="pyarrow")) \
-            .groupby("node").aggregate(Min("cost"))
+            cand = edges.map_batches(relax_bc, batch_format="pyarrow")
+        else:
+            cjoin = hash_join(edges, dist, on=(src,), right_on=("node",))
+
+            def relax(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "node": pc.cast(t[dst], pa.int64()),
+                    "cost": pc.add(pc.cast(t["cost"], pa.int64()),
+                                   pc.cast(t[w], pa.int64()))})
+
+            cand = cjoin.map_batches(relax, batch_format="pyarrow")
+
+        dist = dist.union(cand).groupby("node").aggregate(Min("cost"))
         dist = dist.map_batches(lambda t: pa.table({
             "node": t["node"],
             "cost": pc.cast(t["min(cost)"], pa.int64())}),

@@ -507,12 +507,15 @@ def shipping_priority(lineitem: ray.data.Dataset,
       surviving custkey set broadcasts (``ray.put`` + ``pc.is_in``
       semi-join inside the orders map) — the classic
       filter-then-broadcast dimension reduction;
-    - ORDERS filters on date at the Arrow kernel level, semi-joins the
-      broadcast custkeys, and only then enters the one genuine
-      large-large hash SHUFFLE join against date-filtered LINEITEM;
-    - revenue partial-aggregates per (orderkey, orderdate, priority)
-      inside each joined batch before the final small groupby, so the
-      shuffle after the join ships per-order rows, not line items.
+    - ORDERS filters on date at the Arrow kernel level and semi-joins
+      the broadcast custkeys;
+    - the orders⋈lineitem join is ADAPTIVE: while the filtered orders
+      side fits the broadcast budget it ships once via ``ray.put``
+      and each lineitem batch joins + partial-aggregates in ONE
+      map-only pass (revenue keyed by order INDEX, so the shuffle is
+      an int-keyed groupby over qualifying orders); above the budget
+      the genuine large-large hash SHUFFLE join runs with the same
+      per-batch partial aggregation.
 
     Money is exact int64 centi-cents (price_cents × (100 − disc_pct)),
     so the DuckDB oracle hash-matches at any parallelism; final order
@@ -550,8 +553,54 @@ def shipping_priority(lineitem: ray.data.Dataset,
                                pc.subtract(pa.scalar(100, pa.int64()),
                                            disc_pct))})
 
-    o = orders.map_batches(orders_side, batch_format="pyarrow")
+    o = orders.map_batches(orders_side, batch_format="pyarrow") \
+        .materialize()
     li = lineitem.map_batches(lineitem_side, batch_format="pyarrow")
+
+    broadcast_rows = 8_000_000       # ~200 MB of key+date+priority
+    if o.count() <= broadcast_rows:
+        ot = pa.concat_tables([ray.get(r) for r in o.to_arrow_refs()])
+        okey = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okey, kind="stable")
+        oref = ray.put(pa.array(okey[order], pa.int64()))
+
+        def join_partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+            ok = _get_cached(oref).to_numpy(zero_copy_only=False)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(ok, lk)
+            hit = (i < len(ok)) \
+                & (ok[np.minimum(i, len(ok) - 1)] == lk)
+            g = pd.DataFrame({
+                "oi": i[hit],
+                "rev": b["rev"].to_numpy(zero_copy_only=False)[hit]}) \
+                .groupby("oi", sort=False).agg(
+                    rev=("rev", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = li.map_batches(join_partial, batch_format="pyarrow") \
+            .groupby("oi").aggregate(Sum("rev"))
+        meta_ref = ray.put((
+            okey[order],
+            np.asarray(ot["o_orderdate"].to_pylist(), dtype=object)[order],
+            np.asarray(ot["o_orderpriority"].to_pylist(),
+                       dtype=object)[order]))
+
+        def attach(b: pa.Table) -> pa.Table:
+            okey_s, odate, oprio = _get_cached(meta_ref)
+            oi = b["oi"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "l_orderkey": pa.array(okey_s[oi], pa.int64()),
+                "o_orderdate": pa.array(list(odate[oi])),
+                "o_orderpriority": pa.array(list(oprio[oi])),
+                "revenue_cc": pc.cast(b["sum(rev)"], pa.int64())})
+
+        top = agg.map_batches(attach, batch_format="pyarrow") \
+            .sort(["revenue_cc", "o_orderdate", "l_orderkey"],
+                  descending=[True, False, False]).limit(limit)
+        return pa.concat_tables([ray.get(r)
+                                 for r in top.to_arrow_refs()])
+
     joined = hash_join(li, o, on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
@@ -587,8 +636,14 @@ def cheapest_supplier(lineitem: ray.data.Dataset) -> ray.data.Dataset:
     The argmin rides a PACKED int64 key (price_cents << 20 | suppkey):
     ``Min`` over the packed key is simultaneously the price argmin and
     the deterministic tie-break, so there is no join-back against the
-    aggregate — one partial-agg shuffle total.  Bounds: price_cents <
-    2^43, suppkey < 2^20 (assert-guarded)."""
+    aggregate.  Bounds: price_cents < 2^43, suppkey < 2^20
+    (assert-guarded).
+
+    Finishing is GATED on the partial volume (keys × blocks): below
+    the gate ONE numpy task sorts the partial rows and takes the
+    per-key min (Ray's sort-based Aggregate pays Python-per-key — at
+    20k keys that costs seconds per block); above it the hash groupby
+    runs, shipping keys × blocks rows."""
     from ray.data.aggregate import Min
 
     def partial(b: pa.Table) -> pa.Table:
@@ -605,18 +660,38 @@ def cheapest_supplier(lineitem: ray.data.Dataset) -> ray.data.Dataset:
                 packed=("packed", "min")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = lineitem.map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_partkey").aggregate(Min("packed"))
+    partials = lineitem.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
 
-    def finish(b: pa.Table) -> pa.Table:
-        packed = b["min(packed)"].to_numpy(zero_copy_only=False)
+    def _unpack(key: np.ndarray, packed: np.ndarray) -> pa.Table:
         return pa.table({
-            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "l_partkey": pa.array(key, pa.int64()),
             "min_price_cents": pa.array(packed >> 20, pa.int64()),
             "best_suppkey": pa.array(packed & ((1 << 20) - 1),
                                      pa.int64())})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    if partials.count() <= 20_000_000:
+        @ray.remote
+        def min_task(*tabs: pa.Table) -> pa.Table:
+            from aida_ray.stages.dedup import _concat_blocks
+            t = _concat_blocks(tabs, pa.schema(
+                [("l_partkey", pa.int64()), ("packed", pa.int64())]))
+            k = t["l_partkey"].to_numpy(zero_copy_only=False)
+            p = t["packed"].to_numpy(zero_copy_only=False)
+            o = np.lexsort((p, k))
+            k, p = k[o], p[o]
+            first = np.r_[True, k[1:] != k[:-1]] if len(k) \
+                else np.empty(0, bool)
+            return _unpack(k[first].astype("int64"), p[first])
+
+        refs = partials.to_arrow_refs()
+        return ray.data.from_arrow_refs([min_task.remote(*refs)])
+
+    agg = partials.groupby("l_partkey").aggregate(Min("packed"))
+    return agg.map_batches(lambda b: _unpack(
+        b["l_partkey"].to_numpy(zero_copy_only=False).astype("int64"),
+        b["min(packed)"].to_numpy(zero_copy_only=False)),
+        batch_format="pyarrow")
 
 
 def price_histogram(lineitem: ray.data.Dataset,

@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from aida_ray.stages.dedup import _get_cached
+from aida_ray.stages.dedup import _concat_blocks, _get_cached
 
 _POS_BITS = 20
 _POS_MASK = (1 << _POS_BITS) - 1
@@ -117,12 +117,36 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
         return pa.table({"gh": pa.array(gh, pa.int64()),
                          "n": pa.array(n.astype("int64"))})
 
-    dup = occ.map_batches(count_partial, batch_format="pyarrow") \
-        .groupby("gh").aggregate(Sum("n")) \
-        .map_batches(lambda b: b.rename_columns(["gh", "n"]),
-                     batch_format="pyarrow") \
-        .filter(expr=f"n >= {min_count}") \
-        .select_columns(["gh"]).materialize()
+    counts = occ.map_batches(count_partial,
+                             batch_format="pyarrow").materialize()
+    if counts.count() <= 20_000_000:
+        # gram-vocabulary × blocks fits one task: sorted reduceat sum
+        # (Ray's sort-based Aggregate pays Python-per-key — ruinous at
+        # 10^5+ distinct grams); the groupby route runs above the gate
+        @ray.remote
+        def sum_task(*tabs: pa.Table) -> pa.Table:
+            t = _concat_blocks(tabs, pa.schema(
+                [("gh", pa.int64()), ("n", pa.int64())]))
+            gh = t["gh"].to_numpy(zero_copy_only=False)
+            n = t["n"].to_numpy(zero_copy_only=False)
+            o = np.argsort(gh, kind="stable")
+            gh, n = gh[o], n[o]
+            starts = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]]) \
+                if len(gh) else np.empty(0, dtype="int64")
+            tot = np.add.reduceat(n, starts) if len(starts) \
+                else np.empty(0, dtype="int64")
+            keep = tot >= min_count
+            return pa.table({"gh": pa.array(gh[starts][keep],
+                                            pa.int64())})
+
+        dup = ray.data.from_arrow_refs(
+            [sum_task.remote(*counts.to_arrow_refs())]).materialize()
+    else:
+        dup = counts.groupby("gh").aggregate(Sum("n")) \
+            .map_batches(lambda b: b.rename_columns(["gh", "n"]),
+                         batch_format="pyarrow") \
+            .filter(expr=f"n >= {min_count}") \
+            .select_columns(["gh"]).materialize()
 
     if dup.count() <= broadcast_rows:
         dup_tbl = pa.concat_tables([ray.get(r)
@@ -167,7 +191,8 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
 
     @ray.remote
     def close_boundaries(*tabs: pa.Table) -> pa.Table:
-        t = pa.concat_tables(tabs)
+        t = _concat_blocks(tabs, pa.schema(
+            [(id_col, pa.int64()), ("pos", pa.int64())]))
         docs, cov = _coverage_batch(
             t[id_col].to_numpy(zero_copy_only=False),
             t["pos"].to_numpy(zero_copy_only=False), k)
@@ -197,8 +222,39 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
             "covered": pc.cast(b["covered"], pa.int64())})
 
     both = ds.map_batches(tok_counts, batch_format="pyarrow") \
-        .union(inner.union(bcov).map_batches(pad, batch_format="pyarrow")) \
-        .groupby(id_col).aggregate(Sum("n_tokens"), Sum("covered"))
+        .union(inner.union(bcov).map_batches(pad,
+                                             batch_format="pyarrow")) \
+        .materialize()
+
+    if both.count() <= 20_000_000:
+        # docs × blocks fits one task — same gated finisher as the
+        # gram counts (per-key Python in the groupby dominates here)
+        @ray.remote
+        def merge_task(*tabs: pa.Table) -> pa.Table:
+            t = _concat_blocks(tabs, pa.schema(
+                [(id_col, pa.int64()), ("n_tokens", pa.int64()),
+                 ("covered", pa.int64())]))
+            d = t[id_col].to_numpy(zero_copy_only=False)
+            nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+            cv = t["covered"].to_numpy(zero_copy_only=False)
+            o = np.argsort(d, kind="stable")
+            d, nt, cv = d[o], nt[o], cv[o]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]]) \
+                if len(d) else np.empty(0, dtype="int64")
+            return pa.table({
+                id_col: pa.array(d[starts].astype("int64")),
+                "n_tokens": pa.array(np.add.reduceat(nt, starts)
+                                     if len(starts) else nt,
+                                     pa.int64()),
+                "dup_covered": pa.array(np.add.reduceat(cv, starts)
+                                        if len(starts) else cv,
+                                        pa.int64())})
+
+        return ray.data.from_arrow_refs(
+            [merge_task.remote(*both.to_arrow_refs())])
+
+    agg = both.groupby(id_col).aggregate(Sum("n_tokens"),
+                                         Sum("covered"))
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -206,4 +262,4 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
             "n_tokens": pc.cast(b["sum(n_tokens)"], pa.int64()),
             "dup_covered": pc.cast(b["sum(covered)"], pa.int64())})
 
-    return both.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow")
