@@ -2113,6 +2113,17 @@ def q_collapse_repeats(sf_dir: str) -> pa.Table:
     return _collect(collapse_repeats(ev))
 
 
+def q_dedup_trim(sf_dir: str) -> pa.Table:
+    """ExactSubstr dedup as an action: strip every token covered by a
+    corpus-duplicated 4-gram and re-emit the trimmed text — one doc-id
+    shuffle co-locating each text with its duplicated-span starts."""
+    from aida_ray.stages.substring import dup_span_trim
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return _collect(dup_span_trim(docs, k=4, min_count=2))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2238,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "retention_cohorts": q_retention_cohorts,
         "collapse_repeats": q_collapse_repeats,
+        "dedup_trim": q_dedup_trim,
     }
 
 
@@ -3490,5 +3502,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, COUNT(*) AS n_kept
             FROM o WHERE prev IS NULL OR prev <> event_type
             GROUP BY user_id
+        """,
+        "dedup_trim": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(l, 1) AS BIGINT) - 1
+                           AS pos,
+                       unnest(l) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)),
+            grams AS (
+                SELECT doc_id, pos,
+                       tok || ' ' || LEAD(tok, 1) OVER w || ' '
+                           || LEAD(tok, 2) OVER w || ' '
+                           || LEAD(tok, 3) OVER w AS gram
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY LEAD(tok, 3) OVER w IS NOT NULL),
+            dup AS (SELECT gram FROM grams
+                    GROUP BY gram HAVING COUNT(*) >= 2),
+            starts AS (SELECT g.doc_id, g.pos
+                       FROM grams g JOIN dup USING (gram)),
+            cov AS (
+                SELECT DISTINCT t.doc_id, t.pos
+                FROM toks t JOIN starts s
+                  ON s.doc_id = t.doc_id
+                 AND t.pos BETWEEN s.pos AND s.pos + 3),
+            kept AS (
+                SELECT t.doc_id, t.pos, t.tok
+                FROM toks t LEFT JOIN cov c
+                  ON c.doc_id = t.doc_id AND c.pos = t.pos
+                WHERE c.pos IS NULL),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos)
+                               AS text_kept,
+                           COUNT(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            nt AS (SELECT doc_id, COUNT(*) AS n
+                   FROM toks GROUP BY doc_id)
+            SELECT nt.doc_id,
+                   COALESCE(agg.text_kept, '') AS text_kept,
+                   CAST(nt.n - COALESCE(agg.n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM nt LEFT JOIN agg USING (doc_id)
         """,
     }

@@ -86,13 +86,12 @@ def _coverage_batch(d: np.ndarray, p: np.ndarray, k: int):
     return du[starts], np.add.reduceat(contrib, starts)
 
 
-def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
-                      min_count: int = 2, id_col: str = "doc_id",
-                      text_col: str = "text",
-                      broadcast_rows: int = 8_000_000
-                      ) -> ray.data.Dataset:
-    """(doc_id, n_tokens, dup_covered): token positions covered by a
-    word ``k``-gram occurring ≥ ``min_count`` times corpus-wide."""
+def _dup_start_rows(ds: ray.data.Dataset, k: int, min_count: int,
+                    id_col: str, text_col: str,
+                    broadcast_rows: int) -> ray.data.Dataset:
+    """(id, pos) rows of every position starting a corpus-duplicated
+    word k-gram — steps 1-3 of the module plan, shared by the coverage
+    signal and the trim action."""
     from ray.data.aggregate import Sum
 
     def occurrences(b: pa.Table) -> pa.Table:
@@ -165,7 +164,20 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
         starts = hash_join(occ, dup, on=("gh",),
                            join_type="left_semi") \
             .select_columns([id_col, "pos"])
+    return starts
 
+
+def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
+                      min_count: int = 2, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      broadcast_rows: int = 8_000_000
+                      ) -> ray.data.Dataset:
+    """(doc_id, n_tokens, dup_covered): token positions covered by a
+    word ``k``-gram occurring ≥ ``min_count`` times corpus-wide."""
+    from ray.data.aggregate import Sum
+
+    starts = _dup_start_rows(ds, k, min_count, id_col, text_col,
+                             broadcast_rows)
     srt = starts.sort(id_col).materialize()
 
     def inner_cov(b: pa.Table) -> pa.Table:
@@ -263,3 +275,59 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
             "dup_covered": pc.cast(b["sum(covered)"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dup_span_trim(ds: ray.data.Dataset, k: int = 4,
+                  min_count: int = 2, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  broadcast_rows: int = 8_000_000) -> ray.data.Dataset:
+    """ExactSubstr dedup as an ACTION: remove every token covered by a
+    corpus-duplicated word k-gram and re-emit the trimmed text —
+    (doc_id, text_kept, n_removed).
+
+    Each document's text must meet its duplicated-span starts once:
+    text rows (pos = −1, payload = text) and start rows union into ONE
+    hash shuffle on the doc id, and the per-doc rebuild marks covered
+    positions with a vectorized ±1 difference array + cumsum (no
+    Python over tokens).  Shuffle volume = corpus text once + dup
+    starts — the same bill exact_dedup pays to recover representative
+    text."""
+    starts = _dup_start_rows(ds, k, min_count, id_col, text_col,
+                             broadcast_rows)
+
+    def text_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "pos": pa.array(np.full(b.num_rows, -1, dtype="int64")),
+            "payload": b[text_col]})
+
+    def start_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "pos": pc.cast(b["pos"], pa.int64()),
+            "payload": pa.array([""] * b.num_rows)})
+
+    both = ds.map_batches(text_rows, batch_format="pyarrow") \
+        .union(starts.map_batches(start_rows, batch_format="pyarrow"))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        text = g.loc[g.pos < 0, "payload"].iloc[0]
+        toks = np.array(text.split(" "), dtype=object)
+        n = len(toks)
+        sp = g.loc[g.pos >= 0, "pos"].to_numpy(dtype="int64")
+        diff = np.zeros(n + 1, dtype="int64")
+        np.add.at(diff, sp, 1)
+        np.add.at(diff, np.minimum(sp + k, n), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "text_kept": [" ".join(toks[~covered])],
+            "n_removed": [int(covered.sum())]})
+
+    out = both.groupby(id_col).map_groups(rebuild,
+                                          batch_format="pandas")
+    return out.map_batches(lambda b: pa.table({
+        id_col: pc.cast(b[id_col], pa.int64()),
+        "text_kept": b["text_kept"],
+        "n_removed": pc.cast(b["n_removed"], pa.int64())}),
+        batch_format="pyarrow")

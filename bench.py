@@ -101,7 +101,8 @@ def run_bench() -> dict:
                  "rank_global", "set_ops", "distinct_per_group",
                  "latest_snapshot", "window_funcs", "lm_score",
                  "doc_sim", "bfs_hops", "taxonomy_closure", "skyline",
-                 "group_mode"]:
+                 "group_mode", "dup_coverage", "q3_shipping",
+                 "cheapest_supplier", "ohlc_bars", "event_transitions"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)

@@ -88,3 +88,27 @@ def test_dup_span_coverage_join_route_equal(ray_session):
                           broadcast_rows=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dup_span_trim_consistent_with_coverage(ray_session):
+    from aida_ray.stages.substring import dup_span_trim
+    texts = {d: " ".join(f"w{(d * 7 + i) % 11}" for i in range(12))
+             for d in range(25)}
+    texts[25] = "unique one two three four five six seven"
+    tbl = pa.table({"doc_id": pa.array(sorted(texts), pa.int64()),
+                    "text": pa.array([texts[d] for d in sorted(texts)])})
+    ds = rd.from_arrow(tbl).repartition(4)
+    trim = dup_span_trim(ds, k=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cov = dup_span_coverage(rd.from_arrow(tbl).repartition(4), k=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # trimming removes exactly the covered positions
+    assert (trim.n_removed.to_numpy() == cov.dup_covered.to_numpy()).all()
+    # kept token count matches
+    kept_tokens = trim.text_kept.map(
+        lambda t: 0 if t == "" else len(t.split(" "))).to_numpy()
+    # fully-trimmed docs serialize to "" which would re-split to 1 token;
+    # reconstruct expected kept counts from coverage instead
+    expect = cov.n_tokens.to_numpy() - cov.dup_covered.to_numpy()
+    assert (np.where(trim.text_kept.to_numpy() == "", 0, kept_tokens)
+            == expect).all()
