@@ -2124,6 +2124,17 @@ def q_dedup_trim(sf_dir: str) -> pa.Table:
     return _collect(dup_span_trim(docs, k=4, min_count=2))
 
 
+def q_clean_corpus(sf_dir: str) -> pa.Table:
+    """Composite cleaning pipeline: quality gate → exact dedup →
+    corpus accounting, one lazy streaming flow reusing the standalone
+    stages verbatim (the 'run every pipeline' composition check)."""
+    from aida_ray.pipelines.clean import clean_corpus_summary
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return clean_corpus_summary(docs)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2250,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": q_retention_cohorts,
         "collapse_repeats": q_collapse_repeats,
         "dedup_trim": q_dedup_trim,
+        "clean_corpus": q_clean_corpus,
     }
 
 
@@ -3545,5 +3557,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nt.n - COALESCE(agg.n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM nt LEFT JOIN agg USING (doc_id)
+        """,
+        "clean_corpus": """
+            WITH toks AS (
+                SELECT doc_id, generate_subscripts(l, 1) AS i,
+                       unnest(l) AS tok
+                FROM (SELECT doc_id, string_split(text, ' ') AS l
+                      FROM documents)),
+            base AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                            AVG(length(tok)) AS mean_word_len
+                     FROM toks GROUP BY doc_id),
+            uni AS (SELECT doc_id, MAX(c) AS topu FROM (
+                        SELECT doc_id, tok, COUNT(*) AS c
+                        FROM toks GROUP BY doc_id, tok)
+                    GROUP BY doc_id),
+            bim AS (SELECT doc_id, MAX(c) AS topb FROM (
+                        SELECT a.doc_id, a.tok AS t1, b.tok AS t2,
+                               COUNT(*) AS c
+                        FROM toks a JOIN toks b
+                          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                        GROUP BY a.doc_id, a.tok, b.tok)
+                    GROUP BY doc_id),
+            keepers AS (
+                SELECT base.doc_id
+                FROM base JOIN uni USING (doc_id)
+                     LEFT JOIN bim USING (doc_id)
+                WHERE n_tokens BETWEEN 5 AND 100000
+                  AND topu * 1.0 / n_tokens <= 0.20
+                  AND CASE WHEN n_tokens > 1
+                           THEN COALESCE(topb, 0) * 1.0 / (n_tokens - 1)
+                           ELSE 0.0 END <= 0.15
+                  AND mean_word_len BETWEEN 2.0 AND 12.0),
+            deduped AS (
+                SELECT MIN(d.doc_id) AS doc_id
+                FROM documents d JOIN keepers USING (doc_id)
+                GROUP BY d.text)
+            SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                   (SELECT COUNT(*) FROM keepers) AS n_quality,
+                   (SELECT COUNT(*) FROM deduped) AS n_unique,
+                   (SELECT CAST(SUM(len(string_split(d.text, ' ')))
+                                AS BIGINT)
+                    FROM documents d JOIN deduped USING (doc_id))
+                       AS total_tokens_kept
         """,
     }
