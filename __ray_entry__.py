@@ -146,23 +146,19 @@ def q_dict_lookup(sf_dir: str) -> pa.Table:
     Broadcast map-side join: the dictionary rides inside the batch fn,
     tokens explode per batch, partial counts pre-aggregate before the
     tiny groupby."""
-    surface2entity = {s: f"E_{s}" for s in DICT_SURFACES}
-
     def partial(b: pa.Table) -> pa.Table:
-        counts: dict[tuple[str, str], int] = {}
-        for text in b["text"].to_pylist():
-            for tok in text.split(" "):
-                ent = surface2entity.get(tok)
-                if ent:
-                    counts[(tok, ent)] = counts.get((tok, ent), 0) + 1
-        if not counts:
-            return pa.table({"mention": pa.array([], pa.string()),
-                             "entity": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
-        ks = list(counts)
-        return pa.table({"mention": pa.array([k[0] for k in ks], pa.string()),
-                         "entity": pa.array([k[1] for k in ks], pa.string()),
-                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+        # vectorized: Arrow split + is_in membership + value_counts
+        flat = pc.split_pattern(b["text"].combine_chunks(),
+                                pattern=" ").flatten()
+        vc = pc.value_counts(flat.filter(pc.is_in(
+            flat, value_set=pa.array(DICT_SURFACES))))
+        mention = pc.cast(vc.field("values"), pa.string())
+        return pa.table({
+            "mention": mention,
+            "entity": pc.binary_join_element_wise(
+                pa.array(["E_"] * len(mention), pa.string()),
+                mention, ""),
+            "n": pc.cast(vc.field("counts"), pa.int64())})
 
     agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby(["mention", "entity"]).sum(["n"])
@@ -174,23 +170,35 @@ def q_dict_lookup(sf_dir: str) -> pa.Table:
 def q_entity_canonical(sf_dir: str) -> pa.Table:
     """Entity canonicalization groupby (G11 shape, salted two-phase):
     per entity, total mentions and distinct docs."""
-    surface2entity = {s: f"E_{s}" for s in DICT_SURFACES}
+    surfaces = sorted(DICT_SURFACES)
 
     def partial(b: pa.Table) -> pa.Table:
-        ment: dict[str, int] = {}
-        docs: dict[str, set] = {}
-        for doc_id, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            for tok in text.split(" "):
-                ent = surface2entity.get(tok)
-                if ent:
-                    ment[ent] = ment.get(ent, 0) + 1
-                    docs.setdefault(ent, set()).add(doc_id)
-        ks = sorted(ment)
-        salts = [hash(k) % 8 for k in ks]
-        return pa.table({"entity": pa.array(ks, pa.string()),
-                         "salt": pa.array(salts, pa.int32()),
-                         "mention_count": pa.array([ment[k] for k in ks], pa.int64()),
-                         "doc_count": pa.array([len(docs[k]) for k in ks], pa.int64())})
+        # vectorized: index_in membership + bincount mention counts +
+        # packed (entity, doc) distinct for the doc counts
+        lists = pc.split_pattern(b["text"].combine_chunks(),
+                                 pattern=" ")
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype("int64")
+        ei = pc.fill_null(pc.index_in(
+            lists.flatten(), value_set=pa.array(surfaces)), -1) \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        doc_idx = np.repeat(np.arange(len(lengths), dtype="int64"),
+                            lengths)
+        m = ei >= 0
+        eh, dh = ei[m], doc_idx[m]
+        ment = np.bincount(eh, minlength=len(surfaces))
+        dent = np.unique(eh * len(lengths) + dh) // len(lengths) \
+            if len(eh) else np.empty(0, dtype="int64")
+        docs = np.bincount(dent, minlength=len(surfaces))
+        ks = [i for i in range(len(surfaces)) if ment[i] > 0]
+        ents = [f"E_{surfaces[i]}" for i in ks]
+        return pa.table({
+            "entity": pa.array(ents, pa.string()),
+            "salt": pa.array([hash(e) % 8 for e in ents], pa.int32()),
+            "mention_count": pa.array([int(ment[i]) for i in ks],
+                                      pa.int64()),
+            "doc_count": pa.array([int(docs[i]) for i in ks],
+                                  pa.int64())})
 
     p1 = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow",
                                              batch_size=None)) \
@@ -204,21 +212,48 @@ def q_entity_canonical(sf_dir: str) -> pa.Table:
 def q_triples_cooccur(sf_dir: str) -> pa.Table:
     """(subj, pred, obj) co-occurrence triples with support counts:
     distinct dictionary entities per document, pairs subj < obj."""
-    surface2entity = {s: f"E_{s}" for s in DICT_SURFACES}
+    # sorted so entity-index order == lexicographic "E_<s>" order
+    surfaces = sorted(DICT_SURFACES)
 
     def partial(b: pa.Table) -> pa.Table:
-        counts: dict[tuple[str, str], int] = {}
-        for text in b["text"].to_pylist():
-            ents = sorted({surface2entity[t] for t in text.split(" ")
-                           if t in surface2entity})
-            for i in range(len(ents)):
-                for j in range(i + 1, len(ents)):
-                    counts[(ents[i], ents[j])] = counts.get((ents[i], ents[j]), 0) + 1
-        ks = list(counts)
-        return pa.table({"subj": pa.array([k[0] for k in ks], pa.string()),
-                         "pred": pa.array(["coOccursWith"] * len(ks), pa.string()),
-                         "obj": pa.array([k[1] for k in ks], pa.string()),
-                         "support": pa.array([counts[k] for k in ks], pa.int64())})
+        # vectorized membership; pair enumeration only over the tiny
+        # per-doc distinct-entity runs (≤ |dict| entities per doc)
+        lists = pc.split_pattern(b["text"].combine_chunks(),
+                                 pattern=" ")
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype("int64")
+        ei = pc.fill_null(pc.index_in(
+            lists.flatten(), value_set=pa.array(surfaces)), -1) \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        doc_idx = np.repeat(np.arange(len(lengths), dtype="int64"),
+                            lengths)
+        m = ei >= 0
+        u = np.unique(doc_idx[m] * 8 + ei[m]) if m.any() \
+            else np.empty(0, dtype="int64")
+        d_u, e_u = u // 8, u % 8
+        starts = np.flatnonzero(np.r_[True, d_u[1:] != d_u[:-1]]) \
+            if len(d_u) else np.empty(0, dtype="int64")
+        ends = np.r_[starts[1:], len(d_u)] if len(starts) \
+            else np.empty(0, dtype="int64")
+        packs = []
+        for s, e in zip(starts, ends):
+            es = e_u[s:e]
+            if len(es) >= 2:
+                iu, ju = np.triu_indices(len(es), k=1)
+                packs.append(es[iu] * 8 + es[ju])
+        if packs:
+            pk, cnt = np.unique(np.concatenate(packs),
+                                return_counts=True)
+        else:
+            pk = np.empty(0, dtype="int64")
+            cnt = np.empty(0, dtype="int64")
+        return pa.table({
+            "subj": pa.array([f"E_{surfaces[i]}" for i in pk // 8],
+                             pa.string()),
+            "pred": pa.array(["coOccursWith"] * len(pk), pa.string()),
+            "obj": pa.array([f"E_{surfaces[i]}" for i in pk % 8],
+                            pa.string()),
+            "support": pa.array(cnt.astype("int64"))})
 
     agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby(["subj", "pred", "obj"]).sum(["support"])
@@ -377,17 +412,28 @@ def q_bpe_tokens(sf_dir: str) -> pa.Table:
 def q_quality(sf_dir: str) -> pa.Table:
     """Quality scoring: token stats + stopword ratio."""
     def score(b: pa.Table) -> pa.Table:
-        stop = set(STOP_TOKENS)
-        n_tok, avg_len, s_ratio = [], [], []
-        for t in b["text"].to_pylist():
-            toks = t.split(" ")
-            n_tok.append(len(toks))
-            avg_len.append(round(sum(len(w) for w in toks) / len(toks), 6))
-            s_ratio.append(round(sum(1 for w in toks if w in stop) / len(toks), 6))
-        return pa.table({"doc_id": b["doc_id"],
-                         "n_tokens": pa.array(n_tok, pa.int64()),
-                         "avg_token_len": pa.array(avg_len, pa.float64()),
-                         "stopword_ratio": pa.array(s_ratio, pa.float64())})
+        # vectorized: per-doc sums via bincount over the flat tokens
+        lists = pc.split_pattern(b["text"].combine_chunks(),
+                                 pattern=" ")
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype("int64")
+        flat = lists.flatten()
+        doc_idx = np.repeat(np.arange(len(lengths), dtype="int64"),
+                            lengths)
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        is_stop = pc.is_in(flat, value_set=pa.array(STOP_TOKENS)) \
+            .to_numpy(zero_copy_only=False).astype("float64")
+        sum_len = np.bincount(doc_idx, weights=wlen,
+                              minlength=len(lengths))
+        sum_stop = np.bincount(doc_idx, weights=is_stop,
+                               minlength=len(lengths))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "n_tokens": pa.array(lengths, pa.int64()),
+            "avg_token_len": pa.array(np.round(sum_len / lengths, 6),
+                                      pa.float64()),
+            "stopword_ratio": pa.array(np.round(sum_stop / lengths, 6),
+                                       pa.float64())})
     return _collect(_docs(sf_dir).map_batches(score, batch_format="pyarrow"))
 
 
@@ -411,13 +457,11 @@ def q_langid(sf_dir: str) -> pa.Table:
 def q_topk_tokens(sf_dir: str) -> pa.Table:
     """Top-20 tokens by frequency (K-ops: partial counts → groupby → sort/limit)."""
     def partial(b: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in b["text"].to_pylist():
-            for tok in t.split(" "):
-                counts[tok] = counts.get(tok, 0) + 1
-        ks = list(counts)
-        return pa.table({"token": pa.array(ks, pa.string()),
-                         "n": pa.array([counts[k] for k in ks], pa.int64())})
+        # fully vectorized: Arrow split + flatten + value_counts
+        vc = pc.value_counts(pc.split_pattern(
+            b["text"].combine_chunks(), pattern=" ").flatten())
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
     agg = _coalesce(_docs(sf_dir).map_batches(partial, batch_format="pyarrow")) \
         .groupby("token").sum(["n"]) \
         .map_batches(lambda b: b.rename_columns(["token", "n"]),
