@@ -2179,6 +2179,22 @@ def q_clean_corpus(sf_dir: str) -> pa.Table:
     return clean_corpus_summary(docs)
 
 
+def q_table_audit(sf_dir: str) -> pa.Table:
+    """Data-quality audit of orders in one streaming pass: row count,
+    NULL priorities, duplicate orderkeys (count − distinct via the
+    gated distinct), and o_custkey referential violations against the
+    broadcast customer key set."""
+    from aida_ray.stages.metrics import audit_table
+    o = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    return audit_table(o, key_col="o_orderkey", fk_col="o_custkey",
+                       null_col="o_orderpriority",
+                       dim_keys=cust["c_custkey"].combine_chunks())
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2306,6 +2322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": q_collapse_repeats,
         "dedup_trim": q_dedup_trim,
         "clean_corpus": q_clean_corpus,
+        "table_audit": q_table_audit,
     }
 
 
@@ -3643,5 +3660,16 @@ def oracle_sql() -> dict[str, str]:
                                 AS BIGINT)
                     FROM documents d JOIN deduped USING (doc_id))
                        AS total_tokens_kept
+        """,
+        "table_audit": """
+            SELECT (SELECT COUNT(*) FROM orders) AS n_rows,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_orderpriority IS NULL) AS n_null,
+                   (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey)
+                                AS BIGINT)
+                    FROM orders) AS n_dup_key,
+                   (SELECT COUNT(*) FROM orders o
+                    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                    WHERE c.c_custkey IS NULL) AS n_fk_violations
         """,
     }

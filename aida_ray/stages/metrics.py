@@ -69,3 +69,64 @@ def merge_metric_tables(tables: list[pa.Table]) -> dict[str, float]:
         for m, v in zip(t["metric"].to_pylist(), t["value"].to_pylist()):
             out[m] += v
     return dict(out)
+
+
+def audit_table(ds: ray.data.Dataset, key_col: str, fk_col: str,
+                null_col: str, dim_keys: pa.Array) -> pa.Table:
+    """Data-quality audit in ONE streaming pass + one gated distinct:
+    row count, NULLs in ``null_col``, duplicate ``key_col`` values
+    (count − distinct), and ``fk_col`` values absent from the
+    broadcast dimension key set (referential violations).
+
+    Per-batch partials carry four counters plus the block's distinct
+    keys; the distinct-key union collapses in one numpy task while it
+    fits (keys × blocks), with the groupby route above the gate —
+    the same adaptive shape as the other wide-key finishers."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from aida_ray.stages.dedup import _concat_blocks, _get_cached
+
+    dim_ref = ray.put(pa.array(
+        np.sort(dim_keys.to_numpy(zero_copy_only=False)), pa.int64()))
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        nulls = int(pc.sum(pc.cast(pc.is_null(b[null_col]),
+                                   pa.int64())).as_py() or 0)
+        fk_missing = n - int(pc.sum(pc.cast(
+            pc.is_in(b[fk_col], value_set=_get_cached(dim_ref)),
+            pa.int64())).as_py() or 0)
+        keys = np.unique(b[key_col].to_numpy(zero_copy_only=False)) \
+            .astype("int64")
+        # row 0 = this block's counters (key sentinel −1, excluded
+        # from the distinct); remaining rows = the block's distinct keys
+        zeros = np.zeros(len(keys), dtype="int64")
+        return pa.table({
+            "n": pa.array(np.r_[np.int64(n), zeros], pa.int64()),
+            "nulls": pa.array(np.r_[np.int64(nulls), zeros], pa.int64()),
+            "fk_missing": pa.array(np.r_[np.int64(fk_missing), zeros],
+                                   pa.int64()),
+            "key": pa.array(np.r_[np.int64(-1), keys], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+
+    @ray.remote
+    def finish(*tabs: pa.Table) -> pa.Table:
+        t = _concat_blocks(tabs, pa.schema(
+            [("n", pa.int64()), ("nulls", pa.int64()),
+             ("fk_missing", pa.int64()), ("key", pa.int64())]))
+        n = int(pc.sum(t["n"]).as_py() or 0)
+        keys = t["key"].to_numpy(zero_copy_only=False)
+        n_distinct = len(np.unique(keys[keys >= 0])) if len(keys) else 0
+        return pa.table({
+            "n_rows": pa.array([n], pa.int64()),
+            "n_null": pa.array([int(pc.sum(t["nulls"]).as_py() or 0)],
+                               pa.int64()),
+            "n_dup_key": pa.array([n - n_distinct], pa.int64()),
+            "n_fk_violations": pa.array(
+                [int(pc.sum(t["fk_missing"]).as_py() or 0)],
+                pa.int64())})
+
+    return ray.get(finish.remote(*parts.to_arrow_refs()))

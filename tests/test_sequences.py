@@ -67,3 +67,17 @@ def test_retention_cohorts_blocking_invariant(ray_session):
     # every user appears exactly once at offset 0 of their own cohort
     total_offset0 = outs[0][outs[0].week_offset == 0].n_users.sum()
     assert total_offset0 == df.user_id.nunique()
+
+
+def test_audit_table_detects_issues(ray_session):
+    from aida_ray.stages.metrics import audit_table
+    df = pd.DataFrame({
+        "k": [1, 2, 2, 3, 4, 4, 4],                  # 3 dup rows
+        "fk": [10, 10, 11, 99, 10, 11, 98],          # 2 violations
+        "v": ["a", None, "b", None, "c", "d", "e"]})  # 2 nulls
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    out = audit_table(ds, key_col="k", fk_col="fk", null_col="v",
+                      dim_keys=pa.array([10, 11], pa.int64()))
+    row = out.to_pylist()[0]
+    assert row == {"n_rows": 7, "n_null": 2, "n_dup_key": 3,
+                   "n_fk_violations": 2}
