@@ -512,7 +512,7 @@ def _cc_numpy(a: np.ndarray, b: np.ndarray,
 def label_propagation_clusters(pairs: ray.data.Dataset,
                                max_iters: int = 50,
                                num_partitions: int = 16,
-                               broadcast_nodes: int = 2_000_000,
+                               broadcast_nodes: int = 8_000_000,
                                contract_passes: int = 3) -> ray.data.Dataset:
     """Distributed connected components by min-label propagation.
 
@@ -524,10 +524,13 @@ def label_propagation_clusters(pairs: ray.data.Dataset,
     convergence count per round.
 
     Adaptive small-graph path: the node set of the dup graph is bounded
-    by 2·|pairs|; below ``broadcast_nodes`` the edges are pulled into
-    ONE distributed task (a single @ray.remote numpy pointer-doubling
+    by 2·|pairs|; below ``broadcast_nodes`` (8M pairs ≈ 128 MB of
+    int64 — comfortably one task's heap) the edges are pulled into ONE
+    distributed task (a single @ray.remote numpy pointer-doubling
     solve — still off-driver, one task instead of ~10 join/groupby
-    shuffles per iteration).  Above it, the iterative join plan runs."""
+    shuffles per iteration).  Above it, the iterative join plan runs;
+    at that scale the per-round fixed latency amortizes over real
+    shuffle volume."""
     from ray.data.aggregate import Min
     try:
         cpus = int(ray.cluster_resources().get("CPU", 8))
