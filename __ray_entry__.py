@@ -2195,6 +2195,33 @@ def q_table_audit(sf_dir: str) -> pa.Table:
                        dim_keys=cust["c_custkey"].combine_chunks())
 
 
+def q_connected_components(sf_dir: str) -> pa.Table:
+    """Connected components (min-label representative) over a
+    deterministic chain graph on doc ids (edge i→i+1 except every
+    10th — components of exactly 10 nodes).  Exercises the same
+    label-propagation operator the MinHash clustering uses, but with
+    a recursive-CTE SQL oracle."""
+    from aida_ray.stages.dedup import label_propagation_clusters
+
+    def chain_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        hi = int(b["max_id"][0].as_py())
+        s = ids[(ids % 10 != 9) & (ids + 1 <= hi)]
+        return pa.table({"a": pa.array(s, pa.int64()),
+                         "b": pa.array(s + 1, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    hi = int(docs.max("doc_id"))
+    edges = docs.map_batches(
+        lambda b, hi=hi: chain_edges(b.append_column(
+            "max_id", pa.array([hi] * b.num_rows, pa.int64()))),
+        batch_format="pyarrow")
+    out = _collect(label_propagation_clusters(edges)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2323,6 +2350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_trim": q_dedup_trim,
         "clean_corpus": q_clean_corpus,
         "table_audit": q_table_audit,
+        "connected_components": q_connected_components,
     }
 
 
@@ -3671,5 +3699,22 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT COUNT(*) FROM orders o
                     LEFT JOIN customer c ON o.o_custkey = c.c_custkey
                     WHERE c.c_custkey IS NULL) AS n_fk_violations
+        """,
+        "connected_components": """
+            WITH RECURSIVE e AS (
+                SELECT doc_id AS s, doc_id + 1 AS d
+                FROM documents
+                WHERE doc_id % 10 <> 9
+                  AND doc_id + 1 <= (SELECT MAX(doc_id)
+                                     FROM documents)),
+            und AS (SELECT s, d FROM e
+                    UNION ALL SELECT d, s FROM e),
+            r(node, reach) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT r.node, u.d
+                FROM r JOIN und u ON u.s = r.reach)
+            SELECT node AS doc_id, MIN(reach) AS cluster
+            FROM r GROUP BY node
         """,
     }
