@@ -2222,6 +2222,39 @@ def q_connected_components(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES), weights = document length: deterministic hash-derived
+    u_i^(1/w_i) keys, per-block top-k candidates, one small merge —
+    the oracle replays the identical arithmetic in SQL."""
+    from aida_ray.stages.sampling import weighted_sample
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    t = weighted_sample(docs, weight_col="n_chars", k=50).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    t["n_chars"] = t["n_chars"].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_month_growth(sf_dir: str) -> pa.Table:
+    """Period-over-period revenue: the distributed month rollup plus a
+    LAG delta derived in one task over the months-sized aggregate."""
+    from aida_ray.stages.relational import monthly_revenue
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"])
+    m = _collect(monthly_revenue(orders)).to_pandas() \
+        .sort_values("month").reset_index(drop=True)
+    prev = m.revenue_cents.shift(1)
+    m["prev_cents"] = prev.fillna(0).astype("int64")
+    m["delta_cents"] = (m.revenue_cents - m.prev_cents).astype("int64")
+    m.loc[0, "prev_cents"] = 0
+    return pa.Table.from_pandas(
+        m[["month", "revenue_cents", "prev_cents", "delta_cents"]],
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2351,6 +2384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "table_audit": q_table_audit,
         "connected_components": q_connected_components,
+        "weighted_sample": q_weighted_sample,
+        "month_growth": q_month_growth,
     }
 
 
@@ -3716,5 +3751,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN und u ON u.s = r.reach)
             SELECT node AS doc_id, MIN(reach) AS cluster
             FROM r GROUP BY node
+        """,
+        "weighted_sample": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                       (((doc_id * 2654435761) % 2147483648) + 1.0)
+                           / 2147483649.0 AS u
+                FROM documents)
+            SELECT doc_id, n_chars
+            FROM u
+            ORDER BY POWER(u, 1.0 / n_chars) DESC, doc_id
+            LIMIT 50
+        """,
+        "month_growth": """
+            WITH m AS (
+                SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY 1)
+            SELECT month, revenue_cents,
+                   CAST(COALESCE(LAG(revenue_cents)
+                                 OVER (ORDER BY month), 0) AS BIGINT)
+                       AS prev_cents,
+                   CAST(revenue_cents
+                        - COALESCE(LAG(revenue_cents)
+                                   OVER (ORDER BY month), 0) AS BIGINT)
+                       AS delta_cents
+            FROM m
         """,
     }

@@ -116,3 +116,47 @@ def stratified_sample(ds: ray.data.Dataset, every_k: int = 10,
 
     return ds.groupby(stratum_col).map_groups(per_stratum,
                                               batch_format="pandas")
+
+
+def weighted_sample(ds: ray.data.Dataset, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> pa.Table:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): row i is selected iff its key
+    u_i^(1/w_i) is among the global top-k, where u_i is a fixed
+    multiplicative hash of the id mapped into (0, 1) — no RNG state,
+    so any engine replays the draw exactly (the oracle runs the same
+    arithmetic in SQL).
+
+    Scale shape: each block ships only its own top-k candidate rows
+    (k × blocks total), one small task merges — the fact table never
+    shuffles.  Ties (astronomically unlikely on float keys) break by
+    id for a total order."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        w = b[weight_col].to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        u = ((ids * 2654435761) % 2147483648 + 1.0) / 2147483649.0
+        key = u ** (1.0 / w)
+        order = np.lexsort((ids, -key))[: min(k, len(ids))]
+        return pa.table({
+            id_col: pa.array(ids[order], pa.int64()),
+            weight_col: pa.array(w[order], pa.float64()),
+            "key": pa.array(key[order], pa.float64())})
+
+    cands = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+    from aida_ray.stages.dedup import _concat_blocks
+    t = _concat_blocks([ray.get(r) for r in cands.to_arrow_refs()],
+                       pa.schema([(id_col, pa.int64()),
+                                  (weight_col, pa.float64()),
+                                  ("key", pa.float64())]))
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    w = t[weight_col].to_numpy(zero_copy_only=False)
+    key = t["key"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -key))[: min(k, len(ids))]
+    out = pa.table({id_col: pa.array(ids[order], pa.int64()),
+                    weight_col: pa.array(w[order], pa.float64())})
+    return out

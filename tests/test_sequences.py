@@ -81,3 +81,20 @@ def test_audit_table_detects_issues(ray_session):
     row = out.to_pylist()[0]
     assert row == {"n_rows": 7, "n_null": 2, "n_dup_key": 3,
                    "n_fk_violations": 2}
+
+
+def test_weighted_sample_blocking_invariant_and_biased(ray_session):
+    from aida_ray.stages.sampling import weighted_sample
+    n = 400
+    ids = np.arange(n, dtype="int64")
+    w = np.where(ids < 40, 1000.0, 1.0)          # 40 heavy docs
+    tbl = pa.table({"doc_id": ids, "n_chars": w})
+    outs = []
+    for parts in (1, 4, 8):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        t = weighted_sample(ds, "n_chars", k=30).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        outs.append(t)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    # 1000x-weighted rows dominate the sample
+    assert (outs[0].doc_id < 40).mean() > 0.8
