@@ -2255,6 +2255,17 @@ def q_month_growth(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_group_stats(sf_dir: str) -> pa.Table:
+    """Per-group mean / sample variance / stddev from mergeable
+    sufficient statistics (n, Σx, Σx²) — one partial row per group
+    per block, the fact table never shuffles."""
+    from aida_ray.stages.relational import group_moments
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"])
+    return _collect(group_moments(ev, "event_type", "value"))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2386,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": q_connected_components,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
+        "group_stats": q_group_stats,
     }
 
 
@@ -3779,5 +3791,21 @@ def oracle_sql() -> dict[str, str]:
                                    OVER (ORDER BY month), 0) AS BIGINT)
                        AS delta_cents
             FROM m
+        """,
+        "group_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value) / COUNT(*), 6) AS mean,
+                   ROUND(CASE WHEN COUNT(*) > 1 THEN GREATEST(
+                             (SUM(value * value)
+                              - SUM(value) * SUM(value) / COUNT(*))
+                             / (COUNT(*) - 1), 0.0)
+                         ELSE 0.0 END, 6) AS var_samp,
+                   ROUND(SQRT(CASE WHEN COUNT(*) > 1 THEN GREATEST(
+                             (SUM(value * value)
+                              - SUM(value) * SUM(value) / COUNT(*))
+                             / (COUNT(*) - 1), 0.0)
+                         ELSE 0.0 END), 6) AS stddev
+            FROM events GROUP BY event_type
         """,
     }

@@ -718,3 +718,45 @@ def price_histogram(lineitem: ray.data.Dataset,
         "n": pc.cast(b["sum(n)"], pa.int64()),
         "sum_cents": pc.cast(b["sum(sum_cents)"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def group_moments(ds: ray.data.Dataset, key: str,
+                  col: str) -> ray.data.Dataset:
+    """Per-group count / mean / sample variance / stddev from
+    MERGEABLE sufficient statistics (n, Σx, Σx²) — one tiny partial
+    row per group per block crosses the shuffle, never the fact
+    table.  The same shape as :func:`correlation`, keyed."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "k": b[key].to_pandas(),
+            "x": b[col].to_numpy(zero_copy_only=False)
+            .astype("float64")})
+        df["xx"] = df.x * df.x
+        g = df.groupby("k", sort=False).agg(
+            n=("x", "size"), s=("x", "sum"), ss=("xx", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n"), Sum("s"), Sum("ss"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["sum(n)"].to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        s = b["sum(s)"].to_numpy(zero_copy_only=False)
+        ss = b["sum(ss)"].to_numpy(zero_copy_only=False)
+        mean = s / n
+        var = np.where(n > 1, (ss - s * s / n) / (n - 1), 0.0)
+        var = np.maximum(var, 0.0)           # cancellation guard
+        return pa.table({
+            key: b["k"],
+            "n": pa.array(n.astype("int64")),
+            "mean": pa.array(np.round(mean, 6), pa.float64()),
+            "var_samp": pa.array(np.round(var, 6), pa.float64()),
+            "stddev": pa.array(np.round(np.sqrt(var), 6),
+                               pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
