@@ -1,0 +1,61 @@
+"""Bucketed distributive aggregation for UNBOUNDED key spaces.
+
+Ray Data's sort-based ``groupby().aggregate()`` executes the reduce
+per key in Python — fine at 10-1000 keys, ruinous at 10^5+ (PERF.md,
+"wide-key-aggregate lesson").  The repo's gated single-task finishers
+cover key spaces that fit one task; this module is the route ABOVE
+that gate:
+
+1. tag every partial row with ``bucket = hash(key) % P`` (map-only);
+2. one ``groupby(bucket).map_groups`` — exactly P Python calls, each
+   combining its whole bucket with a pandas groupby (hash-based, C).
+
+Correct for any distributive aggregate (sum/min/max/count); each
+bucket holds ~(keys × blocks)/P rows, so P scales with the cluster
+and no single reducer sees the whole key space.  This is the shuffle
+a hash-partitioned combiner would do — with the per-key Python cost
+replaced by P vectorized calls.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_AGG_FNS = {"sum", "min", "max", "count"}
+
+
+def bucket_reduce(partials: ray.data.Dataset, key_cols: list[str],
+                  aggs: dict[str, str],
+                  num_buckets: int | None = None) -> ray.data.Dataset:
+    """Combine partial rows by ``key_cols`` with the per-column
+    distributive aggregates in ``aggs`` (col → 'sum'|'min'|'max').
+    Output: one row per distinct key, columns = key_cols + aggs."""
+    for fn in aggs.values():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"non-distributive aggregate: {fn}")
+    if num_buckets is None:
+        try:
+            import ray
+            num_buckets = max(
+                8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+        except Exception:  # noqa: BLE001
+            num_buckets = 16
+
+    def tag(b: pa.Table) -> pa.Table:
+        df = pa.table({c: b[c] for c in key_cols}).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False) \
+            .to_numpy(dtype="uint64")
+        return b.append_column(
+            "_b", pa.array((h % num_buckets).astype("int64")))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_cols, sort=False).agg(
+            **{c: (c, fn) for c, fn in aggs.items()}).reset_index()
+        return out
+
+    return partials.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(combine, batch_format="pandas")

@@ -628,7 +628,9 @@ def shipping_priority(lineitem: ray.data.Dataset,
     return pa.concat_tables([ray.get(r) for r in top.to_arrow_refs()])
 
 
-def cheapest_supplier(lineitem: ray.data.Dataset) -> ray.data.Dataset:
+def cheapest_supplier(lineitem: ray.data.Dataset,
+                      task_gate_rows: int = 20_000_000
+                      ) -> ray.data.Dataset:
     """Per part: the minimum extended price ever quoted and the
     supplier quoting it (lowest suppkey on price ties) — the TPC-H-Q2
     "min-cost supplier" correlated subquery as ONE groupby.
@@ -670,7 +672,7 @@ def cheapest_supplier(lineitem: ray.data.Dataset) -> ray.data.Dataset:
             "best_suppkey": pa.array(packed & ((1 << 20) - 1),
                                      pa.int64())})
 
-    if partials.count() <= 20_000_000:
+    if partials.count() <= task_gate_rows:
         @ray.remote
         def min_task(*tabs: pa.Table) -> pa.Table:
             from aida_ray.stages.dedup import _concat_blocks
@@ -687,10 +689,11 @@ def cheapest_supplier(lineitem: ray.data.Dataset) -> ray.data.Dataset:
         refs = partials.to_arrow_refs()
         return ray.data.from_arrow_refs([min_task.remote(*refs)])
 
-    agg = partials.groupby("l_partkey").aggregate(Min("packed"))
+    from aida_ray.stages.agg import bucket_reduce
+    agg = bucket_reduce(partials, ["l_partkey"], {"packed": "min"})
     return agg.map_batches(lambda b: _unpack(
         b["l_partkey"].to_numpy(zero_copy_only=False).astype("int64"),
-        b["min(packed)"].to_numpy(zero_copy_only=False)),
+        b["packed"].to_numpy(zero_copy_only=False)),
         batch_format="pyarrow")
 
 

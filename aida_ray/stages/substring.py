@@ -87,8 +87,9 @@ def _coverage_batch(d: np.ndarray, p: np.ndarray, k: int):
 
 
 def _dup_start_rows(ds: ray.data.Dataset, k: int, min_count: int,
-                    id_col: str, text_col: str,
-                    broadcast_rows: int) -> ray.data.Dataset:
+                    id_col: str, text_col: str, broadcast_rows: int,
+                    task_gate_rows: int = 20_000_000
+                    ) -> ray.data.Dataset:
     """(id, pos) rows of every position starting a corpus-duplicated
     word k-gram — steps 1-3 of the module plan, shared by the coverage
     signal and the trim action."""
@@ -118,7 +119,7 @@ def _dup_start_rows(ds: ray.data.Dataset, k: int, min_count: int,
 
     counts = occ.map_batches(count_partial,
                              batch_format="pyarrow").materialize()
-    if counts.count() <= 20_000_000:
+    if counts.count() <= task_gate_rows:
         # gram-vocabulary × blocks fits one task: sorted reduceat sum
         # (Ray's sort-based Aggregate pays Python-per-key — ruinous at
         # 10^5+ distinct grams); the groupby route runs above the gate
@@ -141,15 +142,21 @@ def _dup_start_rows(ds: ray.data.Dataset, k: int, min_count: int,
         dup = ray.data.from_arrow_refs(
             [sum_task.remote(*counts.to_arrow_refs())]).materialize()
     else:
-        dup = counts.groupby("gh").aggregate(Sum("n")) \
-            .map_batches(lambda b: b.rename_columns(["gh", "n"]),
-                         batch_format="pyarrow") \
+        # unbounded gram space: bucketed combine (P vectorized calls,
+        # no per-key Python — stages/agg.py)
+        from aida_ray.stages.agg import bucket_reduce
+        dup = bucket_reduce(counts, ["gh"], {"n": "sum"}) \
+            .map_batches(lambda t: pa.table({
+                "gh": pc.cast(t["gh"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64())}),
+                batch_format="pyarrow") \
             .filter(expr=f"n >= {min_count}") \
             .select_columns(["gh"]).materialize()
 
     if dup.count() <= broadcast_rows:
-        dup_tbl = pa.concat_tables([ray.get(r)
-                                    for r in dup.to_arrow_refs()])
+        dup_tbl = _concat_blocks(
+            [ray.get(r) for r in dup.to_arrow_refs()],
+            pa.schema([("gh", pa.int64())]))
         dup_ref = ray.put(pa.array(dup_tbl["gh"].to_numpy(
             zero_copy_only=False), pa.int64()))
 
@@ -170,14 +177,15 @@ def _dup_start_rows(ds: ray.data.Dataset, k: int, min_count: int,
 def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
                       min_count: int = 2, id_col: str = "doc_id",
                       text_col: str = "text",
-                      broadcast_rows: int = 8_000_000
+                      broadcast_rows: int = 8_000_000,
+                      task_gate_rows: int = 20_000_000
                       ) -> ray.data.Dataset:
     """(doc_id, n_tokens, dup_covered): token positions covered by a
     word ``k``-gram occurring ≥ ``min_count`` times corpus-wide."""
     from ray.data.aggregate import Sum
 
     starts = _dup_start_rows(ds, k, min_count, id_col, text_col,
-                             broadcast_rows)
+                             broadcast_rows, task_gate_rows)
     srt = starts.sort(id_col).materialize()
 
     def inner_cov(b: pa.Table) -> pa.Table:
@@ -238,7 +246,7 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
                                              batch_format="pyarrow")) \
         .materialize()
 
-    if both.count() <= 20_000_000:
+    if both.count() <= task_gate_rows:
         # docs × blocks fits one task — same gated finisher as the
         # gram counts (per-key Python in the groupby dominates here)
         @ray.remote
@@ -265,14 +273,15 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
         return ray.data.from_arrow_refs(
             [merge_task.remote(*both.to_arrow_refs())])
 
-    agg = both.groupby(id_col).aggregate(Sum("n_tokens"),
-                                         Sum("covered"))
+    from aida_ray.stages.agg import bucket_reduce
+    agg = bucket_reduce(both, [id_col],
+                        {"n_tokens": "sum", "covered": "sum"})
 
     def finish(b: pa.Table) -> pa.Table:
         return pa.table({
             id_col: pc.cast(b[id_col], pa.int64()),
-            "n_tokens": pc.cast(b["sum(n_tokens)"], pa.int64()),
-            "dup_covered": pc.cast(b["sum(covered)"], pa.int64())})
+            "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+            "dup_covered": pc.cast(b["covered"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
@@ -280,7 +289,8 @@ def dup_span_coverage(ds: ray.data.Dataset, k: int = 4,
 def dup_span_trim(ds: ray.data.Dataset, k: int = 4,
                   min_count: int = 2, id_col: str = "doc_id",
                   text_col: str = "text",
-                  broadcast_rows: int = 8_000_000) -> ray.data.Dataset:
+                  broadcast_rows: int = 8_000_000,
+                  task_gate_rows: int = 20_000_000) -> ray.data.Dataset:
     """ExactSubstr dedup as an ACTION: remove every token covered by a
     corpus-duplicated word k-gram and re-emit the trimmed text —
     (doc_id, text_kept, n_removed).
@@ -293,7 +303,7 @@ def dup_span_trim(ds: ray.data.Dataset, k: int = 4,
     starts — the same bill exact_dedup pays to recover representative
     text."""
     starts = _dup_start_rows(ds, k, min_count, id_col, text_col,
-                             broadcast_rows)
+                             broadcast_rows, task_gate_rows)
 
     def text_rows(b: pa.Table) -> pa.Table:
         return pa.table({
