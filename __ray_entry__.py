@@ -2266,6 +2266,17 @@ def q_group_stats(sf_dir: str) -> pa.Table:
     return _collect(group_moments(ev, "event_type", "value"))
 
 
+def q_rolling_active(sf_dir: str) -> pa.Table:
+    """Rolling 7-day distinct active users per activity day (the
+    WAU curve): fan each distinct (user, day) to its window-end days,
+    distinct+count — shuffle volume W × user-days, never the log."""
+    from aida_ray.stages.sequences import rolling_active_users
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"])
+    return _collect(rolling_active_users(ev, window_days=7))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2398,6 +2409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
+        "rolling_active": q_rolling_active,
     }
 
 
@@ -3807,5 +3819,21 @@ def oracle_sql() -> dict[str, str]:
                              / (COUNT(*) - 1), 0.0)
                          ELSE 0.0 END), 6) AS stddev
             FROM events GROUP BY event_type
+        """,
+        "rolling_active": """
+            WITH ud AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS d
+                FROM events),
+            act AS (SELECT DISTINCT d FROM ud),
+            win AS (
+                SELECT DISTINCT a.d AS wday, ud.user_id
+                FROM act a JOIN ud
+                  ON ud.d BETWEEN a.d - 6 AND a.d)
+            SELECT strftime(to_timestamp(wday * 86400), '%Y-%m-%d')
+                       AS day,
+                   COUNT(*) AS active_users
+            FROM win GROUP BY wday
         """,
     }

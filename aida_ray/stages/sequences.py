@@ -137,3 +137,91 @@ def collapse_repeats(events: ray.data.Dataset, key: str = "user_id",
         key: pc.cast(b[key], pa.int64()),
         "n_kept": pc.cast(b["n_kept"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def rolling_active_users(events: ray.data.Dataset,
+                         key: str = "user_id", ts_col: str = "ts",
+                         window_days: int = 7) -> ray.data.Dataset:
+    """Rolling distinct-user count (WAU-style): for every calendar day
+    with activity, the number of distinct users active in the trailing
+    ``window_days``-day window.
+
+    Plan: per-batch distinct (user, day) rows (map-only), each fanned
+    out to the ``window_days`` window-end days it supports — volume =
+    W × |user-days|, never the event log — then one distinct+count
+    per (window_day, user).  Days with no activity emit no row."""
+    def fan_out(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        day = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) \
+            // DAY_US
+        uid = b[key].to_numpy(zero_copy_only=False).astype("int64")
+        # block-local distinct (user, day); epoch day numbers fit 20
+        # bits until year ~4840, user ids the remaining 43
+        u = np.unique((uid << 20) | day) \
+            if len(uid) else np.empty(0, dtype="int64")
+        uu, dd = u >> 20, u & ((1 << 20) - 1)
+        w = np.arange(window_days, dtype="int64")
+        wday = (dd[:, None] + w[None, :]).ravel()
+        wuid = np.repeat(uu, window_days)
+        return pa.table({"wday": pa.array(wday, pa.int64()),
+                         "uid": pa.array(wuid, pa.int64())})
+
+    # activity days: only emit windows ending on a day with activity
+    def active_days(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        day = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) \
+            // DAY_US
+        return pa.table({"day": pa.array(np.unique(day), pa.int64())})
+
+    days = events.select_columns([ts_col]) \
+        .map_batches(active_days, batch_format="pyarrow")
+    days_set = np.unique(np.concatenate(
+        [t["day"].to_numpy(zero_copy_only=False)
+         for t in [ray.get(r) for r in days.to_arrow_refs()]
+         if isinstance(t, pa.Table) and t.num_rows]))
+    days_ref = ray.put(pa.array(days_set, pa.int64()))
+
+    def keep_active(b: pa.Table) -> pa.Table:
+        from aida_ray.stages.dedup import _get_cached
+        return b.filter(pc.is_in(b["wday"],
+                                 value_set=_get_cached(days_ref)))
+
+    pairs = events.select_columns([key, ts_col]) \
+        .map_batches(fan_out, batch_format="pyarrow") \
+        .map_batches(keep_active, batch_format="pyarrow")
+
+    # distinct (wday, uid) then count per wday: block-local distinct
+    # first, then one groupby on the packed pair, then a day count
+    def local_distinct(b: pa.Table) -> pa.Table:
+        p = np.unique((b["uid"].to_numpy(zero_copy_only=False) << 20)
+                      | b["wday"].to_numpy(zero_copy_only=False))
+        return pa.table({"p": pa.array(p, pa.int64())})
+
+    distinct = pairs.map_batches(local_distinct,
+                                 batch_format="pyarrow") \
+        .groupby("p").count()
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        d, n = np.unique(b["p"].to_numpy(zero_copy_only=False)
+                         & ((1 << 20) - 1), return_counts=True)
+        return pa.table({"day": pa.array(d, pa.int64()),
+                         "n": pa.array(n.astype("int64"))})
+
+    from ray.data.aggregate import Sum
+    out = distinct.map_batches(day_partial, batch_format="pyarrow") \
+        .groupby("day").aggregate(Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        day = b["day"].to_numpy(zero_copy_only=False)
+        label = pc.strftime(pc.cast(pa.array(day * DAY_US, pa.int64()),
+                                    pa.timestamp("us")),
+                            format="%Y-%m-%d")
+        return pa.table({"day": label,
+                         "active_users": pc.cast(b["sum(n)"],
+                                                 pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -98,3 +98,18 @@ def test_weighted_sample_blocking_invariant_and_biased(ray_session):
     assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
     # 1000x-weighted rows dominate the sample
     assert (outs[0].doc_id < 40).mean() > 0.8
+
+
+def test_rolling_active_matches_pandas(ray_session):
+    from aida_ray.stages.sequences import rolling_active_users
+    df = _events(n=500, seed=21)
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = rolling_active_users(ds, window_days=7).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    d = df.assign(day=df.ts.astype("int64") // 86_400_000_000_000)
+    # ns epoch // ns-per-day
+    ud = d[["user_id", "day"]].drop_duplicates()
+    act = sorted(ud.day.unique())
+    ref = {a: ud[(ud.day >= a - 6) & (ud.day <= a)].user_id.nunique()
+           for a in act}
+    assert list(got.active_users) == [ref[a] for a in act]
