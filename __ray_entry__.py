@@ -2277,6 +2277,63 @@ def q_rolling_active(sf_dir: str) -> pa.Table:
     return _collect(rolling_active_users(ev, window_days=7))
 
 
+def q_embedding_norms(sf_dir: str) -> pa.Table:
+    """Vectorized list-column math: per embedding, L2 norm and mean
+    component (flatten + reduceat per batch, no per-row Python); the
+    oracle uses DuckDB list lambdas over the same list<float>."""
+    def norms(b: pa.Table) -> pa.Table:
+        arr = b["embedding"].combine_chunks()
+        lengths = pc.list_value_length(arr).to_numpy(
+            zero_copy_only=False).astype("int64")
+        flat = pc.cast(arr.flatten(), pa.float64()) \
+            .to_numpy(zero_copy_only=False)
+        starts = np.r_[0, np.cumsum(lengths)[:-1]]
+        ssq = np.add.reduceat(flat * flat, starts)
+        s = np.add.reduceat(flat, starts)
+        return pa.table({
+            "vec_id": pc.cast(b["vec_id"], pa.int64()),
+            "dim": pa.array(lengths, pa.int64()),
+            "norm": pa.array(np.round(np.sqrt(ssq), 6), pa.float64()),
+            "mean_val": pa.array(np.round(s / lengths, 6),
+                                 pa.float64())})
+
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return _collect(emb.map_batches(norms, batch_format="pyarrow"))
+
+
+def q_anomaly_days(sf_dir: str) -> pa.Table:
+    """Z-score anomaly days: daily event counts vs the corpus-wide
+    mean + 2σ (population σ from the days-sized aggregate)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        day, n = np.unique(
+            pc.cast(b["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000, return_counts=True)
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "n": pa.array(n.astype("int64"))})
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts"])
+    days = _collect(ev.map_batches(partial, batch_format="pyarrow")
+                    .groupby("day").aggregate(Sum("n"))).to_pandas() \
+        .sort_values("day").reset_index(drop=True)
+    n = days["sum(n)"].to_numpy(dtype="float64")
+    # same sufficient-stats formula as the oracle (E[n²] − μ²), so the
+    # float boundary of the 2σ comparison is bit-identical
+    mu = n.sum() / len(n)
+    sigma = float(np.sqrt((n * n).sum() / len(n) - mu * mu))
+    label = pc.strftime(pc.cast(
+        pa.array(days["day"].to_numpy() * 86_400_000_000, pa.int64()),
+        pa.timestamp("us")), format="%Y-%m-%d")
+    return pa.table({
+        "day": label,
+        "n": pa.array(n.astype("int64")),
+        "is_anomaly": pa.array(n > mu + 2 * sigma)})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2410,6 +2467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
         "rolling_active": q_rolling_active,
+        "embedding_norms": q_embedding_norms,
+        "anomaly_days": q_anomaly_days,
     }
 
 
@@ -3835,5 +3894,33 @@ def oracle_sql() -> dict[str, str]:
                        AS day,
                    COUNT(*) AS active_users
             FROM win GROUP BY wday
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   ROUND(SQRT(list_sum(list_transform(
+                       embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))),
+                       6) AS norm,
+                   ROUND(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE)))
+                       / len(embedding), 6) AS mean_val
+            FROM embeddings
+        """,
+        "anomaly_days": """
+            WITH d AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1),
+            s AS (SELECT SUM(n) * 1.0 / COUNT(*) AS mu,
+                         SQRT(SUM(n * n) * 1.0 / COUNT(*)
+                              - POWER(SUM(n) * 1.0 / COUNT(*), 2))
+                             AS sigma
+                  FROM d)
+            SELECT strftime(to_timestamp(day * 86400), '%Y-%m-%d')
+                       AS day,
+                   n, n > mu + 2 * sigma AS is_anomaly
+            FROM d, s
         """,
     }
