@@ -2334,6 +2334,78 @@ def q_anomaly_days(sf_dir: str) -> pa.Table:
         "is_anomaly": pa.array(n > mu + 2 * sigma)})
 
 
+def q_trending(sf_dir: str) -> pa.Table:
+    """Per-day trending: top-3 event types by count — partial counts →
+    one groupby → the map-side-pruned top-k-per-group operator."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.topk import top_k_per_group
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "day": pc.cast(b["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False) // 86_400_000_000,
+            "event_type": b["event_type"].to_pandas()})
+        g = df.groupby(["day", "event_type"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    counts = ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["day", "event_type"]).aggregate(Sum("n")) \
+        .map_batches(lambda b: pa.table({
+            "day": pc.cast(b["day"], pa.int64()),
+            "event_type": b["event_type"],
+            "n": pc.cast(b["sum(n)"], pa.int64())}),
+            batch_format="pyarrow")
+    top = _collect(top_k_per_group(counts, "day", "n", k=3,
+                                   tie_col="event_type")).to_pandas() \
+        .sort_values(["day", "n", "event_type"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    top["day"] = pc.strftime(pc.cast(
+        pa.array(top["day"].to_numpy() * 86_400_000_000, pa.int64()),
+        pa.timestamp("us")), format="%Y-%m-%d").to_pylist()
+    top["n"] = top["n"].astype("int64")
+    return pa.Table.from_pandas(top[["day", "event_type", "n"]],
+                                preserve_index=False)
+
+
+def q_chi2(sf_dir: str) -> pa.Table:
+    """Chi-square independence test (event type × weekday): observed
+    contingency counts from one groupby, margins + statistic over the
+    dense |types|×7 matrix (missing cells count via their expected
+    mass); identical formula in the oracle."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        day = pc.cast(b["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        df = pd.DataFrame({"t": b["event_type"].to_pandas(),
+                           "wd": (day + 4) % 7})
+        g = df.groupby(["t", "wd"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    o = _collect(ev.map_batches(partial, batch_format="pyarrow")
+                 .groupby(["t", "wd"]).aggregate(Sum("n"))).to_pandas()
+    mat = o.pivot_table(index="t", columns="wd", values="sum(n)",
+                        fill_value=0, aggfunc="sum")
+    obs = mat.to_numpy(dtype="float64")
+    r = obs.sum(axis=1, keepdims=True)
+    c = obs.sum(axis=0, keepdims=True)
+    e = r * c / obs.sum()
+    chi2 = float(((obs - e) ** 2 / e).sum())
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    return pa.table({"chi2": pa.array([round(chi2, 6)], pa.float64()),
+                     "dof": pa.array([dof], pa.int64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2469,6 +2541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active": q_rolling_active,
         "embedding_norms": q_embedding_norms,
         "anomaly_days": q_anomaly_days,
+        "trending": q_trending,
+        "chi2": q_chi2,
     }
 
 
@@ -3922,5 +3996,43 @@ def oracle_sql() -> dict[str, str]:
                        AS day,
                    n, n > mu + 2 * sigma AS is_anomaly
             FROM d, s
+        """,
+        "trending": """
+            WITH c AS (
+                SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS day,
+                       event_type, COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+            r AS (SELECT *,
+                         ROW_NUMBER() OVER (
+                             PARTITION BY day
+                             ORDER BY n DESC, event_type) AS rn
+                  FROM c)
+            SELECT strftime(to_timestamp(day * 86400), '%Y-%m-%d')
+                       AS day,
+                   event_type, n
+            FROM r WHERE rn <= 3
+        """,
+        "chi2": """
+            WITH o AS (
+                SELECT event_type AS t,
+                       (CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                        + 4) % 7 AS wd,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2),
+            rt AS (SELECT t, SUM(n) AS r FROM o GROUP BY t),
+            ct AS (SELECT wd, SUM(n) AS c FROM o GROUP BY wd),
+            tot AS (SELECT SUM(n) * 1.0 AS nn FROM o),
+            cells AS (
+                SELECT rt.t, ct.wd, rt.r * 1.0 AS r, ct.c * 1.0 AS c,
+                       COALESCE(o.n, 0) * 1.0 AS n
+                FROM rt CROSS JOIN ct
+                LEFT JOIN o ON o.t = rt.t AND o.wd = ct.wd)
+            SELECT ROUND(SUM(POWER(n - r * c / nn, 2)
+                             / (r * c / nn)), 6) AS chi2,
+                   CAST(((SELECT COUNT(*) FROM rt) - 1)
+                        * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT)
+                       AS dof
+            FROM cells, tot
         """,
     }
