@@ -2406,6 +2406,17 @@ def q_chi2(sf_dir: str) -> pa.Table:
                      "dof": pa.array([dof], pa.int64())})
 
 
+def q_velocity(sf_dir: str) -> pa.Table:
+    """Velocity features: per event, same-user events in the strictly
+    prior hour — one key shuffle + two vectorized searchsorted calls
+    per key; the fraud/abuse rate signal."""
+    from aida_ray.stages.sequences import prior_window_counts
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"])
+    return _collect(prior_window_counts(ev, window_s=3600))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2543,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_days": q_anomaly_days,
         "trending": q_trending,
         "chi2": q_chi2,
+        "velocity": q_velocity,
     }
 
 
@@ -4034,5 +4046,14 @@ def oracle_sql() -> dict[str, str]:
                         * ((SELECT COUNT(*) FROM ct) - 1) AS BIGINT)
                        AS dof
             FROM cells, tot
+        """,
+        "velocity": """
+            SELECT a.event_id,
+                   CAST(COUNT(b.event_id) AS BIGINT) AS n_prior
+            FROM events a LEFT JOIN events b
+              ON b.user_id = a.user_id
+             AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
+             AND epoch_us(b.ts) < epoch_us(a.ts)
+            GROUP BY a.event_id
         """,
     }

@@ -225,3 +225,34 @@ def rolling_active_users(events: ray.data.Dataset,
                                                  pa.int64())})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def prior_window_counts(events: ray.data.Dataset,
+                        key: str = "user_id", ts_col: str = "ts",
+                        id_col: str = "event_id",
+                        window_s: int = 3600) -> ray.data.Dataset:
+    """Velocity features: for every event, how many events the same
+    key produced in the strictly-prior ``window_s`` window
+    [t − W, t) — the classic fraud/abuse rate signal.
+
+    One key shuffle, then per-key the counts are TWO vectorized
+    ``searchsorted`` calls over that key's sorted timestamps (same-
+    timestamp events never count each other, so the result is
+    deterministic under any ordering of ties).  Output:
+    (event_id, n_prior)."""
+    win_us = window_s * 1_000_000
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "eid"])
+        t = g.t.to_numpy()
+        lo = np.searchsorted(t, t - win_us, side="left")
+        hi = np.searchsorted(t, t, side="left")
+        return pd.DataFrame({"event_id": g.eid.to_numpy(),
+                             "n_prior": (hi - lo).astype("int64")})
+
+    out = _prep(events, key, ts_col, {"eid": id_col}) \
+        .groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(lambda b: pa.table({
+        "event_id": pc.cast(b["event_id"], pa.int64()),
+        "n_prior": pc.cast(b["n_prior"], pa.int64())}),
+        batch_format="pyarrow")
