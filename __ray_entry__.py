@@ -2417,6 +2417,28 @@ def q_velocity(sf_dir: str) -> pa.Table:
     return _collect(prior_window_counts(ev, window_s=3600))
 
 
+def q_attribution(sf_dir: str) -> pa.Table:
+    """Last-touch attribution: each purchase linked to the same user's
+    most recent strictly-prior view (id + latency) — a self as-of
+    join as one key shuffle + per-key searchsorted."""
+    from aida_ray.stages.sequences import last_touch_attribution
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return _collect(last_touch_attribution(ev))
+
+
+def q_group_regression(sf_dir: str) -> pa.Table:
+    """Per-event-type OLS trend (slope/intercept of value vs time)
+    from mergeable sufficient statistics — the distributed trend
+    detector; identical centering + formula in the oracle."""
+    from aida_ray.stages.relational import group_regression
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"])
+    return _collect(group_regression(ev, "event_type", "ts", "value"))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2555,6 +2577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending": q_trending,
         "chi2": q_chi2,
         "velocity": q_velocity,
+        "attribution": q_attribution,
+        "group_regression": q_group_regression,
     }
 
 
@@ -4055,5 +4079,49 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_us(b.ts) >= epoch_us(a.ts) - 3600000000
              AND epoch_us(b.ts) < epoch_us(a.ts)
             GROUP BY a.event_id
+        """,
+        "attribution": """
+            WITH conv AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS t
+                FROM events WHERE event_type = 'purchase'),
+            touch AS (
+                SELECT user_id, event_id,
+                       CAST(epoch_us(ts) AS BIGINT) AS t
+                FROM events WHERE event_type = 'view'),
+            j AS (
+                SELECT c.event_id, t2.event_id AS touch_id,
+                       c.t - t2.t AS lat,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.event_id
+                           ORDER BY t2.t DESC,
+                                    t2.event_id DESC) AS rn
+                FROM conv c JOIN touch t2
+                  ON t2.user_id = c.user_id AND t2.t < c.t)
+            SELECT c.event_id,
+                   CAST(COALESCE(j.touch_id, -1) AS BIGINT)
+                       AS touch_id,
+                   CAST(COALESCE(j.lat, -1) AS BIGINT) AS latency_us
+            FROM conv c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+              USING (event_id)
+        """,
+        "group_regression": """
+            WITH p AS (
+                SELECT event_type,
+                       (CAST(epoch_us(ts) AS BIGINT)
+                        - 1704067200000000) / 1e6 AS x,
+                       value AS y
+                FROM events),
+            s AS (SELECT event_type, COUNT(*) * 1.0 AS n,
+                         SUM(x) AS sx, SUM(y) AS sy,
+                         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+                  FROM p GROUP BY event_type)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   ROUND((sxy - sx * sy / n)
+                         / (sxx - sx * sx / n), 6) AS slope,
+                   ROUND(sy / n - (sxy - sx * sy / n)
+                         / (sxx - sx * sx / n) * sx / n, 6)
+                       AS intercept
+            FROM s
         """,
     }

@@ -763,3 +763,54 @@ def group_moments(ds: ray.data.Dataset, key: str,
                                pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def group_regression(ds: ray.data.Dataset, key: str, x_col: str,
+                     y_col: str,
+                     x_center_us: int = 1_704_067_200_000_000
+                     ) -> ray.data.Dataset:
+    """Per-group OLS slope/intercept of y against TIME from mergeable
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the distributed
+    trend detector.  x is centered at a fixed epoch and scaled to
+    seconds BEFORE accumulation so the normal-equation cancellation
+    stays benign and the oracle (same centering, same formula)
+    hash-matches at 6 decimals."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ts = b[x_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        x = (pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False)
+             - x_center_us) / 1e6
+        y = b[y_col].to_numpy(zero_copy_only=False).astype("float64")
+        df = pd.DataFrame({"k": b[key].to_pandas(), "x": x, "y": y})
+        df["xy"] = df.x * df.y
+        df["xx"] = df.x * df.x
+        g = df.groupby("k", sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n"), Sum("sx"), Sum("sy"),
+                                Sum("sxy"), Sum("sxx"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["sum(n)"].to_numpy(zero_copy_only=False) \
+            .astype("float64")
+        sx = b["sum(sx)"].to_numpy(zero_copy_only=False)
+        sy = b["sum(sy)"].to_numpy(zero_copy_only=False)
+        sxy = b["sum(sxy)"].to_numpy(zero_copy_only=False)
+        sxx = b["sum(sxx)"].to_numpy(zero_copy_only=False)
+        slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+        intercept = sy / n - slope * sx / n
+        return pa.table({
+            key: b["k"],
+            "n": pa.array(n.astype("int64")),
+            "slope": pa.array(np.round(slope, 6), pa.float64()),
+            "intercept": pa.array(np.round(intercept, 6),
+                                  pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

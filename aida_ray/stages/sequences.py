@@ -256,3 +256,45 @@ def prior_window_counts(events: ray.data.Dataset,
         "event_id": pc.cast(b["event_id"], pa.int64()),
         "n_prior": pc.cast(b["n_prior"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def last_touch_attribution(events: ray.data.Dataset,
+                           key: str = "user_id", ts_col: str = "ts",
+                           id_col: str = "event_id",
+                           type_col: str = "event_type",
+                           convert_type: str = "purchase",
+                           touch_type: str = "view"
+                           ) -> ray.data.Dataset:
+    """Last-touch attribution: for every conversion event, the id of
+    the same key's most recent STRICTLY prior touch event and the
+    latency to it — a self as-of join expressed as one key shuffle +
+    per-key vectorized searchsorted.  Conversions with no prior touch
+    report touch_id −1, latency −1.  Ties on touch timestamps resolve
+    to the largest event id (the (ts, event_id) total order)."""
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["t", "eid"])
+        conv = g[g.et == convert_type]
+        touch = g[g.et == touch_type]
+        if conv.empty:
+            return pd.DataFrame({"event_id": [], "touch_id": [],
+                                 "latency_us": []})
+        tt = touch.t.to_numpy()
+        tid = touch.eid.to_numpy()
+        idx = np.searchsorted(tt, conv.t.to_numpy(), side="left") - 1
+        has = idx >= 0
+        touch_id = np.where(has, tid[np.maximum(idx, 0)], -1)
+        latency = np.where(
+            has, conv.t.to_numpy() - tt[np.maximum(idx, 0)], -1)
+        return pd.DataFrame({
+            "event_id": conv.eid.to_numpy().astype("int64"),
+            "touch_id": touch_id.astype("int64"),
+            "latency_us": latency.astype("int64")})
+
+    out = _prep(events, key, ts_col,
+                {"eid": id_col, "et": type_col}) \
+        .groupby(key).map_groups(per_key, batch_format="pandas")
+    return out.map_batches(lambda b: pa.table({
+        "event_id": pc.cast(b["event_id"], pa.int64()),
+        "touch_id": pc.cast(b["touch_id"], pa.int64()),
+        "latency_us": pc.cast(b["latency_us"], pa.int64())}),
+        batch_format="pyarrow")
