@@ -2439,6 +2439,17 @@ def q_group_regression(sf_dir: str) -> pa.Table:
     return _collect(group_regression(ev, "event_type", "ts", "value"))
 
 
+def q_table_checksum(sf_dir: str) -> pa.Table:
+    """Order-independent corpus checksum (Σ md5₆₀(id|text) mod
+    2⁶¹−1 + row count): the migration-validation primitive — equal
+    iff two tables hold the same row multiset, at any partitioning."""
+    from aida_ray.stages.metrics import table_checksum
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return table_checksum(docs, "doc_id", "text")
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2579,6 +2590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "velocity": q_velocity,
         "attribution": q_attribution,
         "group_regression": q_group_regression,
+        "table_checksum": q_table_checksum,
     }
 
 
@@ -4123,5 +4135,14 @@ def oracle_sql() -> dict[str, str]:
                          / (sxx - sx * sx / n) * sx / n, 6)
                        AS intercept
             FROM s
+        """,
+        "table_checksum": """
+            SELECT CAST(CAST(SUM(h) AS HUGEINT)
+                        % 2305843009213693951 AS BIGINT) AS checksum,
+                   COUNT(*) AS n_rows
+            FROM (SELECT CAST(CONCAT('0x', SUBSTR(
+                      md5(CAST(doc_id AS VARCHAR) || '|' || text),
+                      1, 15)) AS BIGINT) AS h
+                  FROM documents)
         """,
     }

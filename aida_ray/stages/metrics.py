@@ -130,3 +130,41 @@ def audit_table(ds: ray.data.Dataset, key_col: str, fk_col: str,
                 pa.int64())})
 
     return ray.get(finish.remote(*parts.to_arrow_refs()))
+
+
+_CHECKSUM_MOD = (1 << 61) - 1     # Mersenne prime
+
+
+def table_checksum(ds: ray.data.Dataset, id_col: str,
+                   text_col: str) -> pa.Table:
+    """Order-independent content checksum: Σ md5₆₀(id|text) mod
+    2⁶¹−1 plus the row count — equal iff two tables hold the same
+    multiset of rows, regardless of partitioning or order.  The ETL
+    validation primitive for verifying a migrated/recomputed corpus
+    without shuffling either side.  One map pass, one tiny partial
+    row per block."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        s = 0
+        for i, t in zip(ids, texts):
+            s += int(hashlib.md5(
+                f"{i}|{t}".encode()).hexdigest()[:15], 16)
+        return pa.table({
+            "part": pa.array([s % _CHECKSUM_MOD], pa.int64()),
+            "n": pa.array([len(ids)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .to_arrow_refs()
+    total, n = 0, 0
+    for r in parts:
+        t = ray.get(r)
+        if not isinstance(t, pa.Table) or t.num_rows == 0:
+            continue
+        total = (total + int(pa.compute.sum(t["part"]).as_py() or 0)) \
+            % _CHECKSUM_MOD
+        n += int(pa.compute.sum(t["n"]).as_py() or 0)
+    return pa.table({"checksum": pa.array([total], pa.int64()),
+                     "n_rows": pa.array([n], pa.int64())})
