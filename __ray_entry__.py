@@ -2450,6 +2450,18 @@ def q_table_checksum(sf_dir: str) -> pa.Table:
     return table_checksum(docs, "doc_id", "text")
 
 
+def q_assoc_rules(sf_dir: str) -> pa.Table:
+    """Market-basket association rules over order baskets: pair
+    supports from the range-partitioned basket sweep + gated combine,
+    confidence/lift attached via broadcast item supports."""
+    from aida_ray.stages.basket import market_basket_rules
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"])
+    return _collect(market_basket_rules(li, "l_orderkey", "l_partkey",
+                                        min_support=3))
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2591,6 +2603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": q_attribution,
         "group_regression": q_group_regression,
         "table_checksum": q_table_checksum,
+        "assoc_rules": q_assoc_rules,
     }
 
 
@@ -4144,5 +4157,22 @@ def oracle_sql() -> dict[str, str]:
                       md5(CAST(doc_id AS VARCHAR) || '|' || text),
                       1, 15)) AS BIGINT) AS h
                   FROM documents)
+        """,
+        "assoc_rules": """
+            WITH bi AS (SELECT DISTINCT l_orderkey AS o,
+                               l_partkey AS i
+                        FROM lineitem),
+            nb AS (SELECT COUNT(DISTINCT o) AS n FROM bi),
+            sup AS (SELECT i, COUNT(*) AS n FROM bi GROUP BY i),
+            pairs AS (
+                SELECT a.i AS a, b.i AS b, COUNT(*) AS n_ab
+                FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+            SELECT p.a, p.b, p.n_ab,
+                   ROUND(p.n_ab * 1.0 / sa.n, 6) AS conf_ab,
+                   ROUND(nb.n * p.n_ab * 1.0 / (sa.n * sb.n), 6)
+                       AS lift
+            FROM pairs p JOIN sup sa ON sa.i = p.a
+                 JOIN sup sb ON sb.i = p.b, nb
         """,
     }
