@@ -2462,6 +2462,81 @@ def q_assoc_rules(sf_dir: str) -> pa.Table:
                                         min_support=3))
 
 
+def q_kcore_planted(sf_dir: str) -> pa.Table:
+    """k-core with an ANALYTIC oracle: a 12-clique planted among
+    chain edges (i→i+1) over doc ids.  At k = 11 the chains peel away
+    entirely and exactly the clique survives, every member at degree
+    11 — the oracle is that closed-form answer, independent of this
+    implementation."""
+    from aida_ray.stages.graphs import kcore
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        hi = int(b["max_id"][0].as_py())
+        s = ids[ids + 1 <= hi]
+        # the clique emits ONCE, from whichever block holds id 0 —
+        # blocking-independent even if ids 0-11 span blocks
+        if (ids == 0).any():
+            cl = np.arange(12, dtype="int64")
+            iu, ju = np.triu_indices(12, k=1)
+            ca, cb = cl[iu], cl[ju]
+        else:
+            ca = cb = np.empty(0, dtype="int64")
+        return pa.table({
+            "a": pa.array(np.r_[s, ca], pa.int64()),
+            "b": pa.array(np.r_[s + 1, cb], pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    hi = int(docs.max("doc_id"))
+    # the clique block lives in whichever block holds ids 0-11; dedup
+    # the chain edge (i, i+1) inside the clique range via distinct
+    e = docs.map_batches(
+        lambda b, hi=hi: edges(b.append_column(
+            "max_id", pa.array([hi] * b.num_rows, pa.int64()))),
+        batch_format="pyarrow")
+
+    def distinct(b: pa.Table) -> pa.Table:
+        p = np.unique((b["a"].to_numpy(zero_copy_only=False) << 21)
+                      | b["b"].to_numpy(zero_copy_only=False))
+        return pa.table({"a": pa.array(p >> 21, pa.int64()),
+                         "b": pa.array(p & ((1 << 21) - 1), pa.int64())})
+
+    e = e.map_batches(distinct, batch_format="pyarrow") \
+        .groupby(["a", "b"]).count().drop_columns(["count()"])
+    out = kcore(e, k=11).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_pagerank_star(sf_dir: str) -> pa.Table:
+    """PageRank with a CLOSED-FORM oracle: hub 0 ↔ every other doc id
+    (star, no dangling mass).  The stationary solution is the 2×2
+    fixpoint h = (1−d)(1+d·n)/(N(1−d²)), l = (1−d)/N + d·h/n; the
+    alternating power-iteration mode decays as d^k, so 150 iterations
+    (0.85^150 ≈ 3e-11) land far inside the 6-decimal rounding that
+    the analytic SQL expression is compared at."""
+    from aida_ray.stages.graphs import pagerank
+
+    def star(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        leaves = ids[ids >= 1]
+        return pa.table({
+            "src": pa.array(np.r_[np.zeros(len(leaves), dtype="int64"),
+                                  leaves], pa.int64()),
+            "dst": pa.array(np.r_[leaves,
+                                  np.zeros(len(leaves), dtype="int64")],
+                            pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    edges = docs.map_batches(star, batch_format="pyarrow")
+    t = pagerank(edges, iters=150).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    t["rank"] = t["rank"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2604,6 +2679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_regression": q_group_regression,
         "table_checksum": q_table_checksum,
         "assoc_rules": q_assoc_rules,
+        "kcore_planted": q_kcore_planted,
+        "pagerank_star": q_pagerank_star,
     }
 
 
@@ -4174,5 +4251,25 @@ def oracle_sql() -> dict[str, str]:
                        AS lift
             FROM pairs p JOIN sup sa ON sa.i = p.a
                  JOIN sup sb ON sb.i = p.b, nb
+        """,
+        "kcore_planted": """
+            SELECT CAST(r AS BIGINT) AS node,
+                   CAST(11 AS BIGINT) AS degree
+            FROM generate_series(0, 11) AS t(r)
+        """,
+        "pagerank_star": """
+            WITH c AS (
+                SELECT COUNT(*) * 1.0 AS nn, COUNT(*) - 1.0 AS n,
+                       0.85 AS d
+                FROM documents),
+            f AS (SELECT nn, n, d,
+                         (1 - d) * (1 + d * n) / (nn * (1 - d * d))
+                             AS hub
+                  FROM c)
+            SELECT doc_id AS node,
+                   ROUND(CASE WHEN doc_id = 0 THEN hub
+                         ELSE (1 - d) / nn + d * hub / n END, 6)
+                       AS rank
+            FROM documents, f
         """,
     }
