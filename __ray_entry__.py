@@ -2537,6 +2537,59 @@ def q_pagerank_star(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_kmeans_planted(sf_dir: str) -> pa.Table:
+    """k-means with an ANALYTIC oracle: three well-separated planted
+    blobs derived from doc ids — Lloyd converges to the exact per-blob
+    means (farthest-point seeding puts one centroid per blob), which
+    the oracle computes as plain per-blob AVGs."""
+    from aida_ray.stages.ml import kmeans
+
+    def pts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        x = 100.0 * (ids % 3) + (ids % 7)
+        y = 100.0 * (ids % 3) + (ids % 5)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "vec": pa.array(list(np.stack([x, y], axis=1)))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ds = docs.map_batches(pts, batch_format="pyarrow")
+    cents = kmeans(ds, "vec", "doc_id", k=3, iters=6)
+    order = np.argsort(cents[:, 0])
+    return pa.table({
+        "rank": pa.array(np.arange(3, dtype="int64")),
+        "cx": pa.array(np.round(cents[order, 0], 6), pa.float64()),
+        "cy": pa.array(np.round(cents[order, 1], 6), pa.float64())})
+
+
+def q_pca_planted(sf_dir: str) -> pa.Table:
+    """PCA with an ANALYTIC oracle: points exactly on the 3-D line
+    a·(2,−1,1)+c — PC1 (sign-normalized) is (2,−1,1)/√6 and the
+    projections are (a − ā)·√6, which the oracle computes directly."""
+    from aida_ray.stages.ml import pca_fit, pca_project
+
+    def pts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        a = (ids % 11) - 5.0
+        v = np.array([2.0, -1.0, 1.0])
+        c = np.array([1.0, 2.0, 3.0])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "vec": pa.array(list(a[:, None] * v[None, :] + c))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ds = docs.map_batches(pts, batch_format="pyarrow").materialize()
+    mean, comps = pca_fit(ds, "vec", n_components=1)
+    proj = _collect(pca_project(ds, "vec", "doc_id", mean, comps)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    t = np.array([p[0] for p in proj["proj"]])
+    return pa.table({
+        "doc_id": pa.array(proj["doc_id"].to_numpy(), pa.int64()),
+        "t": pa.array(np.round(t, 6), pa.float64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2681,6 +2734,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assoc_rules": q_assoc_rules,
         "kcore_planted": q_kcore_planted,
         "pagerank_star": q_pagerank_star,
+        "kmeans_planted": q_kmeans_planted,
+        "pca_planted": q_pca_planted,
     }
 
 
@@ -4271,5 +4326,25 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (1 - d) / nn + d * hub / n END, 6)
                        AS rank
             FROM documents, f
+        """,
+        "kmeans_planted": """
+            WITH pts AS (
+                SELECT doc_id % 3 AS blob,
+                       100.0 * (doc_id % 3) + (doc_id % 7) AS x,
+                       100.0 * (doc_id % 3) + (doc_id % 5) AS y
+                FROM documents),
+            m AS (SELECT blob, AVG(x) AS mx, AVG(y) AS my
+                  FROM pts GROUP BY blob)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY mx) - 1 AS BIGINT)
+                       AS rank,
+                   ROUND(mx, 6) AS cx, ROUND(my, 6) AS cy
+            FROM m
+        """,
+        "pca_planted": """
+            WITH a AS (SELECT doc_id, (doc_id % 11) - 5.0 AS a
+                       FROM documents),
+            m AS (SELECT AVG(a) AS ma FROM a)
+            SELECT doc_id, ROUND((a - ma) * SQRT(6.0), 6) AS t
+            FROM a, m
         """,
     }
