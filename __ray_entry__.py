@@ -2590,6 +2590,27 @@ def q_pca_planted(sf_dir: str) -> pa.Table:
         "t": pa.array(np.round(t, 6), pa.float64())})
 
 
+def q_ivf_top1(sf_dir: str) -> pa.Table:
+    """IVF-ANN with a GUARANTEED-exact slice: for queries that are
+    exact copies of corpus vectors, the query routes to its twin's
+    own cell, so IVF's top-1 provably equals brute force (cosine 1.0
+    self-match; the corpus max off-diagonal cosine is ~0.5).  Oracle =
+    the brute-force SQL top-1."""
+    from aida_ray.stages.knn import ivf_topk
+    emb = _emb_table(sf_dir)
+    order = pc.sort_indices(emb["vec_id"])
+    queries = np.array(emb.take(order)["embedding"].to_pylist()[:3],
+                       dtype=np.float64)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"))
+    t = ivf_topk(ds, queries, k=10).to_pandas()
+    t = t.sort_values(["query", "cosine", "vec_id"],
+                      ascending=[True, False, True]) \
+        .groupby("query", sort=True).head(1).reset_index(drop=True)
+    t["cosine"] = t["cosine"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2736,6 +2757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_star": q_pagerank_star,
         "kmeans_planted": q_kmeans_planted,
         "pca_planted": q_pca_planted,
+        "ivf_top1": q_ivf_top1,
     }
 
 
@@ -4346,5 +4368,26 @@ def oracle_sql() -> dict[str, str]:
             m AS (SELECT AVG(a) AS ma FROM a)
             SELECT doc_id, ROUND((a - ma) * SQRT(6.0), 6) AS t
             FROM a, m
+        """,
+        "ivf_top1": """
+            WITH q AS (
+                SELECT vec_id AS query,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.query, e.vec_id,
+                       list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv)
+                           AS cos_raw
+                FROM embeddings e CROSS JOIN q),
+            ranked AS (
+                SELECT query, vec_id, cos_raw,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query
+                           ORDER BY cos_raw DESC, vec_id ASC) AS rn
+                FROM scored)
+            SELECT CAST(query AS INTEGER) AS query, vec_id,
+                   ROUND(cos_raw, 6) AS cosine
+            FROM ranked WHERE rn = 1
         """,
     }
