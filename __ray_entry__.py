@@ -2611,6 +2611,29 @@ def q_ivf_top1(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_simhash_single(sf_dir: str) -> pa.Table:
+    """SimHash with a GUARANTEED-exact slice: a single-token document's
+    signature collapses to the token's 63-bit md5 hash (every bit
+    vote is that token's own bit), which SQL computes directly — the
+    token-hash core of the sketch verified end-to-end through the
+    actor pool."""
+    from aida_ray.stages.dedup import SimHasher
+
+    def first_token(b: pa.Table) -> pa.Table:
+        toks = pc.list_element(pc.split_pattern(
+            pc.utf8_lower(b["text"].combine_chunks()), pattern=" "), 0)
+        return pa.table({"doc_id": pc.cast(b["doc_id"], pa.int64()),
+                         "text": toks})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    ds = docs.map_batches(first_token, batch_format="pyarrow") \
+        .map_batches(SimHasher, batch_format="pyarrow",
+                     concurrency=min(2, _pool()), num_cpus=1)
+    return _collect(ds).select(["doc_id", "simhash"])
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2758,6 +2781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_planted": q_kmeans_planted,
         "pca_planted": q_pca_planted,
         "ivf_top1": q_ivf_top1,
+        "simhash_single": q_simhash_single,
     }
 
 
@@ -4389,5 +4413,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(query AS INTEGER) AS query, vec_id,
                    ROUND(cos_raw, 6) AS cosine
             FROM ranked WHERE rn = 1
+        """,
+        "simhash_single": """
+            SELECT doc_id,
+                   CAST(CAST(('0x' || substr(md5(
+                       lower(string_split(text, ' ')[1])), 1, 16))
+                       AS UBIGINT) // 2 AS BIGINT) AS simhash
+            FROM documents
         """,
     }
