@@ -2634,6 +2634,43 @@ def q_simhash_single(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "simhash"])
 
 
+def q_minhash_exact_pairs(sf_dir: str) -> pa.Table:
+    """MinHash-LSH with a GUARANTEED-exact slice: every 50th document
+    is planted again under id+1,000,000 — identical text means
+    identical signature, identical band buckets, Jaccard exactly 1,
+    so LSH finds these pairs DETERMINISTICALLY (near-miss pairs stay
+    probabilistic and are excluded by the J=1 filter).  Oracle = the
+    text-equality self-join."""
+    from aida_ray.stages.dedup import minhash_lsh_pairs
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        keep = ids % 50 == 0
+        extra = pa.table({
+            "doc_id": pa.array(ids[keep] + 1_000_000, pa.int64()),
+            "text": pc.array_filter(b["text"].combine_chunks(),
+                                    pa.array(keep))})
+        return pa.concat_tables([
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": b["text"].combine_chunks()}), extra])
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = minhash_lsh_pairs(docs.map_batches(plant,
+                                           batch_format="pyarrow"),
+                          num_hashes=64, bands=16,
+                          jaccard_threshold=0.8).to_pandas()
+    # restrict to the planted (d, d+1e6) pairs: organic docs can tie
+    # at J=1 through equal SHINGLE SETS despite different text, which
+    # a text-equality oracle can't predict
+    t = t[(t.jaccard >= 1.0) & (t.b - t.a == 1_000_000)][["a", "b"]] \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    for c in ("a", "b"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2782,6 +2819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_planted": q_pca_planted,
         "ivf_top1": q_ivf_top1,
         "simhash_single": q_simhash_single,
+        "minhash_exact_pairs": q_minhash_exact_pairs,
     }
 
 
@@ -4420,5 +4458,9 @@ def oracle_sql() -> dict[str, str]:
                        lower(string_split(text, ' ')[1])), 1, 16))
                        AS UBIGINT) // 2 AS BIGINT) AS simhash
             FROM documents
+        """,
+        "minhash_exact_pairs": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b
+            FROM documents WHERE doc_id % 50 = 0
         """,
     }
