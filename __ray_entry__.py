@@ -2671,6 +2671,35 @@ def q_minhash_exact_pairs(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_fuzzy_exact_match(sf_dir: str) -> pa.Table:
+    """Fuzzy join with a GUARANTEED-exact slice: probing with the
+    UNALTERED names — an identical string has identical trigram
+    minhashes, lands in its own bucket, and verifies at similarity 1,
+    so every (key, key) self-match is found deterministically; the
+    output keeps only sim = 1 matches (near-miss candidates stay
+    probabilistic)."""
+    import pyarrow.parquet as pq
+
+    from aida_ray.stages.fuzzy_join import fuzzy_join
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    probes = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"]).map_batches(
+        lambda b: pa.table({"probe_id": b["c_custkey"],
+                            "probe": b["c_name"]}),
+        batch_format="pyarrow")
+    t = fuzzy_join(probes, cust, lkey="probe_id", lcol="probe",
+                   rkey="c_custkey", rcol="c_name",
+                   minsim=0.99).to_pandas()
+    t = t[(t.sim >= 1.0) & (t.probe_id == t.c_custkey)] \
+        [["probe_id", "c_custkey"]] \
+        .sort_values("probe_id").reset_index(drop=True)
+    for c in ("probe_id", "c_custkey"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2820,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_top1": q_ivf_top1,
         "simhash_single": q_simhash_single,
         "minhash_exact_pairs": q_minhash_exact_pairs,
+        "fuzzy_exact_match": q_fuzzy_exact_match,
     }
 
 
@@ -4462,5 +4492,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exact_pairs": """
             SELECT doc_id AS a, doc_id + 1000000 AS b
             FROM documents WHERE doc_id % 50 = 0
+        """,
+        "fuzzy_exact_match": """
+            SELECT c_custkey AS probe_id, c_custkey
+            FROM customer
         """,
     }
