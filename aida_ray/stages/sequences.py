@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 WEEK_US = 7 * 86_400_000_000
@@ -58,23 +59,82 @@ def event_transitions(events: ray.data.Dataset, key: str = "user_id",
                       ts_col: str = "ts", type_col: str = "event_type",
                       id_col: str = "event_id") -> ray.data.Dataset:
     """Global (from_type, to_type, n) counts of consecutive event-type
-    transitions within each key's (ts, event_id)-ordered history."""
+    transitions within each key's (ts, event_id)-ordered history.
+
+    Plan: ONE range sort on (key, t, eid) co-locates and orders every
+    key's history, each batch counts the transitions of its fully
+    contained keys in one vectorized pass (per-key ``map_groups`` paid
+    ~ms of pandas overhead × thousands of keys — that overhead, not
+    the pair math, dominated the old plan), and the ≤ 2 boundary keys
+    per batch close in one small task — the same plan as
+    ``graphs.cooccurrence_edges``."""
     from ray.data.aggregate import Sum
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["t", "eid"])
-        et = g.et.to_numpy()
-        if len(et) < 2:
-            return pd.DataFrame({"from_type": [], "to_type": [],
-                                 "n": []})
-        out = pd.DataFrame({"from_type": et[:-1], "to_type": et[1:]}) \
+    srt = _prep(events, key, ts_col,
+                {"et": type_col, "eid": id_col}) \
+        .sort([key, "t", "eid"]).materialize()
+
+    def count_pairs(k: np.ndarray, et: np.ndarray) -> pd.DataFrame:
+        if len(k) < 2:
+            return pd.DataFrame({"from_type": pd.Series(dtype=object),
+                                 "to_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
+        same = k[1:] == k[:-1]
+        return pd.DataFrame({"from_type": et[:-1][same],
+                             "to_type": et[1:][same]}) \
             .groupby(["from_type", "to_type"], sort=False) \
             .size().rename("n").reset_index()
-        return out
 
-    partials = _prep(events, key, ts_col,
-                     {"et": type_col, "eid": id_col}) \
-        .groupby(key).map_groups(per_key, batch_format="pandas")
+    def inner(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        et = b["et"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        keep = (k != k[0]) & (k != k[-1])
+        return pa.Table.from_pandas(count_pairs(k[keep], et[keep]),
+                                    preserve_index=False)
+
+    def boundary(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "eid": pa.array([], pa.int64()),
+                             "et": pa.array([], pa.string())})
+        keep = (k == k[0]) | (k == k[-1])
+        return pa.table({
+            key: pa.array(k[keep]),
+            "t": pc.array_filter(b["t"].combine_chunks(),
+                                 pa.array(keep)),
+            "eid": pc.array_filter(b["eid"].combine_chunks(),
+                                   pa.array(keep)),
+            "et": pc.array_filter(b["et"].combine_chunks(),
+                                  pa.array(keep))})
+
+    @ray.remote
+    def close_boundaries(*tabs: pa.Table) -> pa.Table:
+        from aida_ray.stages.dedup import _concat_blocks
+        t = _concat_blocks(tabs, pa.schema(
+            [(key, pa.int64()), ("t", pa.int64()),
+             ("eid", pa.int64()), ("et", pa.string())]))
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = np.lexsort((t["eid"].to_numpy(zero_copy_only=False),
+                        t["t"].to_numpy(zero_copy_only=False), k))
+        return pa.Table.from_pandas(count_pairs(
+            k[o], t["et"].to_numpy(zero_copy_only=False)[o]),
+            preserve_index=False)
+
+    brefs = srt.map_batches(boundary,
+                            batch_format="pyarrow").to_arrow_refs()
+    bpart = ray.data.from_arrow_refs([close_boundaries.remote(*brefs)]) \
+        if brefs else ray.data.from_arrow(pa.table(
+            {"from_type": pa.array([], pa.string()),
+             "to_type": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}))
+    partials = srt.map_batches(inner, batch_format="pyarrow") \
+        .union(bpart)
     agg = partials.groupby(["from_type", "to_type"]).aggregate(Sum("n"))
     return agg.map_batches(lambda b: pa.table({
         "from_type": b["from_type"], "to_type": b["to_type"],
