@@ -1346,7 +1346,7 @@ def q_set_ops(sf_dir: str) -> pa.Table:
     event users ∩ customer keys, and customer keys ∖ event users."""
     import pandas as pd
 
-    from aida_ray.stages.shuffle_join import table_except, table_intersect
+    from aida_ray.stages.shuffle_join import intersect_and_except
     ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"]) \
         .map_batches(lambda b: b.rename_columns(["key"]),
@@ -1355,8 +1355,11 @@ def q_set_ops(sf_dir: str) -> pa.Table:
                                  columns=["c_custkey"]) \
         .map_batches(lambda b: b.rename_columns(["key"]),
                      batch_format="pyarrow")
-    inter = table_intersect(ev, cust, ["key"]).to_pandas()
-    diff = table_except(cust, ev, ["key"]).to_pandas()
+    # EXCEPT(cust, ev) = keys only on the cust side of the SAME
+    # aggregate intersect uses — one shared plan, not two
+    inter_ds, diff_ds = intersect_and_except(cust, ev, ["key"])
+    inter = inter_ds.to_pandas()
+    diff = diff_ds.to_pandas()
     inter["op"] = "intersect"
     diff["op"] = "except"
     t = pd.concat([inter, diff], ignore_index=True) \

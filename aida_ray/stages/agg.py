@@ -29,12 +29,16 @@ _AGG_FNS = {"sum", "min", "max", "count"}
 
 
 def bucket_reduce(partials: ray.data.Dataset, key_cols: list[str],
-                  aggs: dict[str, str],
+                  aggs: dict[str, str | tuple[str, str]],
                   num_buckets: int | None = None) -> ray.data.Dataset:
-    """Combine partial rows by ``key_cols`` with the per-column
-    distributive aggregates in ``aggs`` (col → 'sum'|'min'|'max').
-    Output: one row per distinct key, columns = key_cols + aggs."""
-    for fn in aggs.values():
+    """Combine partial rows by ``key_cols`` with the distributive
+    aggregates in ``aggs``: ``{out_col: fn}`` applies ``fn`` to
+    ``out_col`` itself, ``{out_col: (src_col, fn)}`` renames — so the
+    same source column can feed several aggregates.  Output: one row
+    per distinct key, columns = key_cols + aggs keys."""
+    spec = {out: (v if isinstance(v, tuple) else (out, v))
+            for out, v in aggs.items()}
+    for _, fn in spec.values():
         if fn not in _AGG_FNS:
             raise ValueError(f"non-distributive aggregate: {fn}")
     if num_buckets is None:
@@ -54,7 +58,8 @@ def bucket_reduce(partials: ray.data.Dataset, key_cols: list[str],
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(key_cols, sort=False).agg(
-            **{c: (c, fn) for c, fn in aggs.items()}).reset_index()
+            **{out_c: (src, fn)
+               for out_c, (src, fn) in spec.items()}).reset_index()
         return out
 
     return partials.map_batches(tag, batch_format="pyarrow") \

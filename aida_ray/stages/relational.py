@@ -422,22 +422,51 @@ def group_mode_concat(ds: ray.data.Dataset, key: str,
             .size().rename("n").reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["k", "v"]).aggregate(Sum("n"))
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
 
-    def finish(g):
+    def finish_frame(df) -> pa.Table:
         import pandas as pd
-        g = g.sort_values("v")
-        n = g["sum(n)"].to_numpy()
-        top = int(np.argmax(n))   # g sorted by value → first max = tie-break
-        return pd.DataFrame({
-            key: [g.k.iloc[0]],
-            "mode_val": [g.v.iloc[top]],
-            "mode_n": [int(n[top])],
-            "all_vals": [",".join(g.v)],
-        })
+        c = df.groupby(["k", "v"], sort=False)["n"].sum() \
+            .reset_index().sort_values(["k", "v"])
+        # mode with lexicographic tie-break: stable sort by count desc
+        # within the value order, take first per key
+        top = c.sort_values(["k", "n"], ascending=[True, False],
+                            kind="mergesort") \
+            .groupby("k", sort=False).head(1)
+        alls = c.groupby("k", sort=False)["v"].agg(",".join) \
+            .rename("all_vals").reset_index()
+        out = top.merge(alls, on="k") \
+            .rename(columns={"k": key, "v": "mode_val",
+                             "n": "mode_n"})
+        return pa.Table.from_pandas(
+            out[[key, "mode_val", "mode_n", "all_vals"]],
+            preserve_index=False)
 
-    out = counts.groupby("k").map_groups(finish, batch_format="pandas")
+    if partials.count() <= 20_000_000:
+        # (key × value-domain) × blocks fits ONE task — both the
+        # per-key Python of Ray's aggregate AND the per-key
+        # map_groups dispatch disappear
+        from aida_ray.stages.dedup import _concat_blocks
+
+        @ray.remote
+        def finish_task(*tabs: pa.Table) -> pa.Table:
+            t = _concat_blocks(tabs, pa.schema(
+                [("k", pa.int64()), ("v", pa.string()),
+                 ("n", pa.int64())]))
+            return finish_frame(t.to_pandas())
+
+        out = ray.data.from_arrow_refs(
+            [finish_task.remote(*partials.to_arrow_refs())])
+    else:
+        from aida_ray.stages.agg import bucket_reduce
+        # combine counts without per-key Python, then co-locate whole
+        # keys with one hash shuffle for the per-key finish
+        counts = bucket_reduce(partials, ["k", "v"], {"n": "sum"})
+        out = counts.groupby("k").map_groups(
+            lambda g: finish_frame(g).to_pandas(),
+            batch_format="pandas")
+
     return out.map_batches(
         lambda t: pa.table({key: pc.cast(t[key], pa.int64()),
                             "mode_val": t["mode_val"],

@@ -133,8 +133,6 @@ def _set_op(a: ray.data.Dataset, b: ray.data.Dataset,
     in both sides has min=1 ∧ max=2 (INTERSECT); only in `a` ⇒ max=1
     (EXCEPT).  Multiplicity across blocks doesn't matter, so one
     shuffle of block-distinct tuples is the whole cost."""
-    from ray.data.aggregate import Max, Min
-
     def local_tag(side: int):
         def f(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -147,14 +145,18 @@ def _set_op(a: ray.data.Dataset, b: ray.data.Dataset,
 
     both = a.map_batches(local_tag(1), batch_format="pyarrow") \
         .union(b.map_batches(local_tag(2), batch_format="pyarrow"))
-    agg = both.groupby(list(cols)).aggregate(Min("_side"), Max("_side"))
+    # bucketed combine — Ray's sort-based aggregate pays Python per
+    # key, ruinous over a customer-scale distinct key space
+    from aida_ray.stages.agg import bucket_reduce
+    agg = bucket_reduce(both, list(cols),
+                        {"lo": ("_side", "min"),
+                         "hi": ("_side", "max")})
 
     def keep(t: pa.Table) -> pa.Table:
         if want_max == 2:      # intersect: seen from both sides
-            mask = pc.and_(pc.equal(t["min(_side)"], 1),
-                           pc.equal(t["max(_side)"], 2))
+            mask = pc.and_(pc.equal(t["lo"], 1), pc.equal(t["hi"], 2))
         else:                  # except: never seen from side b
-            mask = pc.equal(t["max(_side)"], 1)
+            mask = pc.equal(t["hi"], 1)
         return t.filter(mask).select(list(cols))
 
     return agg.map_batches(keep, batch_format="pyarrow")
@@ -226,3 +228,38 @@ def customers_with_orders(customer: ray.data.Dataset,
                      orders.select_columns(["o_custkey"]),
                      on=("c_custkey",), right_on=("o_custkey",),
                      join_type="left_semi")
+
+
+def intersect_and_except(a: ray.data.Dataset, b: ray.data.Dataset,
+                         cols: Sequence[str]):
+    """INTERSECT(a, b) and EXCEPT(a, b) from ONE shared aggregate —
+    both answers are row-filters over the same (key, min-side,
+    max-side) table, so running them separately would pay the tag +
+    shuffle twice for nothing.  Returns (intersect_ds, except_ds)."""
+    def local_tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            df = pa.table({c: t[c] for c in cols}).to_pandas() \
+                .drop_duplicates()
+            out = pa.Table.from_pandas(df, preserve_index=False)
+            return out.append_column(
+                "_side", pa.array([side] * len(out), pa.int64()))
+        return f
+
+    both = a.map_batches(local_tag(1), batch_format="pyarrow") \
+        .union(b.map_batches(local_tag(2), batch_format="pyarrow"))
+    from aida_ray.stages.agg import bucket_reduce
+    agg = bucket_reduce(both, list(cols),
+                        {"lo": ("_side", "min"),
+                         "hi": ("_side", "max")}).materialize()
+
+    def keep_inter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.equal(t["lo"], 1),
+                                pc.equal(t["hi"], 2))) \
+            .select(list(cols))
+
+    def keep_except(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["hi"], 1)).select(list(cols))
+
+    return (agg.map_batches(keep_inter, batch_format="pyarrow"),
+            agg.map_batches(keep_except, batch_format="pyarrow"))

@@ -95,19 +95,43 @@ def ohlc_bars(events: ray.data.Dataset, key: str = "event_type",
         return pa.Table.from_pandas(g.reset_index(),
                                     preserve_index=False)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        io = np.lexsort((g.open_eid.to_numpy(), g.open_t.to_numpy()))[0]
-        ic = np.lexsort((g.close_eid.to_numpy(),
-                         g.close_t.to_numpy()))[-1]
-        return pd.DataFrame({
-            "k": [g.k.iloc[0]], "bucket": [g.bucket.iloc[0]],
-            "open": [g.open.iloc[io]], "high": [g.high.max()],
-            "low": [g.low.min()], "close": [g.close.iloc[ic]],
-            "n": [int(g.n.sum())]})
+    def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass over ALL partial rows: open = first row
+        # per (k, bucket) after an (open_t, open_eid) sort; close =
+        # last after a (close_t, close_eid) sort; min/max/sum plain
+        o = df.sort_values(["k", "bucket", "open_t", "open_eid"],
+                           kind="mergesort") \
+            .groupby(["k", "bucket"], sort=False).first()["open"]
+        c = df.sort_values(["k", "bucket", "close_t", "close_eid"],
+                           kind="mergesort") \
+            .groupby(["k", "bucket"], sort=False).last()["close"]
+        rest = df.groupby(["k", "bucket"], sort=False).agg(
+            high=("high", "max"), low=("low", "min"), n=("n", "sum"))
+        out = rest.join(o).join(c).reset_index()
+        return out[["k", "bucket", "open", "high", "low", "close",
+                    "n"]]
 
-    out = events.map_batches(partial, batch_format="pyarrow") \
-        .groupby(["k", "bucket"]).map_groups(merge,
-                                             batch_format="pandas")
+    partials = events.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+
+    if partials.count() <= 20_000_000:
+        # (keys × buckets) × blocks fits ONE task — no per-group
+        # pandas dispatch (3,600 map_groups calls dominated the wall)
+        from aida_ray.stages.dedup import _concat_blocks
+
+        @ray.remote
+        def merge_task(*tabs: pa.Table) -> pa.Table:
+            ne = [t for t in tabs
+                  if isinstance(t, pa.Table) and t.num_rows > 0]
+            t = pa.concat_tables(ne, promote_options="default")
+            return pa.Table.from_pandas(merge_frame(t.to_pandas()),
+                                        preserve_index=False)
+
+        out = ray.data.from_arrow_refs(
+            [merge_task.remote(*partials.to_arrow_refs())])
+    else:
+        out = partials.groupby(["k", "bucket"]).map_groups(
+            lambda g: merge_frame(g), batch_format="pandas")
     return out.map_batches(lambda b: pa.table({
         "k": b["k"], "bucket": pc.cast(b["bucket"], pa.int64()),
         "open": pc.cast(b["open"], pa.float64()),
