@@ -2703,6 +2703,100 @@ def q_fuzzy_exact_match(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_q5_local_volume(sf_dir: str) -> pa.Table:
+    """TPC-H-Q5-style six-table local-supplier-volume: dimension
+    chains collapse into two broadcast lookups, ONE large-large hash
+    join carries the customer nation to the line items, the
+    supplier=customer-nation condition filters map-side."""
+    from aida_ray.stages.relational import local_supplier_volume
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    o = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    t = _collect(local_supplier_volume(li, o, cust, supp, nat, reg)) \
+        .to_pandas().sort_values("n_name").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_cumulative_users(sf_dir: str) -> pa.Table:
+    """Cumulative distinct users by first-seen day (the growth
+    curve): per-user min-day from block partials, per-day new-user
+    counts, prefix sum over the days-sized aggregate."""
+    from ray.data.aggregate import Min
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(zero_copy_only=False),
+            "d": pc.cast(b["ts"], pa.int64())
+            .to_numpy(zero_copy_only=False) // 86_400_000_000})
+        g = df.groupby("user_id", sort=False).agg(
+            d=("d", "min")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    first = _collect(ev.map_batches(partial, batch_format="pyarrow")
+                     .groupby("user_id").aggregate(Min("d"))) \
+        .to_pandas()
+    days, counts = np.unique(first["min(d)"].to_numpy(dtype="int64"),
+                             return_counts=True)
+    label = pc.strftime(pc.cast(
+        pa.array(days * 86_400_000_000, pa.int64()),
+        pa.timestamp("us")), format="%Y-%m-%d")
+    return pa.table({
+        "day": label,
+        "cum_users": pa.array(np.cumsum(counts).astype("int64"))})
+
+
+def q_weekly_churn(sf_dir: str) -> pa.Table:
+    """Weekly churn: users active in week w−1 but not in week w, per
+    observed week — distinct (user, week) rows gathered once (bounded
+    by users × weeks) and differenced in one task.  A deterministic
+    alternating-week activity filter ((user + week/7) even, same
+    predicate in the oracle) guarantees real churn at every sf — the
+    raw synthetic log has every user active every week."""
+    def uw(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["ts"], pa.int64()) \
+            .to_numpy(zero_copy_only=False) // 86_400_000_000
+        w = d - (d + 3) % 7
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        keep = (u + w // 7) % 2 == 0
+        u, w = u[keep], w[keep]
+        return pa.table({"p": pa.array(np.unique((u << 20) | w),
+                                       pa.int64())})
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    distinct = _collect(ev.map_batches(uw, batch_format="pyarrow")
+                        .groupby("p").count())
+    p = distinct["p"].to_numpy(zero_copy_only=False)
+    pset = set(p.tolist())
+    weeks = np.unique(p & ((1 << 20) - 1))
+    rows = []
+    for w in weeks:
+        prev = p[(p & ((1 << 20) - 1)) == w - 7]
+        churned = sum(1 for q in prev.tolist()
+                      if (q >> 20 << 20) | w not in pset)
+        if churned:
+            rows.append((int(w), churned))
+    label = pc.strftime(pc.cast(
+        pa.array([r[0] * 86_400_000_000 for r in rows], pa.int64()),
+        pa.timestamp("us")), format="%Y-%m-%d")
+    return pa.table({
+        "week": label,
+        "n_churned": pa.array([r[1] for r in rows], pa.int64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2853,6 +2947,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_single": q_simhash_single,
         "minhash_exact_pairs": q_minhash_exact_pairs,
         "fuzzy_exact_match": q_fuzzy_exact_match,
+        "q5_local_volume": q_q5_local_volume,
+        "cumulative_users": q_cumulative_users,
+        "weekly_churn": q_weekly_churn,
     }
 
 
@@ -4499,5 +4596,54 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_exact_match": """
             SELECT c_custkey AS probe_id, c_custkey
             FROM customer
+        """,
+        "q5_local_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                 AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_cc
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "cumulative_users": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CAST(epoch_us(ts) AS BIGINT)
+                           // 86400000000) AS d
+                FROM events GROUP BY user_id),
+            c AS (SELECT d, COUNT(*) AS n FROM f GROUP BY d)
+            SELECT strftime(to_timestamp(d * 86400), '%Y-%m-%d')
+                       AS day,
+                   CAST(SUM(n) OVER (ORDER BY d) AS BIGINT)
+                       AS cum_users
+            FROM c
+        """,
+        "weekly_churn": """
+            WITH uw0 AS (
+                SELECT DISTINCT user_id,
+                       (CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                       - ((CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+                          + 3) % 7 AS w
+                FROM events),
+            uw AS (SELECT * FROM uw0
+                   WHERE (user_id + w // 7) % 2 = 0),
+            weeks AS (SELECT DISTINCT w FROM uw)
+            SELECT strftime(to_timestamp(weeks.w * 86400), '%Y-%m-%d')
+                       AS week,
+                   COUNT(*) AS n_churned
+            FROM weeks JOIN uw p ON p.w = weeks.w - 7
+            LEFT JOIN uw c ON c.user_id = p.user_id
+                          AND c.w = weeks.w
+            WHERE c.user_id IS NULL
+            GROUP BY weeks.w
         """,
     }

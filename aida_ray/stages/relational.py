@@ -843,3 +843,102 @@ def group_regression(ds: ray.data.Dataset, key: str, x_col: str,
                                   pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def local_supplier_volume(lineitem: ray.data.Dataset,
+                          orders: ray.data.Dataset, customer: pa.Table,
+                          supplier: pa.Table, nation: pa.Table,
+                          region: pa.Table, region_name: str = "ASIA"
+                          ) -> ray.data.Dataset:
+    """TPC-H-Q5-style local supplier volume: revenue per nation from
+    line items where the SUPPLIER'S nation equals the CUSTOMER'S
+    nation, customers restricted to one region.
+
+    The six-table plan, Ray-Data-first: region→nation→customer and
+    supplier→nation are pure dimension chains, so they collapse into
+    two broadcast lookup arrays (custkey→nationkey within the region,
+    suppkey→nationkey) shipped once; ORDERS semi-joins the region's
+    customers map-side and carries o_orderkey→c_nationkey through the
+    ONE genuine large-large hash shuffle join against LINEITEM; the
+    supplier-nation equality is then a map-side filter and the final
+    rollup a |nations|-sized groupby.  Exact int64 centi-cents."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    rkey = region.filter(pc.equal(region["r_name"],
+                                  pa.scalar(region_name)))["r_regionkey"]
+    nat = nation.filter(pc.is_in(nation["n_regionkey"],
+                                 value_set=rkey.combine_chunks()))
+    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    norder = np.argsort(nkeys, kind="stable")
+    cust = customer.filter(pc.is_in(
+        customer["c_nationkey"],
+        value_set=pa.array(nkeys, customer["c_nationkey"].type)))
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    corder = np.argsort(ck, kind="stable")
+    sk = supplier["s_suppkey"].to_numpy(zero_copy_only=False)
+    sn = supplier["s_nationkey"].to_numpy(zero_copy_only=False)
+    sorder = np.argsort(sk, kind="stable")
+    dims_ref = ray.put((ck[corder], cn[corder], sk[sorder], sn[sorder],
+                        nkeys[norder], nnames[norder]))
+
+    def orders_side(b: pa.Table) -> pa.Table:
+        ck_, cn_, *_ = _get_cached(dims_ref)
+        cust_k = b["o_custkey"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(ck_, cust_k)
+        hit = (i < len(ck_)) \
+            & (ck_[np.minimum(i, len(ck_) - 1)] == cust_k)
+        return pa.table({
+            "o_orderkey": pa.array(
+                b["o_orderkey"].to_numpy(zero_copy_only=False)[hit],
+                pa.int64()),
+            "c_nat": pa.array(cn_[i[hit]].astype("int64"), pa.int64())})
+
+    def li_side(b: pa.Table) -> pa.Table:
+        disc_pct = pc.cast(_round_half_away(
+            pc.multiply(b["l_discount"], 100.0)), pa.int64())
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "rev": pc.multiply(_cents(b["l_extendedprice"]),
+                               pc.subtract(pa.scalar(100, pa.int64()),
+                                           disc_pct))})
+
+    o = orders.map_batches(orders_side, batch_format="pyarrow")
+    li = lineitem.map_batches(li_side, batch_format="pyarrow")
+    joined = hash_join(li, o, on=("l_orderkey",),
+                       right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        _, _, sk_, sn_, nk_, _ = _get_cached(dims_ref)
+        supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(sk_, supp)
+        hit = (i < len(sk_)) \
+            & (sk_[np.minimum(i, len(sk_) - 1)] == supp)
+        snat = np.full(len(supp), -1, dtype="int64")
+        snat[hit] = sn_[i[hit]]
+        cnat = b["c_nat"].to_numpy(zero_copy_only=False)
+        keep = snat == cnat
+        g = pd.DataFrame({
+            "nat": cnat[keep],
+            "rev": b["rev"].to_numpy(zero_copy_only=False)[keep]}) \
+            .groupby("nat", sort=False).agg(rev=("rev", "sum")) \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("nat").aggregate(Sum("rev"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        _, _, _, _, nk_, nm_ = _get_cached(dims_ref)
+        nat = b["nat"].to_numpy(zero_copy_only=False)
+        names = nm_[np.searchsorted(nk_, nat)]
+        return pa.table({
+            "n_name": pa.array(list(names), pa.string()),
+            "revenue_cc": pc.cast(b["sum(rev)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
