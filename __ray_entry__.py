@@ -2797,6 +2797,101 @@ def q_weekly_churn(sf_dir: str) -> pa.Table:
         "n_churned": pa.array([r[1] for r in rows], pa.int64())})
 
 
+def q_revenue_share(sf_dir: str) -> pa.Table:
+    """Percent-of-total contribution: each order priority's share of
+    global revenue — one groupby plus a broadcast scalar total (the
+    ratio-to-report window without a window)."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.relational import _cents
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({
+            "p": b["o_orderpriority"].to_pandas(),
+            "c": _cents(b["o_totalprice"]).to_numpy(
+                zero_copy_only=False)}) \
+            .groupby("p", sort=False).agg(c=("c", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    o = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"])
+    agg = _collect(o.map_batches(partial, batch_format="pyarrow")
+                   .groupby("p").aggregate(Sum("c"))).to_pandas()
+    total = int(agg["sum(c)"].sum())
+    agg = agg.sort_values("p").reset_index(drop=True)
+    return pa.table({
+        "o_orderpriority": pa.array(agg["p"], pa.string()),
+        "revenue_cents": pa.array(agg["sum(c)"].astype("int64")),
+        "share": pa.array(
+            np.round(agg["sum(c)"].to_numpy(dtype="float64") / total,
+                     6), pa.float64())})
+
+
+def q_type_overlap(sf_dir: str) -> pa.Table:
+    """Event-type audience overlap: users doing BOTH type a and type b
+    for every unordered type pair — the basket-pair plan over distinct
+    (user, type) rows (types are enumerable, pairs bounded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "u": b["user_id"].to_numpy(zero_copy_only=False),
+            "t": b["event_type"].to_pandas()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    ut = _collect(ev.map_batches(partial, batch_format="pyarrow")
+                  .groupby(["u", "t"]).count()).to_pandas()
+    # per-user type sets are tiny (≤ |types|) — pair-count in one pass
+    import itertools
+    from collections import Counter
+    pairs: Counter = Counter()
+    for _, g in ut.groupby("u"):
+        for a, b_ in itertools.combinations(sorted(g.t), 2):
+            pairs[(a, b_)] += 1
+    keys = sorted(pairs)
+    return pa.table({
+        "type_a": pa.array([k[0] for k in keys], pa.string()),
+        "type_b": pa.array([k[1] for k in keys], pa.string()),
+        "n_users": pa.array([pairs[k] for k in keys], pa.int64())})
+
+
+def q_key_skew(sf_dir: str) -> pa.Table:
+    """Key-skew report: the 10 heaviest customer keys in orders with
+    their share of total rows — the shuffle-planning diagnostic
+    (partial counts → groupby → distributed top-k)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        k, n = np.unique(b["o_custkey"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "n": pa.array(n.astype("int64"))})
+
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey"])
+    n_total = o.count()
+    counts = o.map_batches(partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n")) \
+        .map_batches(lambda b: pa.table({
+            "o_custkey": pc.cast(b["k"], pa.int64()),
+            "n": pc.cast(b["sum(n)"], pa.int64())}),
+            batch_format="pyarrow")
+    top = _collect(counts.sort(["n", "o_custkey"],
+                               descending=[True, False]).limit(10)) \
+        .to_pandas()
+    return pa.table({
+        "o_custkey": pa.array(top["o_custkey"], pa.int64()),
+        "n": pa.array(top["n"], pa.int64()),
+        "share": pa.array(np.round(
+            top["n"].to_numpy(dtype="float64") / n_total, 6),
+            pa.float64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -2950,6 +3045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_volume": q_q5_local_volume,
         "cumulative_users": q_cumulative_users,
         "weekly_churn": q_weekly_churn,
+        "revenue_share": q_revenue_share,
+        "type_overlap": q_type_overlap,
+        "key_skew": q_key_skew,
     }
 
 
@@ -4645,5 +4743,36 @@ def oracle_sql() -> dict[str, str]:
                           AND c.w = weeks.w
             WHERE c.user_id IS NULL
             GROUP BY weeks.w
+        """,
+        "revenue_share": """
+            WITH g AS (
+                SELECT o_orderpriority,
+                       CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                     AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
+                FROM orders GROUP BY o_orderpriority),
+            t AS (SELECT SUM(revenue_cents) * 1.0 AS total FROM g)
+            SELECT o_orderpriority, revenue_cents,
+                   ROUND(revenue_cents / total, 6) AS share
+            FROM g, t
+        """,
+        "type_overlap": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type
+                        FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id
+             AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        """,
+        "key_skew": """
+            WITH c AS (SELECT o_custkey, COUNT(*) AS n
+                       FROM orders GROUP BY o_custkey),
+            t AS (SELECT COUNT(*) * 1.0 AS total FROM orders),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY n DESC, o_custkey) AS rn FROM c)
+            SELECT o_custkey, n, ROUND(n / total, 6) AS share
+            FROM r, t WHERE rn <= 10
         """,
     }
