@@ -2779,22 +2779,22 @@ def q_weekly_churn(sf_dir: str) -> pa.Table:
                                columns=["user_id", "ts"])
     distinct = _collect(ev.map_batches(uw, batch_format="pyarrow")
                         .groupby("p").count())
-    p = distinct["p"].to_numpy(zero_copy_only=False)
-    pset = set(p.tolist())
+    p = np.sort(distinct["p"].to_numpy(zero_copy_only=False))
     weeks = np.unique(p & ((1 << 20) - 1))
-    rows = []
-    for w in weeks:
-        prev = p[(p & ((1 << 20) - 1)) == w - 7]
-        churned = sum(1 for q in prev.tolist()
-                      if (q >> 20 << 20) | w not in pset)
-        if churned:
-            rows.append((int(w), churned))
+    # vectorized: shift every (user, week) forward one week; churned
+    # iff the shifted key is absent AND its week is observed
+    shifted = p + 7
+    present = np.isin(shifted, p, assume_unique=True)
+    wk = shifted & ((1 << 20) - 1)
+    observed = np.isin(wk, weeks)
+    churn_w, churn_n = np.unique(wk[~present & observed],
+                                 return_counts=True)
     label = pc.strftime(pc.cast(
-        pa.array([r[0] * 86_400_000_000 for r in rows], pa.int64()),
+        pa.array(churn_w * 86_400_000_000, pa.int64()),
         pa.timestamp("us")), format="%Y-%m-%d")
     return pa.table({
         "week": label,
-        "n_churned": pa.array([r[1] for r in rows], pa.int64())})
+        "n_churned": pa.array(churn_n.astype("int64"))})
 
 
 def q_revenue_share(sf_dir: str) -> pa.Table:
@@ -2846,18 +2846,29 @@ def q_type_overlap(sf_dir: str) -> pa.Table:
                                columns=["user_id", "event_type"])
     ut = _collect(ev.map_batches(partial, batch_format="pyarrow")
                   .groupby(["u", "t"]).count()).to_pandas()
-    # per-user type sets are tiny (≤ |types|) — pair-count in one pass
-    import itertools
-    from collections import Counter
-    pairs: Counter = Counter()
-    for _, g in ut.groupby("u"):
-        for a, b_ in itertools.combinations(sorted(g.t), 2):
-            pairs[(a, b_)] += 1
-    keys = sorted(pairs)
+    # pair counting over the (users × types)-bounded table: the
+    # basket-run kernel shape (numpy triu per |types|-bounded run)
+    types = np.array(sorted(ut.t.unique()), dtype=object)
+    tidx = np.searchsorted(types, ut.t.to_numpy())
+    u = ut.u.to_numpy(dtype="int64")
+    order = np.argsort(u, kind="stable")
+    packs = []
+    g, it = u[order], tidx[order].astype("int64")
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], len(g)]
+    for s, e in zip(starts, ends):     # |types|-bounded runs
+        items = np.sort(it[s:e])
+        if len(items) >= 2:
+            iu, ju = np.triu_indices(len(items), k=1)
+            packs.append(items[iu] * 8 + items[ju])
+    if packs:
+        pk, cnt = np.unique(np.concatenate(packs), return_counts=True)
+    else:
+        pk = cnt = np.empty(0, dtype="int64")
     return pa.table({
-        "type_a": pa.array([k[0] for k in keys], pa.string()),
-        "type_b": pa.array([k[1] for k in keys], pa.string()),
-        "n_users": pa.array([pairs[k] for k in keys], pa.int64())})
+        "type_a": pa.array([types[i] for i in pk // 8], pa.string()),
+        "type_b": pa.array([types[i] for i in pk % 8], pa.string()),
+        "n_users": pa.array(cnt.astype("int64"))})
 
 
 def q_key_skew(sf_dir: str) -> pa.Table:
