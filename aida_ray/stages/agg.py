@@ -25,7 +25,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
-_AGG_FNS = {"sum", "min", "max", "count"}
+_AGG_FNS = {"sum", "min", "max"}   # count of partials is NOT a
+# valid combine of partial counts — sum them instead
 
 
 def bucket_reduce(partials: ray.data.Dataset, key_cols: list[str],
@@ -57,7 +58,7 @@ def bucket_reduce(partials: ray.data.Dataset, key_cols: list[str],
             "_b", pa.array((h % num_buckets).astype("int64")))
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_cols, sort=False).agg(
+        out = g.groupby(key_cols, sort=False, dropna=False).agg(
             **{out_c: (src, fn)
                for out_c, (src, fn) in spec.items()}).reset_index()
         return out

@@ -39,6 +39,12 @@ def _distinct_basket_items(ds: ray.data.Dataset, group_col: str,
         if max_item is not None:
             keep = i < max_item
             g, i = g[keep], i[keep]
+        # packing bounds: items < 2^21 and non-negative (−1 is the
+        # support sentinel), baskets < 2^42 — silent bit overlap would
+        # corrupt pairs/supports otherwise
+        assert i.min(initial=0) >= 0 \
+            and i.max(initial=0) < (1 << _ITEM_BITS) \
+            and g.max(initial=0) < (1 << (63 - _ITEM_BITS))
         return pa.table({"p": pa.array(
             np.unique((g << _ITEM_BITS) | i), pa.int64())})
 

@@ -239,10 +239,11 @@ def rolling_active_users(events: ray.data.Dataset,
 
     days = events.select_columns([ts_col]) \
         .map_batches(active_days, batch_format="pyarrow")
-    days_set = np.unique(np.concatenate(
-        [t["day"].to_numpy(zero_copy_only=False)
-         for t in [ray.get(r) for r in days.to_arrow_refs()]
-         if isinstance(t, pa.Table) and t.num_rows]))
+    day_blocks = [t["day"].to_numpy(zero_copy_only=False)
+                  for t in [ray.get(r) for r in days.to_arrow_refs()]
+                  if isinstance(t, pa.Table) and t.num_rows]
+    days_set = np.unique(np.concatenate(day_blocks)) if day_blocks \
+        else np.empty(0, dtype="int64")
     days_ref = ray.put(pa.array(days_set, pa.int64()))
 
     def keep_active(b: pa.Table) -> pa.Table:
@@ -340,11 +341,16 @@ def last_touch_attribution(events: ray.data.Dataset,
                                  "latency_us": []})
         tt = touch.t.to_numpy()
         tid = touch.eid.to_numpy()
-        idx = np.searchsorted(tt, conv.t.to_numpy(), side="left") - 1
-        has = idx >= 0
-        touch_id = np.where(has, tid[np.maximum(idx, 0)], -1)
-        latency = np.where(
-            has, conv.t.to_numpy() - tt[np.maximum(idx, 0)], -1)
+        if len(tt) == 0:
+            touch_id = np.full(len(conv), -1, dtype="int64")
+            latency = np.full(len(conv), -1, dtype="int64")
+        else:
+            idx = np.searchsorted(tt, conv.t.to_numpy(),
+                                  side="left") - 1
+            has = idx >= 0
+            safe = np.where(has, idx, 0)
+            touch_id = np.where(has, tid[safe], -1)
+            latency = np.where(has, conv.t.to_numpy() - tt[safe], -1)
         return pd.DataFrame({
             "event_id": conv.eid.to_numpy().astype("int64"),
             "touch_id": touch_id.astype("int64"),

@@ -100,7 +100,8 @@ def _dup_start_rows(ds: ray.data.Dataset, k: int, min_count: int,
         gh = np.zeros(len(h), dtype="uint64")
         mult = np.uint64(1)
         for j in range(k):
-            gh[: len(h) - j] += h[j:] * mult
+            m = max(len(h) - j, 0)      # blocks shorter than k grams
+            gh[:m] += h[j:j + m] * mult
             mult = mult * _HASH_MULT
         keep = pos + k <= doclen
         return pa.table({
@@ -296,12 +297,15 @@ def dup_span_trim(ds: ray.data.Dataset, k: int = 4,
     (doc_id, text_kept, n_removed).
 
     Each document's text must meet its duplicated-span starts once:
-    text rows (pos = −1, payload = text) and start rows union into ONE
-    hash shuffle on the doc id, and the per-doc rebuild marks covered
-    positions with a vectorized ±1 difference array + cumsum (no
-    Python over tokens).  Shuffle volume = corpus text once + dup
-    starts — the same bill exact_dedup pays to recover representative
-    text."""
+    text rows (pos = −1, payload = text) and start rows union and
+    range-shuffle by ``sort((doc_id, pos))`` — a doc's run therefore
+    begins with its text row.  Each batch rebuilds its fully contained
+    docs in one pass (per-doc cover marking is a vectorized ±1
+    difference array + cumsum; per-doc map_groups dispatch is the
+    pathology PERF.md rules out), and the ≤ 2 boundary docs per batch
+    close in one small task — the module's standard plan.  Shuffle
+    volume = corpus text once + dup starts — the same bill exact_dedup
+    pays to recover representative text."""
     starts = _dup_start_rows(ds, k, min_count, id_col, text_col,
                              broadcast_rows, task_gate_rows)
 
@@ -317,27 +321,74 @@ def dup_span_trim(ds: ray.data.Dataset, k: int = 4,
             "pos": pc.cast(b["pos"], pa.int64()),
             "payload": pa.array([""] * b.num_rows)})
 
-    both = ds.map_batches(text_rows, batch_format="pyarrow") \
-        .union(starts.map_batches(start_rows, batch_format="pyarrow"))
+    srt = ds.map_batches(text_rows, batch_format="pyarrow") \
+        .union(starts.map_batches(start_rows, batch_format="pyarrow")) \
+        .sort([id_col, "pos"]).materialize()
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        text = g.loc[g.pos < 0, "payload"].iloc[0]
-        toks = np.array(text.split(" "), dtype=object)
-        n = len(toks)
-        sp = g.loc[g.pos >= 0, "pos"].to_numpy(dtype="int64")
-        diff = np.zeros(n + 1, dtype="int64")
-        np.add.at(diff, sp, 1)
-        np.add.at(diff, np.minimum(sp + k, n), -1)
-        covered = np.cumsum(diff[:-1]) > 0
-        return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "text_kept": [" ".join(toks[~covered])],
-            "n_removed": [int(covered.sum())]})
+    def rebuild_runs(d: np.ndarray, p: np.ndarray,
+                     pay: np.ndarray) -> pa.Table:
+        ids, texts, removed = [], [], []
+        if len(d):
+            run_starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            run_ends = np.r_[run_starts[1:], len(d)]
+            for s, e in zip(run_starts, run_ends):
+                # sorted by pos → the doc's text row (pos −1) is first
+                toks = np.array(pay[s].split(" "), dtype=object)
+                n = len(toks)
+                sp = p[s + 1:e]
+                diff = np.zeros(n + 1, dtype="int64")
+                np.add.at(diff, sp, 1)
+                np.add.at(diff, np.minimum(sp + k, n), -1)
+                covered = np.cumsum(diff[:-1]) > 0
+                ids.append(int(d[s]))
+                texts.append(" ".join(toks[~covered]))
+                removed.append(int(covered.sum()))
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "text_kept": pa.array(texts, pa.string()),
+            "n_removed": pa.array(removed, pa.int64())})
 
-    out = both.groupby(id_col).map_groups(rebuild,
-                                          batch_format="pandas")
-    return out.map_batches(lambda b: pa.table({
-        id_col: pc.cast(b[id_col], pa.int64()),
-        "text_kept": b["text_kept"],
-        "n_removed": pc.cast(b["n_removed"], pa.int64())}),
-        batch_format="pyarrow")
+    def inner(b: pa.Table) -> pa.Table:
+        d = b[id_col].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return rebuild_runs(d, d, d)
+        keep = (d != d[0]) & (d != d[-1])
+        return rebuild_runs(
+            d[keep], b["pos"].to_numpy(zero_copy_only=False)[keep],
+            np.asarray(b["payload"].to_pylist(), dtype=object)[keep])
+
+    def boundary(b: pa.Table) -> pa.Table:
+        d = b[id_col].to_numpy(zero_copy_only=False)
+        if len(d) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "payload": pa.array([], pa.string())})
+        keep = (d == d[0]) | (d == d[-1])
+        mask = pa.array(keep)
+        return pa.table({
+            id_col: pa.array(d[keep], pa.int64()),
+            "pos": pc.array_filter(b["pos"].combine_chunks(), mask),
+            "payload": pc.array_filter(b["payload"].combine_chunks(),
+                                       mask)})
+
+    @ray.remote
+    def close_boundaries(*tabs: pa.Table) -> pa.Table:
+        t = _concat_blocks(tabs, pa.schema(
+            [(id_col, pa.int64()), ("pos", pa.int64()),
+             ("payload", pa.string())]))
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((p, d))
+        return rebuild_runs(
+            d[o], p[o],
+            np.asarray(t["payload"].to_pylist(), dtype=object)[o])
+
+    brefs = srt.map_batches(boundary,
+                            batch_format="pyarrow").to_arrow_refs()
+    bpart = ray.data.from_arrow_refs(
+        [close_boundaries.remote(*brefs)]) if brefs \
+        else ray.data.from_arrow(pa.table(
+            {id_col: pa.array([], pa.int64()),
+             "text_kept": pa.array([], pa.string()),
+             "n_removed": pa.array([], pa.int64())}))
+    return srt.map_batches(inner, batch_format="pyarrow").union(bpart)

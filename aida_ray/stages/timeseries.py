@@ -36,8 +36,11 @@ def gap_fill_ffill(events: ray.data.Dataset, key: str = "user_id",
     forward-filled values.  Output: (key, gt, value)."""
 
     def prep(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):   # normalize ns/ms inputs
+            ts = pc.cast(ts, pa.timestamp("us"))
         return pa.table({key: b[key],
-                         "t": pc.cast(b[ts_col], pa.int64()),
+                         "t": pc.cast(ts, pa.int64()),
                          "v": b[val_col]})
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
@@ -121,17 +124,35 @@ def ohlc_bars(events: ray.data.Dataset, key: str = "event_type",
 
         @ray.remote
         def merge_task(*tabs: pa.Table) -> pa.Table:
-            ne = [t for t in tabs
-                  if isinstance(t, pa.Table) and t.num_rows > 0]
-            t = pa.concat_tables(ne, promote_options="default")
+            t = _concat_blocks(tabs, pa.schema(
+                [("k", pa.string()), ("bucket", pa.int64()),
+                 ("open_t", pa.int64()), ("open_eid", pa.int64()),
+                 ("open", pa.float64()), ("close_t", pa.int64()),
+                 ("close_eid", pa.int64()), ("close", pa.float64()),
+                 ("high", pa.float64()), ("low", pa.float64()),
+                 ("n", pa.int64())]))
             return pa.Table.from_pandas(merge_frame(t.to_pandas()),
                                         preserve_index=False)
 
         out = ray.data.from_arrow_refs(
             [merge_task.remote(*partials.to_arrow_refs())])
     else:
-        out = partials.groupby(["k", "bucket"]).map_groups(
-            lambda g: merge_frame(g), batch_format="pandas")
+        # above the gate: bucket whole (k, bucket) groups by hash % P
+        # and run P vectorized merges — per-group map_groups dispatch
+        # is exactly what the gated branch's lesson rules out
+        nb = 64
+
+        def tag(b: pa.Table) -> pa.Table:
+            df = pa.table({"k": b["k"],
+                           "bucket": b["bucket"]}).to_pandas()
+            h = pd.util.hash_pandas_object(df, index=False) \
+                .to_numpy(dtype="uint64")
+            return b.append_column(
+                "_b", pa.array((h % nb).astype("int64")))
+
+        out = partials.map_batches(tag, batch_format="pyarrow") \
+            .groupby("_b").map_groups(merge_frame,
+                                      batch_format="pandas")
     return out.map_batches(lambda b: pa.table({
         "k": b["k"], "bucket": pc.cast(b["bucket"], pa.int64()),
         "open": pc.cast(b["open"], pa.float64()),
