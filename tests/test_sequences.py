@@ -113,3 +113,19 @@ def test_rolling_active_matches_pandas(ray_session):
     ref = {a: ud[(ud.day >= a - 6) & (ud.day <= a)].user_id.nunique()
            for a in act}
     assert list(got.active_users) == [ref[a] for a in act]
+
+
+def test_attribution_no_prior_touch(ray_session):
+    from aida_ray.stages.sequences import last_touch_attribution
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime([100, 200, 300], unit="s"),
+        "user_id": [7, 7, 8],
+        "event_type": ["purchase", "view", "purchase"]})
+    out = last_touch_attribution(
+        rd.from_arrow(pa.Table.from_pandas(df))).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # user 7's purchase precedes its view; user 8 never views
+    assert list(out.event_id) == [1, 3]
+    assert list(out.touch_id) == [-1, -1]
+    assert list(out.latency_us) == [-1, -1]

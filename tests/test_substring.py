@@ -112,3 +112,17 @@ def test_dup_span_trim_consistent_with_coverage(ray_session):
     expect = cov.n_tokens.to_numpy() - cov.dup_covered.to_numpy()
     assert (np.where(trim.text_kept.to_numpy() == "", 0, kept_tokens)
             == expect).all()
+
+
+def test_dup_span_coverage_tiny_docs(ray_session):
+    # docs shorter than k grams in their own blocks must not crash
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(["a b", "a", "c d e f g c d e f g"])})
+    out = dup_span_coverage(rd.from_arrow(tbl).repartition(3), k=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_tokens) == [2, 1, 10]
+    ref = brute_coverage({0: "a b", 1: "a",
+                          2: "c d e f g c d e f g"}, k=4)
+    got = {int(r.doc_id): (int(r.n_tokens), int(r.dup_covered))
+           for r in out.itertuples()}
+    assert got == ref
