@@ -2903,6 +2903,69 @@ def q_key_skew(sf_dir: str) -> pa.Table:
             pa.float64())})
 
 
+def q_interorder_stats(sf_dir: str) -> pa.Table:
+    """Per-customer order inter-arrival statistics (n orders, mean and
+    max gap in days) — one key shuffle, vectorized diff per key; the
+    purchase-latency signal."""
+    def per_key(g):
+        import pandas as pd
+        t = np.sort(g["t"].to_numpy())
+        gaps = np.diff(t) / 86_400_000_000
+        return pd.DataFrame({
+            "o_custkey": [int(g["o_custkey"].iloc[0])],
+            "n_orders": [len(t)],
+            "mean_gap_days": [round(float(gaps.mean()), 6)
+                              if len(gaps) else 0.0],
+            "max_gap_days": [round(float(gaps.max()), 6)
+                             if len(gaps) else 0.0]})
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "t": pc.cast(b["o_orderdate"], pa.int64())})
+
+    o = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"])
+    out = o.map_batches(prep, batch_format="pyarrow") \
+        .groupby("o_custkey").map_groups(per_key,
+                                         batch_format="pandas")
+    t = _collect(out).to_pandas().sort_values("o_custkey") \
+        .reset_index(drop=True)
+    t["n_orders"] = t["n_orders"].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_drawdown(sf_dir: str) -> pa.Table:
+    """Per-user maximum drawdown of the event value sequence (largest
+    drop below the running maximum over the (ts, event_id) order) —
+    the running-extrema per-key scan; window-SQL oracle."""
+    def per_key(g):
+        import pandas as pd
+        g = g.sort_values(["t", "eid"])
+        v = g["v"].to_numpy(dtype="float64")
+        dd = v - np.maximum.accumulate(v)
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "max_drawdown": [round(float(dd.min()), 6)]})
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "t": pc.cast(b["ts"], pa.int64()),
+            "eid": pc.cast(b["event_id"], pa.int64()),
+            "v": pc.cast(b["value"], pa.float64())})
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"])
+    out = ev.map_batches(prep, batch_format="pyarrow") \
+        .groupby("user_id").map_groups(per_key, batch_format="pandas")
+    t = _collect(out).to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3059,6 +3122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share": q_revenue_share,
         "type_overlap": q_type_overlap,
         "key_skew": q_key_skew,
+        "interorder_stats": q_interorder_stats,
+        "drawdown": q_drawdown,
     }
 
 
@@ -4785,5 +4850,33 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY n DESC, o_custkey) AS rn FROM c)
             SELECT o_custkey, n, ROUND(n / total, 6) AS share
             FROM r, t WHERE rn <= 10
+        """,
+        "interorder_stats": """
+            WITH o AS (
+                SELECT o_custkey,
+                       CAST(epoch_us(o_orderdate) AS BIGINT) AS t,
+                       LAG(CAST(epoch_us(o_orderdate) AS BIGINT))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY epoch_us(o_orderdate))
+                           AS prev
+                FROM orders)
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   COALESCE(ROUND(AVG((t - prev) / 86400000000.0), 6),
+                            0.0) AS mean_gap_days,
+                   COALESCE(ROUND(MAX((t - prev) / 86400000000.0), 6),
+                            0.0) AS max_gap_days
+            FROM o GROUP BY o_custkey
+        """,
+        "drawdown": """
+            WITH r AS (
+                SELECT user_id, value,
+                       MAX(value) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmax
+                FROM events)
+            SELECT user_id,
+                   ROUND(MIN(value - runmax), 6) AS max_drawdown
+            FROM r GROUP BY user_id
         """,
     }
