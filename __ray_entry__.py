@@ -30,6 +30,7 @@ EPOCH_MS = 1400000000000
 # (the SQL-checkable analogue of the mention dictionary join, SURVEY J1)
 DICT_SURFACES = ["spark", "customer", "window", "vector", "stream", "table"]
 _DICT_SQL_VALUES = ", ".join(f"('{s}', 'E_{s}')" for s in DICT_SURFACES)
+_DICT_SQL_SURFACES = ", ".join(f"'{s}'" for s in DICT_SURFACES)
 
 STOP_TOKENS = ["the", "a"]
 _STOP_SQL = ", ".join(f"'{t}'" for t in STOP_TOKENS)
@@ -2966,6 +2967,135 @@ def q_drawdown(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_q12_shipmodes(sf_dir: str) -> pa.Table:
+    """TPC-H-Q12-style: per ship month, lineitems on high-priority
+    (1-URGENT/2-HIGH) vs other orders — conditional aggregation over
+    the large-large hash shuffle join."""
+    from aida_ray.stages.tpch_more import priority_counts_by_shipmonth
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_shipdate"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_orderpriority"])
+    t = _collect(priority_counts_by_shipmonth(li, o)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("ship_month").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_q14_promo(sf_dir: str) -> pa.Table:
+    """TPC-H-Q14-style: per ship month, PROMO-part revenue share —
+    broadcast part dimension, exact centi-cent sums, one double
+    division for the share."""
+    from aida_ray.stages.tpch_more import promo_revenue_by_month
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey", "l_shipdate",
+                                        "l_extendedprice", "l_discount"])
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    t = _collect(promo_revenue_by_month(li, part)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("ship_month").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_q17_small_qty(sf_dir: str) -> pa.Table:
+    """TPC-H-Q17-style correlated-average subquery: revenue of
+    lineitems with quantity below 20% of their part's average — two
+    passes, EXACT integer predicate (qty·5·cnt < Σqty)."""
+    from aida_ray.stages.tpch_more import small_qty_revenue
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey", "l_quantity",
+                                        "l_extendedprice"])
+    return small_qty_revenue(li)
+
+
+def q_q18_big_orders(sf_dir: str) -> pa.Table:
+    """TPC-H-Q18-style HAVING-filtered groupby + join-back: orders
+    with total quantity > 300 and their customers; wide-key per-order
+    sums via the gated finisher, broadcast join-back."""
+    from aida_ray.stages.tpch_more import big_orders
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_quantity"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_custkey",
+                                       "o_orderdate", "o_totalprice"])
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_name"])
+    return big_orders(li, o, cust, min_qty=300)
+
+
+def q_q22_idle(sf_dir: str) -> pa.Table:
+    """TPC-H-Q22-style: per nation, customers above the global
+    positive-balance average with no orders since 2000-01-01 —
+    exact-integer average predicate + distributed left_anti join."""
+    from aida_ray.stages.tpch_more import idle_high_balance
+    c = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_nationkey",
+                                       "c_acctbal"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_custkey", "o_orderdate"])
+    t = _collect(idle_high_balance(c, o, cutoff="2000-01-01")) \
+        .to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("c_nationkey").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM segmentation over the event log: per-user recency/
+    frequency/monetary NTILE(4) scores with the deterministic
+    (metric DESC, user_id) order; window-SQL oracle."""
+    from aida_ray.stages.sequences import rfm_segments
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    return rfm_segments(ev, k=4)
+
+
+def q_entity_pmi(sf_dir: str) -> pa.Table:
+    """NPMI between the fixed dictionary surfaces over document
+    co-occurrence (the corpus-statistics kernel behind AIDA's
+    keyword-MI weights, SURVEY G3) — |terms|²-bounded partials, one
+    finishing task; SQL oracle evaluates the identical expression."""
+    from aida_ray.stages.textstats import term_cooccurrence_npmi
+    return term_cooccurrence_npmi(_docs(sf_dir).select_columns(
+        ["text"]), DICT_SURFACES)
+
+
+def q_neardup_keep(sf_dir: str) -> pa.Table:
+    """Near-duplicate REMOVAL (the cleaned-corpus deliverable): exact
+    word-3-gram-Jaccard pairs (guaranteed recall — prefix filtering)
+    → connected components → keep each component's min doc_id.
+    Oracle: the brute-force pair SQL + recursive-CTE components."""
+    from aida_ray.stages.dedup import (label_propagation_clusters,
+                                       ngram_jaccard_pairs)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(docs, n=3, jaccard_threshold=0.5)
+    edges = pairs.map_batches(
+        lambda b: pa.table({"a": pc.cast(b["a"], pa.int64()),
+                            "b": pc.cast(b["b"], pa.int64())}),
+        batch_format="pyarrow")
+    lab = _collect(label_propagation_clusters(edges))
+    # the drop set is bounded by the duplicate-graph size → broadcast
+    drop = lab.filter(pc.not_equal(lab["doc_id"], lab["cluster"])) \
+        ["doc_id"].combine_chunks()
+    drop_ref = ray.put(drop)
+    from aida_ray.stages.dedup import _get_cached
+
+    def keep(b: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(b["doc_id"],
+                                  value_set=_get_cached(drop_ref)))
+        return pa.table({"doc_id": pc.cast(
+            b.filter(mask)["doc_id"], pa.int64())})
+
+    t = _collect(docs.map_batches(keep, batch_format="pyarrow")) \
+        .to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3124,6 +3254,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew": q_key_skew,
         "interorder_stats": q_interorder_stats,
         "drawdown": q_drawdown,
+        "q12_shipmodes": q_q12_shipmodes,
+        "q14_promo": q_q14_promo,
+        "q17_small_qty": q_q17_small_qty,
+        "q18_big_orders": q_q18_big_orders,
+        "q22_idle": q_q22_idle,
+        "rfm_segments": q_rfm_segments,
+        "entity_pmi": q_entity_pmi,
+        "neardup_keep": q_neardup_keep,
     }
 
 
@@ -4878,5 +5016,169 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    ROUND(MIN(value - runmax), 6) AS max_drawdown
             FROM r GROUP BY user_id
+        """,
+        "q12_shipmodes": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT',
+                                                          '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q14_promo": """
+            WITH rev AS (
+                SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT)) AS cc,
+                       p_type = 'PROMO' AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT ship_month,
+                   CAST(SUM(CASE WHEN is_promo THEN cc ELSE 0 END)
+                        AS BIGINT) AS promo_cc,
+                   CAST(SUM(cc) AS BIGINT) AS total_cc,
+                   CAST(SUM(CASE WHEN is_promo THEN cc ELSE 0 END)
+                        AS DOUBLE)
+                       / CAST(SUM(cc) AS DOUBLE) AS promo_share
+            FROM rev GROUP BY 1 ORDER BY 1
+        """,
+        "q17_small_qty": """
+            WITH pq AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS tot,
+                       COUNT(*) AS cnt
+                FROM lineitem GROUP BY 1)
+            SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100)
+                                          AS BIGINT)), 0) AS BIGINT)
+                       AS revenue_cents,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN pq USING (l_partkey)
+            WHERE CAST(ROUND(l_quantity) AS BIGINT) * 5 * cnt < tot
+        """,
+        "q18_big_orders": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                       AS total_price_cents,
+                   sum_qty
+            FROM big
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY sum_qty DESC, o_orderkey
+        """,
+        "q22_idle": """
+            WITH pos AS (
+                SELECT SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) s,
+                       COUNT(*) n
+                FROM customer WHERE c_acctbal > 0)
+            SELECT c_nationkey, COUNT(*) AS n_custs,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                        AS BIGINT) AS total_bal_cents
+            FROM customer c, pos
+            WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n > s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "rfm_segments": """
+            WITH agg AS (
+                SELECT user_id,
+                       MAX(CAST(epoch_us(ts) AS BIGINT)) AS recency_us,
+                       COUNT(*) AS frequency,
+                       CAST(SUM(CAST(ROUND(value * 1000000)
+                                     AS BIGINT)) AS BIGINT)
+                           AS monetary_1e6
+                FROM events GROUP BY user_id),
+            scored AS (
+                SELECT *,
+                       NTILE(4) OVER (ORDER BY recency_us DESC,
+                                      user_id) AS r_score,
+                       NTILE(4) OVER (ORDER BY frequency DESC,
+                                      user_id) AS f_score,
+                       NTILE(4) OVER (ORDER BY monetary_1e6 DESC,
+                                      user_id) AS m_score
+                FROM agg)
+            SELECT user_id, recency_us, frequency, monetary_1e6,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(100 * r_score + 10 * f_score + m_score
+                        AS BIGINT) AS rfm
+            FROM scored ORDER BY user_id
+        """,
+        "entity_pmi": f"""
+            WITH pres AS (
+                SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id,
+                           UNNEST(string_split(text, ' ')) AS s
+                    FROM documents)
+                WHERE s IN ({_DICT_SQL_SURFACES})),
+            tot AS (SELECT COUNT(*) AS nd FROM documents),
+            singles AS (SELECT s, COUNT(*) AS n FROM pres GROUP BY s),
+            pairs AS (
+                SELECT a.s AS term_a, b.s AS term_b, COUNT(*) AS n_ab
+                FROM pres a JOIN pres b
+                  ON a.doc_id = b.doc_id AND a.s < b.s
+                GROUP BY 1, 2)
+            SELECT term_a, term_b, sa.n AS n_a, sb.n AS n_b, n_ab,
+                   CASE WHEN n_ab = nd THEN 1.0
+                        ELSE ln((n_ab * 1.0 / nd)
+                                / ((sa.n * 1.0 / nd)
+                                   * (sb.n * 1.0 / nd)))
+                             / (-ln(n_ab * 1.0 / nd)) END AS npmi
+            FROM pairs
+            JOIN singles sa ON sa.s = term_a
+            JOIN singles sb ON sb.s = term_b, tot
+            ORDER BY term_a, term_b
+        """,
+        "neardup_keep": """
+            WITH RECURSIVE norm AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(lower(text),
+                                    '\\s+', ' ', 'g')), ' ') AS w
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest([array_to_string(w[i:i+2], ' ')
+                               for i in generate_series(
+                                   1, greatest(len(w)-2, 1))]) AS g
+                FROM norm),
+            sizes AS (SELECT doc_id, count(*) n FROM grams
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id a, b.doc_id b, count(*) c
+                FROM grams a JOIN grams b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            p AS (
+                SELECT a, b FROM inter
+                JOIN sizes sa ON a = sa.doc_id
+                JOIN sizes sb ON b = sb.doc_id
+                WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+            und AS (SELECT a s, b d FROM p
+                    UNION ALL SELECT b, a FROM p),
+            r(node, reach) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT r.node, u.d FROM r JOIN und u ON u.s = r.reach),
+            lab AS (SELECT node, MIN(reach) AS cluster
+                    FROM r GROUP BY node)
+            SELECT d.doc_id
+            FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
+            WHERE lab.node IS NULL OR lab.cluster = d.doc_id
+            ORDER BY d.doc_id
         """,
     }

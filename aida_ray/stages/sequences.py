@@ -364,3 +364,79 @@ def last_touch_attribution(events: ray.data.Dataset,
         "touch_id": pc.cast(b["touch_id"], pa.int64()),
         "latency_us": pc.cast(b["latency_us"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def _ntile(rank0: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL NTILE(k): the first n%k buckets get one extra row."""
+    small = n // k
+    n_big = n % k
+    big_span = n_big * (small + 1)
+    in_big = rank0 < big_span
+    out = np.where(
+        in_big, rank0 // (small + 1),
+        n_big + (np.maximum(rank0 - big_span, 0)
+                 // max(small, 1)))
+    return (out + 1).astype("int64")
+
+
+def rfm_segments(events: ray.data.Dataset, key: str = "user_id",
+                 ts_col: str = "ts", val_col: str = "value",
+                 k: int = 4) -> pa.Table:
+    """RFM segmentation: per user, Recency (last-seen ts), Frequency
+    (event count), Monetary (exact 1e-6-unit integer sum of value),
+    each bucketed into NTILE(k) with the deterministic (metric DESC,
+    user_id) order, plus the combined ``rfm = 100·r + 10·f + m`` code.
+
+    Plan: per-batch partial (user, max_t, n, Σv) rows → one groupby
+    over users (partial volume = users × blocks) → a single finishing
+    task computes the three rank-based bucketings (the per-USER
+    aggregate is assumed driver-bounded; at 10^9 users the finisher
+    becomes the distributed sort + broadcast-histogram rank pattern
+    of rank_global)."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        v6 = pc.cast(pc.round(pc.multiply(b[val_col], 1e6),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        g = pa.table({key: b[key], "t": pc.cast(ts, pa.int64()),
+                      "v6": v6}).to_pandas() \
+            .groupby(key, sort=False) \
+            .agg(max_t=("t", "max"), n=("t", "size"),
+                 v6=("v6", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Max("max_t"), Sum("n"), Sum("v6"))
+
+    tabs = [ray.get(r) for r in agg.to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows],
+                         promote_options="default")
+    users = np.asarray(t[key].to_pylist(), dtype=object)
+    max_t = t["max(max_t)"].to_numpy(zero_copy_only=False)
+    n_ev = t["sum(n)"].to_numpy(zero_copy_only=False).astype("int64")
+    v6 = t["sum(v6)"].to_numpy(zero_copy_only=False).astype("int64")
+    n = len(users)
+
+    def score(metric: np.ndarray) -> np.ndarray:
+        # rank by (metric DESC, user_id ASC) — a total order
+        order = np.lexsort((users, -metric))
+        rank0 = np.empty(n, dtype="int64")
+        rank0[order] = np.arange(n)
+        return _ntile(rank0, n, k)
+
+    r_s, f_s, m_s = score(max_t), score(n_ev), score(v6)
+    out = pa.table({
+        key: pa.array(list(users)),
+        "recency_us": pa.array(max_t, pa.int64()),
+        "frequency": pa.array(n_ev, pa.int64()),
+        "monetary_1e6": pa.array(v6, pa.int64()),
+        "r_score": pa.array(r_s, pa.int64()),
+        "f_score": pa.array(f_s, pa.int64()),
+        "m_score": pa.array(m_s, pa.int64()),
+        "rfm": pa.array(100 * r_s + 10 * f_s + m_s, pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[(key, "ascending")])
+    return out.take(idx)

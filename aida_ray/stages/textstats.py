@@ -144,3 +144,99 @@ def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "doc_id": batch["doc_id"],
         "n_bpe_tokens": pa.array(counts, pa.int64()),
     })
+
+
+def term_cooccurrence_npmi(docs: ray.data.Dataset,
+                           terms: list[str],
+                           text_col: str = "text") -> pa.Table:
+    """Normalized PMI between a fixed term set over document
+    co-occurrence — the corpus-statistics kernel behind AIDA's
+    keyword-MI weights (SURVEY G3, ``WeightComputation.java:59-88``),
+    run as a distributed aggregation instead of a KB-build join.
+
+    Per batch: token presence per document (vectorized split +
+    membership), then a |terms|²-bounded partial count matrix — the
+    shuffle ships (terms² + terms + 1) × blocks tiny rows, never the
+    corpus.  A single finishing task applies the NPMI formula:
+    ``ln(p_ab/(p_a·p_b)) / −ln(p_ab)`` (1.0 when p_ab = 1), float64
+    so the DuckDB oracle evaluates the identical expression.
+
+    Only observed pairs (n_ab ≥ 1) are emitted, ``term_a < term_b``.
+    """
+    from ray.data.aggregate import Sum
+
+    term_arr = sorted(terms)
+    t_index = {t: i for i, t in enumerate(term_arr)}
+    nt = len(term_arr)
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ")
+        flat = toks.combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vals = flat.flatten()          # offset-safe token stream
+        lengths = pc.list_value_length(flat).to_numpy(
+            zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(b)), lengths)
+        # membership via ONE arrow kernel; only hits leave Arrow
+        sel = pc.is_in(vals, value_set=pa.array(term_arr)).to_numpy(
+            zero_copy_only=False)
+        hit_idx = np.flatnonzero(sel)
+        hit_terms = vals.take(pa.array(hit_idx)).to_pylist()
+        mat = np.zeros((len(b), nt), dtype=bool)
+        mat[doc_of[hit_idx],
+            [t_index[v] for v in hit_terms]] = True
+        co = (mat.astype("int64").T @ mat.astype("int64"))
+        ii, jj = np.triu_indices(nt, k=1)
+        cnt = co[ii, jj]
+        keep = cnt > 0
+        rows_a = [term_arr[i] for i in ii[keep]]
+        rows_b = [term_arr[j] for j in jj[keep]]
+        cnts = list(cnt[keep])
+        # singles ride as (term, "") rows, the doc total as ("", "")
+        singles = np.diag(co)
+        for i, c in enumerate(singles):
+            if c:
+                rows_a.append(term_arr[i])
+                rows_b.append("")
+                cnts.append(int(c))
+        rows_a.append("")
+        rows_b.append("")
+        cnts.append(len(b))
+        return pa.table({"term_a": pa.array(rows_a, pa.string()),
+                         "term_b": pa.array(rows_b, pa.string()),
+                         "cnt": pa.array(cnts, pa.int64())})
+
+    agg = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["term_a", "term_b"]).aggregate(Sum("cnt"))
+    import ray as _ray
+    tabs = [_ray.get(r) for r in agg.to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows],
+                         promote_options="default")
+    a = np.asarray(t["term_a"].to_pylist(), dtype=object)
+    bcol = np.asarray(t["term_b"].to_pylist(), dtype=object)
+    c = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype("int64")
+    nd = int(c[(a == "") & (bcol == "")][0])
+    singles = {a[i]: c[i] for i in range(len(a))
+               if bcol[i] == "" and a[i] != ""}
+    pair_mask = (bcol != "") & (a != "")
+    pa_arr, pb_arr, nab = a[pair_mask], bcol[pair_mask], c[pair_mask]
+    n_a = np.array([singles[x] for x in pa_arr], dtype="int64")
+    n_b = np.array([singles[x] for x in pb_arr], dtype="int64")
+    p_ab = nab / nd
+    p_a = n_a / nd
+    p_b = n_b / nd
+    with np.errstate(divide="ignore"):
+        npmi = np.where(
+            nab == nd, 1.0,
+            np.log(p_ab / (p_a * p_b)) / -np.log(p_ab))
+    out = pa.table({
+        "term_a": pa.array(list(pa_arr)),
+        "term_b": pa.array(list(pb_arr)),
+        "n_a": pa.array(n_a, pa.int64()),
+        "n_b": pa.array(n_b, pa.int64()),
+        "n_ab": pa.array(nab, pa.int64()),
+        "npmi": pa.array(npmi, pa.float64())})
+    idx = pc.sort_indices(out, sort_keys=[("term_a", "ascending"),
+                                          ("term_b", "ascending")])
+    return out.take(idx)

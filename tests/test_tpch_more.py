@@ -1,0 +1,159 @@
+"""Unit tests for the Q12/Q14/Q17/Q18/Q22-style plans, RFM
+segmentation, and the term-NPMI aggregation: pandas/closed-form parity
+plus blocking invariance on the distributed paths."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _li(n=300, seed=11):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "l_orderkey": rng.integers(0, 40, n),
+        "l_partkey": rng.integers(0, 25, n),
+        "l_quantity": rng.integers(1, 50, n).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 9000, n), 2),
+        "l_discount": np.round(rng.choice([0.0, 0.05, 0.1], n), 2),
+        "l_shipdate": pa.array(
+            [np.datetime64("1996-01-01", "us")
+             + np.timedelta64(int(d), "D")
+             for d in rng.integers(0, 700, n)], pa.timestamp("us")),
+    })
+
+
+def test_small_qty_revenue_exact_predicate(ray_session):
+    """qty·5·cnt < Σqty must EXCLUDE the boundary (==) row."""
+    from aida_ray.stages.tpch_more import small_qty_revenue
+    # part 1: qties [1, 9] → Σ=10, cnt=2; 0.2·avg = 1.0 → qty 1 is NOT
+    # below (1·5·2 == 10), so nothing qualifies for part 1.
+    # part 2: qties [1, 4, 25] → Σ=30, cnt=3; 0.2·avg = 2 → qty 1 only.
+    tbl = pa.table({
+        "l_partkey": [1, 1, 2, 2, 2],
+        "l_quantity": [1.0, 9.0, 1.0, 4.0, 25.0],
+        "l_extendedprice": [10.0, 10.0, 7.5, 10.0, 10.0]})
+    out = small_qty_revenue(rd.from_arrow(tbl).repartition(3)) \
+        .to_pandas()
+    assert out.n_rows[0] == 1
+    assert out.revenue_cents[0] == 750
+
+
+def test_priority_counts_matches_pandas(ray_session):
+    from aida_ray.stages.tpch_more import priority_counts_by_shipmonth
+    li = _li()
+    orders = pa.table({
+        "o_orderkey": np.arange(40),
+        "o_orderpriority": (["1-URGENT", "2-HIGH", "3-MEDIUM",
+                             "4-NOT SPECIFIED"] * 10)})
+    out = priority_counts_by_shipmonth(
+        rd.from_arrow(li).repartition(5), rd.from_arrow(orders)) \
+        .to_pandas().sort_values("ship_month").reset_index(drop=True)
+    df = li.to_pandas()
+    df["ship_month"] = df.l_shipdate.dt.strftime("%Y-%m")
+    prio = dict(zip(orders["o_orderkey"].to_pylist(),
+                    orders["o_orderpriority"].to_pylist()))
+    df["hi"] = df.l_orderkey.map(
+        lambda k: prio[k] in ("1-URGENT", "2-HIGH")).astype("int64")
+    ref = df.groupby("ship_month").agg(
+        high_count=("hi", "sum"),
+        low_count=("hi", lambda s: int((1 - s).sum()))).reset_index()
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_big_orders_having_and_joinback(ray_session):
+    from aida_ray.stages.tpch_more import big_orders
+    li = pa.table({"l_orderkey": [1, 1, 2, 2, 3],
+                   "l_quantity": [30.0, 25.0, 10.0, 10.0, 60.0]})
+    orders = pa.table({
+        "o_orderkey": [1, 2, 3],
+        "o_custkey": [7, 8, 7],
+        "o_orderdate": pa.array([np.datetime64("1996-03-01", "us")] * 3,
+                                pa.timestamp("us")),
+        "o_totalprice": [100.0, 200.0, 300.0]})
+    cust = pa.table({"c_custkey": [7, 8], "c_name": ["X", "Y"]})
+    out = big_orders(rd.from_arrow(li).repartition(2),
+                     rd.from_arrow(orders), cust, min_qty=50) \
+        .to_pandas()
+    # orders 1 (55) and 3 (60) qualify; sorted by sum_qty DESC
+    assert out.o_orderkey.tolist() == [3, 1]
+    assert out.sum_qty.tolist() == [60, 55]
+    assert out.c_name.tolist() == ["X", "X"]
+    assert out.total_price_cents.tolist() == [30000, 10000]
+
+
+def test_idle_high_balance_anti_join(ray_session):
+    from aida_ray.stages.tpch_more import idle_high_balance
+    cust = pa.table({
+        "c_custkey": [1, 2, 3, 4],
+        "c_nationkey": [0, 0, 1, 1],
+        # positives: 100, 300 → avg 200; rich = {2 (300), 4 (250)}...
+        "c_acctbal": [100.0, 300.0, -50.0, 250.0]})
+    orders = pa.table({
+        "o_custkey": [2],
+        "o_orderdate": pa.array([np.datetime64("2001-01-01", "us")],
+                                pa.timestamp("us"))})
+    out = idle_high_balance(
+        rd.from_arrow(cust).repartition(2), rd.from_arrow(orders),
+        cutoff="2000-01-01").to_pandas() \
+        .sort_values("c_nationkey").reset_index(drop=True)
+    # avg positive = (100+300+250)/3 = 216.67 → rich = {2, 4};
+    # 2 ordered recently → idle rich = {4} in nation 1
+    assert out.c_nationkey.tolist() == [1]
+    assert out.n_custs.tolist() == [1]
+    assert out.total_bal_cents.tolist() == [25000]
+
+
+def test_ntile_matches_sql_semantics():
+    from aida_ray.stages.sequences import _ntile
+    # n=10, k=4 → sizes 3,3,2,2
+    got = _ntile(np.arange(10), 10, 4)
+    assert got.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    # n=8, k=4 → even 2,2,2,2
+    assert _ntile(np.arange(8), 8, 4).tolist() == \
+        [1, 1, 2, 2, 3, 3, 4, 4]
+    # n < k → first n buckets of size 1
+    assert _ntile(np.arange(3), 3, 4).tolist() == [1, 2, 3]
+
+
+def test_rfm_segments_deterministic(ray_session):
+    from aida_ray.stages.sequences import rfm_segments
+    n = 40
+    rng = np.random.default_rng(3)
+    ev = pa.table({
+        "user_id": rng.integers(0, 12, n),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")
+                        + np.timedelta64(int(s), "s")
+                        for s in rng.integers(0, 10**6, n)],
+                       pa.timestamp("us")),
+        "value": np.round(rng.uniform(0, 100, n), 2)})
+    a = rfm_segments(rd.from_arrow(ev), k=4).to_pandas()
+    b = rfm_segments(rd.from_arrow(ev).repartition(7), k=4).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # scores are a permutation-respecting bucketing: user with the
+    # globally max frequency must hold f_score 1
+    top = a.loc[a.frequency.idxmax()]
+    assert top.f_score == 1
+    assert set(a.columns) == {"user_id", "recency_us", "frequency",
+                              "monetary_1e6", "r_score", "f_score",
+                              "m_score", "rfm"}
+
+
+def test_term_npmi_planted_counts(ray_session):
+    from aida_ray.stages.textstats import term_cooccurrence_npmi
+    docs = pa.table({"text": [
+        "alpha beta", "alpha beta", "alpha gamma", "delta",
+        "beta gamma alpha", "unrelated words here"]})
+    out = term_cooccurrence_npmi(
+        rd.from_arrow(docs).repartition(3),
+        ["alpha", "beta", "gamma"]).to_pandas()
+    row = out[(out.term_a == "alpha") & (out.term_b == "beta")].iloc[0]
+    assert (row.n_a, row.n_b, row.n_ab) == (4, 3, 3)
+    nd = 6
+    pij, pi, pj = 3 / nd, 4 / nd, 3 / nd
+    assert abs(row.npmi
+               - np.log(pij / (pi * pj)) / -np.log(pij)) < 1e-12
+    # pair never co-occurring is absent
+    assert not ((out.term_a == "beta")
+                & (out.term_b == "delta")).any()
