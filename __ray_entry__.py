@@ -3096,6 +3096,35 @@ def q_neardup_keep(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_q21_late_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q21-style: suppliers who were the ONLY late supplier on a
+    multi-supplier order — two bucketed distinct-aggregation levels
+    over the lineitem⋈orders shuffle join."""
+    from aida_ray.stages.tpch_more import late_only_suppliers
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_suppkey",
+                                        "l_shipdate"])
+    o = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                              columns=["o_orderkey", "o_orderdate"])
+    return late_only_suppliers(li, o, late_days=90, limit=20)
+
+
+def q_doc_chunks(sf_dir: str) -> pa.Table:
+    """Sliding-window document chunking (training prep): 32-token
+    windows every 24 tokens, deterministic boundaries — stateless
+    flat_map, zero shuffle; oracle reproduces the windows with
+    string_split + generate_series."""
+    from aida_ray.stages.packing import chunk_documents
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(chunk_documents(docs, chunk_size=32, stride=24)) \
+        .to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3262,6 +3291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": q_rfm_segments,
         "entity_pmi": q_entity_pmi,
         "neardup_keep": q_neardup_keep,
+        "q21_late_supplier": q_q21_late_supplier,
+        "doc_chunks": q_doc_chunks,
     }
 
 
@@ -5180,5 +5211,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN lab ON d.doc_id = lab.node
             WHERE lab.node IS NULL OR lab.cluster = d.doc_id
             ORDER BY d.doc_id
+        """,
+        "q21_late_supplier": """
+            WITH j AS (
+                SELECT l_orderkey AS ok, l_suppkey AS sk,
+                       MAX(CASE WHEN l_shipdate > o_orderdate
+                                     + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2),
+            per_o AS (
+                SELECT ok, COUNT(*) AS n,
+                       CAST(SUM(late) AS BIGINT) AS n_late,
+                       MAX((sk + 1) * late) AS m
+                FROM j GROUP BY ok)
+            SELECT m - 1 AS s_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM per_o WHERE n >= 2 AND n_late = 1
+            GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20
+        """,
+        "doc_chunks": """
+            WITH norm AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+            idx AS (
+                SELECT doc_id, w,
+                       UNNEST(generate_series(
+                           0, CAST(GREATEST(len(w) - 32, 0) + 23
+                                   AS BIGINT) // 24)) AS chunk_idx
+                FROM norm)
+            SELECT doc_id, chunk_idx,
+                   array_to_string(
+                       w[chunk_idx * 24 + 1 :
+                         LEAST(chunk_idx * 24 + 32, len(w))],
+                       ' ') AS chunk_text,
+                   LEAST(chunk_idx * 24 + 32, len(w))
+                       - chunk_idx * 24 AS n_chunk_tokens
+            FROM idx ORDER BY doc_id, chunk_idx
         """,
     }

@@ -51,3 +51,43 @@ def pack_sequences(ds: ray.data.Dataset, seq_len: int = 512,
 
     counted = ds.map_batches(count_tokens, batch_format="pyarrow")
     return counted.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+def chunk_documents(ds: ray.data.Dataset, chunk_size: int = 32,
+                    stride: int = 24, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Sliding-window document chunking for training (RAG/pre-training
+    prep): each document yields token windows of ``chunk_size`` every
+    ``stride`` tokens — ``1 + ceil(max(n − chunk_size, 0)/stride)``
+    chunks, the last one shorter.  A pure flat_map: no state, no
+    shuffle, embarrassingly parallel at any corpus size.
+
+    Tokenization is whitespace split (the corpus is already
+    single-space normalized); chunk boundaries are deterministic
+    functions of the token count, so the DuckDB oracle reproduces the
+    exact same windows with ``string_split`` + ``generate_series``."""
+    assert stride >= 1 and chunk_size >= 1
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ").combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype("int64")
+        n_chunks = 1 + (np.maximum(lengths - chunk_size, 0)
+                        + stride - 1) // stride
+        doc_idx = np.repeat(np.arange(len(b)), n_chunks)
+        chunk_idx = np.concatenate(
+            [np.arange(k) for k in n_chunks]) if len(b) else \
+            np.empty(0, np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)[doc_idx]
+        starts = chunk_idx * stride
+        ends = np.minimum(starts + chunk_size, lengths[doc_idx])
+        tok_lists = toks.to_pylist()
+        texts = [" ".join(tok_lists[d][s:e])
+                 for d, s, e in zip(doc_idx, starts, ends)]
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": pa.array(texts, pa.string()),
+            "n_chunk_tokens": pa.array(ends - starts, pa.int64())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -389,3 +389,112 @@ def idle_high_balance(customer: ray.data.Dataset,
         "total_bal_cents": pc.cast(b["sum(total_bal_cents)"],
                                    pa.int64())}),
         batch_format="pyarrow")
+
+
+def late_only_suppliers(lineitem: ray.data.Dataset,
+                        orders: ray.data.Dataset,
+                        late_days: int = 90,
+                        limit: int = 20) -> pa.Table:
+    """TPC-H-Q21 shape: suppliers who were the ONLY late supplier on a
+    multi-supplier order — per supplier, the count of such orders.
+
+    Plan (two bucketed distinct-aggregation levels, no per-key
+    Python):
+
+    1. lineitem ⋈ orders (large-large hash shuffle) attaches the order
+       date; ``late = l_shipdate > o_orderdate + late_days``;
+    2. level 1: distinct (orderkey, suppkey) with OR-combined late
+       flag — per-batch pandas dedup, then ``bucket_reduce`` max;
+    3. level 2: per orderkey — supplier count, late-supplier count and
+       ``max((sk+1)·late)`` (when exactly one supplier is late, the
+       max IS that supplier; +1 keeps suppkey 0 distinguishable);
+    4. qualifying orders (≥2 suppliers, exactly 1 late) groupby the
+       guilty supplier — bounded by the supplier dimension.
+
+    Ties break on (numwait DESC, s_suppkey) — a total order, so the
+    LIMIT is deterministic."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.agg import bucket_reduce
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def li_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "ship_us": pc.cast(pc.cast(b["l_shipdate"],
+                                       pa.timestamp("us")), pa.int64())})
+
+    def o_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "odate_us": pc.cast(pc.cast(b["o_orderdate"],
+                                        pa.timestamp("us")), pa.int64())})
+
+    joined = hash_join(
+        lineitem.map_batches(li_side, batch_format="pyarrow"),
+        orders.map_batches(o_side, batch_format="pyarrow"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    late_us = late_days * 86_400_000_000
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        late = (b["ship_us"].to_numpy(zero_copy_only=False)
+                > b["odate_us"].to_numpy(zero_copy_only=False)
+                + late_us).astype("int64")
+        g = pd.DataFrame({
+            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+            "late": late}) \
+            .groupby(["ok", "sk"], sort=False) \
+            .agg(late=("late", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = bucket_reduce(
+        joined.map_batches(pair_partial, batch_format="pyarrow"),
+        ["ok", "sk"], {"late": "max"})
+
+    def order_partial(b: pa.Table) -> pa.Table:
+        if not isinstance(b, pa.Table):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        sk = b["sk"].to_numpy(zero_copy_only=False).astype("int64")
+        late = b["late"].to_numpy(zero_copy_only=False).astype("int64")
+        g = pd.DataFrame({
+            "ok": b["ok"].to_numpy(zero_copy_only=False),
+            "one": np.ones(len(sk), np.int64), "late": late,
+            "m": (sk + 1) * late}) \
+            .groupby("ok", sort=False) \
+            .agg(n=("one", "sum"), n_late=("late", "sum"),
+                 m=("m", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_order = bucket_reduce(
+        pairs.map_batches(order_partial, batch_format="pyarrow"),
+        ["ok"], {"n": "sum", "n_late": "sum", "m": "max"})
+
+    def qualify(b: pa.Table) -> pa.Table:
+        if not isinstance(b, pa.Table):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        keep = pc.and_(pc.greater_equal(b["n"], pa.scalar(2)),
+                       pc.equal(b["n_late"], pa.scalar(1)))
+        t = b.filter(keep)
+        sk = pc.subtract(pc.cast(t["m"], pa.int64()),
+                         pa.scalar(1, pa.int64()))
+        g = pd.DataFrame({"s_suppkey": sk.to_numpy(
+            zero_copy_only=False),
+            "numwait": np.ones(len(t), np.int64)}) \
+            .groupby("s_suppkey", sort=False) \
+            .agg(numwait=("numwait", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = per_order.map_batches(qualify, batch_format="pyarrow") \
+        .groupby("s_suppkey").aggregate(Sum("numwait"))
+    top = agg.map_batches(lambda b: pa.table({
+        "s_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+        "numwait": pc.cast(b["sum(numwait)"], pa.int64())}),
+        batch_format="pyarrow") \
+        .sort(["numwait", "s_suppkey"], descending=[True, False]) \
+        .limit(limit)
+    return pa.concat_tables(
+        [ray.get(r) for r in top.to_arrow_refs()],
+        promote_options="default")

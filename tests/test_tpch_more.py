@@ -157,3 +157,57 @@ def test_term_npmi_planted_counts(ray_session):
     # pair never co-occurring is absent
     assert not ((out.term_a == "beta")
                 & (out.term_b == "delta")).any()
+
+
+def test_chunk_documents_boundaries(ray_session):
+    from aida_ray.stages.packing import chunk_documents
+    docs = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e",            # 5 tokens
+                 " ".join(f"t{i}" for i in range(8)),   # 8 tokens
+                 "solo"]})               # 1 token
+    out = chunk_documents(rd.from_arrow(docs), chunk_size=4,
+                          stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc 1 (5 toks): chunks [0:4], [3:5] → 2 chunks
+    d1 = out[out.doc_id == 1]
+    assert d1.chunk_text.tolist() == ["a b c d", "d e"]
+    assert d1.n_chunk_tokens.tolist() == [4, 2]
+    # doc 2 (8 toks): starts 0,3,6 → 3 chunks, last has 2 tokens
+    d2 = out[out.doc_id == 2]
+    assert d2.chunk_idx.tolist() == [0, 1, 2]
+    assert d2.n_chunk_tokens.tolist() == [4, 4, 2]
+    # doc 3: single short chunk
+    d3 = out[out.doc_id == 3]
+    assert d3.chunk_text.tolist() == ["solo"]
+    # blocking invariance
+    out7 = chunk_documents(rd.from_arrow(docs).repartition(3),
+                           chunk_size=4, stride=3).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out7)
+
+
+def test_late_only_suppliers_semantics(ray_session):
+    from aida_ray.stages.tpch_more import late_only_suppliers
+    d0 = np.datetime64("1996-01-01", "us")
+
+    def day(n):
+        return d0 + np.timedelta64(n, "D")
+
+    # order 1: suppliers 0 (late) and 5 (on time) → supplier 0 guilty
+    # order 2: suppliers 3, 4 both late → nobody (n_late = 2)
+    # order 3: single supplier 0 late → nobody (n < 2)
+    li = pa.table({
+        "l_orderkey": [1, 1, 2, 2, 3],
+        "l_suppkey": [0, 5, 3, 4, 0],
+        "l_shipdate": pa.array([day(200), day(10), day(200),
+                                day(300), day(400)],
+                               pa.timestamp("us"))})
+    orders = pa.table({
+        "o_orderkey": [1, 2, 3],
+        "o_orderdate": pa.array([day(0)] * 3, pa.timestamp("us"))})
+    out = late_only_suppliers(
+        rd.from_arrow(li).repartition(2), rd.from_arrow(orders),
+        late_days=90).to_pandas()
+    assert out.s_suppkey.tolist() == [0]
+    assert out.numwait.tolist() == [1]
