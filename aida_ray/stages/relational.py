@@ -234,13 +234,11 @@ def group_quantiles(ds: ray.data.Dataset, key: str, col: str,
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    hist = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby([key, col]).aggregate(Sum("n"))
-
-    def per_key(group) -> "pa.Table":
-        import numpy as np
-        g = group.sort_values(col)
-        counts = g["sum(n)"].to_numpy(dtype="int64")
+    def quantiles_from_hist(g) -> "object":
+        # g: per-key histogram frame with columns [key, col, n]
+        import pandas as pd
+        g = g.sort_values(col)
+        counts = g["n"].to_numpy(dtype="int64")
         values = g[col].to_numpy()
         cum = np.cumsum(counts)
         n = int(cum[-1])
@@ -251,8 +249,41 @@ def group_quantiles(ds: ray.data.Dataset, key: str, col: str,
             rows[key].append(g[key].iloc[0])
             rows["q"].append(q)
             rows["value"].append(values[min(pos, len(values) - 1)])
-        import pandas as pd
         return pd.DataFrame(rows)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow") \
+        .materialize()
+
+    # the partial volume is (keys × distinct values × blocks) — when it
+    # fits one task, combine + all per-key quantiles there: two chained
+    # shuffles (Aggregate + map_groups) cost seconds of fixed latency
+    # at ANY size (PERF.md wide-key lesson)
+    if partials.count() <= 20_000_000:
+        import ray as _ray
+        hist_schema = pa.schema(
+            [(f.name, f.type) for f in partials.schema().base_schema])
+
+        @_ray.remote
+        def finish_task(*tabs: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            from aida_ray.stages.dedup import _concat_blocks
+            t = _concat_blocks(tabs, hist_schema)
+            df = t.to_pandas().groupby([key, col], sort=False) \
+                .agg(n=("n", "sum")).reset_index()
+            out = pd.concat([quantiles_from_hist(g)
+                             for _, g in df.groupby(key, sort=True)],
+                            ignore_index=True)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return ray.data.from_arrow_refs(
+            [finish_task.remote(*partials.to_arrow_refs())])
+
+    hist = partials.groupby([key, col]).aggregate(Sum("n"))
+
+    def per_key(group) -> "object":
+        return quantiles_from_hist(group.rename(
+            columns={"sum(n)": "n"}))
 
     return hist.groupby(key).map_groups(per_key, batch_format="pandas")
 

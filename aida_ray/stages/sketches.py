@@ -46,27 +46,76 @@ import ray.data
 # ------------------------------------------------------------- exact
 
 def count_distinct_per_group(ds: ray.data.Dataset, key: str,
-                             col: str) -> ray.data.Dataset:
+                             col: str,
+                             task_gate_rows: int = 20_000_000
+                             ) -> ray.data.Dataset:
     """Exact COUNT(DISTINCT col) GROUP BY key: block-local (key, value)
-    dedup, one shuffle over surviving distinct pairs, then a per-key
-    count — shuffle volume is Σ|distinct values per key|, never rows."""
+    dedup, then a finisher GATED on the surviving pair volume.
+
+    Below the gate ONE pandas task dedups the pairs and counts per key
+    (grouping all of one key's pairs into a single reducer — the old
+    plan — made a low-key-cardinality query a single-reducer straggler:
+    55 s at sf0.1 for THREE keys).  Above the gate, pairs are
+    hash-bucketed on (key, value) — the same pair always lands in the
+    same bucket, so a per-bucket dedup + per-key partial count is
+    exact — and a tiny keys×buckets groupby-sum finishes."""
+    import pandas as pd
+
     def local_distinct(b: pa.Table) -> pa.Table:
-        import pandas as pd
         df = pa.table({key: b[key], col: b[col]}).to_pandas() \
             .drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    def per_key(group) -> "object":
-        import pandas as pd
-        return pd.DataFrame({
-            key: [group[key].iloc[0]],
-            "n_distinct": [int(group[col].nunique())]})
-
-    # ONE shuffle: block-local pair dedup, then each key's (already
-    # block-deduped) pairs land in one group and a nunique finishes
-    return ds.select_columns([key, col]) \
+    pairs = ds.select_columns([key, col]) \
         .map_batches(local_distinct, batch_format="pyarrow") \
-        .groupby(key).map_groups(per_key, batch_format="pandas")
+        .materialize()
+
+    if pairs.count() <= task_gate_rows:
+        import ray as _ray
+        pair_schema = pa.schema(
+            [(f.name, f.type) for f in pairs.schema().base_schema])
+
+        @_ray.remote
+        def count_task(*tabs: pa.Table) -> pa.Table:
+            from aida_ray.stages.dedup import _concat_blocks
+            t = _concat_blocks(tabs, pair_schema)
+            g = t.to_pandas().drop_duplicates() \
+                .groupby(key, sort=False).size() \
+                .rename("n_distinct").reset_index()
+            g["n_distinct"] = g["n_distinct"].astype("int64")
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return ray.data.from_arrow_refs(
+            [count_task.remote(*pairs.to_arrow_refs())])
+
+    try:
+        import ray as _ray
+        n_buckets = max(8, int(_ray.cluster_resources()
+                               .get("CPU", 8)) * 2)
+    except Exception:  # noqa: BLE001
+        n_buckets = 16
+
+    def tag(b: pa.Table) -> pa.Table:
+        df = pa.table({key: b[key], col: b[col]}).to_pandas()
+        h = pd.util.hash_pandas_object(df, index=False) \
+            .to_numpy(dtype="uint64")
+        return b.append_column(
+            "_b", pa.array((h % n_buckets).astype("int64")))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[[key, col]].drop_duplicates() \
+            .groupby(key, sort=False).size() \
+            .rename("n_distinct").reset_index()
+        return out
+
+    from ray.data.aggregate import Sum
+    partial = pairs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_count, batch_format="pandas") \
+        .groupby(key).aggregate(Sum("n_distinct"))
+    return partial.map_batches(lambda b: pa.table({
+        key: b[key],
+        "n_distinct": pc.cast(b["sum(n_distinct)"], pa.int64())}),
+        batch_format="pyarrow")
 
 
 def hll_count_per_group(ds: ray.data.Dataset, key: str, col: str,

@@ -73,10 +73,55 @@ def priority_counts_by_shipmonth(lineitem: ray.data.Dataset,
         return pa.table({"o_orderkey": b["o_orderkey"],
                          "is_high": high})
 
+    o = orders.map_batches(o_side, batch_format="pyarrow") \
+        .materialize()
+
+    # adaptive: the projected orders side is (key, bool) — while it
+    # fits the broadcast budget, ship it once and fold the join into
+    # the lineitem map (the shuffle join's aggregator pool costs
+    # seconds of fixed latency; see q3_shipping / PERF.md).  Above the
+    # budget the genuine large-large hash shuffle join runs.
+    broadcast_rows = 8_000_000
+    if o.count() <= broadcast_rows:
+        ot = pa.concat_tables([ray.get(r) for r in o.to_arrow_refs()])
+        okey = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okey, kind="stable")
+        ohigh = ot["is_high"].to_numpy(zero_copy_only=False)[order]
+        oref = ray.put((okey[order], ohigh))
+
+        def bcast_partial(b: pa.Table) -> pa.Table:
+            import pandas as pd
+            ok, hi_flag = _get_cached(oref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(ok, lk)
+            i_clip = np.minimum(i, len(ok) - 1) if len(ok) \
+                else np.zeros(len(lk), np.int64)
+            hit = ok[i_clip] == lk if len(ok) \
+                else np.zeros(len(lk), bool)
+            months = np.asarray(
+                _ship_month(b["l_shipdate"]).to_pylist(),
+                dtype=object)[hit]
+            hi = hi_flag[i_clip[hit]].astype("int64")
+            g = pd.DataFrame({"ship_month": months,
+                              "high_count": hi, "low_count": 1 - hi}) \
+                .groupby("ship_month", sort=False) \
+                .agg(high_count=("high_count", "sum"),
+                     low_count=("low_count", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = lineitem.map_batches(bcast_partial,
+                                   batch_format="pyarrow") \
+            .groupby("ship_month").aggregate(Sum("high_count"),
+                                             Sum("low_count"))
+        return agg.map_batches(lambda b: pa.table({
+            "ship_month": b["ship_month"],
+            "high_count": pc.cast(b["sum(high_count)"], pa.int64()),
+            "low_count": pc.cast(b["sum(low_count)"], pa.int64())}),
+            batch_format="pyarrow")
+
     joined = hash_join(
         lineitem.map_batches(li_side, batch_format="pyarrow"),
-        orders.map_batches(o_side, batch_format="pyarrow"),
-        on=("l_orderkey",), right_on=("o_orderkey",))
+        o, on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
         import pandas as pd
@@ -432,27 +477,66 @@ def late_only_suppliers(lineitem: ray.data.Dataset,
             "odate_us": pc.cast(pc.cast(b["o_orderdate"],
                                         pa.timestamp("us")), pa.int64())})
 
-    joined = hash_join(
-        lineitem.map_batches(li_side, batch_format="pyarrow"),
-        orders.map_batches(o_side, batch_format="pyarrow"),
-        on=("l_orderkey",), right_on=("o_orderkey",))
     late_us = late_days * 86_400_000_000
+    o = orders.map_batches(o_side, batch_format="pyarrow") \
+        .materialize()
 
-    def pair_partial(b: pa.Table) -> pa.Table:
-        late = (b["ship_us"].to_numpy(zero_copy_only=False)
-                > b["odate_us"].to_numpy(zero_copy_only=False)
-                + late_us).astype("int64")
-        g = pd.DataFrame({
-            "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
-            "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
-            "late": late}) \
-            .groupby(["ok", "sk"], sort=False) \
-            .agg(late=("late", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    # adaptive: (orderkey, date) broadcasts while it fits the budget —
+    # the late flag then computes inside the lineitem map with no
+    # shuffle join at all; above the budget the hash shuffle join runs
+    broadcast_rows = 8_000_000
+    if o.count() <= broadcast_rows:
+        ot = pa.concat_tables([ray.get(r) for r in o.to_arrow_refs()])
+        okey = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(okey, kind="stable")
+        odate = ot["odate_us"].to_numpy(zero_copy_only=False)[order]
+        oref = ray.put((okey[order], odate))
 
-    pairs = bucket_reduce(
-        joined.map_batches(pair_partial, batch_format="pyarrow"),
-        ["ok", "sk"], {"late": "max"})
+        def bcast_pairs(b: pa.Table) -> pa.Table:
+            ok_s, od = _get_cached(oref)
+            lk = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            i = np.searchsorted(ok_s, lk)
+            i_clip = np.minimum(i, len(ok_s) - 1) if len(ok_s) \
+                else np.zeros(len(lk), np.int64)
+            hit = ok_s[i_clip] == lk if len(ok_s) \
+                else np.zeros(len(lk), bool)
+            ship = pc.cast(pc.cast(b["l_shipdate"],
+                                   pa.timestamp("us")),
+                           pa.int64()).to_numpy(
+                zero_copy_only=False)[hit]
+            late = (ship > od[i_clip[hit]] + late_us).astype("int64")
+            g = pd.DataFrame({
+                "ok": lk[hit],
+                "sk": b["l_suppkey"].to_numpy(
+                    zero_copy_only=False)[hit],
+                "late": late}) \
+                .groupby(["ok", "sk"], sort=False) \
+                .agg(late=("late", "max")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        pair_partials = lineitem.map_batches(bcast_pairs,
+                                             batch_format="pyarrow")
+    else:
+        joined = hash_join(
+            lineitem.map_batches(li_side, batch_format="pyarrow"),
+            o, on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            late = (b["ship_us"].to_numpy(zero_copy_only=False)
+                    > b["odate_us"].to_numpy(zero_copy_only=False)
+                    + late_us).astype("int64")
+            g = pd.DataFrame({
+                "ok": b["l_orderkey"].to_numpy(zero_copy_only=False),
+                "sk": b["l_suppkey"].to_numpy(zero_copy_only=False),
+                "late": late}) \
+                .groupby(["ok", "sk"], sort=False) \
+                .agg(late=("late", "max")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        pair_partials = joined.map_batches(pair_partial,
+                                           batch_format="pyarrow")
+
+    pairs = bucket_reduce(pair_partials, ["ok", "sk"], {"late": "max"})
 
     def order_partial(b: pa.Table) -> pa.Table:
         if not isinstance(b, pa.Table):
