@@ -3125,6 +3125,45 @@ def q_doc_chunks(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_activity_islands(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands per user: maximal runs of consecutive active
+    days — distinct-day partials, per-key sorted-diff split; SQL
+    oracle is the row_number-difference idiom."""
+    from aida_ray.stages.sequences import activity_islands
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    t = _collect(activity_islands(ev)).to_pandas()
+    t = t.sort_values(["user_id", "start_day"]).reset_index(drop=True)
+    for c in ("user_id", "start_day", "n_days"):
+        t[c] = t[c].astype("int64")
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_mention_contexts(sf_dir: str) -> pa.Table:
+    """KWIC context windows around dictionary surfaces (the feature
+    extraction feeding keyphrase-context similarity, SURVEY C1) —
+    stateless map, zero shuffle."""
+    from aida_ray.stages.textstats import mention_contexts
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(mention_contexts(docs, DICT_SURFACES, window=2)) \
+        .to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["doc_id", "pos"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_word_ids(sf_dir: str) -> pa.Table:
+    """The reference's word_ids dictionary build (SURVEY §1.2 /
+    M15): distributed distinct over the corpus vocabulary, dense ids
+    by word order."""
+    from aida_ray.stages.textstats import build_word_ids
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return build_word_ids(docs)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3293,6 +3332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep": q_neardup_keep,
         "q21_late_supplier": q_q21_late_supplier,
         "doc_chunks": q_doc_chunks,
+        "activity_islands": q_activity_islands,
+        "mention_contexts": q_mention_contexts,
+        "word_ids": q_word_ids,
     }
 
 
@@ -5248,5 +5290,47 @@ def oracle_sql() -> dict[str, str]:
                    LEAST(chunk_idx * 24 + 32, len(w))
                        - chunk_idx * 24 AS n_chunk_tokens
             FROM idx ORDER BY doc_id, chunk_idx
+        """,
+        "activity_islands": """
+            WITH d AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) AS BIGINT) // 86400000000
+                           AS day
+                FROM events),
+            r AS (
+                SELECT user_id, day,
+                       day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                                ORDER BY day) AS grp
+                FROM d)
+            SELECT user_id, MIN(day) AS start_day,
+                   CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM r GROUP BY user_id, grp
+            ORDER BY user_id, start_day
+        """,
+        "mention_contexts": f"""
+            WITH norm AS (
+                SELECT doc_id, string_split(text, ' ') AS w
+                FROM documents),
+            tok AS (
+                SELECT doc_id, w,
+                       CAST(generate_subscripts(w, 1) AS BIGINT)
+                           AS pos,
+                       unnest(w) AS surface
+                FROM norm)
+            SELECT doc_id, pos, surface,
+                   array_to_string(
+                       w[GREATEST(pos - 2, 1):LEAST(pos + 2, len(w))],
+                       ' ') AS context
+            FROM tok WHERE surface IN ({_DICT_SQL_SURFACES})
+            ORDER BY doc_id, pos
+        """,
+        "word_ids": """
+            WITH v AS (
+                SELECT DISTINCT
+                       unnest(string_split(text, ' ')) AS word
+                FROM documents)
+            SELECT word,
+                   ROW_NUMBER() OVER (ORDER BY word) AS word_id
+            FROM v ORDER BY word
         """,
     }

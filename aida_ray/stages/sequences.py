@@ -440,3 +440,39 @@ def rfm_segments(events: ray.data.Dataset, key: str = "user_id",
         "rfm": pa.array(100 * r_s + 10 * f_s + m_s, pa.int64())})
     idx = pc.sort_indices(out, sort_keys=[(key, "ascending")])
     return out.take(idx)
+
+
+def activity_islands(events: ray.data.Dataset, key: str = "user_id",
+                     ts_col: str = "ts") -> ray.data.Dataset:
+    """Gaps-and-islands: per key, maximal runs of CONSECUTIVE active
+    days — (key, island start day, island length).
+
+    Per-batch distinct (key, day) partials shrink the shuffle to
+    active-day pairs; the per-key stage is a sorted-diff split over
+    that key's distinct days (bounded by the calendar, not by
+    events).  Matches the SQL row_number-difference idiom."""
+    def day_partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.timestamp("us"))
+        df = pa.table({
+            key: b[key],
+            "day": pc.divide(pc.cast(ts, pa.int64()),
+                             DAY_US)}).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        days = np.unique(g["day"].to_numpy(dtype="int64"))
+        if not len(days):
+            return pd.DataFrame({key: [], "start_day": [],
+                                 "n_days": []})
+        cut = np.flatnonzero(np.diff(days) > 1) + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(days)]])
+        return pd.DataFrame({
+            key: [g[key].iloc[0]] * len(starts),
+            "start_day": days[starts].astype("int64"),
+            "n_days": (ends - starts).astype("int64")})
+
+    return events.map_batches(day_partial, batch_format="pyarrow") \
+        .groupby(key).map_groups(per_key, batch_format="pandas")

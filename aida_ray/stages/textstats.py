@@ -240,3 +240,75 @@ def term_cooccurrence_npmi(docs: ray.data.Dataset,
     idx = pc.sort_indices(out, sort_keys=[("term_a", "ascending"),
                                           ("term_b", "ascending")])
     return out.take(idx)
+
+
+def mention_contexts(docs: ray.data.Dataset, surfaces: list[str],
+                     window: int = 2, id_col: str = "doc_id",
+                     text_col: str = "text") -> ray.data.Dataset:
+    """KWIC context extraction: every occurrence of a dictionary
+    surface with ±``window`` tokens of context — the feature-
+    extraction step feeding AIDA's keyphrase-context similarity
+    (SURVEY C1: matches are scored by token distance inside exactly
+    such windows).  Stateless map, zero shuffle; positions are
+    1-based to match SQL ``generate_subscripts``."""
+    surf_set = pa.array(sorted(surfaces))
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ").combine_chunks()
+        vals = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype("int64")
+        doc_of = np.repeat(np.arange(len(b)), lengths)
+        starts = np.repeat(np.cumsum(lengths) - lengths, lengths)
+        pos0 = np.arange(len(doc_of)) - starts    # 0-based in doc
+        sel = pc.is_in(vals, value_set=surf_set).to_numpy(
+            zero_copy_only=False)
+        hit = np.flatnonzero(sel)
+        tok_lists = toks.to_pylist()
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        rows_id, rows_pos, rows_surf, rows_ctx = [], [], [], []
+        for h in hit:
+            d, p = int(doc_of[h]), int(pos0[h])
+            w = tok_lists[d]
+            rows_id.append(int(ids[d]))
+            rows_pos.append(p + 1)
+            rows_surf.append(w[p])
+            rows_ctx.append(" ".join(
+                w[max(p - window, 0):p + window + 1]))
+        return pa.table({
+            id_col: pa.array(rows_id, pa.int64()),
+            "pos": pa.array(rows_pos, pa.int64()),
+            "surface": pa.array(rows_surf, pa.string()),
+            "context": pa.array(rows_ctx, pa.string())})
+
+    return docs.map_batches(explode, batch_format="pyarrow")
+
+
+def build_word_ids(docs: ray.data.Dataset,
+                   text_col: str = "text") -> pa.Table:
+    """Build the global word→dense-id dictionary — the KB-build side
+    of the reference's ``word_ids`` table (SURVEY §1.2,
+    ``README.md:421-425``; runtime encoding M15 pins it per actor).
+
+    Distributed distinct (block-local unique, then a token-keyed
+    count shuffle whose volume is the vocabulary, never the corpus),
+    finished by ONE task that sorts the vocabulary and assigns
+    ``ROW_NUMBER() OVER (ORDER BY word)`` ids — the same bounded-
+    vocabulary assumption under which the reference holds word_ids
+    in RAM per JVM (``DataAccessCache.java:32-55``)."""
+    import ray as _ray
+
+    def local_unique(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b[text_col], " ").combine_chunks()
+        return pa.table({"word": pc.unique(toks.flatten())})
+
+    distinct = docs.map_batches(local_unique, batch_format="pyarrow") \
+        .groupby("word").count()
+
+    tabs = [_ray.get(r) for r in distinct.to_arrow_refs()]
+    t = pa.concat_tables([x for x in tabs if x.num_rows],
+                         promote_options="default")
+    words = np.sort(np.asarray(t["word"].to_pylist(), dtype=object))
+    return pa.table({
+        "word": pa.array(list(words), pa.string()),
+        "word_id": pa.array(np.arange(1, len(words) + 1), pa.int64())})

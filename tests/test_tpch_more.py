@@ -211,3 +211,36 @@ def test_late_only_suppliers_semantics(ray_session):
         late_days=90).to_pandas()
     assert out.s_suppkey.tolist() == [0]
     assert out.numwait.tolist() == [1]
+
+
+def test_activity_islands_splits(ray_session):
+    from aida_ray.stages.sequences import activity_islands
+    day = 86_400_000_000
+    ev = pa.table({
+        "user_id": [1, 1, 1, 1, 2],
+        # user 1 active days 0,1,2 then 5; user 2 day 9
+        "ts": pa.array([0, day, 2 * day + 5, 5 * day, 9 * day],
+                       pa.timestamp("us"))})
+    out = activity_islands(rd.from_arrow(ev).repartition(3)) \
+        .to_pandas().sort_values(["user_id", "start_day"]) \
+        .reset_index(drop=True)
+    assert out.values.tolist() == [[1, 0, 3], [1, 5, 1], [2, 9, 1]]
+
+
+def test_mention_contexts_window_clipping(ray_session):
+    from aida_ray.stages.textstats import mention_contexts
+    docs = pa.table({"doc_id": [7],
+                     "text": ["spark a b spark c"]})
+    out = mention_contexts(rd.from_arrow(docs), ["spark"], window=2) \
+        .to_pandas().sort_values("pos").reset_index(drop=True)
+    assert out.pos.tolist() == [1, 4]
+    assert out.context.tolist() == ["spark a b", "a b spark c"]
+
+
+def test_build_word_ids_dense_sorted(ray_session):
+    from aida_ray.stages.textstats import build_word_ids
+    docs = pa.table({"text": ["b a c", "a d", "d d b"]})
+    out = build_word_ids(rd.from_arrow(docs).repartition(3)) \
+        .to_pandas()
+    assert out.word.tolist() == ["a", "b", "c", "d"]
+    assert out.word_id.tolist() == [1, 2, 3, 4]
