@@ -3164,6 +3164,73 @@ def q_word_ids(sf_dir: str) -> pa.Table:
     return build_word_ids(docs)
 
 
+def q_snapshot_diff(sf_dir: str) -> pa.Table:
+    """Crawl-snapshot diff (added/removed/changed/same) via a
+    distributed FULL OUTER hash join over (key, md5) pairs — two
+    deterministic snapshot views of the documents table."""
+    import hashlib
+
+    from aida_ray.stages.incremental import snapshot_diff
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def old_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 2 == 0))
+        h = [hashlib.md5(x.encode()).hexdigest()
+             for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "content_hash": pa.array(h, pa.string())})
+
+    def new_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % 3 != 0
+        t = b.filter(pa.array(keep))
+        ids = ids[keep]
+        h = [hashlib.md5(
+            (x + " v2" if i % 5 == 0 else x).encode()).hexdigest()
+            for i, x in zip(ids, t["text"].to_pylist())]
+        return pa.table({"doc_id": t["doc_id"],
+                         "content_hash": pa.array(h, pa.string())})
+
+    old = docs.map_batches(old_side, batch_format="pyarrow")
+    new = docs.map_batches(new_side, batch_format="pyarrow")
+    t = _collect(snapshot_diff(old, new, key="doc_id",
+                               hash_col="content_hash")).to_pandas()
+    t["doc_id"] = t["doc_id"].astype("int64")
+    return pa.Table.from_pandas(
+        t.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-label embedding centroids (elementwise mean) in long form —
+    the list-column aggregation with exact micro-unit integer sums."""
+    from aida_ray.stages.ml import label_centroids
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"])
+    t = _collect(label_centroids(emb)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["label", "pos"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_zscore_outliers(sf_dir: str) -> pa.Table:
+    """Per-user 2-sigma outlier events with the z-score comparison in
+    EXACT integer arithmetic (no float mean/variance exists on either
+    side)."""
+    from aida_ray.stages.relational import group_zscore_outliers
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "value"])
+    t = _collect(group_zscore_outliers(
+        ev, "user_id", "value", "event_id", k=2)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3335,6 +3402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_islands": q_activity_islands,
         "mention_contexts": q_mention_contexts,
         "word_ids": q_word_ids,
+        "snapshot_diff": q_snapshot_diff,
+        "label_centroids": q_label_centroids,
+        "zscore_outliers": q_zscore_outliers,
     }
 
 
@@ -5332,5 +5402,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT word,
                    ROW_NUMBER() OVER (ORDER BY word) AS word_id
             FROM v ORDER BY word
+        """,
+        "snapshot_diff": """
+            WITH oldt AS (
+                SELECT doc_id, md5(text) AS h
+                FROM documents WHERE doc_id % 2 = 0),
+            newt AS (
+                SELECT doc_id,
+                       md5(CASE WHEN doc_id % 5 = 0
+                                THEN text || ' v2'
+                                ELSE text END) AS h
+                FROM documents WHERE doc_id % 3 <> 0)
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.h <> n.h THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM oldt o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id
+            ORDER BY doc_id
+        """,
+        "label_centroids": """
+            WITH e AS (
+                SELECT label,
+                       CAST(generate_subscripts(embedding, 1)
+                            AS BIGINT) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings)
+            SELECT label, pos,
+                   CAST(SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                        AS BIGINT) AS sum_1e6,
+                   COUNT(*) AS n_vecs,
+                   CAST(SUM(CAST(ROUND(val * 1000000) AS BIGINT))
+                        AS DOUBLE) / COUNT(*) AS centroid
+            FROM e GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "zscore_outliers": """
+            WITH v AS (
+                SELECT event_id, user_id, value,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v2
+                FROM events),
+            s AS (
+                SELECT user_id, COUNT(*) AS n,
+                       CAST(SUM(v2) AS BIGINT) AS s2,
+                       CAST(SUM(v2 * v2) AS BIGINT) AS q
+                FROM v GROUP BY user_id)
+            SELECT event_id, v.user_id, value
+            FROM v JOIN s ON v.user_id = s.user_id
+            WHERE n >= 2
+              AND (v2 * n - s2) * (v2 * n - s2) * (n - 1)
+                  > 4 * n * (n * q - s2 * s2)
+            ORDER BY event_id
         """,
     }

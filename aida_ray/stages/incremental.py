@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -114,3 +115,47 @@ def incremental_dedup(new: ray.data.Dataset, seen: ray.data.Dataset,
     resolved = hash_join(maybe, seen.select_columns([col]),
                          on=(col,), join_type="left_anti")
     return definitely_new.union(resolved)
+
+
+def snapshot_diff(old: ray.data.Dataset, new: ray.data.Dataset,
+                  key: str = "url", hash_col: str = "content_hash"
+                  ) -> ray.data.Dataset:
+    """Crawl-snapshot diff: classify every key as added / removed /
+    changed / same between two snapshots — the SCD-style maintenance
+    step of an incremental crawl store.
+
+    Both snapshots are corpus-scale, so this is a distributed FULL
+    OUTER hash join on the key (only (key, content-hash) pairs are
+    shuffled, never payloads), followed by a stateless classify map."""
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def prep(side: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({f"{side}_{key}": b[key],
+                             f"{side}_h": b[hash_col]})
+        return f
+
+    joined = hash_join(
+        old.map_batches(prep("old"), batch_format="pyarrow"),
+        new.map_batches(prep("new"), batch_format="pyarrow"),
+        on=(f"old_{key}",), right_on=(f"new_{key}",),
+        join_type="full_outer")
+
+    def classify(b: pa.Table) -> pa.Table:
+        # Dataset.join coalesces the key into the LEFT key column;
+        # presence per side is read off the hash columns (non-null in
+        # both inputs by construction)
+        oh = b["old_h"].to_numpy(zero_copy_only=False)
+        nh = b["new_h"].to_numpy(zero_copy_only=False)
+        has_old = pc.is_valid(b["old_h"]).to_numpy(
+            zero_copy_only=False)
+        has_new = pc.is_valid(b["new_h"]).to_numpy(
+            zero_copy_only=False)
+        status = np.where(
+            ~has_old, "added",
+            np.where(~has_new, "removed",
+                     np.where(oh != nh, "changed", "same")))
+        return pa.table({key: b[f"old_{key}"],
+                         "status": pa.array(status)})
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -164,3 +164,62 @@ def pca_project(ds: ray.data.Dataset, col: str, id_col: str,
                          "proj": pa.array(list(z))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def label_centroids(ds: ray.data.Dataset, col: str = "embedding",
+                    label_col: str = "label") -> ray.data.Dataset:
+    """Per-label embedding centroid (elementwise mean) in long form —
+    the list-column aggregation shape (class prototypes / bootstrap
+    centroids for IVF routing).
+
+    Exactness: elements are scaled to int64 micro-units BEFORE
+    summing (float sums depend on block reduction order; integer sums
+    do not), and the centroid is one double division of the final
+    sums — so a SQL oracle over unnested elements hash-matches at any
+    parallelism.  Partial volume is labels × dim × blocks."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        mat = _batch_matrix(b, col).astype(np.float64)
+        m6 = np.round(mat * 1e6)
+        # round half away from zero, matching DuckDB ROUND
+        frac_half = np.abs(mat * 1e6) % 1 == 0.5
+        if frac_half.any():
+            m6 = np.where(frac_half,
+                          np.trunc(mat * 1e6)
+                          + np.sign(mat * 1e6), m6)
+        m6 = m6.astype("int64")
+        labels = b[label_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"label": labels})
+        g = df.groupby("label", sort=False)
+        dim = mat.shape[1]
+        rows_l, rows_p, rows_s, rows_n = [], [], [], []
+        for lv, idx in g.groups.items():
+            sums = m6[np.asarray(idx)].sum(axis=0)
+            rows_l.extend([lv] * dim)
+            rows_p.extend(range(1, dim + 1))
+            rows_s.extend(sums.tolist())
+            rows_n.extend([len(idx)] * dim)
+        return pa.table({
+            label_col: pa.array(rows_l, pa.int64()),
+            "pos": pa.array(rows_p, pa.int64()),
+            "sum_1e6": pa.array(rows_s, pa.int64()),
+            "n_vecs": pa.array(rows_n, pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([label_col, "pos"]).aggregate(Sum("sum_1e6"),
+                                               Sum("n_vecs"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.cast(b["sum(sum_1e6)"], pa.int64())
+        n = pc.cast(b["sum(n_vecs)"], pa.int64())
+        return pa.table({
+            label_col: pc.cast(b[label_col], pa.int64()),
+            "pos": pc.cast(b["pos"], pa.int64()),
+            "sum_1e6": s, "n_vecs": n,
+            "centroid": pc.divide(pc.cast(s, pa.float64()),
+                                  pc.cast(n, pa.float64()))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -973,3 +973,65 @@ def local_supplier_volume(lineitem: ray.data.Dataset,
             "revenue_cc": pc.cast(b["sum(rev)"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def group_zscore_outliers(ds: ray.data.Dataset, key: str, col: str,
+                          id_col: str, k: int = 2) -> ray.data.Dataset:
+    """Rows more than ``k`` sample standard deviations from their
+    group's mean — outlier detection with the comparison evaluated in
+    EXACT integer arithmetic, so no float mean/variance ever exists
+    and block order cannot flip a borderline row:
+
+        (v·n − Σ)² · (n−1)  >  k² · n · (n·Q − Σ²)
+
+    over ``v = round(col·100)`` cents (Σ, Q = group sum and sum of
+    squares).  Two passes: tiny per-group sufficient statistics
+    (groups × blocks partial rows) broadcast back over the fact
+    stream.  Bounds: |v| < 2^21 and group rows < 2^20 keep every term
+    inside int64 (assert-guarded) — beyond that, recentre v per group
+    or drop to the float path."""
+    from ray.data.aggregate import Sum
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        v = _cents(b[col]).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "k": b[key].to_numpy(zero_copy_only=False),
+            "n": np.ones(len(v), np.int64), "s": v, "q": v * v}) \
+            .groupby("k", sort=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"),
+                 q=("q", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(stat_partial, batch_format="pyarrow") \
+        .groupby("k").aggregate(Sum("n"), Sum("s"), Sum("q"))
+    st = pa.concat_tables(
+        [r for r in (ray.get(x) for x in agg.to_arrow_refs())
+         if r.num_rows], promote_options="default")
+    keys = st["k"].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    n_arr = st["sum(n)"].to_numpy(zero_copy_only=False)[order] \
+        .astype("int64")
+    s_arr = st["sum(s)"].to_numpy(zero_copy_only=False)[order] \
+        .astype("int64")
+    q_arr = st["sum(q)"].to_numpy(zero_copy_only=False)[order] \
+        .astype("int64")
+    assert n_arr.max(initial=0) < (1 << 20)
+    stats_ref = ray.put((keys[order], n_arr, s_arr, q_arr))
+
+    def flag(b: pa.Table) -> pa.Table:
+        ks, n, s, q = _get_cached(stats_ref)
+        kv = b[key].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(ks, kv)
+        v = _cents(b[col]).to_numpy(zero_copy_only=False)
+        assert np.abs(v).max(initial=0) < (1 << 21)
+        ni, si, qi = n[i], s[i], q[i]
+        lhs = (v * ni - si) ** 2 * (ni - 1)
+        rhs = k * k * ni * (ni * qi - si * si)
+        keep = (ni >= 2) & (lhs > rhs)
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            id_col: t[id_col], key: t[key],
+            col: t[col]})
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -244,3 +244,51 @@ def test_build_word_ids_dense_sorted(ray_session):
         .to_pandas()
     assert out.word.tolist() == ["a", "b", "c", "d"]
     assert out.word_id.tolist() == [1, 2, 3, 4]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from aida_ray.stages.incremental import snapshot_diff
+    old = pa.table({"url": ["a", "b", "c"],
+                    "content_hash": ["h1", "h2", "h3"]})
+    new = pa.table({"url": ["b", "c", "d"],
+                    "content_hash": ["h2", "hX", "h4"]})
+    out = snapshot_diff(rd.from_arrow(old).repartition(2),
+                        rd.from_arrow(new).repartition(2)) \
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    assert dict(zip(out.url, out.status)) == {
+        "a": "removed", "b": "same", "c": "changed", "d": "added"}
+
+
+def test_label_centroids_exact_means(ray_session):
+    from aida_ray.stages.ml import label_centroids
+    emb = pa.table({
+        "embedding": pa.array([[1.0, 2.0], [3.0, 4.0], [10.0, 0.0]],
+                              pa.list_(pa.float32())),
+        "label": [1, 1, 2]})
+    out = label_centroids(rd.from_arrow(emb).repartition(3)) \
+        .to_pandas().sort_values(["label", "pos"]) \
+        .reset_index(drop=True)
+    assert out.sum_1e6.tolist() == [4_000_000, 6_000_000,
+                                    10_000_000, 0]
+    assert out.n_vecs.tolist() == [2, 2, 1, 1]
+    assert out.centroid.tolist() == [2_000_000.0, 3_000_000.0,
+                                     10_000_000.0, 0.0]
+
+
+def test_zscore_outliers_integer_predicate(ray_session):
+    from aida_ray.stages.relational import group_zscore_outliers
+    # group 1: values 10×1.0 and one 100.0 → the 100 is way out
+    vals = [1.0] * 10 + [100.0]
+    ev = pa.table({"event_id": list(range(11)),
+                   "user_id": [1] * 11,
+                   "value": vals})
+    out = group_zscore_outliers(
+        rd.from_arrow(ev).repartition(3), "user_id", "value",
+        "event_id", k=2).to_pandas()
+    assert out.event_id.tolist() == [10]
+    # singleton group: never an outlier (n < 2)
+    ev1 = pa.table({"event_id": [0], "user_id": [9],
+                    "value": [5.0]})
+    out1 = group_zscore_outliers(rd.from_arrow(ev1), "user_id",
+                                 "value", "event_id").to_pandas()
+    assert len(out1) == 0
