@@ -3231,6 +3231,177 @@ def q_zscore_outliers(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def _fact(sf_dir: str, name: str, cols: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"),
+                                 columns=cols)
+
+
+def _dim(sf_dir: str, name: str, cols: list[str] | None = None) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, f"{name}.parquet"),
+                         columns=cols)
+
+
+def q_q4_priority(sf_dir: str) -> pa.Table:
+    """TPC-H-Q4-style: order counts per priority where EXISTS a
+    high-quantity lineitem — distinct-key semi-join (adaptive
+    broadcast / hash left_semi)."""
+    from aida_ray.stages.tpch_wide import exists_priority_counts
+    o = _fact(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    li = _fact(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    t = _collect(exists_priority_counts(o, li)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("o_orderpriority").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_q7_nation_volume(sf_dir: str) -> pa.Table:
+    """TPC-H-Q7-style: cross-border revenue between two nations by
+    (supp nation, cust nation, ship year); both nation filters push
+    into broadcast sets, one adaptive fact join."""
+    from aida_ray.stages.tpch_wide import nation_pair_volume
+    li = _fact(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount"])
+    o = _fact(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    t = _collect(nation_pair_volume(
+        li, o, _dim(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _dim(sf_dir, "nation"))).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["supp_nation", "cust_nation", "l_year"])
+        .reset_index(drop=True), preserve_index=False)
+
+
+def q_q8_market_share(sf_dir: str) -> pa.Table:
+    """TPC-H-Q8-style: target nation's share of a regional part-type
+    market per order year (share = one double division of two exact
+    int sums)."""
+    from aida_ray.stages.tpch_wide import market_share
+    li = _fact(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey",
+                "l_extendedprice", "l_discount"])
+    o = _fact(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"])
+    t = _collect(market_share(
+        li, o, _dim(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        _dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _dim(sf_dir, "part", ["p_partkey", "p_type"]),
+        _dim(sf_dir, "nation"), _dim(sf_dir, "region"))).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("o_year").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_q9_profit(sf_dir: str) -> pa.Table:
+    """TPC-H-Q9-style: profit per (supplier nation, order year) for
+    name-matched parts; cost proxy = retail price x qty (no partsupp
+    in this schema)."""
+    from aida_ray.stages.tpch_wide import product_profit
+    li = _fact(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                "l_extendedprice", "l_discount"])
+    o = _fact(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    t = _collect(product_profit(
+        li, o, _dim(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        _dim(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]),
+        _dim(sf_dir, "nation"))).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["n_name", "o_year"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_q10_returned(sf_dir: str) -> pa.Table:
+    """TPC-H-Q10-style: top-20 customers by returned-item revenue in
+    one quarter (total order -> deterministic LIMIT)."""
+    from aida_ray.stages.tpch_wide import returned_top_customers
+    li = _fact(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+    o = _fact(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate"])
+    return returned_top_customers(
+        li, o, _dim(sf_dir, "customer",
+                    ["c_custkey", "c_name", "c_nationkey"]),
+        _dim(sf_dir, "nation"))
+
+
+def q_q13_custdist(sf_dir: str) -> pa.Table:
+    """TPC-H-Q13-style: distribution of customers by qualifying order
+    count, zero-order customers included (the LEFT JOIN bucket)."""
+    from aida_ray.stages.tpch_wide import customer_order_distribution
+    o = _fact(sf_dir, "orders",
+              ["o_custkey", "o_orderpriority"])
+    t = customer_order_distribution(
+        o, _dim(sf_dir, "customer", ["c_custkey"])).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("c_count").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_q15_top_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H-Q15-style: the max-revenue supplier(s) for one quarter
+    (ties all returned, supplier-bounded aggregate)."""
+    from aida_ray.stages.tpch_wide import top_supplier
+    li = _fact(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"])
+    return top_supplier(
+        li, _dim(sf_dir, "supplier", ["s_suppkey", "s_name"]))
+
+
+def q_q16_supplier_counts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q16-style: COUNT(DISTINCT supplier) per part
+    (brand, type, size) witnessed by lineitem, minus one brand and
+    low-acctbal suppliers."""
+    from aida_ray.stages.tpch_wide import supplier_part_counts
+    li = _fact(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    t = _collect(supplier_part_counts(
+        li, _dim(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]),
+        _dim(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])))\
+        .to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["p_brand", "p_type", "p_size"])
+        .reset_index(drop=True), preserve_index=False)
+
+
+def q_q19_brackets(sf_dir: str) -> pa.Table:
+    """TPC-H-Q19-style: revenue under an OR of brand/qty/size
+    conjunction brackets — one exact scalar."""
+    from aida_ray.stages.tpch_wide import bracket_revenue
+    li = _fact(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    return bracket_revenue(
+        li, _dim(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]))
+
+
+def q_q20_heavy_shippers(sf_dir: str) -> pa.Table:
+    """TPC-H-Q20-style: suppliers who shipped > threshold qty of any
+    single name-matched part in a window (HAVING over the bucketed
+    pair-key combine)."""
+    from aida_ray.stages.tpch_wide import heavy_shippers
+    li = _fact(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_shipdate", "l_quantity"])
+    return heavy_shippers(
+        li, _dim(sf_dir, "supplier",
+                 ["s_suppkey", "s_name", "s_nationkey"]),
+        _dim(sf_dir, "part", ["p_partkey", "p_name"]),
+        _dim(sf_dir, "nation"))
+
+
+def q_above_avg_orders(sf_dir: str) -> pa.Table:
+    """Correlated-subquery filter: orders above 1.5x their customer's
+    average price, exact integer predicate (den*price*cnt > num*sum)."""
+    from aida_ray.stages.tpch_wide import above_avg_orders
+    o = _fact(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_totalprice"])
+    t = _collect(above_avg_orders(o)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3405,6 +3576,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "label_centroids": q_label_centroids,
         "zscore_outliers": q_zscore_outliers,
+        "q4_priority": q_q4_priority,
+        "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit": q_q9_profit,
+        "q10_returned": q_q10_returned,
+        "q13_custdist": q_q13_custdist,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_counts": q_q16_supplier_counts,
+        "q19_brackets": q_q19_brackets,
+        "q20_heavy_shippers": q_q20_heavy_shippers,
+        "above_avg_orders": q_above_avg_orders,
     }
 
 
@@ -5452,5 +5634,180 @@ def oracle_sql() -> dict[str, str]:
               AND (v2 * n - s2) * (v2 * n - s2) * (n - 1)
                   > 4 * n * (n * q - s2 * s2)
             ORDER BY event_id
+        """,
+        "q4_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_quantity > 45)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_cc
+            FROM supplier, lineitem, orders, customer,
+                 nation n1, nation n2
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_15')
+                OR (n1.n_name = 'NATION_15' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT)) AS volume_cc,
+                       n2.n_name AS supp_nation
+                FROM part, supplier, lineitem, orders, customer,
+                     nation n1, nation n2, region
+                WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+                  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+                  AND c_nationkey = n1.n_nationkey
+                  AND n1.n_regionkey = r_regionkey
+                  AND r_name = 'ASIA'
+                  AND s_nationkey = n2.n_nationkey
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+                  AND p_type = 'STANDARD')
+            SELECT o_year,
+                   CAST(SUM(volume_cc) AS BIGINT) AS total_cc,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_12'
+                            THEN volume_cc ELSE 0 END) AS BIGINT)
+                       AS target_cc,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_12'
+                            THEN volume_cc ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(volume_cc) AS DOUBLE) AS mkt_share
+            FROM vol GROUP BY o_year ORDER BY o_year
+        """,
+        "q9_profit": """
+            SELECT n_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(ROUND(l_discount * 100)
+                                       AS BIGINT))
+                       - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                         * 100 * CAST(ROUND(l_quantity) AS BIGINT))
+                       AS BIGINT) AS profit_cc
+            FROM lineitem, orders, supplier, part, nation
+            WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+              AND o_orderkey = l_orderkey
+              AND s_nationkey = n_nationkey
+              AND p_name LIKE '%widget%'
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "q10_returned": """
+            SELECT c.c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_cc
+            FROM customer c, orders, lineitem, nation
+            WHERE c.c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND l_returnflag = 'R'
+              AND c_nationkey = n_nationkey
+            GROUP BY 1, 2, 3
+            ORDER BY revenue_cc DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "q13_custdist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS skey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT))) AS BIGINT)
+                           AS total_revenue_cc
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue_cc
+            FROM rev, supplier
+            WHERE skey = s_suppkey
+              AND total_revenue_cc =
+                  (SELECT MAX(total_revenue_cc) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey
+              AND p_brand <> 'Brand#1'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 1000)
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q19_brackets": """
+            SELECT CAST(COALESCE(SUM(
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100)
+                                     AS BIGINT))), 0) AS BIGINT)
+                       AS revenue_cc,
+                   COUNT(*) AS n_rows
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND (
+                (p_brand = 'Brand#12'
+                 AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 1 AND 11
+                 AND p_size BETWEEN 1 AND 5)
+             OR (p_brand = 'Brand#23'
+                 AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 10 AND 20
+                 AND p_size BETWEEN 1 AND 10)
+             OR (p_brand = 'Brand#5'
+                 AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN 20 AND 30
+                 AND p_size BETWEEN 1 AND 15))
+        """,
+        "q20_heavy_shippers": """
+            WITH heavy AS (
+                SELECT l_suppkey, l_partkey FROM lineitem, part
+                WHERE p_partkey = l_partkey
+                  AND p_name LIKE '%rod%'
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey, l_partkey
+                HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 45)
+            SELECT s_suppkey, s_name, n_name,
+                   COUNT(*) AS n_heavy_parts
+            FROM heavy, supplier, nation
+            WHERE s_nationkey = n_nationkey AND l_suppkey = s_suppkey
+            GROUP BY 1, 2, 3
+            ORDER BY s_suppkey
+        """,
+        "above_avg_orders": """
+            SELECT o_orderkey, o_custkey, price_cents FROM (
+                SELECT o_orderkey, o_custkey,
+                       CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                           AS price_cents,
+                       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                           OVER (PARTITION BY o_custkey) AS s,
+                       COUNT(*) OVER (PARTITION BY o_custkey) AS c
+                FROM orders)
+            WHERE 2 * price_cents * c > 3 * s
+            ORDER BY o_orderkey
         """,
     }
