@@ -3402,6 +3402,46 @@ def q_above_avg_orders(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_frame_sum(sf_dir: str) -> pa.Table:
+    """Per-user 7-row ROWS-frame moving sum/count (the SQL sliding
+    window frame), int64 cents exact."""
+    from aida_ray.stages.windows import sliding_frame_sum
+    ev = _fact(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"])
+    t = _collect(sliding_frame_sum(ev, frame=7)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_degree_dist(sf_dir: str) -> pa.Table:
+    """Degree distribution of the user -> event-type bipartite
+    relation: distinct pairs through the gated unique finisher, per-key
+    degrees via a sum-combine, histogram over the bounded degree
+    space."""
+    from aida_ray.stages.graphs import degree_distribution
+    ev = _fact(sf_dir, "events",
+               ["event_id", "user_id", "event_type"]) \
+        .map_batches(lambda b: b.filter(pc.equal(
+            pc.bit_wise_and(b["event_id"], pa.scalar(15, pa.int64())),
+            pa.scalar(0, pa.int64()))).select(
+                ["user_id", "event_type"]),
+        batch_format="pyarrow")
+    # the type dictionary is bounded: per-batch uniques -> tiny gather
+    types = sorted(set().union(*[
+        set(np.asarray(b["event_type"].to_pylist()).tolist())
+        for b in ev.map_batches(
+            lambda t: pa.table({"event_type": pc.unique(
+                t["event_type"].combine_chunks())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")]))
+    t = degree_distribution(
+        ev, "user_id", "event_type",
+        neighbor_ids={s: i for i, s in enumerate(types)}).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("deg").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3587,6 +3627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_brackets": q_q19_brackets,
         "q20_heavy_shippers": q_q20_heavy_shippers,
         "above_avg_orders": q_above_avg_orders,
+        "frame_sum": q_frame_sum,
+        "degree_dist": q_degree_dist,
     }
 
 
@@ -5809,5 +5851,26 @@ def oracle_sql() -> dict[str, str]:
                 FROM orders)
             WHERE 2 * price_cents * c > 3 * s
             ORDER BY o_orderkey
+        """,
+        "frame_sum": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS frame_sum_cents,
+                   COUNT(*)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS frame_n
+            FROM events
+            ORDER BY event_id
+        """,
+        "degree_dist": """
+            SELECT deg, COUNT(*) AS n_keys FROM (
+                SELECT user_id,
+                       COUNT(DISTINCT event_type) AS deg
+                FROM events WHERE event_id % 16 = 0
+                GROUP BY user_id)
+            GROUP BY deg ORDER BY deg
         """,
     }

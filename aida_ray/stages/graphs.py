@@ -668,3 +668,76 @@ def heavy_hitters(ds: ray.data.Dataset, col: str,
     out = est.reset_index()[["value", "est", "max_undercount"]]
     return out.sort_values(["est", "value"],
                            ascending=[False, True]).reset_index(drop=True)
+
+
+def degree_distribution(ds: ray.data.Dataset, key: str,
+                        neighbor: str,
+                        neighbor_ids: "dict[str, int] | None" = None
+                        ) -> pa.Table:
+    """Degree distribution of a bipartite relation: for each left key,
+    the number of DISTINCT right neighbors, then the count of keys per
+    degree — the two-level distinct-then-histogram plan.
+
+    Distinct (key, neighbor) pairs ride ONE packed int64 through the
+    gated unique finisher (pair keys scale with keys x neighbors —
+    unbounded), the per-key degrees fall out of one run-length pass
+    over the sorted distinct pairs, and the final histogram is
+    degree-bounded.  ``neighbor_ids`` maps string neighbor values to
+    small ints (< 2^20); int64 neighbor columns must already be
+    < 2^20."""
+    from aida_ray.stages.tpch_wide import _distinct_int64
+
+    nid_ref = ray.put(neighbor_ids)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        from aida_ray.stages.dedup import _get_cached
+        nid = _get_cached(nid_ref)
+        k = b[key].to_numpy(zero_copy_only=False).astype("int64")
+        if nid is not None:
+            nb = np.array([nid[x] for x in b[neighbor].to_pylist()],
+                          dtype="int64")
+        else:
+            nb = b[neighbor].to_numpy(zero_copy_only=False) \
+                .astype("int64")
+        assert nb.max(initial=0) < (1 << 20) and nb.min(initial=0) >= 0
+        return pa.table({"p": pa.array(np.unique((k << 20) | nb),
+                                       pa.int64())})
+
+    distinct = _distinct_int64(
+        ds.map_batches(pairs, batch_format="pyarrow"), "p")
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        k, n = np.unique(
+            b["p"].to_numpy(zero_copy_only=False) >> 20,
+            return_counts=True)
+        return pa.table({"k": pa.array(k.astype("int64"), pa.int64()),
+                         "n": pa.array(n.astype("int64"), pa.int64())})
+
+    # per-key degree = sum of the per-block distinct-pair counts (a
+    # key's pairs CAN split blocks on the above-gate groupby route, so
+    # this must be a real sum-combine, not a per-block histogram)
+    from aida_ray.stages.tpch_more import _sum_count_by_key
+    per_key = _sum_count_by_key(
+        distinct.map_batches(key_counts, batch_format="pyarrow")
+        .map_batches(lambda b: pa.table({
+            "k": b["k"], "n": b["n"], "one": b["n"]}),
+            batch_format="pyarrow").materialize(), "k", "n", "one")
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        deg, cnt = np.unique(b["n"].to_numpy(zero_copy_only=False),
+                             return_counts=True)
+        return pa.table({
+            "deg": pa.array(deg.astype("int64"), pa.int64()),
+            "n_keys": pa.array(cnt.astype("int64"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as _pc
+    agg = per_key.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("deg").aggregate(Sum("n_keys"))
+    tabs = [ray.get(r) for r in agg.map_batches(
+        lambda b: pa.table({
+            "deg": _pc.cast(b["deg"], pa.int64()),
+            "n_keys": _pc.cast(b["sum(n_keys)"], pa.int64())}),
+        batch_format="pyarrow").to_arrow_refs()]
+    nonempty = [t for t in tabs if t.num_rows]
+    return pa.concat_tables(nonempty) if nonempty else tabs[0]

@@ -111,3 +111,41 @@ def global_rank(ds: ray.data.Dataset, col: str,
         return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sliding_frame_sum(events: ray.data.Dataset, key: str = "user_id",
+                      ts_col: str = "ts", val_col: str = "value",
+                      id_col: str = "event_id", frame: int = 7,
+                      group_size_limit: int = 50_000_000
+                      ) -> ray.data.Dataset:
+    """Per-key ROWS-frame moving aggregate — the SQL
+    ``SUM/COUNT(...) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``.
+
+    One shuffle (the per-key groupby); inside each group the sliding
+    sum is a cumsum difference, not a Python window loop.  Values ride
+    int64 cents so the moving sums are reduction-order-free and the
+    DuckDB oracle hash-matches.  Same per-group bound caveat as
+    `partitioned_window`: a single hot key is one group."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > group_size_limit:
+            raise ValueError(
+                f"hot key {group[key].iloc[0]!r}: {len(group)} rows "
+                "exceed the per-group bound — pre-split by time bucket")
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        v = g[val_col].to_numpy()
+        cents = (np.floor(np.abs(v) * 100 + 0.5)
+                 * np.sign(v)).astype("int64")
+        n = len(g)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(n) - frame + 1, 0)
+        return pd.DataFrame({
+            key: g[key],
+            id_col: g[id_col],
+            "frame_sum_cents": cum[np.arange(n) + 1] - cum[lo],
+            "frame_n": np.arange(n) - lo + 1,
+        })
+
+    return events.groupby(key).map_groups(per_key,
+                                          batch_format="pandas")
