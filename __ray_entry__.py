@@ -3442,6 +3442,18 @@ def q_degree_dist(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_event_paths(sf_dir: str) -> pa.Table:
+    """Per-user ordered event-type path (STRING_AGG ... ORDER BY) via
+    the sort + batch-local-sweep + boundary-close plan."""
+    from aida_ray.stages.sequences import event_paths
+    ev = _fact(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type"])
+    t = _collect(event_paths(ev)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("user_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3629,6 +3641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_avg_orders": q_above_avg_orders,
         "frame_sum": q_frame_sum,
         "degree_dist": q_degree_dist,
+        "event_paths": q_event_paths,
     }
 
 
@@ -5872,5 +5885,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE event_id % 16 = 0
                 GROUP BY user_id)
             GROUP BY deg ORDER BY deg
+        """,
+        "event_paths": """
+            SELECT user_id,
+                   STRING_AGG(event_type, ','
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
     }

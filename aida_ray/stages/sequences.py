@@ -476,3 +476,72 @@ def activity_islands(events: ray.data.Dataset, key: str = "user_id",
 
     return events.map_batches(day_partial, batch_format="pyarrow") \
         .groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def event_paths(events: ray.data.Dataset, key: str = "user_id",
+                ts_col: str = "ts", type_col: str = "event_type",
+                id_col: str = "event_id") -> ray.data.Dataset:
+    """Per-key ordered event-type path — the SQL
+    ``STRING_AGG(type, ',' ORDER BY ts, id) GROUP BY key``.
+
+    Same plan as :func:`event_transitions`: ONE range sort on
+    (key, t, eid) orders every key's history, each batch joins the
+    paths of its fully contained keys in one pass, and the ≤2 boundary
+    keys per batch close in one small task.  Each key is emitted by
+    exactly one of the two routes, so no final merge is needed."""
+
+    srt = _prep(events, key, ts_col,
+                {"et": type_col, "eid": id_col}) \
+        .sort([key, "t", "eid"]).materialize()
+
+    def paths(k: np.ndarray, et: np.ndarray) -> pa.Table:
+        if not len(k):
+            return pa.table({key: pa.array([], pa.int64()),
+                             "seq": pa.array([], pa.string())})
+        g = pd.DataFrame({key: k, "et": et}) \
+            .groupby(key, sort=False)["et"] \
+            .agg(",".join).rename("seq").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def inner(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "seq": pa.array([], pa.string())})
+        keep = (k != k[0]) & (k != k[-1])
+        return paths(k[keep],
+                     b["et"].to_numpy(zero_copy_only=False)[keep])
+
+    def boundary(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "t": pa.array([], pa.int64()),
+                             "eid": pa.array([], pa.int64()),
+                             "et": pa.array([], pa.string())})
+        keep = (k == k[0]) | (k == k[-1])
+        return pa.table({
+            key: pa.array(k[keep]),
+            "t": pc.array_filter(b["t"].combine_chunks(),
+                                 pa.array(keep)),
+            "eid": pc.array_filter(b["eid"].combine_chunks(),
+                                   pa.array(keep)),
+            "et": pc.array_filter(b["et"].combine_chunks(),
+                                  pa.array(keep))})
+
+    @ray.remote
+    def close_boundaries(*tabs: pa.Table) -> pa.Table:
+        from aida_ray.stages.dedup import _concat_blocks
+        t = _concat_blocks(tabs, pa.schema(
+            [(key, pa.int64()), ("t", pa.int64()),
+             ("eid", pa.int64()), ("et", pa.string())]))
+        k = t[key].to_numpy(zero_copy_only=False)
+        o = np.lexsort((t["eid"].to_numpy(zero_copy_only=False),
+                        t["t"].to_numpy(zero_copy_only=False), k))
+        return paths(k[o],
+                     t["et"].to_numpy(zero_copy_only=False)[o])
+
+    brefs = srt.map_batches(boundary,
+                            batch_format="pyarrow").to_arrow_refs()
+    bpart = ray.data.from_arrow_refs([close_boundaries.remote(*brefs)])
+    return srt.map_batches(inner, batch_format="pyarrow").union(bpart)

@@ -129,3 +129,29 @@ def test_attribution_no_prior_touch(ray_session):
     assert list(out.event_id) == [1, 3]
     assert list(out.touch_id) == [-1, -1]
     assert list(out.latency_us) == [-1, -1]
+
+
+def test_event_paths_matches_pandas(ray_session):
+    from aida_ray.stages.sequences import event_paths
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    rng = np.random.default_rng(12)
+    n = 400
+    ev = pa.table({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(["a", "b", "c"], n),
+        "ts": pa.array(
+            [np.datetime64("2024-01-01", "us")
+             + np.timedelta64(int(s), "s")
+             for s in rng.integers(0, 9999, n)], pa.timestamp("us")),
+    })
+    df = ev.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    ref = df.groupby("user_id")["event_type"].agg(",".join) \
+        .rename("seq").reset_index()
+    for parts in (1, 6):
+        out = event_paths(rd.from_arrow(ev).repartition(parts)) \
+            .to_pandas().sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(out, ref, check_dtype=False)
