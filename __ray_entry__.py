@@ -3454,6 +3454,45 @@ def q_event_paths(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_kg_incremental(sf_dir: str) -> pa.Table:
+    """Incremental KG maintenance (rows-only — NED is not SQL): the
+    corpus splits deterministically into an 'existing' and a 'new'
+    batch, each runs NED + dedup independently, and
+    `merge_triple_tables` combines the two stores by summing support —
+    only the new batch pays the NED stage in production.  The result
+    is bit-equal to the one-shot `kg_triples` run (associative merge;
+    asserted in tests/test_pipeline.py)."""
+    from aida_ray.pipelines.kg import (dedup_triples, link_pages,
+                                       merge_triple_tables, read_pages)
+    from aida_ray.state.broadcast import put_kb
+    kb, pages_dir, _gold = _kg_cache(sf_dir)
+    kb_ref = put_kb(kb)
+
+    def half(parity: int) -> ray.data.Dataset:
+        def f(b: pa.Table) -> pa.Table:
+            # url shape: http://crawl.test/<shard>/<i> — split by '/'
+            idx = pc.cast(pc.list_element(
+                pc.split_pattern(b["url"], "/"), 4), pa.int64())
+            return b.filter(pc.equal(
+                pc.bit_wise_and(idx, pa.scalar(1, pa.int64())),
+                pa.scalar(parity, pa.int64())))
+
+        pages = read_pages(pages_dir).map_batches(
+            f, batch_format="pyarrow")
+        # materialize: each batch's NED pool runs ALONE (two live
+        # actor pools of _pool() CPUs each would starve the reads —
+        # and the existing store is materialized parquet in production)
+        return dedup_triples(link_pages(
+            pages, kb_ref, concurrency=_pool(),
+            batch_size=64)).materialize()
+
+    merged = merge_triple_tables(half(0), half(1))
+    t = _collect(merged).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["subj", "pred", "obj"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3642,6 +3681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frame_sum": q_frame_sum,
         "degree_dist": q_degree_dist,
         "event_paths": q_event_paths,
+        "kg_incremental": q_kg_incremental,
     }
 
 

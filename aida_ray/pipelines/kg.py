@@ -305,16 +305,42 @@ def dedup_triples(triples: ray.data.Dataset) -> ray.data.Dataset:
                                    batch_size=None)
     partials = partials.repartition(_shuffle_partitions())
     agg = partials.groupby("key").sum(["support"])
+    return agg.map_batches(_unpack_triples, batch_format="pyarrow")
 
-    def unpack(batch: pa.Table) -> pa.Table:
-        b = batch.rename_columns(["key", "support"])
-        parts = pc.split_pattern(b["key"], "\x1f")
-        return pa.table({"subj": pc.list_element(parts, 0),
-                         "pred": pc.list_element(parts, 1),
-                         "obj": pc.list_element(parts, 2),
-                         "support": b["support"]})
 
-    return agg.map_batches(unpack, batch_format="pyarrow")
+def _unpack_triples(batch: pa.Table) -> pa.Table:
+    b = batch.rename_columns(["key", "support"])
+    parts = pc.split_pattern(b["key"], "\x1f")
+    return pa.table({"subj": pc.list_element(parts, 0),
+                     "pred": pc.list_element(parts, 1),
+                     "obj": pc.list_element(parts, 2),
+                     "support": b["support"]})
+
+
+def merge_triple_tables(*stores: ray.data.Dataset) -> ray.data.Dataset:
+    """Incremental KG maintenance: combine already-deduped triple
+    tables — e.g. the existing store read back via `read_triples` plus
+    today's new-batch `dedup_triples` output — by summing support per
+    (subj, pred, obj).
+
+    Only the NEW batch ever pays the NED stage; this merge shuffles
+    (distinct keys × stores) packed-key rows, never the page corpus.
+    Support summation is associative, so merging any sequence of
+    batches is bit-equal to the one-shot full-corpus run (asserted in
+    tests/test_pipeline.py)."""
+    def pack(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            b["subj"], b["pred"], b["obj"], "\x1f")
+        return pa.table({"key": key,
+                         "support": pc.cast(b["support"], pa.int64())})
+
+    ds = stores[0]
+    if len(stores) > 1:
+        ds = ds.union(*stores[1:])
+    partials = ds.map_batches(pack, batch_format="pyarrow") \
+        .repartition(_shuffle_partitions())
+    agg = partials.groupby("key").sum(["support"])
+    return agg.map_batches(_unpack_triples, batch_format="pyarrow")
 
 
 def read_triples(out_dir: str) -> ray.data.Dataset:

@@ -34,3 +34,16 @@ def test_entry_flagship(ray_session):
     t = t.to_pandas() if hasattr(t, "to_pandas") else t
     assert len(t) > 0
     assert {"subj", "pred", "obj", "support"} <= set(t.columns)
+
+
+def test_kg_incremental_equals_one_shot(ray_session):
+    """Incremental store merge (old batch + new batch) must be
+    bit-equal to the one-shot full-corpus run — support summation is
+    associative, so batch boundaries cannot change the KG."""
+    import pandas as pd
+
+    import __ray_entry__ as E
+    qs = E.queries()
+    full = qs["kg_triples"](SF).to_pandas()
+    inc = qs["kg_incremental"](SF).to_pandas()
+    pd.testing.assert_frame_equal(inc, full)
