@@ -121,6 +121,9 @@ def adaptive_fact_join(left: ray.data.Dataset, right: ray.data.Dataset,
     if r.count() <= broadcast_rows:
         rt = _gather(r)
         rcols = [c for c in rt.column_names if c != rkey]
+        # pin the attached columns' Arrow types: an EMPTY build side
+        # must not degrade string columns to null-typed arrays
+        rtypes = {c: rt.schema.field(c).type for c in rcols}
         ref = _sorted_dim(rt, rkey, rcols)
 
         def joinb(b: pa.Table) -> pa.Table:
@@ -130,8 +133,8 @@ def adaptive_fact_join(left: ray.data.Dataset, right: ray.data.Dataset,
             out = {c: t[c] for c in t.column_names}
             for c in rcols:
                 v = vals[c][i[hit]]
-                out[c] = pa.array(list(v)) if v.dtype == object \
-                    else pa.array(v)
+                out[c] = pa.array(list(v), type=rtypes[c]) \
+                    if v.dtype == object else pa.array(v)
             return pa.table(out)
 
         return left.map_batches(joinb, batch_format="pyarrow")

@@ -304,3 +304,21 @@ def test_above_avg_exact_boundary(ray_session):
         .to_pandas().sort_values("o_orderkey").reset_index(drop=True)
     assert out.o_orderkey.tolist() == [4]
     assert out.price_cents.tolist() == [50000]
+
+
+def test_adaptive_join_empty_build_side(ray_session):
+    """An empty (fully filtered) build side must keep the attached
+    columns' Arrow types — not degrade them to null arrays."""
+    import ray.data as rd
+    from aida_ray.stages.tpch_wide import adaptive_fact_join
+    left = pa.table({"k": [1, 2, 3], "x": [10.0, 20.0, 30.0]})
+    right = pa.table({"rk": pa.array([], pa.int64()),
+                      "name": pa.array([], pa.string())})
+    import ray
+    out = adaptive_fact_join(rd.from_arrow(left).repartition(2),
+                             rd.from_arrow(right), "k", "rk")
+    tabs = [ray.get(r) for r in out.to_arrow_refs()]
+    assert sum(t.num_rows for t in tabs) == 0
+    for t in tabs:
+        assert t.schema.field("name").type == pa.string()
+        assert set(t.column_names) == {"k", "x", "name"}
