@@ -3426,7 +3426,7 @@ def q_degree_dist(sf_dir: str) -> pa.Table:
             pc.bit_wise_and(b["event_id"], pa.scalar(15, pa.int64())),
             pa.scalar(0, pa.int64()))).select(
                 ["user_id", "event_type"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     # the type dictionary is bounded: per-batch uniques -> tiny gather
     types = sorted(set().union(*[
         set(np.asarray(b["event_type"].to_pylist()).tolist())
@@ -3461,7 +3461,7 @@ def q_kg_incremental(sf_dir: str) -> pa.Table:
     `merge_triple_tables` combines the two stores by summing support —
     only the new batch pays the NED stage in production.  The result
     is bit-equal to the one-shot `kg_triples` run (associative merge;
-    asserted in tests/test_pipeline.py)."""
+    asserted in tests/test_entry.py)."""
     from aida_ray.pipelines.kg import (dedup_triples, link_pages,
                                        merge_triple_tables, read_pages)
     from aida_ray.state.broadcast import put_kb

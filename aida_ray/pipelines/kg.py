@@ -327,7 +327,7 @@ def merge_triple_tables(*stores: ray.data.Dataset) -> ray.data.Dataset:
     (distinct keys × stores) packed-key rows, never the page corpus.
     Support summation is associative, so merging any sequence of
     batches is bit-equal to the one-shot full-corpus run (asserted in
-    tests/test_pipeline.py)."""
+    tests/test_entry.py)."""
     def pack(b: pa.Table) -> pa.Table:
         key = pc.binary_join_element_wise(
             b["subj"], b["pred"], b["obj"], "\x1f")

@@ -715,13 +715,35 @@ def degree_distribution(ds: ray.data.Dataset, key: str,
 
     # per-key degree = sum of the per-block distinct-pair counts (a
     # key's pairs CAN split blocks on the above-gate groupby route, so
-    # this must be a real sum-combine, not a per-block histogram)
-    from aida_ray.stages.tpch_more import _sum_count_by_key
-    per_key = _sum_count_by_key(
-        distinct.map_batches(key_counts, batch_format="pyarrow")
-        .map_batches(lambda b: pa.table({
-            "k": b["k"], "n": b["n"], "one": b["n"]}),
-            batch_format="pyarrow").materialize(), "k", "n", "one")
+    # this must be a real sum-combine, not a per-block histogram) —
+    # gated: one lexsort+reduceat task below, bucketed combine above
+    partials = distinct.map_batches(key_counts,
+                                    batch_format="pyarrow") \
+        .materialize()
+    if partials.count() <= 20_000_000:
+        @ray.remote
+        def sum_task(*tabs: pa.Table) -> pa.Table:
+            from aida_ray.stages.dedup import _concat_blocks
+            t = _concat_blocks(tabs, pa.schema(
+                [("k", pa.int64()), ("n", pa.int64())]))
+            k = t["k"].to_numpy(zero_copy_only=False)
+            if not len(k):
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            o = np.argsort(k, kind="stable")
+            k = k[o]
+            n = t["n"].to_numpy(zero_copy_only=False)[o]
+            first = np.r_[True, k[1:] != k[:-1]]
+            idx = np.flatnonzero(first)
+            return pa.table({
+                "k": pa.array(k[first].astype("int64"), pa.int64()),
+                "n": pa.array(np.add.reduceat(n, idx), pa.int64())})
+
+        per_key = ray.data.from_arrow_refs(
+            [sum_task.remote(*partials.to_arrow_refs())])
+    else:
+        from aida_ray.stages.agg import bucket_reduce
+        per_key = bucket_reduce(partials, ["k"], {"n": "sum"})
 
     def hist_partial(b: pa.Table) -> pa.Table:
         deg, cnt = np.unique(b["n"].to_numpy(zero_copy_only=False),
@@ -732,12 +754,12 @@ def degree_distribution(ds: ray.data.Dataset, key: str,
 
     from ray.data.aggregate import Sum
     import pyarrow.compute as _pc
+
+    from aida_ray.stages.tpch_wide import _gather
     agg = per_key.map_batches(hist_partial, batch_format="pyarrow") \
         .groupby("deg").aggregate(Sum("n_keys"))
-    tabs = [ray.get(r) for r in agg.map_batches(
+    return _gather(agg.map_batches(
         lambda b: pa.table({
             "deg": _pc.cast(b["deg"], pa.int64()),
             "n_keys": _pc.cast(b["sum(n_keys)"], pa.int64())}),
-        batch_format="pyarrow").to_arrow_refs()]
-    nonempty = [t for t in tabs if t.num_rows]
-    return pa.concat_tables(nonempty) if nonempty else tabs[0]
+        batch_format="pyarrow"))

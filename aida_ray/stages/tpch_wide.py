@@ -38,10 +38,19 @@ BROADCAST_ROWS = 8_000_000
 
 
 def _gather(ds: ray.data.Dataset) -> pa.Table:
+    """Driver-side gather of a SMALL dataset (callers gate on row
+    counts).  Guards the two to_arrow_refs quirks: raw pandas blocks
+    (empty map_groups outputs leak through groupbys unconverted) and
+    zero-block datasets."""
     tabs = [ray.get(r) for r in ds.to_arrow_refs()]
+    tabs = [pa.Table.from_pandas(t, preserve_index=False)
+            if not isinstance(t, pa.Table) else t for t in tabs]
+    if not tabs:
+        return pa.table({})
     nonempty = [t for t in tabs if t.num_rows > 0]
     if not nonempty:
-        return tabs[0]
+        with_schema = [t for t in tabs if t.num_columns > 0]
+        return with_schema[0] if with_schema else tabs[0]
     return pa.concat_tables(nonempty, promote_options="default")
 
 
@@ -114,7 +123,14 @@ def adaptive_fact_join(left: ray.data.Dataset, right: ray.data.Dataset,
     once via ``ray.put`` and the join is a map-side sorted-array probe
     (no shuffle, no aggregator pool); above the budget both sides run
     through the sized hash shuffle join.  Output schema in both routes:
-    left columns + right columns minus ``rkey``."""
+    left columns + right columns minus ``rkey``.
+
+    CONTRACT: ``rkey`` must be UNIQUE on the right side (a projected
+    fact keyed by its primary key — every call site here joins on
+    o_orderkey).  The broadcast probe attaches exactly one build row
+    per probe row, so duplicate build keys would silently diverge
+    from the shuffle route's join multiplicity; the broadcast route
+    assert-guards it."""
     from aida_ray.stages.shuffle_join import hash_join
 
     r = right.materialize()
@@ -124,6 +140,9 @@ def adaptive_fact_join(left: ray.data.Dataset, right: ray.data.Dataset,
         # pin the attached columns' Arrow types: an EMPTY build side
         # must not degrade string columns to null-typed arrays
         rtypes = {c: rt.schema.field(c).type for c in rcols}
+        ks = np.sort(_col_np(rt[rkey]).astype("int64"))
+        assert not (ks[1:] == ks[:-1]).any(), \
+            "adaptive_fact_join: right-side key must be unique"
         ref = _sorted_dim(rt, rkey, rcols)
 
         def joinb(b: pa.Table) -> pa.Table:
@@ -174,13 +193,16 @@ def exists_priority_counts(orders: ray.data.Dataset,
 
     if keys.count() <= BROADCAST_ROWS:
         arr = np.sort(_gather(keys)["k"].to_numpy(zero_copy_only=False))
-        kref = ray.put(pa.array(arr, pa.int64()))
+        kref = ray.put(arr)
 
         def partial(b: pa.Table) -> pa.Table:
             import pandas as pd
-            keep = pc.is_in(b["o_orderkey"], value_set=_get_cached(kref))
+            # searchsorted membership: pc.is_in rebuilds its value-set
+            # hash memo per kernel call — O(|set|) per batch at 8M keys
+            _, hit = _probe(_get_cached(kref),
+                            _col_np(b["o_orderkey"]).astype("int64"))
             prio = np.asarray(
-                b.filter(keep)["o_orderpriority"].to_pylist(),
+                b.filter(pa.array(hit))["o_orderpriority"].to_pylist(),
                 dtype=object)
             g = pd.DataFrame({"o_orderpriority": prio}) \
                 .groupby("o_orderpriority", sort=False) \
@@ -349,12 +371,14 @@ def market_share(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
 
     pk = _col_np(part["p_partkey"]).astype("int64")
     pkeep = np.sort(pk[_col_np(part["p_type"]) == p_type])
-    pref = ray.put(pa.array(pkeep, pa.int64()))
 
     sk = _col_np(supplier["s_suppkey"]).astype("int64")
     sn = _col_np(supplier["s_nationkey"]).astype("int64")
     s_order = np.argsort(sk, kind="stable")
-    sref = ray.put((sk[s_order], sn[s_order]))
+    # ONE ref for everything li_side probes: the worker-side
+    # _get_cached memo holds a single slot, so two refs fetched per
+    # batch would evict each other every call
+    li_ref = ray.put((pkeep, sk[s_order], sn[s_order]))
 
     lo_ts = pa.scalar(np.datetime64(lo + "T00:00:00", "us"),
                       pa.timestamp("us"))
@@ -373,9 +397,9 @@ def market_share(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
             "o_year": pc.year(t["o_orderdate"])})
 
     def li_side(b: pa.Table) -> pa.Table:
-        keep = pc.is_in(b["l_partkey"], value_set=_get_cached(pref))
-        t = b.filter(keep)
-        sks, sns = _get_cached(sref)
+        pkeys, sks, sns = _get_cached(li_ref)
+        _, pkhit = _probe(pkeys, _col_np(b["l_partkey"]).astype("int64"))
+        t = b.filter(pa.array(pkhit))
         i, hit = _probe(sks, _col_np(t["l_suppkey"]).astype("int64"))
         t = t.filter(pa.array(hit))
         is_target = (sns[i[hit]] == target_nk)
@@ -446,7 +470,6 @@ def product_profit(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
     sk = _col_np(supplier["s_suppkey"]).astype("int64")
     sn = _col_np(supplier["s_nationkey"]).astype("int64")
     s_order = np.argsort(sk, kind="stable")
-    sref = ray.put((sk[s_order], sn[s_order]))
 
     mask = pc.match_substring(part["p_name"], name_substr) \
         .to_numpy(zero_copy_only=False)
@@ -454,17 +477,19 @@ def product_profit(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
     retail = _cents(part["p_retailprice"]).to_numpy(
         zero_copy_only=False)[mask]
     p_order = np.argsort(pk, kind="stable")
-    pref = ray.put((pk[p_order], retail[p_order]))
+    # ONE ref per map fn (single-slot _get_cached memo, see
+    # market_share)
+    li_ref = ray.put((pk[p_order], retail[p_order],
+                      sk[s_order], sn[s_order]))
 
     def o_side(b: pa.Table) -> pa.Table:
         return pa.table({"o_orderkey": b["o_orderkey"],
                          "o_year": pc.year(b["o_orderdate"])})
 
     def li_side(b: pa.Table) -> pa.Table:
-        pks, rtl = _get_cached(pref)
+        pks, rtl, sks, sns = _get_cached(li_ref)
         i, hit = _probe(pks, _col_np(b["l_partkey"]).astype("int64"))
         t = b.filter(pa.array(hit))
-        sks, sns = _get_cached(sref)
         j, shit = _probe(sks, _col_np(t["l_suppkey"]).astype("int64"))
         t = t.filter(pa.array(shit))
         rev = _cents(t["l_extendedprice"]).to_numpy(
@@ -604,7 +629,12 @@ def customer_order_distribution(orders: ray.data.Dataset,
     per_cust = _gather(orders.map_batches(partial,
                                           batch_format="pyarrow")
                        .groupby("c_custkey").aggregate(Sum("n")))
-    counts = _col_np(per_cust["sum(n)"]).astype("int64")
+    # LEFT JOIN semantics FROM customer: orphan o_custkeys (no
+    # customer row) contribute nothing, like the SQL oracle
+    known = np.sort(_col_np(customer["c_custkey"]).astype("int64"))
+    ck = _col_np(per_cust["c_custkey"]).astype("int64")
+    _, hit = _probe(known, ck)
+    counts = _col_np(per_cust["sum(n)"]).astype("int64")[hit]
     vals, freq = np.unique(counts, return_counts=True)
     zero = len(customer) - len(counts)
     if zero > 0:
@@ -649,6 +679,10 @@ def top_supplier(lineitem: ray.data.Dataset, supplier: pa.Table,
 
     agg = _gather(lineitem.map_batches(partial, batch_format="pyarrow")
                   .groupby("s_suppkey").aggregate(Sum("rev_cc")))
+    if agg.num_rows == 0:      # nothing shipped in the window
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_cc": pa.array([], pa.int64())})
     supp = _col_np(agg["s_suppkey"]).astype("int64")
     rev = _col_np(agg["sum(rev_cc)"]).astype("int64")
     best = rev == rev.max()
@@ -683,9 +717,8 @@ def supplier_part_counts(lineitem: ray.data.Dataset, part: pa.Table,
     global distinct is the gated unique finisher bounded by
     (brand×type×size) × suppliers, and the counts-of-suppliers
     finisher unpacks per attr bucket."""
-    bad = _col_np(supplier["s_suppkey"]).astype("int64")[
-        _col_np(supplier["s_acctbal"]) < min_acctbal]
-    bad_ref = ray.put(np.sort(bad))
+    bad = np.sort(_col_np(supplier["s_suppkey"]).astype("int64")[
+        _col_np(supplier["s_acctbal"]) < min_acctbal])
 
     keep_mask = _col_np(part["p_brand"]) != exclude_brand
     pk = _col_np(part["p_partkey"]).astype("int64")[keep_mask]
@@ -701,14 +734,16 @@ def supplier_part_counts(lineitem: ray.data.Dataset, part: pa.Table,
     first[attr_idx[::-1]] = np.arange(len(trip))[::-1]
     attrs = (brand[first], ptype[first], psize[first])
     p_order = np.argsort(pk, kind="stable")
-    pref = ray.put((pk[p_order], attr_idx[p_order].astype("int64")))
+    # ONE ref per map fn (single-slot _get_cached memo)
+    pref = ray.put((pk[p_order], attr_idx[p_order].astype("int64"),
+                    bad))
     assert len(uniq) < (1 << 42)
 
     def pairs(b: pa.Table) -> pa.Table:
-        pks, ai = _get_cached(pref)
+        pks, ai, bad_supp = _get_cached(pref)
         i, hit = _probe(pks, _col_np(b["l_partkey"]).astype("int64"))
         supp = _col_np(b["l_suppkey"]).astype("int64")
-        hit &= ~np.isin(supp, _get_cached(bad_ref))
+        hit &= ~np.isin(supp, bad_supp)
         assert supp.max(initial=0) < (1 << 20)
         packed = (ai[i[hit]] << 20) | supp[hit]
         return pa.table({"p": pa.array(np.unique(packed), pa.int64())})

@@ -133,10 +133,11 @@ def sliding_frame_sum(events: ray.data.Dataset, key: str = "user_id",
             raise ValueError(
                 f"hot key {group[key].iloc[0]!r}: {len(group)} rows "
                 "exceed the per-group bound — pre-split by time bucket")
+        from aida_ray.stages.relational import _cents
         g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
-        v = g[val_col].to_numpy()
-        cents = (np.floor(np.abs(v) * 100 + 0.5)
-                 * np.sign(v)).astype("int64")
+        cents = _cents(pa.chunked_array(
+            [pa.array(g[val_col].to_numpy())])) \
+            .to_numpy(zero_copy_only=False)
         n = len(g)
         cum = np.concatenate([[0], np.cumsum(cents)])
         lo = np.maximum(np.arange(n) - frame + 1, 0)
