@@ -3493,6 +3493,45 @@ def q_kg_incremental(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_global_shuffle(sf_dir: str) -> pa.Table:
+    """Seeded epoch shuffle of the corpus (Ray's genuine all-to-all).
+    The oracle checks the PERMUTATION invariant — the driver's
+    order-insensitive hash proves no row was lost or duplicated
+    through the shuffle; determinism for fixed seed+blocking is
+    asserted in tests."""
+    from aida_ray.stages.sampling import global_shuffle
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return _collect(global_shuffle(docs, seed=7))
+
+
+def q_csv_ingest(sf_dir: str) -> pa.Table:
+    """Generic delimited ingest round-trip: events project to CSV
+    shards (Dataset.write_csv), re-read via ray.data.read_csv, and the
+    oracle checks fidelity against the parquet source of truth (values
+    ride int64 cents — CSV float round-trips are not bit-stable)."""
+    import shutil
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = os.path.join("/tmp/aida_ray_cache", f"csv_ingest_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def project(b: pa.Table) -> pa.Table:
+        from aida_ray.stages.relational import _cents
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "event_type": b["event_type"],
+            "value_cents": _cents(b["value"])})
+
+    _events(sf_dir).map_batches(project,
+                                batch_format="pyarrow").write_csv(tmp)
+    back = _collect(ray.data.read_csv(tmp)).to_pandas()
+    return pa.Table.from_pandas(
+        back.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3682,6 +3721,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_dist": q_degree_dist,
         "event_paths": q_event_paths,
         "kg_incremental": q_kg_incremental,
+        "global_shuffle": q_global_shuffle,
+        "csv_ingest": q_csv_ingest,
     }
 
 
@@ -5931,5 +5972,13 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(event_type, ','
                               ORDER BY ts, event_id) AS seq
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "global_shuffle": """
+            SELECT doc_id, text FROM documents
+        """,
+        "csv_ingest": """
+            SELECT event_id, user_id, event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+            FROM events ORDER BY event_id
         """,
     }

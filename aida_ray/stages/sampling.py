@@ -160,3 +160,18 @@ def weighted_sample(ds: ray.data.Dataset, weight_col: str, k: int,
     out = pa.table({id_col: pa.array(ids[order], pa.int64()),
                     weight_col: pa.array(w[order], pa.float64())})
     return out
+
+
+def global_shuffle(ds: ray.data.Dataset, seed: int = 7
+                   ) -> ray.data.Dataset:
+    """Seeded whole-corpus random shuffle — the training-data epoch
+    shuffle.  This is Ray Data's genuine all-to-all
+    (``random_shuffle``): every block is re-materialized through the
+    object store, so at 100 TB it is THE most expensive op in a
+    training pipeline; run it once per epoch boundary, never inside a
+    per-batch stage.  The invariant a pipeline can rely on is
+    permutation-ness — no row lost or duplicated (the driver's
+    order-insensitive hash compares the shuffled output to the plain
+    table) — plus determinism for a fixed seed AND block structure
+    (blocking changes the permutation, not the multiset)."""
+    return ds.random_shuffle(seed=seed)

@@ -286,3 +286,24 @@ def test_mixture_sample_rebalances_and_is_deterministic(ray_session):
                             {"common": 3, "rare": 1})
     assert th["rare"] == 1 << 31          # w/n: 3/2400 < 1/600 -> rare max
     assert th["common"] == ((1 << 31) * 3 * 600) // (2400 * 1)
+
+
+def test_global_shuffle_permutation_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.sampling import global_shuffle
+    tbl = pa.table({"doc_id": np.arange(200),
+                    "text": [f"t{i}" for i in range(200)]})
+    outs = []
+    for _ in range(2):
+        ds = global_shuffle(rd.from_arrow(tbl).repartition(4), seed=7)
+        ids = []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            ids.extend(b["doc_id"].to_pylist())
+        outs.append(ids)
+    # permutation: multiset preserved; order actually changed
+    assert sorted(outs[0]) == list(range(200))
+    assert outs[0] != list(range(200))
+    # determinism for fixed seed + blocking
+    assert outs[0] == outs[1]
