@@ -3532,6 +3532,65 @@ def q_csv_ingest(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_schema_union(sf_dir: str) -> pa.Table:
+    """Schema-evolution union: an 'old generation' shard set missing
+    the value column unions with the current shape; absent columns
+    null-fill per batch (no shuffle)."""
+    from aida_ray.stages.relational import aligned_union
+    old = _events(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            b["event_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(0, pa.int64())))
+        .select(["event_id", "user_id", "event_type"]),
+        batch_format="pyarrow")
+    new = _events(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(
+            b["event_id"], pa.scalar(1, pa.int64())),
+            pa.scalar(1, pa.int64())))
+        .select(["event_id", "user_id", "event_type", "value"]),
+        batch_format="pyarrow")
+
+    def cents(b: pa.Table) -> pa.Table:
+        from aida_ray.stages.relational import _cents
+        vc = pc.if_else(pc.is_null(b["value"]),
+                        pa.scalar(None, pa.int64()),
+                        _cents(pc.fill_null(b["value"], 0.0)))
+        return pa.table({"event_id": b["event_id"],
+                         "user_id": b["user_id"],
+                         "event_type": b["event_type"],
+                         "value_cents": vc})
+
+    t = _collect(aligned_union(old, new).map_batches(
+        cents, batch_format="pyarrow")).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_partitioned_write(sf_dir: str) -> pa.Table:
+    """Hive-partitioned parquet sink + partition-pruned read-back:
+    documents write partitioned by lang, then ONE partition directory
+    reads back (the resumable-output layout from the brief: a failed
+    run reprocesses only missing partitions)."""
+    import shutil
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join("/tmp/aida_ray_cache", f"part_write_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"])
+    docs.write_parquet(out, partition_cols=["lang"])
+    langs = sorted(d.split("=", 1)[1] for d in os.listdir(out)
+                   if d.startswith("lang="))
+    first = langs[0]
+    back = _collect(ray.data.read_parquet(
+        os.path.join(out, f"lang={first}"),
+        columns=["doc_id", "text"])).to_pandas()
+    return pa.Table.from_pandas(
+        back.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3723,6 +3782,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental": q_kg_incremental,
         "global_shuffle": q_global_shuffle,
         "csv_ingest": q_csv_ingest,
+        "schema_union": q_schema_union,
+        "partitioned_write": q_partitioned_write,
     }
 
 
@@ -5980,5 +6041,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    CAST(ROUND(value * 100) AS BIGINT) AS value_cents
             FROM events ORDER BY event_id
+        """,
+        "schema_union": """
+            SELECT event_id, user_id, event_type,
+                   CASE WHEN event_id % 2 = 1
+                        THEN CAST(ROUND(value * 100) AS BIGINT)
+                   END AS value_cents
+            FROM events ORDER BY event_id
+        """,
+        "partitioned_write": """
+            SELECT doc_id, text FROM documents
+            WHERE lang = (SELECT MIN(lang) FROM documents)
+            ORDER BY doc_id
         """,
     }

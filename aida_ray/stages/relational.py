@@ -1035,3 +1035,39 @@ def group_zscore_outliers(ds: ray.data.Dataset, key: str, col: str,
             col: t[col]})
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+
+def aligned_union(*parts: ray.data.Dataset,
+                  schema: "pa.Schema | None" = None) -> ray.data.Dataset:
+    """Schema-evolution union: combine shard generations whose schemas
+    drifted (a column added later is missing from old shards) by
+    aligning every batch to the union schema, null-filling absent
+    columns — the ingest-time answer to "the crawler added a field
+    last month".
+
+    The alignment is a stateless per-batch map (no shuffle); pass
+    ``schema`` to pin the target explicitly, otherwise it is the
+    unified schema of the inputs (names meeting in both must agree on
+    type)."""
+    import pyarrow as pa
+
+    if schema is None:
+        schema = pa.unify_schemas([p.schema().base_schema
+                                   for p in parts])
+
+    def align(b: pa.Table) -> pa.Table:
+        cols = {}
+        for f in schema:
+            if f.name in b.column_names:
+                cols[f.name] = pc.cast(b[f.name], f.type)
+            else:
+                cols[f.name] = pa.nulls(b.num_rows, f.type)
+        return pa.table(cols)
+
+    aligned = [p.map_batches(align, batch_format="pyarrow")
+               for p in parts]
+    ds = aligned[0]
+    if len(aligned) > 1:
+        ds = ds.union(*aligned[1:])
+    return ds

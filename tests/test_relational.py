@@ -289,3 +289,18 @@ def test_ohlc_bars_blocking_invariant_and_ties(ray_session):
     assert np.allclose(got[["open", "high", "low", "close"]].to_numpy(),
                        ref[["open", "high", "low", "close"]].to_numpy())
     assert (got.n.to_numpy() == ref.n.to_numpy()).all()
+
+
+def test_aligned_union_null_fills_missing(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.relational import aligned_union
+    old = pa.table({"id": [1, 2], "a": ["x", "y"]})
+    new = pa.table({"id": [3], "a": ["z"], "b": [5.0]})
+    out = aligned_union(rd.from_arrow(old).repartition(2),
+                        rd.from_arrow(new)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert list(out.columns) == ["id", "a", "b"]
+    assert out.b.isna().tolist() == [True, True, False]
+    assert out.b.iloc[2] == 5.0
