@@ -3591,6 +3591,114 @@ def q_partitioned_write(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_q6_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H-Q6-style forecast-revenue filter-agg: one exact int64
+    centi-cent scalar, pure map + sum (no shuffle)."""
+    from aida_ray.stages.tpch_wide import filtered_revenue
+    li = _fact(sf_dir, "lineitem",
+               ["l_shipdate", "l_discount", "l_quantity",
+                "l_extendedprice"])
+    return filtered_revenue(li)
+
+
+def q_q11_important_parts(sf_dir: str) -> pa.Table:
+    """TPC-H-Q11-style HAVING-over-global-sum: parts whose lineitem
+    value exceeds 1.5x the mean per-part value (exact-integer
+    predicate, scale-invariant where Q11's fixed corpus fraction
+    degenerates)."""
+    from aida_ray.stages.tpch_wide import important_parts
+    li = _fact(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+    return important_parts(li, mult_num=3, mult_den=2)
+
+
+def q_edit_distance_join(sf_dir: str) -> pa.Table:
+    """Levenshtein<=1 self-join on customer names via FastSS deletion
+    neighborhoods — guaranteed recall at d=1, exact verify, so the
+    whole approximate-join family gets one hash-checkable member
+    (DuckDB levenshtein() oracle)."""
+    from aida_ray.stages.editdist import edit1_join
+    cust = _fact(sf_dir, "customer", ["c_custkey", "c_name"])
+    t = _collect(edit1_join(cust, "c_custkey", "c_name")).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["str_a", "str_b"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_link_graph(sf_dir: str) -> pa.Table:
+    """Crawl link graph: deterministic outlink anchors are embedded in
+    synthetic html per doc, the href extractor parses them back from
+    the raw BYTES, and host in-degree aggregates (total links +
+    distinct source pages).  The oracle derives the same links
+    arithmetically from doc_id."""
+    from aida_ray.stages.links import extract_links, host_link_stats
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            i = int(i)
+            anchors = "".join(
+                f'<a class="l" href="http://host'
+                f'{(i * 7919 + j * 104729) % 97}.example.com/'
+                f'p{(i * 31 + j) % 1000}">x</a>'
+                for j in range(i % 4))
+            urls.append(f"http://doc/{i}")
+            htmls.append(
+                f"<html><body><p>doc {i}</p>{anchors}</body></html>"
+                .encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).map_batches(to_pages, batch_format="pyarrow")
+    t = _collect(host_link_stats(extract_links(pages))).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("host").reset_index(drop=True),
+        preserve_index=False)
+
+
+_ROBOTS_RULES = [
+    ("host3.example.com", "/p/1"),
+    ("host7.example.com", "/p/23"),
+    ("host11.example.com", "/"),
+    ("HOST20.example.com", "/p/4"),
+]
+
+
+def q_robots_filter(sf_dir: str) -> pa.Table:
+    """robots.txt-style Disallow filtering: host-equality + path-prefix
+    rules, broadcast once, vectorized per-length is_in tests — no
+    per-row Python (oracle: correlated EXISTS with starts_with)."""
+    from aida_ray.stages.links import robots_filter
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64())
+        return pa.table({"url": pc.binary_join_element_wise(
+            pa.array(["http://host"] * len(b)),
+            pc.cast(pc.subtract(
+                ids, pc.multiply(pc.divide(ids, 50), 50)), pa.string()),
+            pa.array([".example.com/p/"] * len(b)),
+            pc.cast(ids, pa.string()), "")})
+
+    urls = _docs(sf_dir).map_batches(to_urls, batch_format="pyarrow")
+    t = _collect(robots_filter(urls, _ROBOTS_RULES)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("url").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_rolling_median(sf_dir: str) -> pa.Table:
+    """Per-user 7-row ROWS-frame moving EXACT median (x2, so the value
+    is integral for any frame parity — float never enters the
+    comparison)."""
+    from aida_ray.stages.windows import sliding_frame_median
+    ev = _fact(sf_dir, "events",
+               ["event_id", "user_id", "ts", "value"])
+    t = _collect(sliding_frame_median(ev, frame=7)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3780,6 +3888,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_dist": q_degree_dist,
         "event_paths": q_event_paths,
         "kg_incremental": q_kg_incremental,
+        "q6_revenue": q_q6_revenue,
+        "q11_important_parts": q_q11_important_parts,
+        "edit_distance_join": q_edit_distance_join,
+        "link_graph": q_link_graph,
+        "robots_filter": q_robots_filter,
+        "rolling_median": q_rolling_median,
         "global_shuffle": q_global_shuffle,
         "csv_ingest": q_csv_ingest,
         "schema_union": q_schema_union,
@@ -6033,6 +6147,78 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(event_type, ','
                               ORDER BY ts, event_id) AS seq
             FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q6_revenue": """
+            SELECT COALESCE(CAST(SUM(
+                       CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT))
+                       AS BIGINT), 0) AS revenue_cc,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+              AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+              AND CAST(ROUND(l_quantity) AS BIGINT) < 24
+        """,
+        "q11_important_parts": """
+            WITH v AS (
+                SELECT l_partkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                           AS value_cents
+                FROM lineitem GROUP BY l_partkey
+            ), tot AS (SELECT SUM(value_cents) AS t,
+                              COUNT(*) AS np FROM v)
+            SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+            FROM v, tot
+            WHERE value_cents * np * 2 > t * 3
+            ORDER BY value_cents DESC, l_partkey
+        """,
+        "edit_distance_join": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   a.c_name AS str_a, b.c_name AS str_b
+            FROM customer a JOIN customer b
+              ON a.c_name < b.c_name
+             AND abs(length(a.c_name) - length(b.c_name)) <= 1
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ORDER BY str_a, str_b
+        """,
+        "link_graph": """
+            WITH links AS (
+                SELECT d.doc_id,
+                       'host' || CAST((d.doc_id * 7919 + j.j * 104729)
+                                      % 97 AS VARCHAR)
+                              || '.example.com' AS host
+                FROM documents d, generate_series(0, 3) AS j(j)
+                WHERE j.j < d.doc_id % 4
+            )
+            SELECT host, COUNT(*) AS n_links,
+                   COUNT(DISTINCT doc_id) AS n_sources
+            FROM links GROUP BY host ORDER BY host
+        """,
+        "robots_filter": """
+            WITH p AS (
+                SELECT 'host' || CAST(doc_id % 50 AS VARCHAR)
+                           || '.example.com' AS host,
+                       '/p/' || CAST(doc_id AS VARCHAR) AS path
+                FROM documents
+            ), rules(rhost, pfx) AS (VALUES
+                ('host3.example.com', '/p/1'),
+                ('host7.example.com', '/p/23'),
+                ('host11.example.com', '/'),
+                ('host20.example.com', '/p/4'))
+            SELECT 'http://' || host || path AS url,
+                   EXISTS(SELECT 1 FROM rules r
+                          WHERE r.rhost = p.host
+                            AND starts_with(p.path, r.pfx)) AS blocked
+            FROM p ORDER BY url
+        """,
+        "rolling_median": """
+            SELECT user_id, event_id,
+                   CAST(2 * MEDIAN(CAST(ROUND(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS frame_median_cents_x2
+            FROM events ORDER BY event_id
         """,
         "global_shuffle": """
             SELECT doc_id, text FROM documents

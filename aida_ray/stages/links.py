@@ -1,0 +1,124 @@
+"""Web-graph operators over crawl pages: outlink extraction from raw
+html and robots.txt-style URL prefix filtering.
+
+Both are per-page stateless `map_batches` stages — the web-scale shape
+is: heavy html bytes never leave the extraction stage (only (src, href)
+rows ship), and the host aggregate shuffles per-batch pre-aggregated
+(host, src, n) rows, bounded by distinct (host, source) pairs x blocks,
+never by raw link volume.
+
+Reference parity: the reference has no crawl-graph surface (its inputs
+are prepared collections, src/mpi/aida/preparator/Preparator.java); the
+href regex is the crawl-side complement of our deterministic
+`text/extract.py` contract and uses the same "define the rule set, test
+it byte-exactly" approach.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+# double-quoted href attributes on <a> tags, case-insensitive; the
+# deterministic contract (single quotes / unquoted hrefs are out of
+# scope and documented, exactly like extract_text's entity list)
+_HREF_RE = re.compile(rb'<a\s[^>]*href="([^"]+)"', re.I)
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]*)"
+
+
+def extract_links(pages: ray.data.Dataset, html_col: str = "html",
+                  url_col: str = "url") -> ray.data.Dataset:
+    """(src url, href) rows from raw html bytes.
+
+    The regex runs per page over the html BYTES (no decode — hrefs are
+    ASCII-safe by the attribute grammar); html is dropped on emit so
+    the heavy column dies in this stage.
+    """
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        hrefs: list[str] = []
+        urls = b[url_col].to_pylist()
+        for u, h in zip(urls, b[html_col].to_pylist()):
+            if h is None:
+                continue
+            for m in _HREF_RE.findall(h):
+                srcs.append(u)
+                hrefs.append(m.decode("utf-8", "replace"))
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "href": pa.array(hrefs, pa.string())})
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def host_link_stats(links: ray.data.Dataset) -> ray.data.Dataset:
+    """Per target host: total inbound links + distinct source pages.
+
+    Phase 1 pre-aggregates each batch to (host, src, n) — the shuffle
+    ships distinct pairs, not links; phase 2 is one groupby(host) whose
+    groups are bounded by sources-per-host."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b["href"], _HOST_RE), "host")
+        df = pd.DataFrame({
+            "host": pc.utf8_lower(host).to_numpy(zero_copy_only=False),
+            "src": b["src"].to_numpy(zero_copy_only=False)})
+        df = df[pd.notna(df["host"])]
+        g = df.groupby(["host", "src"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_links": [int(g["n"].sum())],
+            "n_sources": [int(g["src"].nunique())]})
+
+    return links.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").map_groups(per_host, batch_format="pandas")
+
+
+def robots_filter(pages: ray.data.Dataset, rules: list[tuple[str, str]],
+                  url_col: str = "url") -> ray.data.Dataset:
+    """Append ``blocked`` — true when the page's (host, path) matches a
+    disallow rule (host equality + path PREFIX, robots.txt Disallow
+    semantics).
+
+    The rule set broadcasts once in closure form, grouped by prefix
+    LENGTH: for each distinct rule length l the batch test is one
+    vectorized ``utf8_slice + is_in`` over "host|path[:l]" keys — no
+    per-row Python, exact for any rule set, O(distinct lengths) kernel
+    passes per batch."""
+    by_len: dict[int, set[str]] = {}
+    for host, prefix in rules:
+        by_len.setdefault(len(prefix), set()).add(
+            host.lower() + "|" + prefix)
+    lens = sorted(by_len)
+    value_sets = {l: pa.array(sorted(v), pa.string())
+                  for l, v in by_len.items()}
+
+    parts_re = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+
+    def tag(b: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(b[url_col], parts_re)
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        path = pc.struct_field(parts, "path")
+        path = pc.if_else(pc.equal(path, ""), pa.scalar("/"), path)
+        blocked = np.zeros(len(b), dtype=bool)
+        for l in lens:
+            key = pc.binary_join_element_wise(
+                host, pc.utf8_slice_codeunits(path, 0, l), "|")
+            hit = pc.is_in(key, value_set=value_sets[l])
+            blocked |= hit.to_numpy(zero_copy_only=False)
+        # non-URL rows (no scheme://host) are never blocked
+        blocked &= pc.is_valid(host).to_numpy(zero_copy_only=False)
+        return b.append_column("blocked", pa.array(blocked))
+
+    return pages.map_batches(tag, batch_format="pyarrow")

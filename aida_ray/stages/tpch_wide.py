@@ -958,3 +958,111 @@ def above_avg_orders(orders: ray.data.Dataset,
             "price_cents": pa.array(cents[keep], pa.int64())})
 
     return orders.map_batches(pass2, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- Q6
+
+
+def filtered_revenue(lineitem: ray.data.Dataset,
+                     lo: str = "1997-01-01", hi: str = "1998-01-01",
+                     disc_lo: int = 5, disc_hi: int = 7,
+                     qty_max: int = 24) -> pa.Table:
+    """TPC-H-Q6 shape: forecast-revenue-change — SUM(extendedprice *
+    discount) under a shipdate/discount/quantity bracket.
+
+    Pure map + scalar sum: each batch filters vectorized and emits one
+    (revenue_cc, n_rows) partial row; no shuffle at any scale.  Money
+    is exact int64 centi-cents (price cents × discount pct) so the
+    DuckDB oracle hash-matches bit-for-bit."""
+    lo_ts = pa.scalar(np.datetime64(lo + "T00:00:00", "us"),
+                      pa.timestamp("us"))
+    hi_ts = pa.scalar(np.datetime64(hi + "T00:00:00", "us"),
+                      pa.timestamp("us"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b["l_shipdate"], lo_ts),
+                       pc.less(b["l_shipdate"], hi_ts))
+        t = b.filter(keep)
+        disc = _disc_pct(t["l_discount"])
+        qty = _qty_int(t["l_quantity"])
+        m = (disc >= disc_lo) & (disc <= disc_hi) & (qty < qty_max)
+        rev = _cents(t["l_extendedprice"]).to_numpy(
+            zero_copy_only=False)[m] * disc[m]
+        return pa.table({
+            "revenue_cc": pa.array([int(rev.sum())], pa.int64()),
+            "n_rows": pa.array([int(m.sum())], pa.int64())})
+
+    parts = _gather(lineitem.map_batches(partial, batch_format="pyarrow"))
+    empty = "revenue_cc" not in parts.column_names   # zero input blocks
+    return pa.table({
+        "revenue_cc": pa.array(
+            [0 if empty else
+             int(pc.sum(parts["revenue_cc"]).as_py() or 0)], pa.int64()),
+        "n_rows": pa.array(
+            [0 if empty else int(pc.sum(parts["n_rows"]).as_py() or 0)],
+            pa.int64())})
+
+
+# --------------------------------------------------------------- Q11
+
+
+def important_parts(lineitem: ray.data.Dataset,
+                    mult_num: int = 2, mult_den: int = 1
+                    ) -> pa.Table:
+    """TPC-H-Q11 shape: parts whose total lineitem value exceeds
+    ``mult_num/mult_den`` × the MEAN per-part value (the HAVING >
+    fraction-of-global-sum plan; the mean-relative threshold keeps the
+    predicate scale-invariant where Q11's fixed corpus fraction
+    degenerates as the part count grows).  No partsupp table: value is
+    witnessed by lineitem extendedprice (deviation documented).
+
+    Per-batch partials bound the shuffle at (partkeys × blocks); the
+    global total and part count are a second sum over the SAME small
+    aggregate, and the HAVING predicate is exact integer
+    (value × n_parts × den > total × num) so float never enters.
+    Output: (l_partkey, value_cents) sorted by value desc, partkey
+    asc."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = pd.DataFrame({
+            "k": _col_np(b["l_partkey"]).astype("int64"),
+            "s": _cents(b["l_extendedprice"]).to_numpy(
+                zero_copy_only=False),
+            "n": np.ones(b.num_rows, np.int64)}) \
+            .groupby("k", sort=False) \
+            .agg(s=("s", "sum"), n=("n", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from aida_ray.stages.tpch_more import _sum_count_by_key
+    agg = _sum_count_by_key(
+        lineitem.map_batches(partial, batch_format="pyarrow")
+        .materialize(), "k", "s", "n").materialize()
+    scal = _gather(agg.map_batches(
+        lambda b: pa.table({
+            "t": pa.array(
+                [int(b["s"].to_numpy(zero_copy_only=False).sum())
+                 if b.num_rows else 0], pa.int64()),
+            "np": pa.array([b.num_rows], pa.int64())}),
+        batch_format="pyarrow"))
+    total = int(scal["t"].to_numpy().sum())
+    n_parts = int(scal["np"].to_numpy().sum())
+    # v·n_parts·den > total·num  ⟺  v ≥ floor(total·num / (n_parts·den)) + 1
+    # — the threshold folds to ONE int64 (Python bigints do the product,
+    # so v·n_parts can never overflow at any corpus scale)
+    thr = (total * mult_num) // max(1, n_parts * mult_den) + 1
+
+    def having(b: pa.Table) -> pa.Table:
+        v = b["s"].to_numpy(zero_copy_only=False)
+        keep = v >= thr
+        t = b.filter(pa.array(keep))
+        return pa.table({
+            "l_partkey": pc.cast(t["k"], pa.int64()),
+            "value_cents": pc.cast(t["s"], pa.int64())})
+
+    out = _gather(agg.map_batches(having, batch_format="pyarrow"))
+    v = out["value_cents"].to_numpy(zero_copy_only=False)
+    k = out["l_partkey"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((k, -v))
+    return pa.table({"l_partkey": pa.array(k[order], pa.int64()),
+                     "value_cents": pa.array(v[order], pa.int64())})

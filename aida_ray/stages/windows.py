@@ -150,3 +150,55 @@ def sliding_frame_sum(events: ray.data.Dataset, key: str = "user_id",
 
     return events.groupby(key).map_groups(per_key,
                                           batch_format="pandas")
+
+
+def sliding_frame_median(events: ray.data.Dataset, key: str = "user_id",
+                         ts_col: str = "ts", val_col: str = "value",
+                         id_col: str = "event_id", frame: int = 7,
+                         group_size_limit: int = 50_000_000
+                         ) -> ray.data.Dataset:
+    """Per-key ROWS-frame moving EXACT median — the SQL
+    ``MEDIAN(...) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW)``.
+
+    Same one-shuffle shape as `sliding_frame_sum`; inside each group
+    the full windows are ONE numpy sliding_window_view + median over
+    axis 1 (no Python window loop); only the first frame-1 expanding
+    rows loop, bounded by the frame constant.  Output rides
+    ``frame_median_cents_x2`` (2x the cent median is always an exact
+    int64 for any frame parity) so the oracle comparison never touches
+    float."""
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) > group_size_limit:
+            raise ValueError(
+                f"hot key {group[key].iloc[0]!r}: {len(group)} rows "
+                "exceed the per-group bound — pre-split by time bucket")
+        from aida_ray.stages.relational import _cents
+        g = group.sort_values([ts_col, id_col]).reset_index(drop=True)
+        cents = _cents(pa.chunked_array(
+            [pa.array(g[val_col].to_numpy())])) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        med2 = np.empty(n, np.int64)
+        head = min(frame - 1, n)
+        for i in range(head):                 # bounded by the frame
+            w = np.sort(cents[:i + 1])
+            m = len(w)
+            med2[i] = int(w[m // 2] * 2) if m % 2 \
+                else int(w[m // 2 - 1] + w[m // 2])
+        if n >= frame:
+            wins = np.lib.stride_tricks.sliding_window_view(cents, frame)
+            sw = np.sort(wins, axis=1)
+            if frame % 2:
+                med2[frame - 1:] = sw[:, frame // 2] * 2
+            else:
+                med2[frame - 1:] = sw[:, frame // 2 - 1] + sw[:, frame // 2]
+        return pd.DataFrame({
+            key: g[key],
+            id_col: g[id_col],
+            "frame_median_cents_x2": med2,
+        })
+
+    return events.groupby(key).map_groups(per_key,
+                                          batch_format="pandas")
