@@ -241,6 +241,76 @@ def minhash_lsh_pairs(ds: ray.data.Dataset, num_hashes: int = 128,
                          num_partitions, broadcast_threshold)
 
 
+def _pairs_from_sorted(bh: np.ndarray, ids: np.ndarray,
+                       small_cap: int = 256) -> np.ndarray:
+    """Distinct (a < b) id pairs per band_hash bucket, given rows
+    ALREADY lexsorted by (band_hash, id).  Small buckets (the
+    overwhelming bulk) are ONE vectorized shift-by-k pass per
+    in-bucket distance — pair (i, i+k) belongs to a bucket iff i's
+    position + k is still inside it — instead of a Python loop over
+    10^5 buckets; oversized buckets fall back to per-bucket triu."""
+    n_rows = len(bh)
+    if not n_rows:
+        return np.empty((0, 2), dtype=np.int64)
+    first = np.r_[True, bh[1:] != bh[:-1]]
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.r_[starts, n_rows])
+    gid = np.cumsum(first) - 1
+    pos = np.arange(n_rows) - starts[gid]
+    size_of = sizes[gid]
+    out_a, out_b = [], []
+    small = size_of <= small_cap
+    max_small = int(size_of[small].max()) if small.any() else 0
+    for k in range(1, max_small):
+        sel = np.flatnonzero(small & (pos + k < size_of))
+        if not len(sel):
+            continue
+        a, b = ids[sel], ids[sel + k]
+        swap = a > b
+        out_a.append(np.where(swap, b, a))
+        out_b.append(np.where(swap, a, b))
+    for s, e in zip(starts[sizes > small_cap],
+                    (starts + sizes)[sizes > small_cap]):
+        g = ids[s:e]
+        iu, ju = np.triu_indices(e - s, k=1)
+        a, b = g[iu], g[ju]
+        swap = a > b
+        out_a.append(np.where(swap, b, a))
+        out_b.append(np.where(swap, a, b))
+    if not out_a:
+        return np.empty((0, 2), dtype=np.int64)
+    return np.unique(np.stack([np.concatenate(out_a),
+                               np.concatenate(out_b)], axis=1), axis=0)
+
+
+_FUSED_PAIR_ROWS_GATE = 20_000_000
+
+
+@ray.remote
+def _fused_pairs_task(id_col: str, pair_cap: int,
+                      *tabs: pa.Table) -> pa.Table | None:
+    """Hot-bucket detection + pair generation FUSED into one numpy
+    task: sort, count buckets, bail (None) if Σ n·(n-1)/2 exceeds the
+    cap, else emit the distinct pairs.  Collapses the groupby-count +
+    est-pairs + semi-join + pair-task stage chain (each distributed
+    stage costs ~a second of fixed scheduling latency — dictionary-
+    sized inputs were paying 5x the useful compute)."""
+    t = _concat_blocks(tabs, pa.schema([(id_col, pa.int64()),
+                                        ("band_hash", pa.int64())]))
+    bh = t["band_hash"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh))
+    bh, ids = bh[order], ids[order]
+    if len(bh):
+        first = np.r_[True, bh[1:] != bh[:-1]]
+        sizes = np.diff(np.r_[np.flatnonzero(first), len(bh)])
+        if int((sizes * (sizes - 1) // 2).sum()) > pair_cap:
+            return None
+    u = _pairs_from_sorted(bh, ids)
+    return pa.table({"a": pa.array(u[:, 0], pa.int64()),
+                     "b": pa.array(u[:, 1], pa.int64())})
+
+
 def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
                                  num_partitions: int,
                                  broadcast_threshold: int) -> ray.data.Dataset:
@@ -253,7 +323,19 @@ def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
     vectorized ``pc.is_in`` per batch) when small and re-attached via
     inner hash JOIN when huge.  Pair volume Σ n·(n-1)/2 is estimated
     distributed and gates a single-numpy-task generator (off-driver, no
-    join pools) vs a distributed band-hash SELF-join + groupby distinct."""
+    join pools) vs a distributed band-hash SELF-join + groupby distinct.
+
+    Fast path: when the whole exploded bucket table fits one task
+    (`_FUSED_PAIR_ROWS_GATE`), detection + estimation + generation fuse
+    into `_fused_pairs_task` and the distributed chain never spins up;
+    the task bails back to the distributed path if the realized pair
+    volume exceeds the broadcast budget."""
+    exploded = exploded.materialize()
+    if exploded.count() <= _FUSED_PAIR_ROWS_GATE:
+        res = ray.get(_fused_pairs_task.remote(
+            id_col, broadcast_threshold, *exploded.to_arrow_refs()))
+        if res is not None:
+            return ray.data.from_arrow(res).materialize()
     hot = exploded.groupby("band_hash").count() \
         .map_batches(lambda b: b.rename_columns(["band_hash", "n_members"]),
                      batch_format="pyarrow") \
@@ -308,28 +390,7 @@ def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
             bh = t["band_hash"].to_numpy(zero_copy_only=False)
             ids = t[id_col].to_numpy(zero_copy_only=False)
             order = np.lexsort((ids, bh))
-            bh, ids = bh[order], ids[order]
-            starts = np.flatnonzero(np.r_[True, bh[1:] != bh[:-1]]) \
-                if len(bh) else np.array([], dtype=np.int64)
-            ends = np.r_[starts[1:], len(bh)] if len(starts) \
-                else np.array([], dtype=np.int64)
-            out_a, out_b = [], []
-            for s, e in zip(starts, ends):
-                n = e - s
-                if n < 2:
-                    continue
-                g = ids[s:e]
-                iu, ju = np.triu_indices(n, k=1)
-                a, b = g[iu], g[ju]
-                swap = a > b
-                out_a.append(np.where(swap, b, a))
-                out_b.append(np.where(swap, a, b))
-            if out_a:
-                u = np.unique(np.stack([np.concatenate(out_a),
-                                        np.concatenate(out_b)], axis=1),
-                              axis=0)
-            else:
-                u = np.empty((0, 2), dtype=np.int64)
+            u = _pairs_from_sorted(bh[order], ids[order])
             return pa.table({"a": pa.array(u[:, 0], pa.int64()),
                              "b": pa.array(u[:, 1], pa.int64())})
 

@@ -125,9 +125,25 @@ def edit1_join(ds: ray.data.Dataset, id_col: str, str_col: str,
         bb = b["b"].to_numpy(zero_copy_only=False)
         sa = names[np.searchsorted(keys, a)]
         sb = names[np.searchsorted(keys, bb)]
-        keep = np.fromiter(
-            (x != y and _within_one(x, y) for x, y in zip(sa, sb)),
-            dtype=bool, count=len(sa))
+        # equal-length pairs (the bulk: substitution candidates) verify
+        # as ONE vectorized per-char mismatch count over fixed-width
+        # codepoint matrices; only indel candidates (length diff 1)
+        # fall back to the scalar two-pointer check
+        n = len(sa)
+        keep = np.zeros(n, dtype=bool)
+        if n:
+            ua = sa.astype(f"U{max_len}")
+            ub = sb.astype(f"U{max_len}")
+            la = np.char.str_len(ua)
+            lb = np.char.str_len(ub)
+            eq = la == lb
+            A = ua.view(np.uint32).reshape(n, max_len)
+            B = ub.view(np.uint32).reshape(n, max_len)
+            mism = (A != B).sum(axis=1)
+            keep[eq] = mism[eq] == 1      # ==0 is an identical string
+            rest = np.flatnonzero(~eq)
+            for i in rest:
+                keep[i] = sa[i] != sb[i] and _within_one(sa[i], sb[i])
         a, bb, sa, sb = a[keep], bb[keep], sa[keep], sb[keep]
         # emit in STRING order (oracle convention str_a < str_b),
         # independent of which id happened to be smaller
