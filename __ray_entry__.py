@@ -3699,6 +3699,50 @@ def q_rolling_median(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_semdedup(sf_dir: str) -> pa.Table:
+    """SemDeDup (k-means cluster → within-cluster cosine prune, Abbas
+    et al. 2023) over the sf embeddings with PLANTED exact copies
+    (every 25th vector duplicated verbatim at vec_id+100000 — identical
+    vectors land in the same k-means cluster by construction, and the
+    raw table's max off-diagonal cosine is ~0.51, far under the 0.999
+    threshold) — so the expected removed set is plain SQL."""
+    from aida_ray.stages.dedup import semdedup
+
+    def plant(b: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.subtract(b["vec_id"], pc.multiply(
+                pc.divide(b["vec_id"], 25), 25)), 0)
+        dup = b.filter(keep)
+        b = b.select(["vec_id", "embedding"])
+        if dup.num_rows:
+            dup = pa.table({"vec_id": pc.add(dup["vec_id"], 100000),
+                            "embedding": dup["embedding"]})
+            return pa.concat_tables([b, dup])
+        return b
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"]) \
+        .map_batches(plant, batch_format="pyarrow")
+    t = _collect(semdedup(ds, k=8, cosine_threshold=0.999)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("removed_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+def q_dsir(sf_dir: str) -> pa.Table:
+    """DSIR importance weights (hashed unigram+bigram log-likelihood
+    ratio of the English slice vs the whole corpus, Xie et al. 2023) —
+    int64 micro-unit quantized, so the per-doc sums hash-match a
+    self-contained DuckDB twin exactly."""
+    from aida_ray.stages.importance import dsir_weights
+    docs = _fact(sf_dir, "documents", ["doc_id", "lang", "text"])
+    t = _collect(dsir_weights(docs, n_buckets=4096)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3898,6 +3942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": q_csv_ingest,
         "schema_union": q_schema_union,
         "partitioned_write": q_partitioned_write,
+        "semdedup": q_semdedup,
+        "dsir": q_dsir,
     }
 
 
@@ -6239,5 +6285,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE lang = (SELECT MIN(lang) FROM documents)
             ORDER BY doc_id
+        """,
+        "semdedup": """
+            SELECT vec_id AS kept_id, vec_id + 100000 AS removed_id
+            FROM embeddings WHERE vec_id % 25 = 0
+            ORDER BY removed_id
+        """,
+        "dsir": """
+            WITH tl AS (
+              SELECT doc_id, lang,
+                     list_filter(regexp_split_to_array(text,
+                         '[^A-Za-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, lang,
+                     CAST(CONCAT('0x', SUBSTRING(md5(tok),1,15))
+                          AS BIGINT) % 4096 AS b
+              FROM (
+                SELECT doc_id, lang, unnest(toks) AS tok FROM tl
+                UNION ALL
+                SELECT doc_id, lang, t1 || ' ' || t2 AS tok FROM (
+                  SELECT doc_id, lang,
+                         unnest(toks[1:len(toks)-1]) AS t1,
+                         unnest(toks[2:]) AS t2
+                  FROM tl)
+              )
+            ), counts AS (
+              SELECT b, COUNT(*) AS n_raw,
+                     COUNT(*) FILTER (WHERE lang = 'en') AS n_tgt
+              FROM grams GROUP BY b
+            ), totals AS (
+              SELECT SUM(n_raw) AS t_raw, SUM(n_tgt) AS t_tgt FROM counts
+            ), lr AS (
+              SELECT b, CAST(ROUND(1e6 * (
+                  LN((n_tgt + 1.0) / (t_tgt + 4096))
+                  - LN((n_raw + 1.0) / (t_raw + 4096)))) AS BIGINT) AS lr6
+              FROM counts, totals
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.weight6, 0) AS BIGINT) AS weight6,
+                   CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(COALESCE(s.weight6, 0) AS BIGINT) / 1000000.0
+                     AS weight
+            FROM documents d LEFT JOIN (
+              SELECT g.doc_id, SUM(lr.lr6) AS weight6,
+                     COUNT(*) AS n_grams
+              FROM grams g JOIN lr USING (b)
+              GROUP BY g.doc_id) s USING (doc_id)
+            ORDER BY d.doc_id
         """,
     }

@@ -956,3 +956,71 @@ def embedding_near_dup_pairs(ds: ray.data.Dataset,
     return found.groupby(["a", "b"]).aggregate(Max("cosine")) \
         .map_batches(lambda b: b.rename_columns(["a", "b", "cosine"]),
                      batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ SemDeDup
+
+def semdedup(ds: ray.data.Dataset,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             k: int = 8,
+             cosine_threshold: float = 0.999,
+             iters: int = 4) -> ray.data.Dataset:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): k-means over the embedding column bounds the
+    quadratic cosine comparison to WITHIN each cluster; inside a
+    cluster, pairs with cosine >= ``cosine_threshold`` form duplicate
+    groups (connected components) and every member but the min-id
+    representative is dropped.  Returns (kept_id, removed_id) rows —
+    one per removed document; the keep-set is everything else.
+
+    Scale shape: the centroid fit is mergeable sufficient statistics
+    (`ml.kmeans` — k x d floats per block, fact table streamed per
+    round); assignment is a stateless broadcast map; the ONLY shuffle
+    is the groupby(cluster), and in-cluster work is O(|cluster|^2)
+    vectorized numpy — size k so the expected cluster (corpus/k) fits
+    one worker (the paper uses 100k clusters at web scale).  Exact
+    duplicates land in the same cluster by construction (identical
+    vectors produce identical distance rows, hence the same argmin),
+    so recall on true duplicates is guaranteed regardless of k; near
+    (not exact) duplicates split across a cluster boundary are the
+    method's documented approximation.
+    """
+    from aida_ray.stages.ml import kmeans, _batch_matrix
+
+    cents = kmeans(ds, vec_col, id_col, k, iters=iters)
+    cref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = _get_cached(cref)
+        x = _batch_matrix(b, vec_col)
+        a = np.argmin(-2 * x @ c.T + np.sum(c * c, axis=1), axis=1)
+        return pa.table({id_col: b[id_col], vec_col: b[vec_col],
+                         "cluster": pa.array(a, pa.int64())})
+
+    def prune(group):
+        import pandas as pd
+        empty = pd.DataFrame({"kept_id": pd.Series([], dtype=np.int64),
+                              "removed_id": pd.Series([], dtype=np.int64)})
+        ids = group[id_col].to_numpy().astype(np.int64)
+        if len(ids) < 2:
+            return empty
+        vecs = np.array(group[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        normed = vecs / norms[:, None]
+        sims = normed @ normed.T
+        iu = np.triu_indices(len(ids), k=1)
+        mask = sims[iu] >= cosine_threshold
+        if not mask.any():
+            return empty
+        nodes, label = _cc_numpy(ids[iu[0][mask]], ids[iu[1][mask]])
+        # min-label relaxation over sorted nodes => nodes[label[i]] is
+        # the component's min id
+        rm = label != np.arange(len(nodes))
+        return pd.DataFrame({"kept_id": nodes[label][rm],
+                             "removed_id": nodes[rm]})
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    return assigned.groupby("cluster").map_groups(prune,
+                                                  batch_format="pandas")

@@ -1,0 +1,117 @@
+"""SemDeDup (clustered semantic dedup) and DSIR importance weights."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _blob_ds(parts=5, seed=7, plant_every=10):
+    """Three separated blobs + exact duplicate copies of every
+    ``plant_every``-th vector at id+1000."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (3, 6)) * 5
+    x = np.concatenate([
+        centers[i] + rng.normal(0, 2.0, (60, 6)) for i in range(3)])
+    ids = np.arange(len(x))
+    # precondition: no non-planted pair crosses the 0.999 threshold
+    normed = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, 0)
+    assert sims.max() < 0.999
+    dup_ids = ids[ids % plant_every == 0]
+    x_all = np.concatenate([x, x[dup_ids]])
+    ids_all = np.concatenate([ids, dup_ids + 1000])
+    ds = rd.from_arrow(pa.table({
+        "vec_id": ids_all,
+        "embedding": list(x_all.astype(np.float32))})).repartition(parts)
+    return ds, dup_ids
+
+
+def _sorted_pairs(ds):
+    df = ds.to_pandas().sort_values("removed_id").reset_index(drop=True)
+    return list(zip(df["kept_id"], df["removed_id"]))
+
+
+def test_semdedup_removes_planted_exact_dups(ray_session):
+    from aida_ray.stages.dedup import semdedup
+    ds, dup_ids = _blob_ds()
+    got = _sorted_pairs(semdedup(ds, k=3, cosine_threshold=0.999))
+    assert got == [(i, i + 1000) for i in dup_ids]
+
+
+def test_semdedup_blocking_invariant(ray_session):
+    from aida_ray.stages.dedup import semdedup
+    ds1, _ = _blob_ds(parts=3)
+    ds2, _ = _blob_ds(parts=9)
+    assert _sorted_pairs(semdedup(ds1, k=3)) == \
+        _sorted_pairs(semdedup(ds2, k=3))
+
+
+def test_semdedup_clean_input_removes_nothing(ray_session):
+    from aida_ray.stages.dedup import semdedup
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, (80, 5))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(80), "embedding": list(x.astype(np.float32))}))
+    assert semdedup(ds, k=4, cosine_threshold=0.9999).count() == 0
+
+
+DOCS = [
+    (0, "en", "the quick brown fox jumps over the lazy dog"),
+    (1, "en", "the fast data table scan"),
+    (2, "de", "der schnelle braune fuchs"),
+    (3, "de", "daten tabelle scan schnell"),
+    (4, "en", "quick scan of the data table"),
+    (5, "fr", "le renard brun rapide"),
+    (6, "en", ""),
+]
+
+
+def _doc_ds(parts=3):
+    ids, langs, texts = zip(*DOCS)
+    return rd.from_arrow(pa.table({
+        "doc_id": list(ids), "lang": list(langs),
+        "text": list(texts)})).repartition(parts)
+
+
+def _brute_weights(n_buckets=64):
+    from aida_ray.stages.importance import (_doc_buckets, log_ratio_table)
+    raw = np.zeros(n_buckets, np.int64)
+    tgt = np.zeros(n_buckets, np.int64)
+    per_doc = {}
+    for did, lang, text in DOCS:
+        bs = _doc_buckets(text, n_buckets)
+        per_doc[did] = bs
+        np.add.at(raw, bs, 1)
+        if lang == "en":
+            np.add.at(tgt, bs, 1)
+    lr6 = log_ratio_table(raw, tgt)
+    return {did: (int(lr6[bs].sum()), len(bs))
+            for did, bs in per_doc.items()}
+
+
+def test_dsir_matches_brute_force(ray_session):
+    from aida_ray.stages.importance import dsir_weights
+    got = dsir_weights(_doc_ds(), n_buckets=64).to_pandas() \
+        .set_index("doc_id")
+    want = _brute_weights(64)
+    for did, (w6, ng) in want.items():
+        assert got.loc[did, "weight6"] == w6
+        assert got.loc[did, "n_grams"] == ng
+        assert got.loc[did, "weight"] == w6 / 1e6
+
+
+def test_dsir_blocking_invariant_and_target_signal(ray_session):
+    from aida_ray.stages.importance import dsir_weights
+    a = dsir_weights(_doc_ds(2), n_buckets=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = dsir_weights(_doc_ds(5), n_buckets=64).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # English docs must score higher per-gram than non-English ones
+    a["lang"] = [d[1] for d in DOCS]
+    a = a[a.n_grams > 0]
+    per_gram = a.weight6 / a.n_grams
+    assert per_gram[a.lang == "en"].mean() > per_gram[a.lang != "en"].mean()
