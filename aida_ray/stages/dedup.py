@@ -986,8 +986,9 @@ def semdedup(ds: ray.data.Dataset,
     (not exact) duplicates split across a cluster boundary are the
     method's documented approximation.
     """
-    from aida_ray.stages.ml import kmeans, _batch_matrix
+    from aida_ray.stages.ml import kmeans, _batch_matrix, _compact
 
+    ds = _compact(ds.select_columns([id_col, vec_col]))
     cents = kmeans(ds, vec_col, id_col, k, iters=iters)
     cref = ray.put(cents)
 

@@ -30,6 +30,20 @@ import ray.data
 from aida_ray.stages.dedup import _get_cached
 
 
+def _compact(ds: ray.data.Dataset,
+             rows_per_block: int = 8192) -> ray.data.Dataset:
+    """Coalesce tiny blocks before an ITERATED scan: each Lloyd/label
+    round pays per-task dispatch per block, so a narrow fact table
+    spread over reader-sized blocks turns fixed latency x iters into
+    the wall.  Width still scales with data (rows/8k blocks), only the
+    tiny-block tail is folded."""
+    mat = ds.materialize()
+    target = max(1, mat.count() // rows_per_block)
+    if mat.num_blocks() > target * 2:
+        mat = mat.repartition(target).materialize()
+    return mat
+
+
 def _batch_matrix(b: pa.Table, col: str) -> np.ndarray:
     arr = b[col].combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False)
@@ -64,7 +78,7 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
     """Returns the (k, d) centroid matrix after ``iters`` Lloyd
     rounds.  Seeding: greedy farthest-point (k-means++ without
     randomness) over a deterministic bottom-k-hash sample."""
-    ds = ds.select_columns([id_col, col]).materialize()   # reused per round
+    ds = _compact(ds.select_columns([id_col, col]))       # reused per round
     S = _seed_sample(ds, col, id_col, sample)
     cents = [S[0]]
     d2 = np.sum((S - cents[0]) ** 2, axis=1)
