@@ -98,11 +98,17 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
             assign = np.argmin(
                 -2 * x @ c.T + np.sum(c * c, axis=1), axis=1)
             kk, dd = c.shape
-            sums = np.zeros((kk, dd))
-            np.add.at(sums, assign, x)
-            counts = np.bincount(assign, minlength=kk).astype(np.float64)
+            # emit only clusters OBSERVED in this block — partial size
+            # is min(k, block rows), so web-scale k (SemDeDup uses
+            # 100k clusters) doesn't ship k x d floats per block
+            seen = np.unique(assign)
+            sums = np.zeros((len(seen), dd))
+            np.add.at(sums, np.searchsorted(seen, assign), x)
+            counts = np.bincount(
+                np.searchsorted(seen, assign),
+                minlength=len(seen)).astype(np.float64)
             return pa.table({
-                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "cluster": pa.array(seen.astype(np.int64)),
                 "vec_sum": pa.array(list(sums)),
                 "n": pa.array(counts),
             })

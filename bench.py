@@ -102,7 +102,8 @@ def run_bench() -> dict:
                  "latest_snapshot", "window_funcs", "lm_score",
                  "doc_sim", "bfs_hops", "taxonomy_closure", "skyline",
                  "group_mode", "dup_coverage", "q3_shipping",
-                 "cheapest_supplier", "ohlc_bars", "event_transitions"]:
+                 "cheapest_supplier", "ohlc_bars", "event_transitions",
+                 "semdedup", "dsir"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
