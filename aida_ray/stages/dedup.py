@@ -989,6 +989,10 @@ def semdedup(ds: ray.data.Dataset,
     from aida_ray.stages.ml import kmeans, _batch_matrix, _compact
 
     ds = _compact(ds.select_columns([id_col, vec_col]))
+    if ds.count() == 0:
+        return ray.data.from_arrow(pa.table(
+            {"kept_id": pa.array([], pa.int64()),
+             "removed_id": pa.array([], pa.int64())}))
     cents = kmeans(ds, vec_col, id_col, k, iters=iters)
     cref = ray.put(cents)
 

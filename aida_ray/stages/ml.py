@@ -70,6 +70,8 @@ def _seed_sample(ds: ray.data.Dataset, col: str, id_col: str,
 
     rows = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     rows = rows.sort_values("h", kind="stable").head(n_sample)
+    if not len(rows):
+        raise ValueError("kmeans: empty input dataset")
     return np.stack(rows["vec"].to_numpy())
 
 

@@ -115,3 +115,20 @@ def test_dsir_blocking_invariant_and_target_signal(ray_session):
     a = a[a.n_grams > 0]
     per_gram = a.weight6 / a.n_grams
     assert per_gram[a.lang == "en"].mean() > per_gram[a.lang != "en"].mean()
+
+
+def test_semdedup_empty_input(ray_session):
+    from aida_ray.stages.dedup import semdedup
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    assert semdedup(ds, k=3).count() == 0
+
+
+def test_dsir_empty_input(ray_session):
+    from aida_ray.stages.importance import dsir_weights
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "text": pa.array([], pa.string())}))
+    assert dsir_weights(ds, n_buckets=32).count() == 0
