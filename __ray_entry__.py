@@ -3743,6 +3743,28 @@ def q_dsir(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_late_events(sf_dir: str) -> pa.Table:
+    """Streaming watermark late-event detection over a deterministic
+    OUT-OF-ORDER arrival stream (arrival = Knuth id hash — the events
+    table itself is time-ordered, so natural lateness is zero): events
+    whose event-time trails the running-max watermark of earlier
+    arrivals by >25 days.  Distributed prefix-scan (peak_concurrency
+    shape); window-SQL oracle."""
+    from aida_ray.stages.sampling import id_hash
+    from aida_ray.stages.sessions import watermark_late
+    ev = _fact(sf_dir, "events", ["event_id", "ts"])
+
+    def add_arr(b: pa.Table) -> pa.Table:
+        return b.append_column("arr", id_hash(b["event_id"]))
+
+    t = _collect(watermark_late(
+        ev.map_batches(add_arr, batch_format="pyarrow"),
+        lateness_us=25 * 86400 * 1_000_000)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3944,6 +3966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write": q_partitioned_write,
         "semdedup": q_semdedup,
         "dsir": q_dsir,
+        "late_events": q_late_events,
     }
 
 
@@ -6333,5 +6356,25 @@ def oracle_sql() -> dict[str, str]:
               FROM grams g JOIN lr USING (b)
               GROUP BY g.doc_id) s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "late_events": """
+            WITH a AS (
+              SELECT event_id, ts,
+                     (event_id * 2654435761) % 2147483648 AS arr
+              FROM events
+            ), w AS (
+              SELECT event_id, ts,
+                     MAX(ts) OVER (ORDER BY arr, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS wm
+              FROM a
+            )
+            SELECT event_id,
+                   CAST(epoch_us(wm) - epoch_us(ts) AS BIGINT) AS late_us
+            FROM w
+            WHERE wm IS NOT NULL
+              AND epoch_us(wm) - epoch_us(ts)
+                  > CAST(2160000 AS BIGINT) * 1000000
+            ORDER BY event_id
         """,
     }

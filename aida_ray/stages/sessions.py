@@ -128,3 +128,97 @@ def peak_concurrency(events: ray.data.Dataset, duration_s: int,
             best, best_t = v, int(r.t_at)
         offset += int(r.total)
     return int(best), int(best_t)
+
+
+def watermark_late(events: ray.data.Dataset,
+                   lateness_us: int,
+                   ts_col: str = "ts",
+                   arrival_col: str = "arr",
+                   id_col: str = "event_id",
+                   partitions: int = 64) -> ray.data.Dataset:
+    """Streaming watermark late-event detection: processing the stream
+    in ARRIVAL order, the watermark before each event is the running
+    max event-time of everything that arrived strictly earlier; an
+    event whose own event-time trails that watermark by more than
+    ``lateness_us`` is late (the allowed-lateness drop rule of
+    Beam/Flink-style streaming).  Returns (id, late_us) for the late
+    events.
+
+    Same two-pass distributed prefix-scan shape as
+    :func:`peak_concurrency` — a running max is a prefix reduction:
+
+    1. arrival range-partitions by a monotone bucket id (pure
+       arithmetic on [arr_min, arr_max]; ties share a value so they
+       share a bucket);
+    2. pass 1: per-batch (bucket, max_ts) partials — the driver
+       exclusive-prefix-maxes a ``partitions``-sized array;
+    3. pass 2: each bucket sorts ITSELF by (arrival, id), seeds its
+       local running max with the incoming watermark, and emits only
+       its late rows.
+
+    Integer microsecond comparisons throughout — exact at any
+    parallelism.  A single hot arrival value degenerates to one
+    bucket's local sort (the documented sessionize/peak bound).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols = events.select_columns([id_col, ts_col, arrival_col])
+
+    def bounds(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[arrival_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([a.min()], pa.int64()),
+                         "hi": pa.array([a.max()], pa.int64())})
+
+    mm = cols.map_batches(bounds, batch_format="pyarrow").to_pandas()
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "late_us": pa.array([], pa.int64())})
+    if mm.empty:
+        return ray.data.from_arrow(empty)
+    amin, amax = int(mm.lo.min()), int(mm.hi.max())
+    span = max(amax - amin + 1, 1)
+
+    def tag(b: pa.Table) -> pa.Table:
+        a = pc.cast(b[arrival_col], pa.int64()).to_numpy(zero_copy_only=False)
+        pid = (a - amin) * partitions // span
+        return pa.table({
+            "pid": pa.array(pid, pa.int64()),
+            id_col: pc.cast(b[id_col], pa.int64()),
+            "t": pc.cast(b[ts_col], pa.int64()),
+            "a": pa.array(a, pa.int64())})
+
+    tagged = cols.map_batches(tag, batch_format="pyarrow").materialize()
+
+    def maxes(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"pid": b["pid"].to_numpy(zero_copy_only=False),
+                           "t": b["t"].to_numpy(zero_copy_only=False)})
+        g = df.groupby("pid")["t"].max()
+        return pa.table({"pid": pa.array(g.index.to_numpy(), pa.int64()),
+                         "mx": pa.array(g.to_numpy(), pa.int64())})
+
+    per = tagged.map_batches(maxes, batch_format="pyarrow").to_pandas()
+    bucket_max = np.full(partitions, np.iinfo(np.int64).min, np.int64)
+    for pid, mx in zip(per["pid"], per["mx"]):
+        bucket_max[pid] = max(bucket_max[pid], mx)
+    # exclusive prefix max: watermark ENTERING each bucket
+    incoming = np.full(partitions, np.iinfo(np.int64).min, np.int64)
+    incoming[1:] = np.maximum.accumulate(bucket_max)[:-1]
+    SEED = int(np.iinfo(np.int64).min)
+
+    def sweep(g):
+        import pandas as pd
+        g = g.sort_values(["a", id_col], kind="stable")
+        t = g["t"].to_numpy()
+        wm = np.empty(len(t), np.int64)
+        wm[0] = incoming[int(g["pid"].iloc[0])]
+        if len(t) > 1:
+            np.maximum(np.maximum.accumulate(t[:-1]), wm[0], out=wm[1:])
+        valid = wm != SEED
+        late = valid & (wm - np.where(valid, t, 0) > lateness_us)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy()[late],
+            "late_us": (wm - t)[late]})
+
+    return tagged.groupby("pid").map_groups(sweep, batch_format="pandas")

@@ -132,3 +132,40 @@ def test_dsir_empty_input(ray_session):
         "lang": pa.array([], pa.string()),
         "text": pa.array([], pa.string())}))
     assert dsir_weights(ds, n_buckets=32).count() == 0
+
+
+def test_watermark_late_matches_brute_force(ray_session):
+    from aida_ray.stages.sessions import watermark_late
+    rng = np.random.default_rng(11)
+    n = 500
+    ts = rng.integers(0, 10_000, n).astype(np.int64)
+    arr = rng.integers(0, 50, n).astype(np.int64)   # heavy arrival ties
+    ids = np.arange(n, dtype=np.int64)
+    L = 4000
+
+    order = np.lexsort((ids, arr))
+    wm, cur, want = {}, None, {}
+    for i in order:
+        if cur is not None and cur - ts[i] > L:
+            want[int(ids[i])] = int(cur - ts[i])
+        cur = ts[i] if cur is None else max(cur, ts[i])
+
+    for parts in (3, 8):
+        ds = rd.from_arrow(pa.table({
+            "event_id": ids,
+            "ts": pa.array(ts, pa.int64()),
+            "arr": arr})).repartition(parts)
+        got = watermark_late(ds, lateness_us=L, partitions=7).to_pandas()
+        got_map = dict(zip(got["event_id"].astype(int),
+                           got["late_us"].astype(int)))
+        assert got_map == want
+
+
+def test_watermark_late_in_order_stream_is_clean(ray_session):
+    from aida_ray.stages.sessions import watermark_late
+    n = 200
+    ds = rd.from_arrow(pa.table({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 100, pa.int64()),
+        "arr": np.arange(n, dtype=np.int64)}))
+    assert watermark_late(ds, lateness_us=0).count() == 0
