@@ -80,7 +80,11 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
     """Returns the (k, d) centroid matrix after ``iters`` Lloyd
     rounds.  Seeding: greedy farthest-point (k-means++ without
     randomness) over a deterministic bottom-k-hash sample."""
-    ds = _compact(ds.select_columns([id_col, col]))       # reused per round
+    from ray.data.dataset import MaterializedDataset
+    if not (isinstance(ds, MaterializedDataset)
+            and set(ds.schema().names) == {id_col, col}):
+        # callers that pre-compact (semdedup) skip the second pass
+        ds = _compact(ds.select_columns([id_col, col]))   # reused per round
     S = _seed_sample(ds, col, id_col, sample)
     cents = [S[0]]
     d2 = np.sum((S - cents[0]) ** 2, axis=1)
@@ -104,11 +108,11 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
             # is min(k, block rows), so web-scale k (SemDeDup uses
             # 100k clusters) doesn't ship k x d floats per block
             seen = np.unique(assign)
+            idx = np.searchsorted(seen, assign)
             sums = np.zeros((len(seen), dd))
-            np.add.at(sums, np.searchsorted(seen, assign), x)
-            counts = np.bincount(
-                np.searchsorted(seen, assign),
-                minlength=len(seen)).astype(np.float64)
+            np.add.at(sums, idx, x)
+            counts = np.bincount(idx, minlength=len(seen)) \
+                .astype(np.float64)
             return pa.table({
                 "cluster": pa.array(seen.astype(np.int64)),
                 "vec_sum": pa.array(list(sums)),

@@ -164,7 +164,9 @@ def watermark_late(events: ray.data.Dataset,
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    cols = events.select_columns([id_col, ts_col, arrival_col])
+    # materialized once: both the bounds scan and the tag pass read it,
+    # so the upstream plan (source read + arrival derivation) runs once
+    cols = events.select_columns([id_col, ts_col, arrival_col]).materialize()
 
     def bounds(b: pa.Table) -> pa.Table:
         a = pc.cast(b[arrival_col], pa.int64()).to_numpy(zero_copy_only=False)
@@ -181,7 +183,11 @@ def watermark_late(events: ray.data.Dataset,
 
     def tag(b: pa.Table) -> pa.Table:
         a = pc.cast(b[arrival_col], pa.int64()).to_numpy(zero_copy_only=False)
-        pid = (a - amin) * partitions // span
+        # float bucketing: (a-amin)*partitions can wrap int64 for
+        # full-range arrival domains; x*c is monotone in IEEE for
+        # positive c, so float keeps buckets ordered (ties only merge)
+        pid = np.clip(((a - amin).astype(np.float64) * partitions
+                       / span).astype(np.int64), 0, partitions - 1)
         return pa.table({
             "pid": pa.array(pid, pa.int64()),
             id_col: pc.cast(b[id_col], pa.int64()),

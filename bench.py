@@ -203,7 +203,9 @@ def run_bench() -> dict:
         # context for reading a single run: the sandbox's shared vCPUs
         # drift the same suite up to 2x run-to-run (BASELINE.md
         # "Measured (round 2)"), so compare against the published
-        # median band, not the single best run
+        # median band, not the single best run.  SOURCE OF TRUTH for
+        # these two constants is the BASELINE.md round-2 table —
+        # update BOTH when re-baselining
         "published_headline_band_sec": [12.1, 29.7],
         "published_headline_median_sec": 18.6,
         **extras,
