@@ -3765,6 +3765,24 @@ def q_late_events(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_stream_join(sf_dir: str) -> pa.Table:
+    """Stream-stream bounded-time equi-join (Flink intervalJoin shape):
+    every (click, purchase) pair of the same user within ±120 minutes.
+    One bucket shuffle, composite-key searchsorted matching — no
+    per-key Python; inequality-join SQL oracle."""
+    from aida_ray.stages.range_join import stream_interval_join
+    ev = _fact(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    t = _collect(stream_interval_join(
+        clicks, purchases, key="user_id", ts_col="ts",
+        id_col="event_id", delta_us=120 * 60 * 1_000_000)).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["l_id", "r_id"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3967,6 +3985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "dsir": q_dsir,
         "late_events": q_late_events,
+        "stream_join": q_stream_join,
     }
 
 
@@ -6376,5 +6395,17 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_us(wm) - epoch_us(ts)
                   > CAST(2160000 AS BIGINT) * 1000000
             ORDER BY event_id
+        """,
+        "stream_join": """
+            SELECT a.user_id,
+                   a.event_id AS l_id, b.event_id AS r_id,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT)
+                     AS dt_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND b.ts BETWEEN a.ts - INTERVAL 120 MINUTE
+                          AND a.ts + INTERVAL 120 MINUTE
+            ORDER BY a.event_id, b.event_id
         """,
     }

@@ -141,3 +141,91 @@ def _get_cached_iv(ref):
         _IV_CACHE.clear()
         _IV_CACHE[key] = ray.get(ref)
     return _IV_CACHE[key]
+
+
+def stream_interval_join(left: ray.data.Dataset,
+                         right: ray.data.Dataset,
+                         key: str, ts_col: str, id_col: str,
+                         delta_us: int,
+                         partitions: int = 32) -> ray.data.Dataset:
+    """Stream-stream interval (bounded-time) equi-join: every (l, r)
+    pair sharing ``key`` with |ts_l - ts_r| <= ``delta_us`` — the
+    Flink `l.ts BETWEEN r.ts - d AND r.ts + d` intervalJoin / the
+    sensor-correlation join.  Emits (key, left id, right id, dt_us)
+    with dt_us = ts_r - ts_l.
+
+    Plan (the wide-key-safe shape — NO per-key Python): tag sides,
+    union, ONE shuffle by hash(key) % ``partitions``, then each bucket
+    sorts BOTH sides once by a composite (key, ts-offset) int64 and
+    matches every left row against its right-side window with two
+    vectorized searchsorted calls.  Clipping the probe window to the
+    key's own ts range keeps composite probes inside the key's
+    segment, so thousands of keys ride one numpy call.  Pair volume
+    per key is activity x window density — the join's intrinsic
+    output, nothing larger is materialized.
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                key: pc.cast(b[key], pa.int64()),
+                "_id": pc.cast(b[id_col], pa.int64()),
+                "_t": pc.cast(b[ts_col], pa.int64()),
+                "_side": pa.array(np.full(b.num_rows, side, np.int8)),
+            })
+        return f
+
+    both = left.map_batches(tag(0), batch_format="pyarrow") \
+        .union(right.map_batches(tag(1), batch_format="pyarrow"))
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "_b", pa.array((k * 2654435761) % partitions, pa.int64()))
+
+    def solve(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: pd.Series([], dtype=np.int64),
+                              "l_id": pd.Series([], dtype=np.int64),
+                              "r_id": pd.Series([], dtype=np.int64),
+                              "dt_us": pd.Series([], dtype=np.int64)})
+        k = g[key].to_numpy()
+        t = g["_t"].to_numpy()
+        side = g["_side"].to_numpy()
+        ids = g["_id"].to_numpy()
+        tmin = t.min()
+        toff = t - tmin
+        C = int(toff.max()) + 1
+        # composite (key, time) order key; keys are re-ranked densely
+        # so rank * C + toff cannot overflow int64
+        uk, rank = np.unique(k, return_inverse=True)
+        comp = rank.astype(np.int64) * C + toff
+        L, R = side == 0, side == 1
+        order_r = np.argsort(comp[R], kind="stable")
+        comp_r = comp[R][order_r]
+        rid_r = ids[R][order_r]
+        t_r = t[R][order_r]
+        if not len(comp_r) or not L.any():
+            return empty
+        base = rank[L].astype(np.int64) * C
+        lo = np.searchsorted(comp_r,
+                             base + np.clip(toff[L] - delta_us, 0, C - 1),
+                             side="left")
+        hi = np.searchsorted(comp_r,
+                             base + np.clip(toff[L] + delta_us, 0, C - 1),
+                             side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        lsel = np.repeat(np.arange(len(base)), cnt)
+        return pd.DataFrame({
+            key: k[L][lsel],
+            "l_id": ids[L][lsel],
+            "r_id": rid_r[ridx],
+            "dt_us": t_r[ridx] - t[L][lsel]})
+
+    return both.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("_b").map_groups(solve, batch_format="pandas")

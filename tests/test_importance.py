@@ -169,3 +169,41 @@ def test_watermark_late_in_order_stream_is_clean(ray_session):
         "ts": pa.array(np.arange(n, dtype=np.int64) * 100, pa.int64()),
         "arr": np.arange(n, dtype=np.int64)}))
     assert watermark_late(ds, lateness_us=0).count() == 0
+
+
+def test_stream_interval_join_matches_brute_force(ray_session):
+    from aida_ray.stages.range_join import stream_interval_join
+    n = 400
+    D = 50
+    r5, r6 = np.random.default_rng(5), np.random.default_rng(6)
+    lk = r5.integers(0, 12, n).astype(np.int64)
+    lt = r5.integers(0, 1000, n).astype(np.int64)
+    rk = r6.integers(0, 12, n).astype(np.int64)
+    rt = r6.integers(0, 1000, n).astype(np.int64)
+
+    def side_ds(seed_off, parts):
+        k, t = (lk, lt) if seed_off == 0 else (rk, rt)
+        return rd.from_arrow(pa.table({
+            "k": k,
+            "id": np.arange(seed_off * 10000, seed_off * 10000 + n,
+                            dtype=np.int64),
+            "t": t,
+        })).repartition(parts)
+
+    want = set()
+    for i in range(n):
+        for j in range(n):
+            if lk[i] == rk[j] and abs(int(lt[i]) - int(rt[j])) <= D:
+                want.add((int(i), int(10000 + j),
+                          int(rt[j]) - int(lt[i])))
+    assert want  # the fixture must actually exercise matches
+
+    for parts in (2, 7):
+        got = stream_interval_join(
+            side_ds(0, parts), side_ds(1, parts),
+            key="k", ts_col="t", id_col="id",
+            delta_us=D, partitions=5).to_pandas()
+        got_set = set(zip(got["l_id"].astype(int),
+                          got["r_id"].astype(int),
+                          got["dt_us"].astype(int)))
+        assert got_set == want
