@@ -3783,6 +3783,43 @@ def q_stream_join(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_pq_top1(sf_dir: str) -> pa.Table:
+    """Product-quantization ANN with a PROVABLE slice oracle: planted
+    vectors take one of {3,5,7,11} values per subspace (v[2s] =
+    doc_id % p_s), so per-subspace k-means with k_s = p_s recovers the
+    value set exactly and encoding is lossless — every vector in the
+    same residue class mod lcm(3,5,7,11)=1155 gets IDENTICAL codes,
+    ADC distances tie exactly, and the min-id tie-break makes top-1 =
+    the smallest corpus id congruent to the query id.  That expected
+    answer is one SQL subquery (the ivf_top1 pattern for the
+    compressed-domain path)."""
+    from aida_ray.stages.knn import pq_encode, pq_topk, pq_train
+    PS = [3, 5, 7, 11]
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.zeros((len(ids), 8))
+        for s, p in enumerate(PS):
+            v[:, 2 * s] = ids % p
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "vec": pa.array(list(v))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ds = docs.map_batches(plant, batch_format="pyarrow")
+    books = pq_train(ds, m=4, ks=PS, vec_col="vec", id_col="vec_id")
+    codes = pq_encode(ds, books, vec_col="vec", id_col="vec_id")
+    qids = np.array([1200, 2400, 3600])
+    Q = np.zeros((len(qids), 8))
+    for s, p in enumerate(PS):
+        Q[:, 2 * s] = qids % p
+    t = pq_topk(codes, books, Q, k=1, id_col="vec_id").to_pandas()
+    t = t.sort_values("query").reset_index(drop=True)
+    return pa.table({
+        "qid": pa.array(qids[t["query"].to_numpy()], pa.int64()),
+        "top1": pa.array(t["vec_id"].to_numpy(), pa.int64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -3986,6 +4023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": q_dsir,
         "late_events": q_late_events,
         "stream_join": q_stream_join,
+        "pq_top1": q_pq_top1,
     }
 
 
@@ -6407,5 +6445,12 @@ def oracle_sql() -> dict[str, str]:
              AND b.ts BETWEEN a.ts - INTERVAL 120 MINUTE
                           AND a.ts + INTERVAL 120 MINUTE
             ORDER BY a.event_id, b.event_id
+        """,
+        "pq_top1": """
+            SELECT q.qid,
+                   (SELECT MIN(d.doc_id) FROM documents d
+                    WHERE d.doc_id % 1155 = q.qid % 1155) AS top1
+            FROM (VALUES (1200), (2400), (3600)) q(qid)
+            ORDER BY q.qid
         """,
     }

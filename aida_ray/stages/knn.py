@@ -158,3 +158,147 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
                           ascending=[True, False, True])
              .groupby("query").head(k).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------ product quantization
+
+def pq_train(ds: ray.data.Dataset, m: int, ks,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             iters: int = 4) -> list[np.ndarray]:
+    """Product-quantization codebooks (Jégou et al. 2011): the vector
+    splits into ``m`` contiguous subspaces, each quantized by its own
+    k-means codebook — compressed-domain ANN's standard memory path
+    (d floats → m small codes per vector).
+
+    All ``m`` codebooks train in ONE distributed Lloyd loop: each block
+    emits sparse (subspace, code, vec_sum, n) partials for every
+    subspace at once (volume ≤ Σk_s × dsub per block), so the corpus
+    streams ``iters`` times total, not ``m × iters``.  Deterministic
+    farthest-point seeding per subspace over the blocking-invariant
+    bottom-k-hash sample (same scheme as `ml.kmeans`)."""
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.stages.ml import _batch_matrix, _compact, _seed_sample
+
+    ds = _compact(ds.select_columns([id_col, vec_col]))
+    S = _seed_sample(ds, vec_col, id_col, 1024)
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    if isinstance(ks, int):
+        ks = [ks] * m
+
+    books = []
+    for s in range(m):
+        sub = S[:, s * dsub:(s + 1) * dsub]
+        cents = [sub[0]]
+        d2 = ((sub - cents[0]) ** 2).sum(axis=1)
+        for _ in range(1, ks[s]):
+            nxt = int(d2.argmax())
+            cents.append(sub[nxt])
+            d2 = np.minimum(d2, ((sub - sub[nxt]) ** 2).sum(axis=1))
+        books.append(np.stack(cents))
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def partial(b: pa.Table) -> pa.Table:
+            bs = _get_cached(bref)
+            x = _batch_matrix(b, vec_col)
+            o_sub, o_code, o_sum, o_n = [], [], [], []
+            for s, cb in enumerate(bs):
+                xs = x[:, s * dsub:(s + 1) * dsub]
+                a = np.argmin(-2 * xs @ cb.T + (cb * cb).sum(axis=1),
+                              axis=1)
+                seen = np.unique(a)
+                idx = np.searchsorted(seen, a)
+                sums = np.zeros((len(seen), dsub))
+                np.add.at(sums, idx, xs)
+                cnt = np.bincount(idx, minlength=len(seen))
+                o_sub.extend([s] * len(seen))
+                o_code.extend(seen.tolist())
+                o_sum.extend(list(sums))
+                o_n.extend(cnt.astype(np.float64).tolist())
+            return pa.table({
+                "sub": pa.array(o_sub, pa.int64()),
+                "code": pa.array(o_code, pa.int64()),
+                "vec_sum": pa.array(o_sum),
+                "n": pa.array(o_n, pa.float64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = [np.zeros_like(b) for b in books]
+        counts = [np.zeros(len(b)) for b in books]
+        for _, r in parts.iterrows():
+            sums[int(r["sub"])][int(r["code"])] += np.asarray(r["vec_sum"])
+            counts[int(r["sub"])][int(r["code"])] += r["n"]
+        books = [b.copy() for b in books]
+        for s in range(m):
+            nz = counts[s] > 0
+            books[s][nz] = sums[s][nz] / counts[s][nz, None]
+    return books
+
+
+def pq_encode(ds: ray.data.Dataset, books: list[np.ndarray],
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> ray.data.Dataset:
+    """(id, codes) — stateless broadcast encoding; codes is the m-long
+    per-subspace nearest-codeword index list."""
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.stages.ml import _batch_matrix
+    bref = ray.put(books)
+    dsub = books[0].shape[1]
+
+    def enc(b: pa.Table) -> pa.Table:
+        bs = _get_cached(bref)
+        x = _batch_matrix(b, vec_col)
+        codes = np.stack([
+            np.argmin(-2 * x[:, s * dsub:(s + 1) * dsub] @ cb.T
+                      + (cb * cb).sum(axis=1), axis=1)
+            for s, cb in enumerate(bs)], axis=1).astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "codes": pa.array(list(codes))})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(codes_ds: ray.data.Dataset, books: list[np.ndarray],
+            queries: np.ndarray, k: int = 1,
+            id_col: str = "vec_id") -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over the ENCODED corpus: each
+    query precomputes one (m, k_s) subspace distance table, every
+    batch scores its rows with m table lookups + a sum — no original
+    vectors are ever read at query time.  Per-block partial top-k →
+    tiny driver merge (concurrency × k rows per query); exactly-equal
+    distances (identical codes) tie-break by min id at both levels."""
+    from aida_ray.stages.dedup import _get_cached
+    dsub = books[0].shape[1]
+    qref = ray.put((books, np.asarray(queries, dtype=np.float64)))
+
+    def score(b: pa.Table) -> pa.Table:
+        bs, Q = _get_cached(qref)
+        codes = np.array(b["codes"].to_pylist(), dtype=np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        o_q, o_id, o_d = [], [], []
+        for qi in range(len(Q)):
+            dist = np.zeros(n)
+            for s, cb in enumerate(bs):
+                tab = ((cb - Q[qi, s * dsub:(s + 1) * dsub]) ** 2) \
+                    .sum(axis=1)
+                dist += tab[codes[:, s]]
+            kk = min(k, n)
+            top = np.lexsort((ids, dist))[:kk]
+            o_q.extend([qi] * kk)
+            o_id.extend(ids[top].tolist())
+            o_d.extend(dist[top].tolist())
+        return pa.table({"query": pa.array(o_q, pa.int64()),
+                         id_col: pa.array(o_id, pa.int64()),
+                         "adc_dist": pa.array(o_d, pa.float64())})
+
+    parts = codes_ds.map_batches(score, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [ray.get(r) for r in parts.to_arrow_refs()]).to_pandas()
+    out = (merged.sort_values(["query", "adc_dist", id_col],
+                              ascending=[True, True, True])
+           .groupby("query").head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -207,3 +207,42 @@ def test_stream_interval_join_matches_brute_force(ray_session):
                           got["r_id"].astype(int),
                           got["dt_us"].astype(int)))
         assert got_set == want
+
+
+def test_pq_lossless_on_grid_and_blocking_invariant(ray_session):
+    from aida_ray.stages.knn import pq_encode, pq_topk, pq_train
+    ids = np.arange(300, dtype=np.int64)
+    v = np.zeros((300, 4))
+    v[:, 0] = ids % 3
+    v[:, 2] = ids % 4
+    for parts in (2, 6):
+        ds = rd.from_arrow(pa.table({
+            "vec_id": ids, "vec": list(v)})).repartition(parts)
+        books = pq_train(ds, m=2, ks=[3, 4], vec_col="vec",
+                         id_col="vec_id")
+        # codebooks recover the planted value sets (up to float ulp)
+        assert sorted(np.round(books[0][:, 0]).astype(int)) == [0, 1, 2]
+        assert sorted(np.round(books[1][:, 0]).astype(int)) == [0, 1, 2, 3]
+        codes = pq_encode(ds, books, vec_col="vec", id_col="vec_id")
+        q = np.zeros((1, 4))
+        q[0, 0] = 17 % 3
+        q[0, 2] = 17 % 4
+        top = pq_topk(codes, books, q, k=1, id_col="vec_id")
+        # min id congruent to 17 mod lcm(3,4)=12 is 5
+        assert top["vec_id"].to_pylist() == [5]
+
+
+def test_pq_adc_recall_vs_brute_force(ray_session):
+    from aida_ray.stages.knn import pq_encode, pq_topk, pq_train
+    rng = np.random.default_rng(13)
+    x = rng.normal(0, 1, (400, 8))
+    ids = np.arange(400, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"vec_id": ids, "vec": list(x)}))
+    books = pq_train(ds, m=4, ks=16, vec_col="vec", id_col="vec_id",
+                     iters=6)
+    codes = pq_encode(ds, books, vec_col="vec", id_col="vec_id")
+    Q = x[:20]  # corpus vectors as queries: true top-1 is themselves
+    top = pq_topk(codes, books, Q, k=5, id_col="vec_id").to_pandas()
+    hits = sum(int(qi) in set(top[top["query"] == qi]["vec_id"])
+               for qi in range(20))
+    assert hits >= 15  # >=75% top-5 self-recall at 8x compression
