@@ -3820,6 +3820,30 @@ def q_pq_top1(sf_dir: str) -> pa.Table:
         "top1": pa.array(t["vec_id"].to_numpy(), pa.int64())})
 
 
+def q_grouping_sets(sf_dir: str) -> pa.Table:
+    """GROUP BY GROUPING SETS with a NON-hierarchical set list —
+    ((l_returnflag), (l_linestatus), ()) without the pair level — all
+    derived from ONE corpus aggregation (the shape neither ROLLUP nor
+    CUBE covers)."""
+    from aida_ray.stages.relational import (grouping_sets_from_finest,
+                                            pricing_summary)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice",
+                                        "l_discount"])
+    out = grouping_sets_from_finest(
+        pricing_summary(ds),
+        keys=["l_returnflag", "l_linestatus"],
+        sets=[("l_returnflag",), ("l_linestatus",), ()],
+        agg_cols=["sum_qty", "sum_base_cents", "sum_disc_cents",
+                  "count_order"])
+    t = _collect(out).to_pandas()
+    return pa.Table.from_pandas(
+        t.sort_values(["l_returnflag", "l_linestatus"],
+                      na_position="last").reset_index(drop=True),
+        preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -4024,6 +4048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": q_late_events,
         "stream_join": q_stream_join,
         "pq_top1": q_pq_top1,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -6452,5 +6477,17 @@ def oracle_sql() -> dict[str, str]:
                     WHERE d.doc_id % 1155 = q.qid % 1155) AS top1
             FROM (VALUES (1200), (2400), (3600)) q(qid)
             ORDER BY q.qid
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                       * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """,
     }
