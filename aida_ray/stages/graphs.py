@@ -31,6 +31,7 @@ import ray
 import ray.data
 
 from aida_ray.stages.dedup import _get_cached
+from aida_ray.stages.ml import _compact
 
 
 def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
@@ -307,8 +308,10 @@ def bfs_hops(edges: ray.data.Dataset, seeds: np.ndarray,
         return pa.table({"s": np.concatenate([av, bv]),
                          "d": np.concatenate([bv, av])})
 
-    undirected = edges.map_batches(und, batch_format="pyarrow") \
-        .materialize()                       # reused once per BFS level
+    # reused once per BFS level — compact the tiny-block tail so each
+    # level pays O(compacted blocks) dispatches, not reader-block count
+    undirected = _compact(edges.map_batches(und, batch_format="pyarrow"),
+                          rows_per_block=65536)
 
     if route == "sparse" or (route == "auto"
                              and len(seeds) > dense_threshold):
@@ -460,10 +463,13 @@ def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
                     "anc": pa.array(ja_[i[hit]], pa.int64()),
                     "dist": pa.array(dist, pa.int64())})
 
-            c = c.union(c.map_batches(jump_map, batch_format="pyarrow")) \
-                .materialize()
-            j = j.map_batches(jump_map, fn_kwargs={"add_dist": False},
-                              batch_format="pyarrow").materialize()
+            # union doubles the block list every round — fold the
+            # tiny-block tail or later rounds pay 2^r dispatches
+            c = _compact(
+                c.union(c.map_batches(jump_map, batch_format="pyarrow")))
+            j = _compact(j.map_batches(
+                jump_map, fn_kwargs={"add_dist": False},
+                batch_format="pyarrow"))
         else:
             def jr(t: pa.Table) -> pa.Table:
                 return pa.table({"jn": t["node"], "janc": t["anc"]})
@@ -478,8 +484,8 @@ def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
                     "dist": pc.add(t["dist"],
                                    pa.scalar(jump, pa.int64()))})
 
-            c = c.union(ext.map_batches(fold, batch_format="pyarrow")) \
-                .materialize()
+            c = _compact(
+                c.union(ext.map_batches(fold, batch_format="pyarrow")))
             j2 = hash_join(j, jside, on=("anc",), right_on=("jn",))
             j = j2.map_batches(
                 lambda t: pa.table({
