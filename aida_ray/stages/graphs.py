@@ -67,7 +67,7 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
                          "rank": pa.array([], pa.float64())})
     rank = np.full(n, 1.0 / n)
 
-    edges = edges.materialize()           # reused every iteration
+    edges = _compact(edges, rows_per_block=65536)  # reused every iteration
     dense = n <= dense_threshold   # dense partials ≤ 32 MB per block row
     for _ in range(iters):
         state_ref = ray.put((nodes, rank / np.maximum(outd, 1.0)))
@@ -520,7 +520,7 @@ def cheapest_paths(edges: ray.data.Dataset, seeds: np.ndarray,
     from aida_ray.stages.shuffle_join import hash_join
 
     seeds = np.unique(np.asarray(seeds, dtype="int64"))
-    edges = edges.materialize()              # reused every round
+    edges = _compact(edges, rows_per_block=65536)  # reused every round
     dist = ray.data.from_arrow(pa.table({
         "node": pa.array(seeds, pa.int64()),
         "cost": pa.array(np.zeros(len(seeds), dtype="int64"))})) \
@@ -597,7 +597,7 @@ def kcore(edges: ray.data.Dataset, k: int, a: str = "a", b: str = "b",
     deterministic, blocking-invariant."""
     from ray.data.aggregate import Sum
 
-    edges = edges.materialize()              # reused every peel round
+    edges = _compact(edges, rows_per_block=65536)  # reused every peel round
     alive: np.ndarray | None = None          # None = all alive
     for _ in range(max_rounds):
         ref = ray.put(alive)
