@@ -1012,14 +1012,22 @@ def semdedup(ds: ray.data.Dataset,
             return empty
         vecs = np.array(group[vec_col].tolist(), dtype=np.float64)
         norms = np.linalg.norm(vecs, axis=1)
-        norms[norms == 0] = 1.0
+        zero = norms == 0
+        norms[zero] = 1.0
         normed = vecs / norms[:, None]
         sims = normed @ normed.T
         iu = np.triu_indices(len(ids), k=1)
         mask = sims[iu] >= cosine_threshold
-        if not mask.any():
+        ea, eb = ids[iu[0][mask]], ids[iu[1][mask]]
+        if zero.sum() >= 2:
+            # zero vectors have undefined cosine but ARE exact
+            # duplicates of each other — one dup group (star edges)
+            z = np.sort(ids[zero])
+            ea = np.concatenate([ea, np.full(len(z) - 1, z[0])])
+            eb = np.concatenate([eb, z[1:]])
+        if not len(ea):
             return empty
-        nodes, label = _cc_numpy(ids[iu[0][mask]], ids[iu[1][mask]])
+        nodes, label = _cc_numpy(ea, eb)
         # min-label relaxation over sorted nodes => nodes[label[i]] is
         # the component's min id
         rm = label != np.arange(len(nodes))

@@ -124,6 +124,9 @@ def dsir_weights(ds: ray.data.Dataset,
     """(id, weight6, n_grams, weight) per document.  ``weight6`` is the
     exact int64 micro-unit log-likelihood-ratio sum; ``weight`` is the
     one float division weight6/1e6 (identical IEEE op in SQL)."""
+    # both passes (distributions, scoring) read the same narrow
+    # projection — materialize once so the upstream plan runs once
+    ds = ds.select_columns([id_col, text_col, target_col]).materialize()
     raw, tgt = ngram_distributions(ds, text_col, target_col,
                                    target_value, n_buckets)
     lref = ray.put(log_ratio_table(raw, tgt))

@@ -36,8 +36,11 @@ def _compact(ds: ray.data.Dataset,
     round pays per-task dispatch per block, so a narrow fact table
     spread over reader-sized blocks turns fixed latency x iters into
     the wall.  Width still scales with data (rows/8k blocks), only the
-    tiny-block tail is folded."""
-    mat = ds.materialize()
+    tiny-block tail is folded.  Already-materialized inputs skip the
+    first materialize but are still defragmented if needed — calling
+    this twice is cheap, not a second full copy."""
+    from ray.data.dataset import MaterializedDataset
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
     target = max(1, mat.count() // rows_per_block)
     if mat.num_blocks() > target * 2:
         mat = mat.repartition(target).materialize()
@@ -81,9 +84,12 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
     rounds.  Seeding: greedy farthest-point (k-means++ without
     randomness) over a deterministic bottom-k-hash sample."""
     from ray.data.dataset import MaterializedDataset
-    if not (isinstance(ds, MaterializedDataset)
-            and set(ds.schema().names) == {id_col, col}):
-        # callers that pre-compact (semdedup) skip the second pass
+    if isinstance(ds, MaterializedDataset) \
+            and set(ds.schema().names) == {id_col, col}:
+        # pre-materialized caller (semdedup): no projection copy, but
+        # still defragment — _compact is cheap on compacted inputs
+        ds = _compact(ds)
+    else:
         ds = _compact(ds.select_columns([id_col, col]))   # reused per round
     S = _seed_sample(ds, col, id_col, sample)
     cents = [S[0]]

@@ -147,7 +147,9 @@ def stream_interval_join(left: ray.data.Dataset,
                          right: ray.data.Dataset,
                          key: str, ts_col: str, id_col: str,
                          delta_us: int,
-                         partitions: int = 32) -> ray.data.Dataset:
+                         partitions: int = 32,
+                         _max_composite: int = (1 << 63) - 1
+                         ) -> ray.data.Dataset:
     """Stream-stream interval (bounded-time) equi-join: every (l, r)
     pair sharing ``key`` with |ts_l - ts_r| <= ``delta_us`` — the
     Flink `l.ts BETWEEN r.ts - d AND r.ts + d` intervalJoin / the
@@ -184,6 +186,20 @@ def stream_interval_join(left: ray.data.Dataset,
         return b.append_column(
             "_b", pa.array((k * 2654435761) % partitions, pa.int64()))
 
+    def _emit(k, ids, t, L, lo, hi, rid_r, t_r, empty):
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if not total:
+            return empty
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = np.repeat(lo, cnt) + offs
+        lsel = np.repeat(np.arange(len(lo)), cnt)
+        return pd.DataFrame({
+            key: k[L][lsel],
+            "l_id": ids[L][lsel],
+            "r_id": rid_r[ridx],
+            "dt_us": t_r[ridx] - t[L][lsel]})
+
     def solve(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({key: pd.Series([], dtype=np.int64),
                               "l_id": pd.Series([], dtype=np.int64),
@@ -196,36 +212,49 @@ def stream_interval_join(left: ray.data.Dataset,
         tmin = t.min()
         toff = t - tmin
         C = int(toff.max()) + 1
-        # composite (key, time) order key; keys are re-ranked densely
-        # so rank * C + toff cannot overflow int64
         uk, rank = np.unique(k, return_inverse=True)
-        comp = rank.astype(np.int64) * C + toff
         L, R = side == 0, side == 1
-        order_r = np.argsort(comp[R], kind="stable")
-        comp_r = comp[R][order_r]
-        rid_r = ids[R][order_r]
-        t_r = t[R][order_r]
-        if not len(comp_r) or not L.any():
+        if not R.any() or not L.any():
             return empty
-        base = rank[L].astype(np.int64) * C
-        lo = np.searchsorted(comp_r,
-                             base + np.clip(toff[L] - delta_us, 0, C - 1),
-                             side="left")
-        hi = np.searchsorted(comp_r,
-                             base + np.clip(toff[L] + delta_us, 0, C - 1),
-                             side="right")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if not total:
-            return empty
-        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
-        ridx = np.repeat(lo, cnt) + offs
-        lsel = np.repeat(np.arange(len(base)), cnt)
-        return pd.DataFrame({
-            key: k[L][lsel],
-            "l_id": ids[L][lsel],
-            "r_id": rid_r[ridx],
-            "dt_us": t_r[ridx] - t[L][lsel]})
+        # fast route: dense-ranked composite (rank * C + toff) — valid
+        # only while (n_keys-1)*C + C-1 fits int64 (exact Python-int
+        # check; a year-scale microsecond span times ~300k in-bucket
+        # keys WOULD wrap, so this is a real gate, not paranoia)
+        if (len(uk) - 1) * C + (C - 1) <= _max_composite:
+            comp = rank.astype(np.int64) * C + toff
+            order_r = np.argsort(comp[R], kind="stable")
+            comp_r = comp[R][order_r]
+            rid_r = ids[R][order_r]
+            t_r = t[R][order_r]
+            base = rank[L].astype(np.int64) * C
+            lo = np.searchsorted(
+                comp_r, base + np.clip(toff[L] - delta_us, 0, C - 1),
+                side="left")
+            hi = np.searchsorted(
+                comp_r, base + np.clip(toff[L] + delta_us, 0, C - 1),
+                side="right")
+            return _emit(k, ids, t, L, lo, hi, rid_r, t_r, empty)
+        # overflow-safe route: right side sorted (rank, toff) once,
+        # per-key segments probed individually — O(distinct keys)
+        # Python steps, each fully vectorized
+        r_rank, r_toff = rank[R], toff[R]
+        order_r = np.lexsort((ids[R], r_toff, r_rank))
+        rr, rt = r_rank[order_r], r_toff[order_r]
+        rid_r, t_r = ids[R][order_r], t[R][order_r]
+        seg_lo = np.searchsorted(rr, np.arange(len(uk)), side="left")
+        seg_hi = np.searchsorted(rr, np.arange(len(uk)), side="right")
+        l_rank, l_toff = rank[L], toff[L]
+        lo = np.zeros(len(l_rank), np.int64)
+        hi = np.zeros(len(l_rank), np.int64)
+        for kr in np.unique(l_rank):
+            sel = l_rank == kr
+            sl, sh = int(seg_lo[kr]), int(seg_hi[kr])
+            seg = rt[sl:sh]
+            lo[sel] = sl + np.searchsorted(seg, l_toff[sel] - delta_us,
+                                           side="left")
+            hi[sel] = sl + np.searchsorted(seg, l_toff[sel] + delta_us,
+                                           side="right")
+        return _emit(k, ids, t, L, lo, hi, rid_r, t_r, empty)
 
     return both.map_batches(bucketize, batch_format="pyarrow") \
         .groupby("_b").map_groups(solve, batch_format="pandas")

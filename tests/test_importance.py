@@ -246,3 +246,38 @@ def test_pq_adc_recall_vs_brute_force(ray_session):
     hits = sum(int(qi) in set(top[top["query"] == qi]["vec_id"])
                for qi in range(20))
     assert hits >= 15  # >=75% top-5 self-recall at 8x compression
+
+
+def test_semdedup_zero_vectors_are_exact_dups(ray_session):
+    from aida_ray.stages.dedup import semdedup
+    rng = np.random.default_rng(21)
+    x = rng.normal(0, 1, (40, 4))
+    x[[3, 17, 29]] = 0.0  # three exact-duplicate zero vectors
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": list(x.astype(np.float32))}))
+    got = _sorted_pairs(semdedup(ds, k=2, cosine_threshold=0.9999))
+    assert got == [(3, 17), (3, 29)]
+
+
+def test_stream_interval_join_overflow_fallback_route_equal(ray_session):
+    from aida_ray.stages.range_join import stream_interval_join
+    n = 300
+    r = np.random.default_rng(9)
+    k = r.integers(0, 10, n).astype(np.int64)
+    t = r.integers(0, 800, n).astype(np.int64)
+
+    def mk(parts):
+        return rd.from_arrow(pa.table({
+            "k": k, "id": np.arange(n, dtype=np.int64), "t": t,
+        })).repartition(parts)
+
+    def run(cap):
+        df = stream_interval_join(
+            mk(3), mk(4), key="k", ts_col="t", id_col="id",
+            delta_us=40, partitions=4, _max_composite=cap).to_pandas()
+        return sorted(zip(df["l_id"], df["r_id"], df["dt_us"]))
+
+    fast = run((1 << 63) - 1)
+    safe = run(1)           # force the per-key-segment route
+    assert fast == safe and len(fast) > 0
