@@ -3844,6 +3844,41 @@ def q_grouping_sets(sf_dir: str) -> pa.Table:
         preserve_index=False)
 
 
+def q_ivfpq_top1(sf_dir: str) -> pa.Table:
+    """IVF-PQ (FAISS-style coarse routing + compressed-domain ADC)
+    with the same provable residue-class slice as `pq_top1`: exact-
+    duplicate vectors share BOTH their coarse cell and their PQ codes
+    by construction, so with n_probe=1 the query's whole residue class
+    is in the probed cell with tied distances and the min-id
+    tie-break makes top-1 = the smallest congruent corpus id."""
+    from aida_ray.stages.knn import ivfpq_build, ivfpq_topk
+    PS = [3, 5, 7, 11]
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.zeros((len(ids), 8))
+        for s, p in enumerate(PS):
+            v[:, 2 * s] = ids % p
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "vec": pa.array(list(v))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ds = docs.map_batches(plant, batch_format="pyarrow")
+    cents, books, enc = ivfpq_build(ds, n_cells=6, m=4, ks=PS,
+                                    vec_col="vec", id_col="vec_id")
+    qids = np.array([1200, 2400, 3600])
+    Q = np.zeros((len(qids), 8))
+    for s, p in enumerate(PS):
+        Q[:, 2 * s] = qids % p
+    t = ivfpq_topk(enc, cents, books, Q, k=1, n_probe=1,
+                   id_col="vec_id").to_pandas()
+    t = t.sort_values("query").reset_index(drop=True)
+    return pa.table({
+        "qid": pa.array(qids[t["query"].to_numpy()], pa.int64()),
+        "top1": pa.array(t["vec_id"].to_numpy(), pa.int64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -4049,6 +4084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_join": q_stream_join,
         "pq_top1": q_pq_top1,
         "grouping_sets": q_grouping_sets,
+        "ivfpq_top1": q_ivfpq_top1,
     }
 
 
@@ -6489,5 +6525,12 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem
             GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "ivfpq_top1": """
+            SELECT q.qid,
+                   (SELECT MIN(d.doc_id) FROM documents d
+                    WHERE d.doc_id % 1155 = q.qid % 1155) AS top1
+            FROM (VALUES (1200), (2400), (3600)) q(qid)
+            ORDER BY q.qid
         """,
     }

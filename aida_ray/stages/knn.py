@@ -302,3 +302,94 @@ def pq_topk(codes_ds: ray.data.Dataset, books: list[np.ndarray],
                               ascending=[True, True, True])
            .groupby("query").head(k).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+def ivfpq_build(ds: ray.data.Dataset, n_cells: int, m: int, ks,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                iters: int = 4):
+    """IVF-PQ index build (the FAISS-style composition): a coarse
+    k-means partitions the corpus into ``n_cells`` inverted lists and
+    every vector additionally stores its product-quantization codes —
+    queries then score ONLY the probed cells, in the compressed
+    domain.  This is the no-residual variant (codes quantize the raw
+    vector, not x − centroid): exact-duplicate vectors provably share
+    both cell and codes, which the `ivfpq_top1` oracle exploits.
+
+    Returns (coarse_centroids, codebooks, encoded) where encoded is
+    the (id, cell, codes) Dataset — the only per-row state the index
+    keeps; original vectors never travel at query time."""
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.stages.ml import _batch_matrix, _compact, kmeans
+
+    ds = _compact(ds.select_columns([id_col, vec_col]))
+    cents = kmeans(ds, vec_col, id_col, k=n_cells, iters=iters)
+    books = pq_train(ds, m, ks, vec_col=vec_col, id_col=id_col,
+                     iters=iters)
+    dsub = books[0].shape[1]
+    ref = ray.put((cents, books))
+
+    def enc(b: pa.Table) -> pa.Table:
+        c, bs = _get_cached(ref)
+        x = _batch_matrix(b, vec_col)
+        cell = np.argmin(-2 * x @ c.T + np.sum(c * c, axis=1), axis=1)
+        codes = np.stack([
+            np.argmin(-2 * x[:, s * dsub:(s + 1) * dsub] @ cb.T
+                      + (cb * cb).sum(axis=1), axis=1)
+            for s, cb in enumerate(bs)], axis=1).astype(np.int64)
+        return pa.table({id_col: b[id_col],
+                         "cell": pa.array(cell, pa.int64()),
+                         "codes": pa.array(list(codes))})
+
+    return cents, books, ds.map_batches(enc, batch_format="pyarrow")
+
+
+def ivfpq_topk(encoded: ray.data.Dataset, cents: np.ndarray,
+               books: list[np.ndarray], queries: np.ndarray,
+               k: int = 1, n_probe: int = 1,
+               id_col: str = "vec_id") -> pa.Table:
+    """ADC top-k over the probed cells only: each query routes to its
+    ``n_probe`` nearest coarse cells and scores just those rows with
+    the PQ table lookups — per batch the untouched cells cost one
+    vectorized membership mask.  Same partial-top-k / min-id
+    tie-break merge as :func:`pq_topk`."""
+    from aida_ray.stages.dedup import _get_cached
+    dsub = books[0].shape[1]
+    Q = np.asarray(queries, dtype=np.float64)
+    d2 = -2 * Q @ cents.T + np.sum(cents * cents, axis=1)
+    probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    qref = ray.put((books, Q, probe))
+
+    def score(b: pa.Table) -> pa.Table:
+        bs, Qv, pr = _get_cached(qref)
+        codes = np.array(b["codes"].to_pylist(), dtype=np.int64)
+        cell = b["cell"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o_q, o_id, o_d = [], [], []
+        for qi in range(len(Qv)):
+            sel = np.isin(cell, pr[qi])
+            if not sel.any():
+                continue
+            cs, sid = codes[sel], ids[sel]
+            dist = np.zeros(len(sid))
+            for s, cb in enumerate(bs):
+                tab = ((cb - Qv[qi, s * dsub:(s + 1) * dsub]) ** 2) \
+                    .sum(axis=1)
+                dist += tab[cs[:, s]]
+            kk = min(k, len(sid))
+            top = np.lexsort((sid, dist))[:kk]
+            o_q.extend([qi] * kk)
+            o_id.extend(sid[top].tolist())
+            o_d.extend(dist[top].tolist())
+        return pa.table({"query": pa.array(o_q, pa.int64()),
+                         id_col: pa.array(o_id, pa.int64()),
+                         "adc_dist": pa.array(o_d, pa.float64())})
+
+    parts = encoded.map_batches(score, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        [ray.get(r) for r in parts.to_arrow_refs()]).to_pandas()
+    out = (merged.sort_values(["query", "adc_dist", id_col],
+                              ascending=[True, True, True])
+           .groupby("query").head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

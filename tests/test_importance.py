@@ -281,3 +281,30 @@ def test_stream_interval_join_overflow_fallback_route_equal(ray_session):
     fast = run((1 << 63) - 1)
     safe = run(1)           # force the per-key-segment route
     assert fast == safe and len(fast) > 0
+
+
+def test_ivfpq_full_probe_equals_plain_pq(ray_session):
+    from aida_ray.stages.knn import (ivfpq_build, ivfpq_topk, pq_encode,
+                                     pq_topk, pq_train)
+    rng = np.random.default_rng(31)
+    x = rng.normal(0, 1, (300, 8))
+    ids = np.arange(300, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"vec_id": ids, "vec": list(x)}))
+    cents, books, enc = ivfpq_build(ds, n_cells=5, m=4, ks=8,
+                                    vec_col="vec", id_col="vec_id")
+    Q = x[:8]
+    # probing EVERY cell must reproduce the plain-PQ scan exactly
+    # (same codebooks: ivfpq_build trains PQ on the same compacted ds
+    # with the same deterministic seeding as pq_train standalone)
+    full = ivfpq_topk(enc, cents, books, Q, k=3,
+                      n_probe=5).to_pandas()
+    books2 = pq_train(ds, m=4, ks=8, vec_col="vec", id_col="vec_id")
+    assert all(np.allclose(a, b) for a, b in zip(books, books2))
+    plain = pq_topk(pq_encode(ds, books2, vec_col="vec",
+                              id_col="vec_id"), books2, Q, k=3).to_pandas()
+    assert full[["query", "vec_id"]].values.tolist() == \
+        plain[["query", "vec_id"]].values.tolist()
+    # n_probe=1 still finds each query's own vector (it lives in the
+    # probed cell by construction: query == corpus vector)
+    one = ivfpq_topk(enc, cents, books, Q, k=1, n_probe=1).to_pandas()
+    assert one["vec_id"].tolist() == list(range(8))
