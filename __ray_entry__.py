@@ -67,17 +67,10 @@ def _coalesce(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def _collect(ds: ray.data.Dataset) -> pa.Table:
-    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
-    # to_arrow_refs can hand back raw pandas blocks (empty map_groups
-    # outputs leak through groupbys unconverted) — coerce them
-    tabs = [pa.Table.from_pandas(t, preserve_index=False)
-            if not isinstance(t, pa.Table) else t for t in tabs]
-    nonempty = [t for t in tabs if t.num_rows > 0]
-    if not nonempty:
-        # keep whichever empty block still carries a schema
-        with_schema = [t for t in tabs if t.num_columns > 0]
-        return with_schema[0] if with_schema else tabs[0]
-    return pa.concat_tables(nonempty, promote_options="default")
+    # one hardened collector for the whole package (pandas blocks,
+    # schema-less empties, zero-block datasets) — state/collect.py
+    from aida_ray.state.collect import collect_table
+    return collect_table(ds)
 
 
 # ------------------------------------------------------------------ KG corpus

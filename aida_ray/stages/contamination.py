@@ -30,7 +30,10 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from aida_ray.state.collect import collect_table
 from aida_ray.stages.dedup import _get_cached, word_ngram_set
+
+_G_SCHEMA = pa.schema([("g", pa.int64())])
 
 
 def eval_gram_ref(eval_ds: ray.data.Dataset, n: int = 3,
@@ -48,10 +51,8 @@ def eval_gram_ref(eval_ds: ray.data.Dataset, n: int = 3,
 
     distinct = eval_ds.map_batches(grams, batch_format="pyarrow") \
         .groupby("g").count().select_columns(["g"])
-    tabs = [ray.get(r) for r in distinct.to_arrow_refs()]
-    allg = np.sort(np.concatenate(
-        [t["g"].to_numpy(zero_copy_only=False) for t in tabs])) \
-        if tabs else np.array([], dtype=np.int64)
+    t = collect_table(distinct, schema=_G_SCHEMA)
+    allg = np.sort(t["g"].to_numpy(zero_copy_only=False))
     return ray.put(allg)
 
 
@@ -120,10 +121,8 @@ def repeated_spans(ds: ray.data.Dataset, n: int = 3, min_docs: int = 2,
         .materialize()
 
     if shared.count() <= broadcast_threshold:
-        tabs = [ray.get(r) for r in shared.to_arrow_refs()]
-        sh = np.sort(np.concatenate(
-            [t["g"].to_numpy(zero_copy_only=False) for t in tabs])) \
-            if tabs else np.array([], dtype=np.int64)
+        t = collect_table(shared, schema=_G_SCHEMA)
+        sh = np.sort(t["g"].to_numpy(zero_copy_only=False))
         sh_ref = ray.put(sh)
 
         def count_shared(b: pa.Table) -> pa.Table:

@@ -54,13 +54,10 @@ def _get_cached(ref):
 
 def _concat_blocks(tabs, schema: pa.Schema) -> pa.Table:
     """Robust concat of Dataset blocks: groupby/map_groups leak empty
-    SCHEMA-LESS (even raw pandas) blocks — drop them, promote the
-    rest, fall back to an empty table of the expected schema."""
-    ne = [t for t in tabs
-          if isinstance(t, pa.Table) and t.num_rows > 0]
-    if not ne:
-        return schema.empty_table()
-    return pa.concat_tables(ne, promote_options="default")
+    SCHEMA-LESS (even raw pandas) blocks — delegates to the package's
+    one hardened collector (state/collect.py)."""
+    from aida_ray.state.collect import concat_blocks
+    return concat_blocks(tabs, schema)
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text",
@@ -355,7 +352,9 @@ def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
     if hot.count() <= broadcast_threshold:
         # broadcast semi-join: hot-bucket ids as one int64 arrow array,
         # vectorized membership test per batch (no join actor pool)
-        hot_tbl = pa.concat_tables([ray.get(r) for r in hot.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        hot_tbl = collect_table(hot, schema=pa.schema(
+            [("band_hash", pa.int64()), ("n_members", pa.int64())]))
         hot_ref = ray.put(pa.array(hot_tbl["band_hash"].to_numpy(
             zero_copy_only=False), pa.int64()))
 
@@ -438,7 +437,9 @@ def _verify_pairs(pairs: ray.data.Dataset, sketches: ray.data.Dataset,
     n_pairs = pairs.count()
     sketch_bytes_budget = 512 * 1024 * 1024
     if 2 * n_pairs <= broadcast_threshold:
-        pair_tbl = pa.concat_tables([ray.get(r) for r in pairs.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        pair_tbl = collect_table(pairs, schema=pa.schema(
+            [("a", pa.int64()), ("b", pa.int64())]))
         cand_np = np.unique(np.concatenate(
             [pair_tbl["a"].to_numpy(zero_copy_only=False),
              pair_tbl["b"].to_numpy(zero_copy_only=False)])) \
@@ -458,8 +459,9 @@ def _verify_pairs(pairs: ray.data.Dataset, sketches: ray.data.Dataset,
         if (cand_sketch.size_bytes() or 0) > sketch_bytes_budget:
             return _verify_joined(pairs, cand_sketch, id_col,
                                   jaccard_threshold, num_partitions)
-        sk_tbl = pa.concat_tables(
-            [ray.get(r) for r in cand_sketch.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table as _ct
+        sk_tbl = _ct(cand_sketch, schema=pa.schema(
+            [(id_col, pa.int64()), ("shingles", pa.binary())]))
         skr = ray.put(dict(zip(sk_tbl[id_col].to_pylist(),
                                sk_tbl["shingles"].to_pylist())))
 
@@ -646,7 +648,8 @@ def label_propagation_clusters(pairs: ray.data.Dataset,
 
         @ray.remote
         def _solve(*tabs: pa.Table) -> pa.Table:
-            t = pa.concat_tables(tabs)
+            t = _concat_blocks(tabs, pa.schema(
+                [("a", pa.int64()), ("b", pa.int64())]))
             nodes, label = _cc_numpy(t["a"].to_numpy(zero_copy_only=False),
                                      t["b"].to_numpy(zero_copy_only=False),
                                      max_iters)
@@ -851,16 +854,13 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3,
         .filter(expr="df >= 2").materialize()
 
     if repeated.count() <= broadcast_threshold:
-        tabs = [ray.get(r) for r in repeated.to_arrow_refs()]
-        if tabs:
-            rt = pa.concat_tables(tabs)
-            gs = rt["g"].to_numpy(zero_copy_only=False)
-            dfs = rt["df"].to_numpy(zero_copy_only=False)
-            order = np.argsort(gs, kind="stable")
-            df_ref = ray.put((gs[order], dfs[order].astype(np.int64)))
-        else:
-            df_ref = ray.put((np.array([], dtype=np.int64),
-                              np.array([], dtype=np.int64)))
+        from aida_ray.state.collect import collect_table
+        rt = collect_table(repeated, schema=pa.schema(
+            [("g", pa.int64()), ("df", pa.int64())]))
+        gs = rt["g"].to_numpy(zero_copy_only=False)
+        dfs = rt["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gs, kind="stable")
+        df_ref = ray.put((gs[order], dfs[order].astype(np.int64)))
     else:
         df_ref = None    # fall back to gram-id order (still exact)
 

@@ -74,13 +74,16 @@ def edit1_join(ds: ray.data.Dataset, id_col: str, str_col: str,
                max_len: int = 64,
                broadcast_threshold: int = 4_000_000
                ) -> ray.data.Dataset:
-    """All pairs (id_a < id_b) whose strings are within Levenshtein
+    """All distinct pairs whose strings are within Levenshtein
     distance 1 and NOT identical (exact-duplicate strings are the
     exact-dedup operator's job).  Strings longer than ``max_len`` are
     ignored (deletion-neighborhood joins are for short dictionary
     strings; document the cap rather than explode 10^4 variants).
 
-    Output: (id_a, id_b, str_a, str_b).
+    Output: (id_a, id_b, str_a, str_b), one row per unordered pair,
+    oriented by STRING order — ``str_a < str_b`` — matching the SQL
+    oracle's convention; ``id_a`` may exceed ``id_b`` when the lesser
+    string happens to carry the larger id.
     """
 
     def explode(b: pa.Table) -> pa.Table:

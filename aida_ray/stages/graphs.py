@@ -436,8 +436,10 @@ def ancestor_closure(edges: ray.data.Dataset, child: str = "child",
             break
 
         if n_j <= broadcast_rows:
-            jt = pa.concat_tables(
-                [ray.get(r) for r in j.to_arrow_refs()])
+            from aida_ray.state.collect import collect_table
+            jt = collect_table(j, schema=pa.schema(
+                [("node", pa.int64()), ("anc", pa.int64()),
+                 ("dist", pa.int64())]))
             jn = jt["node"].to_numpy(zero_copy_only=False)
             order = np.argsort(jn, kind="stable")
             jref = ray.put((jn[order],

@@ -16,9 +16,35 @@ import ray
 import ray.data
 
 from aida_ray.state.broadcast import resolve
+from aida_ray.state.collect import collect_table
+
+
+def _topk_schema(id_col: str, score: str,
+                 qtype=pa.int32()) -> pa.Schema:
+    return pa.schema([("query", qtype), (id_col, pa.int64()),
+                      (score, pa.float64())])
 
 
 def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix; zero-copy reshape of
+    the flat value buffer when the layout allows (fixed-size lists or
+    equal-width lists with no nulls), ``to_pylist`` fallback otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        if pa.types.is_fixed_size_list(col.type):
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), col.type.list_size) \
+                .astype(np.float64, copy=False)
+        if (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)) \
+                and col.null_count == 0 and len(col):
+            widths = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+            if (widths == widths[0]).all() and widths[0] > 0:
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(col), int(widths[0])) \
+                    .astype(np.float64, copy=False)
+    except (pa.ArrowInvalid, ValueError):
+        pass
     return np.array(col.to_pylist(), dtype=np.float64)
 
 
@@ -73,8 +99,7 @@ def knn_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
                                "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow", batch_size=4096,
         concurrency=concurrency, num_cpus=1)
-    t = partial.to_arrow_refs()
-    merged = pa.concat_tables([ray.get(r) for r in t])
+    merged = collect_table(partial, schema=_topk_schema(id_col, "cosine"))
     df = merged.to_pandas()
     out = (df.sort_values(["query", "cosine", id_col],
                           ascending=[True, False, True])
@@ -99,8 +124,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
     frac = min(1.0, (target * 1.2) / max(1, n_rows))
     sampled = ds.random_sample(frac, seed=seed) if frac < 1.0 else ds
     sample = _normalize(_as_matrix(
-        pa.concat_tables([ray.get(r) for r in
-                          sampled.limit(target).to_arrow_refs()])[vec_col]))
+        collect_table(sampled.limit(target))[vec_col]))
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)),
                                   replace=False)]
@@ -152,7 +176,7 @@ def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, k: int = 10,
 
     partial = ds.map_batches(CellTopK, batch_format="pyarrow", batch_size=4096,
                              concurrency=concurrency, num_cpus=1)
-    merged = pa.concat_tables([ray.get(r) for r in partial.to_arrow_refs()])
+    merged = collect_table(partial, schema=_topk_schema(id_col, "cosine"))
     df = merged.to_pandas()
     out = (df.sort_values(["query", "cosine", id_col],
                           ascending=[True, False, True])
@@ -296,8 +320,8 @@ def pq_topk(codes_ds: ray.data.Dataset, books: list[np.ndarray],
                          "adc_dist": pa.array(o_d, pa.float64())})
 
     parts = codes_ds.map_batches(score, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        [ray.get(r) for r in parts.to_arrow_refs()]).to_pandas()
+    merged = collect_table(
+        parts, schema=_topk_schema(id_col, "adc_dist", pa.int64())).to_pandas()
     out = (merged.sort_values(["query", "adc_dist", id_col],
                               ascending=[True, True, True])
            .groupby("query").head(k).reset_index(drop=True))
@@ -387,8 +411,8 @@ def ivfpq_topk(encoded: ray.data.Dataset, cents: np.ndarray,
                          "adc_dist": pa.array(o_d, pa.float64())})
 
     parts = encoded.map_batches(score, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        [ray.get(r) for r in parts.to_arrow_refs()]).to_pandas()
+    merged = collect_table(
+        parts, schema=_topk_schema(id_col, "adc_dist", pa.int64())).to_pandas()
     out = (merged.sort_values(["query", "adc_dist", id_col],
                               ascending=[True, True, True])
            .groupby("query").head(k).reset_index(drop=True))

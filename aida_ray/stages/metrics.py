@@ -57,6 +57,9 @@ def aggregate_metrics(metrics_ds: ray.data.Dataset) -> dict[str, float]:
     agg = metrics_ds.groupby("metric").sum(["value"])
     out: dict[str, float] = {}
     for t in (ray.get(r) for r in agg.to_arrow_refs()):
+        # groupby can leak schema-less / pandas empty blocks
+        if not isinstance(t, pa.Table) or t.num_rows == 0:
+            continue
         t = t.rename_columns(["metric", "value"])
         for m, v in zip(t["metric"].to_pylist(), t["value"].to_pylist()):
             out[m] = out.get(m, 0.0) + v

@@ -619,7 +619,8 @@ def shipping_priority(lineitem: ray.data.Dataset,
 
     broadcast_rows = 8_000_000       # ~200 MB of key+date+priority
     if o.count() <= broadcast_rows:
-        ot = pa.concat_tables([ray.get(r) for r in o.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        ot = collect_table(o)
         okey = ot["o_orderkey"].to_numpy(zero_copy_only=False)
         order = np.argsort(okey, kind="stable")
         oref = ray.put(pa.array(okey[order], pa.int64()))
@@ -658,8 +659,8 @@ def shipping_priority(lineitem: ray.data.Dataset,
         top = agg.map_batches(attach, batch_format="pyarrow") \
             .sort(["revenue_cc", "o_orderdate", "l_orderkey"],
                   descending=[True, False, False]).limit(limit)
-        return pa.concat_tables([ray.get(r)
-                                 for r in top.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        return collect_table(top)
 
     joined = hash_join(li, o, on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -685,7 +686,8 @@ def shipping_priority(lineitem: ray.data.Dataset,
         batch_format="pyarrow") \
         .sort(["revenue_cc", "o_orderdate", "l_orderkey"],
               descending=[True, False, False]).limit(limit)
-    return pa.concat_tables([ray.get(r) for r in top.to_arrow_refs()])
+    from aida_ray.state.collect import collect_table
+    return collect_table(top)
 
 
 def cheapest_supplier(lineitem: ray.data.Dataset,
@@ -987,9 +989,11 @@ def group_zscore_outliers(ds: ray.data.Dataset, key: str, col: str,
     over ``v = round(col·100)`` cents (Σ, Q = group sum and sum of
     squares).  Two passes: tiny per-group sufficient statistics
     (groups × blocks partial rows) broadcast back over the fact
-    stream.  Bounds: |v| < 2^21 and group rows < 2^20 keep every term
-    inside int64 (assert-guarded) — beyond that, recentre v per group
-    or drop to the float path."""
+    stream.  Arithmetic: the squared products can reach ~2^84 even
+    under the input asserts (|v| < 2^21, group rows < 2^20), so each
+    batch checks its ACTUAL magnitudes and takes the vectorized int64
+    path only when every term provably fits; otherwise it promotes to
+    object-dtype Python ints — still exact, never a silent wrap."""
     from ray.data.aggregate import Sum
 
     def stat_partial(b: pa.Table) -> pa.Table:
@@ -1005,9 +1009,14 @@ def group_zscore_outliers(ds: ray.data.Dataset, key: str, col: str,
 
     agg = ds.map_batches(stat_partial, batch_format="pyarrow") \
         .groupby("k").aggregate(Sum("n"), Sum("s"), Sum("q"))
-    st = pa.concat_tables(
-        [r for r in (ray.get(x) for x in agg.to_arrow_refs())
-         if r.num_rows], promote_options="default")
+    from aida_ray.state.collect import collect_table
+    st = collect_table(agg)
+    if st.num_rows == 0:
+        # empty input: no groups, nothing can be an outlier
+        return ds.map_batches(
+            lambda b: pa.table({id_col: b[id_col], key: b[key],
+                                col: b[col]}).slice(0, 0),
+            batch_format="pyarrow")
     keys = st["k"].to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
     n_arr = st["sum(n)"].to_numpy(zero_copy_only=False)[order] \
@@ -1026,9 +1035,26 @@ def group_zscore_outliers(ds: ray.data.Dataset, key: str, col: str,
         v = _cents(b[col]).to_numpy(zero_copy_only=False)
         assert np.abs(v).max(initial=0) < (1 << 21)
         ni, si, qi = n[i], s[i], q[i]
-        lhs = (v * ni - si) ** 2 * (ni - 1)
-        rhs = k * k * ni * (ni * qi - si * si)
-        keep = (ni >= 2) & (lhs > rhs)
+        A = v * ni - si                  # |A| <= 2^42: int64-safe
+        # int64 only when the ACTUAL squared products fit (conservative
+        # 2^61 cap absorbs the float-estimate rounding); otherwise
+        # promote to object-dtype Python ints — exact at any magnitude
+        a_mx = float(np.abs(A).max(initial=0))
+        n_mx = float(ni.max(initial=0))
+        q_mx = float(qi.max(initial=0))
+        s_mx = float(np.abs(si).max(initial=0))
+        LIM = float(1 << 61)
+        if (a_mx * a_mx * n_mx < LIM
+                and n_mx * q_mx < LIM and s_mx * s_mx < LIM
+                and k * k * n_mx * (n_mx * q_mx + s_mx * s_mx) < LIM):
+            lhs = A * A * (ni - 1)
+            rhs = k * k * ni * (ni * qi - si * si)
+        else:
+            Ao, no = A.astype(object), ni.astype(object)
+            lhs = Ao * Ao * (no - 1)
+            rhs = (k * k * no
+                   * (no * qi.astype(object) - si.astype(object) ** 2))
+        keep = (ni >= 2) & np.asarray(lhs > rhs, dtype=bool)
         t = b.filter(pa.array(keep))
         return pa.table({
             id_col: t[id_col], key: t[key],

@@ -412,9 +412,10 @@ def rfm_segments(events: ray.data.Dataset, key: str = "user_id",
     agg = events.map_batches(partial, batch_format="pyarrow") \
         .groupby(key).aggregate(Max("max_t"), Sum("n"), Sum("v6"))
 
-    tabs = [ray.get(r) for r in agg.to_arrow_refs()]
-    t = pa.concat_tables([x for x in tabs if x.num_rows],
-                         promote_options="default")
+    from aida_ray.state.collect import collect_table
+    t = collect_table(agg, schema=pa.schema(
+        [(key, pa.string()), ("max(max_t)", pa.int64()),
+         ("sum(n)", pa.int64()), ("sum(v6)", pa.int64())]))
     users = np.asarray(t[key].to_pylist(), dtype=object)
     max_t = t["max(max_t)"].to_numpy(zero_copy_only=False)
     n_ev = t["sum(n)"].to_numpy(zero_copy_only=False).astype("int64")

@@ -137,9 +137,14 @@ def watermark_late(events: ray.data.Dataset,
                    id_col: str = "event_id",
                    partitions: int = 64) -> ray.data.Dataset:
     """Streaming watermark late-event detection: processing the stream
-    in ARRIVAL order, the watermark before each event is the running
-    max event-time of everything that arrived strictly earlier; an
-    event whose own event-time trails that watermark by more than
+    in ``(arrival, id)`` order, the watermark before each event is the
+    running max event-time of everything EARLIER IN THAT TOTAL ORDER —
+    i.e. ties on arrival are broken by ``id_col``, and a same-arrival
+    row with a smaller id IS included in the prefix (the SQL-window
+    ``ORDER BY arr, id ROWS ... 1 PRECEDING`` convention, which the
+    oracle encodes too; a true strictly-earlier-ARRIVAL semantics
+    would segment the prefix max by distinct arrival value instead).
+    An event whose own event-time trails that watermark by more than
     ``lateness_us`` is late (the allowed-lateness drop rule of
     Beam/Flink-style streaming).  Returns (id, late_us) for the late
     events.

@@ -209,10 +209,10 @@ def term_cooccurrence_npmi(docs: ray.data.Dataset,
 
     agg = docs.map_batches(partial, batch_format="pyarrow") \
         .groupby(["term_a", "term_b"]).aggregate(Sum("cnt"))
-    import ray as _ray
-    tabs = [_ray.get(r) for r in agg.to_arrow_refs()]
-    t = pa.concat_tables([x for x in tabs if x.num_rows],
-                         promote_options="default")
+    from aida_ray.state.collect import collect_table
+    t = collect_table(agg, schema=pa.schema(
+        [("term_a", pa.string()), ("term_b", pa.string()),
+         ("sum(cnt)", pa.int64())]))
     a = np.asarray(t["term_a"].to_pylist(), dtype=object)
     bcol = np.asarray(t["term_b"].to_pylist(), dtype=object)
     c = t["sum(cnt)"].to_numpy(zero_copy_only=False).astype("int64")
@@ -305,9 +305,9 @@ def build_word_ids(docs: ray.data.Dataset,
     distinct = docs.map_batches(local_unique, batch_format="pyarrow") \
         .groupby("word").count()
 
-    tabs = [_ray.get(r) for r in distinct.to_arrow_refs()]
-    t = pa.concat_tables([x for x in tabs if x.num_rows],
-                         promote_options="default")
+    from aida_ray.state.collect import collect_table
+    t = collect_table(distinct, schema=pa.schema(
+        [("word", pa.string()), ("count()", pa.int64())]))
     words = np.sort(np.asarray(t["word"].to_pylist(), dtype=object))
     return pa.table({
         "word": pa.array(list(words), pa.string()),

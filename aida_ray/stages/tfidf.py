@@ -181,8 +181,9 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
     broadcast_threshold = 2_000_000
     rare = dfc.select_columns(["gh"]).materialize()
     if rare.count() <= broadcast_threshold:
-        rare_tbl = pa.concat_tables([ray.get(r)
-                                     for r in rare.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        rare_tbl = collect_table(rare, schema=pa.schema(
+            [("gh", pa.int64())]))
         rare_ref = ray.put(pa.array(rare_tbl["gh"].to_numpy(
             zero_copy_only=False), pa.int64()))
 

@@ -83,7 +83,8 @@ def priority_counts_by_shipmonth(lineitem: ray.data.Dataset,
     # budget the genuine large-large hash shuffle join runs.
     broadcast_rows = 8_000_000
     if o.count() <= broadcast_rows:
-        ot = pa.concat_tables([ray.get(r) for r in o.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        ot = collect_table(o)
         okey = ot["o_orderkey"].to_numpy(zero_copy_only=False)
         order = np.argsort(okey, kind="stable")
         ohigh = ot["is_high"].to_numpy(zero_copy_only=False)[order]
@@ -263,7 +264,10 @@ def small_qty_revenue(lineitem: ray.data.Dataset) -> pa.Table:
     per_part = _sum_count_by_key(
         lineitem.map_batches(qty_partial, batch_format="pyarrow")
         .materialize(), "l_partkey", "tot_qty", "cnt")
-    pt = pa.concat_tables([ray.get(r) for r in per_part.to_arrow_refs()])
+    from aida_ray.state.collect import collect_table
+    pt = collect_table(per_part, schema=pa.schema(
+        [("l_partkey", pa.int64()), ("tot_qty", pa.int64()),
+         ("cnt", pa.int64())]))
     pk = pt["l_partkey"].to_numpy(zero_copy_only=False)
     order = np.argsort(pk, kind="stable")
     agg_ref = ray.put((
@@ -286,8 +290,11 @@ def small_qty_revenue(lineitem: ray.data.Dataset) -> pa.Table:
             "revenue_cents": pa.array([int(cents.sum())], pa.int64()),
             "n_rows": pa.array([int(keep.sum())], pa.int64())})
 
-    parts = pa.concat_tables([ray.get(r) for r in lineitem.map_batches(
-        filter_partial, batch_format="pyarrow").to_arrow_refs()])
+    from aida_ray.state.collect import collect_table
+    parts = collect_table(
+        lineitem.map_batches(filter_partial, batch_format="pyarrow"),
+        schema=pa.schema([("revenue_cents", pa.int64()),
+                          ("n_rows", pa.int64())]))
     return pa.table({
         "revenue_cents": pa.array(
             [int(pc.sum(parts["revenue_cents"]).as_py() or 0)],
@@ -325,7 +332,8 @@ def big_orders(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
         lineitem.map_batches(qty_partial, batch_format="pyarrow")
         .materialize(), "l_orderkey", "tot_qty", "cnt")
     qual = per_order.filter(expr=f"tot_qty > {min_qty}")
-    qt = pa.concat_tables([ray.get(r) for r in qual.to_arrow_refs()])
+    from aida_ray.state.collect import collect_table
+    qt = collect_table(qual)
     qk = qt["l_orderkey"].to_numpy(zero_copy_only=False)
     order = np.argsort(qk, kind="stable")
     qual_ref = ray.put((qk[order],
@@ -346,22 +354,30 @@ def big_orders(lineitem: ray.data.Dataset, orders: ray.data.Dataset,
         hit = okeys[i_clip] == ok if len(okeys) \
             else np.zeros(len(ok), bool)
         t = b.filter(pa.array(hit))
+        qty_hit = oqty[i_clip[hit]]
         ckeys, cnm = _get_cached(cust_ref)
         cu = t["o_custkey"].to_numpy(zero_copy_only=False)
+        # guarded probe (tpch_wide._probe convention): an o_custkey
+        # missing from the customer dimension must drop the row, not
+        # IndexError past max(ckeys) or alias a neighbouring name
         ci = np.searchsorted(ckeys, cu)
+        ci_clip = np.minimum(ci, len(ckeys) - 1) if len(ckeys) \
+            else np.zeros(len(cu), np.int64)
+        chit = ckeys[ci_clip] == cu if len(ckeys) \
+            else np.zeros(len(cu), bool)
+        t = t.filter(pa.array(chit))
         return pa.table({
-            "c_name": pa.array(list(cnm[ci])),
+            "c_name": pa.array(list(cnm[ci_clip[chit]])),
             "c_custkey": t["o_custkey"],
             "o_orderkey": t["o_orderkey"],
             "o_orderdate": pc.strftime(t["o_orderdate"],
                                        format="%Y-%m-%d"),
             "total_price_cents": _cents(t["o_totalprice"]),
-            "sum_qty": pa.array(oqty[i_clip[hit]], pa.int64())})
+            "sum_qty": pa.array(qty_hit[chit], pa.int64())})
 
     out = orders.map_batches(attach, batch_format="pyarrow")
-    t = pa.concat_tables(
-        [ray.get(r) for r in out.to_arrow_refs()],
-        promote_options="default").combine_chunks()
+    from aida_ray.state.collect import collect_table
+    t = collect_table(out).combine_chunks()
     idx = pc.sort_indices(t, sort_keys=[("sum_qty", "descending"),
                                         ("o_orderkey", "ascending")])
     return t.take(idx)
@@ -486,7 +502,8 @@ def late_only_suppliers(lineitem: ray.data.Dataset,
     # shuffle join at all; above the budget the hash shuffle join runs
     broadcast_rows = 8_000_000
     if o.count() <= broadcast_rows:
-        ot = pa.concat_tables([ray.get(r) for r in o.to_arrow_refs()])
+        from aida_ray.state.collect import collect_table
+        ot = collect_table(o)
         okey = ot["o_orderkey"].to_numpy(zero_copy_only=False)
         order = np.argsort(okey, kind="stable")
         odate = ot["odate_us"].to_numpy(zero_copy_only=False)[order]
@@ -579,6 +596,5 @@ def late_only_suppliers(lineitem: ray.data.Dataset,
         batch_format="pyarrow") \
         .sort(["numwait", "s_suppkey"], descending=[True, False]) \
         .limit(limit)
-    return pa.concat_tables(
-        [ray.get(r) for r in top.to_arrow_refs()],
-        promote_options="default")
+    from aida_ray.state.collect import collect_table
+    return collect_table(top)

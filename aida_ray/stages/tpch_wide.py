@@ -37,21 +37,14 @@ from aida_ray.stages.relational import _cents, _round_half_away
 BROADCAST_ROWS = 8_000_000
 
 
-def _gather(ds: ray.data.Dataset) -> pa.Table:
+def _gather(ds: ray.data.Dataset,
+            schema: "pa.Schema | None" = None) -> pa.Table:
     """Driver-side gather of a SMALL dataset (callers gate on row
     counts).  Guards the two to_arrow_refs quirks: raw pandas blocks
     (empty map_groups outputs leak through groupbys unconverted) and
     zero-block datasets."""
-    tabs = [ray.get(r) for r in ds.to_arrow_refs()]
-    tabs = [pa.Table.from_pandas(t, preserve_index=False)
-            if not isinstance(t, pa.Table) else t for t in tabs]
-    if not tabs:
-        return pa.table({})
-    nonempty = [t for t in tabs if t.num_rows > 0]
-    if not nonempty:
-        with_schema = [t for t in tabs if t.num_columns > 0]
-        return with_schema[0] if with_schema else tabs[0]
-    return pa.concat_tables(nonempty, promote_options="default")
+    from aida_ray.state.collect import collect_table
+    return collect_table(ds, schema)
 
 
 def _col_np(col, dtype=None):
@@ -587,13 +580,17 @@ def returned_top_customers(lineitem: ray.data.Dataset,
 
     ck = _col_np(customer["c_custkey"]).astype("int64")
     c_order = np.argsort(ck, kind="stable")
-    i = np.searchsorted(ck[c_order], cust)
+    # guarded probes (_probe convention): drop aggregate rows whose
+    # custkey is absent from the dimension instead of aliasing
+    i, hit = _probe(ck[c_order], cust)
+    cust, rev, i = cust[hit], rev[hit], i[hit]
     names = _col_np(customer["c_name"])[c_order][i]
     cnat = _col_np(customer["c_nationkey"]).astype("int64")[c_order][i]
     nk = _col_np(nation["n_nationkey"]).astype("int64")
     nm = _col_np(nation["n_name"])
     n_order = np.argsort(nk, kind="stable")
-    nnames = nm[n_order][np.searchsorted(nk[n_order], cnat)]
+    j, nhit = _probe(nk[n_order], cnat)
+    nnames = np.where(nhit, nm[n_order][j], None)
     return pa.table({
         "c_custkey": pa.array(cust, pa.int64()),
         "c_name": pa.array(list(names)),
@@ -820,7 +817,9 @@ def bracket_revenue(lineitem: ray.data.Dataset, part: pa.Table,
             "n_rows": pa.array([len(rev)], pa.int64())})
 
     parts = _gather(lineitem.map_batches(partial,
-                                         batch_format="pyarrow"))
+                                         batch_format="pyarrow"),
+                    pa.schema([("revenue_cc", pa.int64()),
+                               ("n_rows", pa.int64())]))
     return pa.table({
         "revenue_cc": pa.array(
             [int(pc.sum(parts["revenue_cc"]).as_py() or 0)], pa.int64()),
@@ -895,13 +894,17 @@ def heavy_shippers(lineitem: ray.data.Dataset, supplier: pa.Table,
     n_heavy = g["n"].to_numpy(dtype="int64")
     sk = _col_np(supplier["s_suppkey"]).astype("int64")
     s_order = np.argsort(sk, kind="stable")
-    i = np.searchsorted(sk[s_order], supp_ids)
+    # guarded probes (_probe convention): a suppkey absent from the
+    # dimension drops the row instead of aliasing a neighbour
+    i, hit = _probe(sk[s_order], supp_ids)
+    supp_ids, n_heavy, i = supp_ids[hit], n_heavy[hit], i[hit]
     names = _col_np(supplier["s_name"])[s_order][i]
     snk = _col_np(supplier["s_nationkey"]).astype("int64")[s_order][i]
     nk = _col_np(nation["n_nationkey"]).astype("int64")
     nm = _col_np(nation["n_name"])
     n_order = np.argsort(nk, kind="stable")
-    nnames = nm[n_order][np.searchsorted(nk[n_order], snk)]
+    j, nhit = _probe(nk[n_order], snk)
+    nnames = np.where(nhit, nm[n_order][j], None)
     return pa.table({
         "s_suppkey": pa.array(supp_ids, pa.int64()),
         "s_name": pa.array(list(names)),

@@ -292,3 +292,51 @@ def test_zscore_outliers_integer_predicate(ray_session):
     out1 = group_zscore_outliers(rd.from_arrow(ev1), "user_id",
                                  "value", "event_id").to_pandas()
     assert len(out1) == 0
+
+
+def test_zscore_outliers_object_int_fallback(ray_session):
+    """ADVICE r2: terms like (v*n-s)^2*(n-1) can exceed int64 even
+    under the input asserts — the batch must promote to Python ints,
+    not wrap.  999 zeros + one 20000.00 in one group: lhs ~3.99e21 and
+    rhs ~1.6e19 both overflow int64; exact math flags only the big
+    row (z ~= 31.6)."""
+    from aida_ray.stages.relational import group_zscore_outliers
+    n = 1000
+    vals = [0.0] * (n - 1) + [20000.0]
+    ev = pa.table({"event_id": list(range(n)),
+                   "user_id": [1] * n,
+                   "value": vals})
+    out = group_zscore_outliers(
+        rd.from_arrow(ev).repartition(4), "user_id", "value",
+        "event_id", k=2).to_pandas()
+    assert out.event_id.tolist() == [n - 1]
+
+
+def test_zscore_outliers_empty_input(ray_session):
+    from aida_ray.stages.relational import group_zscore_outliers
+    ev = pa.table({"event_id": pa.array([], pa.int64()),
+                   "user_id": pa.array([], pa.int64()),
+                   "value": pa.array([], pa.float64())})
+    out = group_zscore_outliers(rd.from_arrow(ev), "user_id",
+                                "value", "event_id").to_pandas()
+    assert len(out) == 0
+
+
+def test_big_orders_unknown_custkey_dropped(ray_session):
+    """ADVICE r2: an o_custkey missing from the customer dimension
+    must drop the row (inner-join semantics), not IndexError past
+    max(ckeys) or alias a neighbouring customer's name."""
+    from aida_ray.stages.tpch_more import big_orders
+    li = pa.table({"l_orderkey": [1, 2],
+                   "l_quantity": [60.0, 70.0]})
+    orders = pa.table({
+        "o_orderkey": [1, 2],
+        "o_custkey": [7, 99],          # 99 > max(c_custkey): OOB probe
+        "o_orderdate": pa.array([np.datetime64("1996-03-01", "us")] * 2,
+                                pa.timestamp("us")),
+        "o_totalprice": [100.0, 200.0]})
+    cust = pa.table({"c_custkey": [7, 8], "c_name": ["X", "Y"]})
+    out = big_orders(rd.from_arrow(li), rd.from_arrow(orders), cust,
+                     min_qty=50).to_pandas()
+    assert out.o_orderkey.tolist() == [1]
+    assert out.c_name.tolist() == ["X"]
