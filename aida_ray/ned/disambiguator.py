@@ -41,7 +41,8 @@ def prepare_document(doc_id: str, text: str, kb: KB,
                   min_mention_occurrence=settings.min_mention_occurrence,
                   injected_manual=injected_manual,
                   detect_ood=settings.detect_ood_mentions,
-                  statistical_ner=settings.statistical_ner)
+                  statistical_ner=settings.statistical_ner,
+                  language=settings.language)
     fill_candidates(doc.mentions, kb, settings)
     return doc
 

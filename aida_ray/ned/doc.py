@@ -216,7 +216,7 @@ def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
             min_mention_occurrence: int = 1,
             injected_manual: list[Mention] | None = None,
             detect_ood: bool = False,
-            statistical_ner=None) -> PreparedDoc:
+            statistical_ner=None, language: str = "en") -> PreparedDoc:
     """Full preparation: markup filter → tokenize → tag → align → context ids.
 
     ``injected_manual`` supplies pre-parsed manual mentions (already in
@@ -226,7 +226,13 @@ def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
     if injected_manual:
         manual = manual + [Mention(m.mention, m.char_offset, m.char_length,
                                    manual=True) for m in injected_manual]
-    tokens = tokenize(cleaned)
+    if language == "en":
+        tokens = tokenize(cleaned)
+    else:
+        # M2 language routing (TokenizerManager.java dispatch): de gets
+        # German sentence rules, anything else the multilingual fallback
+        from aida_ray.text.multilingual import tokenize_for_lang
+        tokens = tokenize_for_lang(cleaned, language)
     manual = align_mentions_to_tokens(manual, tokens)
     if detection == "manual":
         mentions = manual

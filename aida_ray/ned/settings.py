@@ -77,6 +77,9 @@ class GraphSettings:
 @dataclass(frozen=True)
 class DisambiguationSettings:
     technique: str = "graph"          # "local" | "prior" | "graph"
+    language: str = "en"              # M2: tokenizer route (en | de |
+                                      # anything else -> multilingual
+                                      # fallback), TokenizerManager.java
     algorithm: str = "cocktail_party_size_constrained"  # or "cocktail_party" | "simple_greedy"
     similarity: SimilaritySettings = SWITCHED_KP
     graph: GraphSettings = GraphSettings()

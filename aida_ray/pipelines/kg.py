@@ -103,11 +103,29 @@ class NedActor:
     """
 
     def __init__(self, kb_ref, settings: DisambiguationSettings | None = None,
-                 emit: str = "triples", lang_filter: str | None = "en"):
+                 emit: str = "triples", lang_filter: str | None = None,
+                 lang_route: bool = True):
         self.kb: KB = resolve(kb_ref)
         self.settings = settings or DisambiguationSettings()
         self.emit = emit
+        # M2 parity (TokenizerManager.java dispatch): pages are ROUTED
+        # to a per-language tokenizer by default, never dropped.  An
+        # explicit lang_filter restores the restrictive behavior.
         self.lang_filter = lang_filter
+        self.lang_route = lang_route
+        self._settings_by_lang: dict[str, DisambiguationSettings] = {}
+
+    def _settings_for(self, lang) -> DisambiguationSettings:
+        if not self.lang_route or not lang:
+            return self.settings
+        code = lang.lower()[:2]
+        got = self._settings_by_lang.get(code)
+        if got is None:
+            from dataclasses import replace
+            got = replace(self.settings, language=code) \
+                if code != self.settings.language else self.settings
+            self._settings_by_lang[code] = got
+        return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
@@ -122,7 +140,8 @@ class NedActor:
             for url, text, lang in zip(urls, texts, langs):
                 if self.lang_filter and lang and lang != self.lang_filter:
                     continue
-                for r in disambiguate_document(url, text, self.kb, self.settings):
+                for r in disambiguate_document(url, text, self.kb,
+                                               self._settings_for(lang)):
                     cols["url"].append(url)
                     cols["mention"].append(r.mention)
                     cols["begin"].append(r.char_offset)
@@ -137,7 +156,8 @@ class NedActor:
         for url, text, lang, ts in zip(urls, texts, langs, tss):
             if self.lang_filter and lang and lang != self.lang_filter:
                 continue
-            results = disambiguate_document(url, text, self.kb, self.settings)
+            results = disambiguate_document(url, text, self.kb,
+                                            self._settings_for(lang))
             linked = [r for r in results if r.entity != OOKBE]
             for r in linked:
                 cols["subj"].append(r.entity)

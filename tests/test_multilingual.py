@@ -1,0 +1,93 @@
+"""M2 language-routed tokenization tests (TokenizerManager.java parity)."""
+
+import pyarrow as pa
+
+from aida_ray.text.multilingual import (tokenize_de, tokenize_for_lang,
+                                        tokenize_multilingual)
+from aida_ray.text.tokenizer import tokenize
+
+
+def test_german_abbreviation_keeps_sentence_open():
+    toks = tokenize_de("Knebworth ist z.B. besser als Kashmir .")
+    assert [t.sentence for t in toks] == [0] * len(toks)
+    # the ENGLISH tokenizer splits at z. / B. — this asymmetry is what
+    # the multilang_ned oracle leans on
+    en = tokenize("Knebworth ist z.B. besser als Kashmir .")
+    assert en[-2].text == "Kashmir" and en[-2].sentence == 2
+
+
+def test_german_ordinal_and_named_abbreviations():
+    toks = tokenize_de("Im 19. Jahrhundert lebte Dr. Faust . Er war alt .")
+    by_text = {t.text: t.sentence for t in toks}
+    # ordinal 19. and Dr. keep sentence 0 open; the real stop advances
+    assert by_text["Jahrhundert"] == 0
+    assert by_text["Faust"] == 0
+    assert by_text["Er"] == 1
+    assert by_text["alt"] == 1
+
+
+def test_german_spaced_period_is_a_real_stop():
+    toks = tokenize_de("Der Satz endet z . Danach neu .")
+    by_text = {t.text: t.sentence for t in toks}
+    # "z ." (non-adjoining period) must NOT be treated as abbreviation
+    assert by_text["Danach"] == 1
+
+
+def test_multilingual_fallback_word_runs_only():
+    toks = tokenize_multilingual("¡Hola, señor! ¿Qué tal?")
+    assert [t.text for t in toks] == ["Hola", "señor", "Qué", "tal"]
+    assert all(t.sentence == 0 for t in toks)
+    # offsets point into the original text
+    assert toks[0].begin == 1 and toks[0].end == 5
+
+
+def test_route_dispatch():
+    text = "A b ."
+    assert [t.text for t in tokenize_for_lang(text, "en")] == ["A", "b", "."]
+    assert [t.text for t in tokenize_for_lang(text, "zh")] == ["A", "b"]
+    assert [t.text for t in tokenize_for_lang(text, None)] == ["A", "b"]
+    assert [t.text for t in tokenize_for_lang(text, "de-DE")] == \
+        ["A", "b", "."]
+
+
+def test_en_route_is_byte_identical_to_legacy_tokenizer():
+    text = "Dr. Smith visited Berlin. He stayed for 3 days."
+    assert tokenize_for_lang(text, "en") == tokenize(text)
+
+
+def test_ned_actor_routes_instead_of_dropping(ray_session):
+    """de page: the co-occurrence pair exists only under German rules;
+    es page: the multilingual fallback still finds both mentions."""
+    import ray.data
+
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.settings import DisambiguationSettings
+    from aida_ray.pipelines.kg import NedActor
+    from aida_ray.state.broadcast import put_kb
+
+    pages = pa.table({
+        "url": ["http://x/de", "http://x/es", "http://x/en"],
+        "text": ["Knebworth ist z.B. besser als Kashmir .",
+                 "Knebworth vs Kashmir",
+                 "Knebworth is better than Kashmir ."],
+        "lang": ["de", "es", "en"]})
+    actor = NedActor(put_kb(build_fixture_kb()),
+                     settings=DisambiguationSettings(technique="prior"))
+    out = actor(pages).to_pandas()
+    for url in pages["url"].to_pylist():
+        sub = out[out["url"] == url]
+        assert (sub["pred"] == "mentionedIn").sum() == 2, url
+        assert (sub["pred"] == "coOccursWith").sum() == 1, url
+    # the legacy filter still works when explicitly requested
+    strict = NedActor(put_kb(build_fixture_kb()),
+                      settings=DisambiguationSettings(technique="prior"),
+                      lang_filter="en", lang_route=False)
+    out2 = strict(pages).to_pandas()
+    assert set(out2["url"]) == {"http://x/en"}
+    # and WITHOUT routing, the German page loses its co-occurrence pair
+    unrouted = NedActor(put_kb(build_fixture_kb()),
+                        settings=DisambiguationSettings(technique="prior"),
+                        lang_route=False)
+    out3 = unrouted(pages).to_pandas()
+    de = out3[out3["url"] == "http://x/de"]
+    assert (de["pred"] == "coOccursWith").sum() == 0
