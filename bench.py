@@ -168,6 +168,20 @@ def run_bench() -> dict:
             timings["kg_sharded4_full"] = round(time.time() - t0, 3)
             extras["sharded_over_single_full"] = round(
                 timings["kg_sharded4_full"] / timings["kg_single_full"], 3)
+
+            # disk-backed shards (DMap analogue): keyphrase index read
+            # per entity range from parquet in actor __init__; must not
+            # regress vs the in-memory sharded row (r3 criterion)
+            t0 = time.time()
+            link_pages_sharded(read_pages(pages_dir), kb, n_shards=4,
+                               shards_per_pool=2, concurrency=shard_conc,
+                               batch_size=512,
+                               kb_dir="/tmp/aida_ray_cache/kb_shards4"
+                               ).count()
+            timings["kg_sharded4_disk_full"] = round(time.time() - t0, 3)
+            extras["sharded_disk_over_memory"] = round(
+                timings["kg_sharded4_disk_full"]
+                / timings["kg_sharded4_full"], 3)
         finally:
             # never leak the deep-chain ratio into later executions
             ctx.op_resource_reservation_ratio = old_ratio
