@@ -72,6 +72,34 @@ def tokenize_de(text: str) -> list[Token]:
     return tokens
 
 
+_AR_TOKEN_RE = re.compile(
+    r"[\w؀-ۿݐ-ݿ]+"      # Arabic + Latin/digit word runs
+    r"|[^\s\w؀-ۿݐ-ݿ]"   # standalone symbol
+)
+_AR_SENT_END = frozenset({".", "!", "?", "؟", "۔", "؛"})
+
+
+def tokenize_ar(text: str) -> list[Token]:
+    """Arabic tokenizer (ARABIC_TOKENS route): word runs over the
+    Arabic blocks + Latin/digits, sentence split on Latin AND Arabic
+    terminators (``؟ ۔ ؛``).  Rule-based stand-in for the reference's
+    Stanford Arabic pipeline — no clitic segmentation (documented
+    seam), but mentions/offsets/sentences behave identically to the
+    other routes."""
+    tokens: list[Token] = []
+    sentence = 0
+    pending_break = False
+    for i, m in enumerate(_AR_TOKEN_RE.finditer(text)):
+        if pending_break:
+            sentence += 1
+            pending_break = False
+        tok = Token(m.group(), m.start(), m.end(), i, sentence)
+        tokens.append(tok)
+        if tok.text in _AR_SENT_END:
+            pending_break = True
+    return tokens
+
+
 _WORD_RE = re.compile(r"\w+", re.UNICODE)
 
 
@@ -87,6 +115,7 @@ def tokenize_multilingual(text: str) -> list[Token]:
 TOKENIZERS = {
     "en": tokenize,
     "de": tokenize_de,
+    "ar": tokenize_ar,
 }
 
 

@@ -41,6 +41,18 @@ def test_multilingual_fallback_word_runs_only():
     assert toks[0].begin == 1 and toks[0].end == 5
 
 
+def test_arabic_route():
+    from aida_ray.text.multilingual import tokenize_ar
+    toks = tokenize_ar("ذهب محمد إلى برلين ؟ ثم عاد .")
+    by_text = {t.text: t.sentence for t in toks}
+    assert by_text["برلين"] == 0       # Arabic word run is ONE token
+    assert by_text["ثم"] == 1          # Arabic question mark splits
+    # mixed-script mention stays intact, offsets into the original
+    toks2 = tokenize_for_lang("زار Knebworth اليوم", "ar")
+    assert [t.text for t in toks2] == ["زار", "Knebworth", "اليوم"]
+    assert toks2[1].begin == 4 and toks2[1].end == 13
+
+
 def test_route_dispatch():
     text = "A b ."
     assert [t.text for t in tokenize_for_lang(text, "en")] == ["A", "b", "."]
