@@ -1611,6 +1611,29 @@ def q_multilang_ned(sf_dir: str) -> pa.Table:
             t.get("coOccursWith", 0).astype("int64").tolist(), pa.int64())})
 
 
+def q_trace_decisions(sf_dir: str) -> pa.Table:
+    """GraphTracer-analogue per-decision trace (reference
+    src/mpi/experiment/trace/): one row per (mention, candidate) with
+    prior and chosen flag over the reference's own test fixture —
+    priors are DataAccessForTesting literals, so the oracle pins the
+    whole trace as VALUES (the full trace also carries local_sim,
+    exercised in tests/test_trace.py)."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.settings import DisambiguationSettings
+    from aida_ray.ned.trace import trace_decisions
+    t = trace_decisions(
+        "trace://0", "Page played with Kashmir at Knebworth .",
+        build_fixture_kb(), DisambiguationSettings(technique="prior"))
+    return pa.table({
+        "mention": t["mention"],
+        "begin": pc.cast(t["begin"], pa.int32()),
+        "candidate": t["candidate"],
+        "prior_1e6": pc.cast(pc.round(pc.multiply(
+            t["prior"], pa.scalar(1e6))), pa.int64()),
+        "chosen": t["chosen"],
+    })
+
+
 def q_kg_pagerank(sf_dir: str) -> pa.Table:
     """Entity importance over the flagship KG: PageRank on the
     entity↔url bipartite graph of the NED-emitted mentionedIn triples
@@ -4124,6 +4147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_pagerank": q_kg_pagerank,
         "multilang_ned": q_multilang_ned,
+        "trace_decisions": q_trace_decisions,
         "fuzzy_join": q_fuzzy_join,
         "json_props": q_json_props,
         "kg_canonical": q_kg_canonical,
@@ -6005,6 +6029,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN hs >= hf THEN 'es'
                         ELSE 'fr' END AS lang_pred
             FROM h
+        """,
+        "trace_decisions": """
+            SELECT * FROM (VALUES
+                ('Page', 0, 'Jimmy_Page', 300000, FALSE),
+                ('Page', 0, 'Larry_Page', 700000, TRUE),
+                ('Kashmir', 17, 'Kashmir', 900000, TRUE),
+                ('Kashmir', 17, 'Kashmir_(song)', 100000, FALSE),
+                ('Knebworth', 28, 'Knebworth_Festival', 1000000, TRUE)
+            ) AS t(mention, begin, candidate, prior_1e6, chosen)
         """,
         "multilang_ned": """
             SELECT lang,
