@@ -4057,6 +4057,50 @@ def q_ivfpq_top1(sf_dir: str) -> pa.Table:
         "top1": pa.array(t["vec_id"].to_numpy(), pa.int64())})
 
 
+def q_ivfadc_top1(sf_dir: str) -> pa.Table:
+    """TRUE IVFADC (residual-encoding IVF-PQ, Jégou §IV) with a
+    provable planted slice: vectors are cell_base(id%4)·100 on dim 0
+    plus per-subspace residual patterns (id//4)%3 and (id//4)%5, so
+    each cell's residuals take ≤3/≤5 distinct values per subspace and
+    codebooks of size 12/20 quantize them LOSSLESSLY — ADC distances
+    are then EXACT L2, the query's whole congruence class ties at
+    distance 0, and min-id tie-break makes top-1 = the smallest
+    congruent corpus id (one SQL modular join).  n_probe=1 suffices:
+    the class shares the query's own cell.  The in-query assertion
+    additionally pins the winning ADC distance to exactly 0 — any
+    residual-path arithmetic error or quantization leak flips it."""
+    from aida_ray.stages.knn import ivfpq_build, ivfpq_topk
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.zeros((len(ids), 4))
+        v[:, 0] = (ids % 4) * 100.0
+        v[:, 1] = (ids // 4) % 3
+        v[:, 3] = (ids // 4) % 5
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "vec": pa.array(list(v))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ds = docs.map_batches(plant, batch_format="pyarrow")
+    cents, books, enc = ivfpq_build(ds, n_cells=4, m=2, ks=[12, 20],
+                                    vec_col="vec", id_col="vec_id",
+                                    residual=True)
+    qids = np.array([120, 241, 362])
+    Q = np.zeros((len(qids), 4))
+    Q[:, 0] = (qids % 4) * 100.0
+    Q[:, 1] = (qids // 4) % 3
+    Q[:, 3] = (qids // 4) % 5
+    t = ivfpq_topk(enc.materialize(), cents, books, Q, k=1, n_probe=1,
+                   id_col="vec_id", residual=True).to_pandas()
+    t = t.sort_values("query").reset_index(drop=True)
+    assert (t["adc_dist"].abs() < 1e-9).all(), \
+        f"IVFADC residual encoding not lossless: {t}"
+    return pa.table({
+        "qid": pa.array(qids[t["query"].to_numpy()], pa.int64()),
+        "top1": pa.array(t["vec_id"].to_numpy(), pa.int64())})
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -4265,6 +4309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_top1": q_pq_top1,
         "grouping_sets": q_grouping_sets,
         "ivfpq_top1": q_ivfpq_top1,
+        "ivfadc_top1": q_ivfadc_top1,
     }
 
 
@@ -6863,6 +6908,15 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT MIN(d.doc_id) FROM documents d
                     WHERE d.doc_id % 1155 = q.qid % 1155) AS top1
             FROM (VALUES (1200), (2400), (3600)) q(qid)
+            ORDER BY q.qid
+        """,
+        "ivfadc_top1": """
+            SELECT q.qid,
+                   (SELECT MIN(d.doc_id) FROM documents d
+                    WHERE d.doc_id % 4 = q.qid % 4
+                      AND (d.doc_id // 4) % 3 = (q.qid // 4) % 3
+                      AND (d.doc_id // 4) % 5 = (q.qid // 4) % 5) AS top1
+            FROM (VALUES (120), (241), (362)) q(qid)
             ORDER BY q.qid
         """,
     }

@@ -359,14 +359,22 @@ def pq_topk(codes_ds: ray.data.Dataset, books: list[np.ndarray],
 
 def ivfpq_build(ds: ray.data.Dataset, n_cells: int, m: int, ks,
                 vec_col: str = "embedding", id_col: str = "vec_id",
-                iters: int = 4):
+                iters: int = 4, residual: bool = False):
     """IVF-PQ index build (the FAISS-style composition): a coarse
     k-means partitions the corpus into ``n_cells`` inverted lists and
     every vector additionally stores its product-quantization codes —
     queries then score ONLY the probed cells, in the compressed
-    domain.  This is the no-residual variant (codes quantize the raw
-    vector, not x − centroid): exact-duplicate vectors provably share
-    both cell and codes, which the `ivfpq_top1` oracle exploits.
+    domain.
+
+    ``residual=False`` (default): codes quantize the raw vector —
+    exact-duplicate vectors provably share both cell and codes, which
+    the `ivfpq_top1` oracle exploits.  ``residual=True`` is true
+    IVFADC (Jégou et al. §IV): codes quantize x − centroid[cell], the
+    accuracy-at-tight-byte-budgets variant — residuals concentrate
+    near 0, so the same codebook bits carry more precision.  The
+    residual dataset is materialized once for the codebook Lloyd loop
+    (at 100 TB, persist it instead — it is the same rows the index
+    write stores anyway).
 
     Returns (coarse_centroids, codebooks, encoded) where encoded is
     the (id, cell, codes) Dataset — the only per-row state the index
@@ -376,6 +384,38 @@ def ivfpq_build(ds: ray.data.Dataset, n_cells: int, m: int, ks,
 
     ds = _compact(ds.select_columns([id_col, vec_col]))
     cents = kmeans(ds, vec_col, id_col, k=n_cells, iters=iters)
+    cref = ray.put(cents)
+
+    if residual:
+        def to_res(b: pa.Table) -> pa.Table:
+            c = _get_cached(cref)
+            x = _batch_matrix(b, vec_col)
+            cell = np.argmin(-2 * x @ c.T + np.sum(c * c, axis=1), axis=1)
+            res = x - c[cell]
+            return pa.table({id_col: b[id_col],
+                             "cell": pa.array(cell, pa.int64()),
+                             "res": pa.array(list(res))})
+
+        res_ds = ds.map_batches(to_res, batch_format="pyarrow") \
+            .materialize()
+        books = pq_train(res_ds, m, ks, vec_col="res", id_col=id_col,
+                         iters=iters)
+        dsub = books[0].shape[1]
+        bref = ray.put(books)
+
+        def enc_res(b: pa.Table) -> pa.Table:
+            bs = _get_cached(bref)
+            r = _batch_matrix(b, "res")
+            codes = np.stack([
+                np.argmin(-2 * r[:, s * dsub:(s + 1) * dsub] @ cb.T
+                          + (cb * cb).sum(axis=1), axis=1)
+                for s, cb in enumerate(bs)], axis=1).astype(np.int64)
+            return pa.table({id_col: b[id_col], "cell": b["cell"],
+                             "codes": pa.array(list(codes))})
+
+        return cents, books, res_ds.map_batches(enc_res,
+                                                batch_format="pyarrow")
+
     books = pq_train(ds, m, ks, vec_col=vec_col, id_col=id_col,
                      iters=iters)
     dsub = books[0].shape[1]
@@ -399,35 +439,58 @@ def ivfpq_build(ds: ray.data.Dataset, n_cells: int, m: int, ks,
 def ivfpq_topk(encoded: ray.data.Dataset, cents: np.ndarray,
                books: list[np.ndarray], queries: np.ndarray,
                k: int = 1, n_probe: int = 1,
-               id_col: str = "vec_id") -> pa.Table:
+               id_col: str = "vec_id", residual: bool = False) -> pa.Table:
     """ADC top-k over the probed cells only: each query routes to its
     ``n_probe`` nearest coarse cells and scores just those rows with
     the PQ table lookups — per batch the untouched cells cost one
-    vectorized membership mask.  Same partial-top-k / min-id
-    tie-break merge as :func:`pq_topk`."""
+    vectorized membership mask.  ``residual=True`` (IVFADC) builds one
+    lookup table per (query, probed cell) over q − centroid[cell];
+    plain mode shares one table per query.  Same partial-top-k /
+    min-id tie-break merge as :func:`pq_topk`."""
     from aida_ray.stages.dedup import _get_cached
     dsub = books[0].shape[1]
     Q = np.asarray(queries, dtype=np.float64)
     d2 = -2 * Q @ cents.T + np.sum(cents * cents, axis=1)
     probe = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
-    qref = ray.put((books, Q, probe))
+    qref = ray.put((books, cents if residual else None, Q, probe))
 
     def score(b: pa.Table) -> pa.Table:
-        bs, Qv, pr = _get_cached(qref)
+        bs, cv, Qv, pr = _get_cached(qref)
         codes = np.array(b["codes"].to_pylist(), dtype=np.int64)
         cell = b["cell"].to_numpy(zero_copy_only=False)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         o_q, o_id, o_d = [], [], []
         for qi in range(len(Qv)):
-            sel = np.isin(cell, pr[qi])
-            if not sel.any():
-                continue
-            cs, sid = codes[sel], ids[sel]
-            dist = np.zeros(len(sid))
-            for s, cb in enumerate(bs):
-                tab = ((cb - Qv[qi, s * dsub:(s + 1) * dsub]) ** 2) \
-                    .sum(axis=1)
-                dist += tab[cs[:, s]]
+            if cv is None:
+                sel = np.isin(cell, pr[qi])
+                if not sel.any():
+                    continue
+                cs, sid = codes[sel], ids[sel]
+                dist = np.zeros(len(sid))
+                for s, cb in enumerate(bs):
+                    tab = ((cb - Qv[qi, s * dsub:(s + 1) * dsub]) ** 2) \
+                        .sum(axis=1)
+                    dist += tab[cs[:, s]]
+            else:
+                # IVFADC: per-cell tables over the query RESIDUAL
+                parts_id, parts_d = [], []
+                for c in pr[qi]:
+                    mask = cell == c
+                    if not mask.any():
+                        continue
+                    qres = Qv[qi] - cv[c]
+                    cs = codes[mask]
+                    d = np.zeros(int(mask.sum()))
+                    for s, cb in enumerate(bs):
+                        tab = ((cb - qres[s * dsub:(s + 1) * dsub]) ** 2) \
+                            .sum(axis=1)
+                        d += tab[cs[:, s]]
+                    parts_id.append(ids[mask])
+                    parts_d.append(d)
+                if not parts_id:
+                    continue
+                sid = np.concatenate(parts_id)
+                dist = np.concatenate(parts_d)
             kk = min(k, len(sid))
             top = np.lexsort((sid, dist))[:kk]
             o_q.extend([qi] * kk)
@@ -615,7 +678,8 @@ def ivf_index_topk(path: str, queries: np.ndarray, k: int = 10,
 
 def ivfpq_index_write(ds: ray.data.Dataset, path: str, n_cells: int,
                       m: int, ks, vec_col: str = "embedding",
-                      id_col: str = "vec_id", iters: int = 4) -> tuple:
+                      id_col: str = "vec_id", iters: int = 4,
+                      residual: bool = False) -> tuple:
     """Build + persist an IVF-PQ index: the encoded (id, cell, codes)
     rows land hive-partitioned by cell, coarse centroids and all m
     codebooks bit-exact in `_meta.npz` — query waves then read probed
@@ -623,14 +687,15 @@ def ivfpq_index_write(ds: ray.data.Dataset, path: str, n_cells: int,
     shape.  Idempotent on config match."""
     ks_list = [ks] * m if isinstance(ks, int) else list(ks)
     cfg = {"kind": "ivfpq", "n_cells": n_cells, "m": m, "ks": ks_list,
-           "iters": iters, "vec_col": vec_col, "id_col": id_col}
+           "iters": iters, "vec_col": vec_col, "id_col": id_col,
+           "residual": residual}
     if index_exists(path, cfg):
         _, arrays = _index_meta_read(path)
         books = [arrays[f"book{s}"] for s in range(m)]
         return arrays["cents"], books
     cents, books, encoded = ivfpq_build(ds, n_cells, m, ks_list,
                                         vec_col=vec_col, id_col=id_col,
-                                        iters=iters)
+                                        iters=iters, residual=residual)
     tmp = _index_tmp_swap(path)
     encoded.map_batches(
         lambda b: b.append_column("pcell", b["cell"]),
@@ -658,5 +723,5 @@ def ivfpq_index_topk(path: str, queries: np.ndarray, k: int = 1,
             _topk_schema(id_col, "adc_dist",
                          pa.int64()).empty_table().to_pandas()), stats
     out = ivfpq_topk(pruned, cents, books, Q, k=k, n_probe=n_probe,
-                     id_col=id_col)
+                     id_col=id_col, residual=bool(cfg.get("residual")))
     return out, stats

@@ -83,6 +83,58 @@ def test_ivfpq_index_roundtrip_and_pruning(ray_session, idx_dir):
     assert stats1["files_read"] < stats1["files_total"]
 
 
+def test_ivfadc_residual_lossless_equals_bruteforce(ray_session):
+    """True IVFADC: when per-cell residuals take few distinct values
+    and codebooks are sized to cover them, ADC distances are EXACT L2
+    — full-probe residual top-k must equal numpy brute force."""
+    import ray.data
+
+    from aida_ray.stages.knn import ivfpq_build, ivfpq_topk
+    ids = np.arange(240)
+    v = np.zeros((len(ids), 4))
+    v[:, 0] = (ids % 4) * 100.0
+    v[:, 1] = (ids // 4) % 3
+    v[:, 3] = (ids // 4) % 5
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "vec": pa.array(list(v))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    cents, books, enc = ivfpq_build(ds, n_cells=4, m=2, ks=[12, 20],
+                                    vec_col="vec", id_col="vec_id",
+                                    residual=True)
+    Q = v[[7, 130]]
+    out = ivfpq_topk(enc.materialize(), cents, books, Q, k=3, n_probe=4,
+                     id_col="vec_id", residual=True).to_pandas()
+    for qi, q in enumerate(Q):
+        d = ((v - q) ** 2).sum(axis=1)
+        want = ids[np.lexsort((ids, d))][:3].tolist()
+        got = out[out["query"] == qi]["vec_id"].tolist()
+        assert got == want, (qi, got, want)
+        # ADC distance of the winner is exactly the L2 distance
+        dd = out[out["query"] == qi]["adc_dist"].tolist()
+        assert abs(dd[0] - d[want[0]]) < 1e-9
+
+
+def test_ivfadc_persisted_index_roundtrip(ray_session, idx_dir):
+    from aida_ray.stages.knn import ivfpq_index_topk, ivfpq_index_write
+    import ray.data
+    ids = np.arange(240)
+    v = np.zeros((len(ids), 4))
+    v[:, 0] = (ids % 4) * 100.0
+    v[:, 1] = (ids // 4) % 3
+    v[:, 3] = (ids // 4) % 5
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "vec": pa.array(list(v))})
+    ds = ray.data.from_arrow(t).repartition(3)
+    ivfpq_index_write(ds, idx_dir, n_cells=4, m=2, ks=[12, 20],
+                      vec_col="vec", id_col="vec_id", residual=True)
+    out, stats = ivfpq_index_topk(idx_dir, v[[7]], k=1, n_probe=1,
+                                  id_col="vec_id")
+    df = out.to_pandas()
+    assert stats["cells_read"] == 1 < stats["cells_total"]
+    assert df["vec_id"].tolist() == [7]
+    assert abs(df["adc_dist"].iloc[0]) < 1e-9
+
+
 def test_pq_train_distributed_merge_matches_reference(ray_session):
     """The groupby-sum merge must equal a driver-side accumulation of
     the same per-block partials (allowing float summation-order ulp)."""
