@@ -770,11 +770,18 @@ def _string_hashes_vec(arr) -> tuple[np.ndarray, np.ndarray]:
         arr = pa.array(arr, pa.string())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    elif pa.types.is_string(arr.type):
+        off_dtype = np.int32
+    else:
+        arr = pc.cast(arr, pa.string())
+        off_dtype = np.int32
     n = len(arr)
     if n == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64))
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
         arr.offset:arr.offset + n + 1].astype(np.int64)
     if bufs[2] is None or offs[-1] == offs[0]:
         return (np.zeros(n, np.int64), np.zeros(n, np.int64))
