@@ -36,13 +36,13 @@ def test_ivf_index_prunes_and_matches_self(ray_session, idx_dir):
     cells = [d for d in os.listdir(idx_dir) if d.startswith("pcell=")]
     assert 1 < len(cells) <= 8
     out, stats = ivf_index_topk(idx_dir, v[:3], k=5, n_probe=2)
-    # unprobed partitions never read
-    assert stats["cells_read"] <= 6 < stats["cells_total"] \
-        or stats["cells_read"] < stats["cells_total"]
+    # unprobed partitions never read: read + unread partition the cell
+    # set, strictly fewer files open than exist on disk
+    assert stats["cells_read"] < stats["cells_total"]
     assert stats["files_read"] < stats["files_total"]
-    assert set(stats["cells_unread"]).isdisjoint(
-        set(range(stats["cells_total"])) - set(stats["cells_unread"])
-    )
+    assert stats["cells_read"] + len(stats["cells_unread"]) \
+        == stats["cells_total"]
+    assert stats["cells_read"] <= 3 * 2   # <= queries x n_probe
     df = out.to_pandas()
     # each query is a corpus vector: its own cell is the first probe,
     # so top-1 must be itself at cosine ~1
