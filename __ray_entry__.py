@@ -2394,6 +2394,37 @@ def q_connected_components(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_scc(sf_dir: str) -> pa.Table:
+    """Strongly connected components over a planted digraph on doc ids:
+    a forward chain i→i+1 everywhere, plus a closing back edge
+    5g+4→5g in every EVEN group of five — so even full groups are
+    5-node SCCs (rep = 5g) and every other node is a singleton.  The
+    inter-group chain edges form a DAG, so no larger SCC exists; the
+    oracle derives the same labels arithmetically."""
+    from aida_ray.stages.scc import strongly_connected_components
+
+    def planted_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        hi = int(b["max_id"][0].as_py())
+        fwd = ids[ids + 1 <= hi]
+        closing = ids[(ids % 5 == 4) & ((ids // 5) % 2 == 0)]
+        return pa.table({
+            "src": pa.array(np.concatenate([fwd, closing]), pa.int64()),
+            "dst": pa.array(np.concatenate([fwd + 1, closing - 4]),
+                            pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    hi = int(docs.max("doc_id"))
+    edges = docs.map_batches(
+        lambda b, hi=hi: planted_edges(b.append_column(
+            "max_id", pa.array([hi] * b.num_rows, pa.int64()))),
+        batch_format="pyarrow")
+    out = _collect(strongly_connected_components(edges)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_weighted_sample(sf_dir: str) -> pa.Table:
     """Weighted sampling without replacement (Efraimidis-Spirakis
     A-ES), weights = document length: deterministic hash-derived
@@ -4232,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "table_audit": q_table_audit,
         "connected_components": q_connected_components,
+        "scc": q_scc,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -5676,6 +5708,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN und u ON u.s = r.reach)
             SELECT node AS doc_id, MIN(reach) AS cluster
             FROM r GROUP BY node
+        """,
+        "scc": """
+            SELECT doc_id AS node,
+                   CASE WHEN (doc_id // 5) % 2 = 0
+                         AND (doc_id // 5) * 5 + 4 <=
+                             (SELECT MAX(doc_id) FROM documents)
+                        THEN (doc_id // 5) * 5
+                        ELSE doc_id END AS scc
+            FROM documents
         """,
         "weighted_sample": """
             WITH u AS (

@@ -16,3 +16,9 @@ canonicalization shuffle are distributed concerns.
 """
 
 __version__ = "0.1.0"
+
+# Runtime fix for Ray's hash-shuffle empty-first-block schema broadcast
+# (see aida_ray/state/raypatch.py for the upstream bug analysis).
+from aida_ray.state import raypatch as _raypatch
+
+_raypatch.install()

@@ -1,0 +1,126 @@
+"""Targeted runtime fix for Ray Data's hash-shuffle schema broadcast.
+
+Upstream bug (ray 2.49, `ray/data/_internal/execution/operators/
+hash_shuffle.py`): the hash-shuffle operator relies on the FIRST
+``_shuffle_block`` task per input side fanning out empty schema-carrying
+shards to every aggregator (``send_empty_blocks=True``), and marks the
+side as broadcast as soon as that task is *submitted*.  But
+``_shuffle_block`` early-returns on ``block.num_rows == 0`` BEFORE the
+fan-out — so when the first block of a side happens to be empty (a
+perfectly normal output of a filter/groupby upstream), the schema never
+reaches the aggregators, and any partition that then receives zero rows
+crashes ``JoinAggregator.finalize`` with::
+
+    ArrowInvalid: No match or multiple matches for key field reference
+    FieldRef.Name(<key>) on left side of the join
+
+The failure is block-order dependent, i.e. flaky, and affects every
+``Dataset.join`` in this repo (iterative label propagation / SCC peels
+are the most exposed: they join small, heavily-filtered tables whose
+leading blocks are often empty).
+
+Two flavors of bad first block exist: (a) empty WITH a schema — fixable
+inside the shuffle task by fanning the schema out anyway; (b) empty with
+NO columns at all (Ray materializes some empty filter/aggregate outputs
+as zero-column tables) — the task has nothing to broadcast, but the
+operator has already consumed its one broadcast opportunity.
+
+:func:`install` therefore patches two spots:
+
+1. the module-level ``_shuffle_block`` remote function: when the block
+   is empty but schema-carrying and ``send_empty_blocks`` is set, fan
+   the empty schema shards out to every aggregator before returning
+   (upstream returns early and skips it);
+2. ``HashShufflingOperatorBase.__init__``: replace the
+   ``_has_schemas_broadcasted`` flag map with one that always reads
+   False, so EVERY shuffle task keeps ``send_empty_blocks=True`` — the
+   first schema-carrying block on each side broadcasts, no matter how
+   many schema-less empties precede it.  Cost: a task also ships empty
+   shards for partitions it has no rows for — ≤ ``num_partitions`` tiny
+   messages per task, negligible against the shuffle itself (and dense
+   shuffles already send to every partition).
+
+Both patches are version-guarded — if Ray's internals move, install()
+becomes a no-op and the engine lives with upstream behavior.
+"""
+
+from __future__ import annotations
+
+_installed = False
+
+
+def install() -> bool:
+    """Install the hash-shuffle schema-broadcast fix.  Idempotent;
+    returns True when the patch is active."""
+    global _installed
+    if _installed:
+        return True
+    try:
+        import ray
+        from ray.data._internal.execution.operators import (
+            hash_shuffle as _hs,
+        )
+        from ray.data._internal.table_block import TableBlockAccessor
+        from ray.data.block import BlockAccessor, BlockExecStats, BlockType
+
+        _orig_remote = _hs._shuffle_block
+        _orig_fn = _orig_remote._function
+
+        def _shuffle_block_fixed(
+            block,
+            input_index,
+            key_columns,
+            pool,
+            block_transformer=None,
+            send_empty_blocks=False,
+            override_partition_id=None,
+        ):
+            stats = BlockExecStats.builder()
+            if block_transformer is not None:
+                block = block_transformer(block)
+            block = TableBlockAccessor.try_convert_block_type(
+                block, block_type=BlockType.ARROW)
+            if block.num_rows == 0:
+                # The upstream early-return, minus the bug: when this
+                # task is the designated schema broadcaster, still fan
+                # the (empty, schema-carrying) shards out to every
+                # aggregator before returning.
+                if send_empty_blocks and block.schema is not None \
+                        and len(block.schema) > 0:
+                    shard = _hs._create_empty_table(block.schema)
+                    waits = []
+                    for pid in range(pool.num_partitions):
+                        agg = pool.get_aggregator_for_partition(pid)
+                        waits.append(agg.submit.remote(
+                            input_index, pid, ray.put(shard)))
+                    ray.get(waits)
+                empty = BlockAccessor.for_block(block).get_metadata(
+                    exec_stats=stats.build())
+                return (empty, {})
+            return _orig_fn(block, input_index, key_columns, pool,
+                            None, send_empty_blocks,
+                            override_partition_id)
+
+        _hs._shuffle_block = ray.remote(_shuffle_block_fixed)
+
+        class _NeverBroadcasted(dict):
+            """Reads False forever: every shuffle task stays a schema
+            broadcaster (see module docstring, patch 2)."""
+
+            def __getitem__(self, key):  # noqa: D105
+                return False
+
+            def __setitem__(self, key, value):  # noqa: D105
+                pass
+
+        _orig_init = _hs.HashShufflingOperatorBase.__init__
+
+        def _init_fixed(self, *args, **kwargs):
+            _orig_init(self, *args, **kwargs)
+            self._has_schemas_broadcasted = _NeverBroadcasted()
+
+        _hs.HashShufflingOperatorBase.__init__ = _init_fixed
+        _installed = True
+        return True
+    except Exception:  # noqa: BLE001 — internals moved; run unpatched
+        return False
