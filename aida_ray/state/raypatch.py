@@ -31,17 +31,26 @@ operator has already consumed its one broadcast opportunity.
    is empty but schema-carrying and ``send_empty_blocks`` is set, fan
    the empty schema shards out to every aggregator before returning
    (upstream returns early and skips it);
-2. ``HashShufflingOperatorBase.__init__``: replace the
-   ``_has_schemas_broadcasted`` flag map with one that always reads
-   False, so EVERY shuffle task keeps ``send_empty_blocks=True`` — the
-   first schema-carrying block on each side broadcasts, no matter how
-   many schema-less empties precede it.  Cost: a task also ships empty
-   shards for partitions it has no rows for — ≤ ``num_partitions`` tiny
-   messages per task, negligible against the shuffle itself (and dense
-   shuffles already send to every partition).
+2. ``HashShufflingOperatorBase._do_add_input_inner``: the submit loop
+   marks the side broadcast after the FIRST submitted block regardless
+   of whether that block could actually carry a schema.  The fix keeps
+   ``send_empty_blocks=True`` until a block with ``num_rows > 0`` is
+   submitted (``block_metadata.num_rows`` is available at the submit
+   site): leading empty blocks still get the fan-out opportunity
+   (patch 1 uses it when they carry a schema; zero-column empties are
+   no-ops and no longer burn it), and once a real block has broadcast,
+   every later task reverts to upstream's zero-overhead path.  The fix
+   is applied by textual substitution of the one guard line in the
+   method's own source (``inspect.getsource`` + ``exec`` into a copy
+   of the module namespace), so it tracks upstream's exact control
+   flow; if the anchor line is missing (internals moved), install()
+   falls back to an always-broadcast flag map — correct but paying
+   ≤ ``num_partitions`` tiny messages per shuffle task (measured
+   15-30% on iterative small-join queries, which is why the precise
+   patch is preferred).
 
-Both patches are version-guarded — if Ray's internals move, install()
-becomes a no-op and the engine lives with upstream behavior.
+Both patches are version-guarded — if Ray's internals move entirely,
+install() becomes a no-op and the engine lives with upstream behavior.
 """
 
 from __future__ import annotations
@@ -51,10 +60,14 @@ _installed = False
 
 def install() -> bool:
     """Install the hash-shuffle schema-broadcast fix.  Idempotent;
-    returns True when the patch is active."""
+    returns True when the patch is active.  Set AIDA_RAY_NO_RAYPATCH=1
+    to run unpatched (A/B measurement; upstream flakiness returns)."""
     global _installed
     if _installed:
         return True
+    import os
+    if os.environ.get("AIDA_RAY_NO_RAYPATCH"):
+        return False
     try:
         import ray
         from ray.data._internal.execution.operators import (
@@ -103,23 +116,41 @@ def install() -> bool:
 
         _hs._shuffle_block = ray.remote(_shuffle_block_fixed)
 
-        class _NeverBroadcasted(dict):
-            """Reads False forever: every shuffle task stays a schema
-            broadcaster (see module docstring, patch 2)."""
+        # Patch 2 (precise): re-exec the submit loop with the one guard
+        # line fixed — only a block that actually has rows consumes the
+        # side's one-shot schema-broadcast opportunity.
+        import inspect
+        import textwrap
 
-            def __getitem__(self, key):  # noqa: D105
-                return False
+        anchor = "if should_broadcast_schemas:"
+        fixed = ("if should_broadcast_schemas "
+                 "and (block_metadata.num_rows or 0) > 0:")
+        src = inspect.getsource(
+            _hs.HashShufflingOperatorBase._do_add_input_inner)
+        if src.count(anchor) == 1:
+            ns = dict(_hs.__dict__)  # picks up the fixed _shuffle_block
+            exec(compile(textwrap.dedent(src).replace(anchor, fixed, 1),
+                         _hs.__file__, "exec"), ns)
+            _hs.HashShufflingOperatorBase._do_add_input_inner = \
+                ns["_do_add_input_inner"]
+        else:
+            # Fallback: upstream moved the guard — keep every shuffle
+            # task a broadcaster (correct, slower; see docstring).
+            class _NeverBroadcasted(dict):
+                def __getitem__(self, key):  # noqa: D105
+                    return False
 
-            def __setitem__(self, key, value):  # noqa: D105
-                pass
+                def __setitem__(self, key, value):  # noqa: D105
+                    pass
 
-        _orig_init = _hs.HashShufflingOperatorBase.__init__
+            _orig_init = _hs.HashShufflingOperatorBase.__init__
 
-        def _init_fixed(self, *args, **kwargs):
-            _orig_init(self, *args, **kwargs)
-            self._has_schemas_broadcasted = _NeverBroadcasted()
+            def _init_fixed(self, *args, **kwargs):
+                _orig_init(self, *args, **kwargs)
+                self._has_schemas_broadcasted = _NeverBroadcasted()
 
-        _hs.HashShufflingOperatorBase.__init__ = _init_fixed
+            _hs.HashShufflingOperatorBase.__init__ = _init_fixed
+
         _installed = True
         return True
     except Exception:  # noqa: BLE001 — internals moved; run unpatched
