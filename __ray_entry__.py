@@ -359,6 +359,40 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return t.rename_columns(["text", "rep_doc_id", "n_dups"])
 
 
+def q_line_dedup(sf_dir: str) -> pa.Table:
+    """CCNet/RefinedWeb-style line-level dedup: corpus-wide K-token
+    line-hash counts (gated adaptive combine), boilerplate set
+    broadcast once, streaming per-doc rebuild from kept lines
+    (stages/linededup.py)."""
+    from aida_ray.stages.linededup import line_dedup
+    return _collect(line_dedup(_docs(sf_dir), tokens_per_line=6,
+                               min_count=2))
+
+
+def q_group_hll(sf_dir: str) -> pa.Table:
+    """Per-group approximate COUNT(DISTINCT) made self-checking: runs
+    the mergeable per-(block, key) HyperLogLog registers AND the exact
+    distributed twin, emits exact + within-tolerance flag (the oracle
+    pins exact + TRUE, so estimator drift past the 5% bound flips the
+    row red — the sketch_stats pattern applied per group)."""
+    from aida_ray.stages.sketches import (count_distinct_per_group,
+                                          hll_count_per_group)
+    e = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                              columns=["event_type", "user_id"])
+    exact = _collect(count_distinct_per_group(
+        e, "event_type", "user_id")).to_pandas()
+    approx = _collect(hll_count_per_group(
+        e, "event_type", "user_id", p=12)).to_pandas()
+    m = exact.merge(approx, on="event_type")
+    ex = m["n_distinct"].astype(float)
+    ap = m["approx_distinct"].astype(float)
+    return pa.table({
+        "event_type": pa.array(m["event_type"].astype(str)),
+        "exact_distinct": pa.array(ex.astype("int64")),
+        "within_tol": pa.array(((ap - ex).abs() <= 0.05 * ex).tolist(),
+                               pa.bool_())})
+
+
 def q_token_stats(sf_dir: str) -> pa.Table:
     """Token counting (vectorized arrow kernels)."""
     from aida_ray.stages.textstats import token_count_batch
@@ -4149,6 +4183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_fixture": q_golden_fixture,
         "ood_mentions": q_ood_mentions,
         "dedup_exact": q_dedup_exact,
+        "line_dedup": q_line_dedup,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "domain_stats": q_domain_stats,
@@ -4190,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_count": q_distinct_count,
         "quantiles_disc": q_quantiles_disc,
         "sketch_stats": q_sketch_stats,
+        "group_hll": q_group_hll,
         "window_funcs": q_window_funcs,
         "rank_global": q_rank_global,
         "rollup": q_rollup,
@@ -5032,6 +5068,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "line_dedup": """
+            WITH toks AS (
+              SELECT doc_id, generate_subscripts(l, 1) AS i,
+                     unnest(l) AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS l
+                    FROM documents)
+            ), lines AS (
+              SELECT doc_id, (i - 1) // 6 AS li,
+                     string_agg(tok, ' ' ORDER BY i) AS line
+              FROM toks GROUP BY doc_id, (i - 1) // 6
+            ), counts AS (
+              SELECT line, COUNT(*) AS c FROM lines GROUP BY line
+            )
+            SELECT l.doc_id,
+                   COUNT(*) AS n_lines,
+                   COUNT(*) FILTER (WHERE c.c < 2) AS kept_lines,
+                   COALESCE(string_agg(l.line, ' ' ORDER BY l.li)
+                            FILTER (WHERE c.c < 2), '') AS text_out
+            FROM lines l JOIN counts c USING (line)
+            GROUP BY l.doc_id
+        """,
+        "group_hll": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS exact_distinct,
+                   TRUE AS within_tol
+            FROM events GROUP BY event_type
         """,
         "token_stats": """
             SELECT doc_id,
