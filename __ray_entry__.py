@@ -359,6 +359,32 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return t.rename_columns(["text", "rep_doc_id", "n_dups"])
 
 
+def q_anchor_priors(sf_dir: str) -> pa.Table:
+    """Mention→entity prior dictionary built from crawl anchor
+    statistics (anchor-link frequency — the reference's YAGO2 prior
+    construction, SURVEY §2.5 G1): deterministic anchors embedded in
+    synthetic html, parsed back from raw bytes, pair/total counts
+    combined with bucketed reduces, priors normalized map-side."""
+    from aida_ray.stages.links import anchor_priors
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            anchors = "".join(
+                f'<a href="E{(i * 31 + j) % 50}">'
+                f'Surf{(i * 13 + j) % 23} </a>'
+                for j in range(i % 4))
+            htmls.append(
+                f"<html><body><p>doc {i}</p>{anchors}</body></html>"
+                .encode())
+        return pa.table({"html": pa.array(htmls, pa.binary())})
+
+    pages = _docs(sf_dir).map_batches(to_pages, batch_format="pyarrow")
+    return _collect(anchor_priors(pages))
+
+
 def q_line_dedup(sf_dir: str) -> pa.Table:
     """CCNet/RefinedWeb-style line-level dedup: corpus-wide K-token
     line-hash counts (gated adaptive combine), boilerplate set
@@ -4184,6 +4210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ood_mentions": q_ood_mentions,
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
+        "anchor_priors": q_anchor_priors,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "domain_stats": q_domain_stats,
@@ -5068,6 +5095,21 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "anchor_priors": """
+            WITH links AS (
+                SELECT 'surf' || CAST((d.doc_id * 13 + j.j) % 23
+                                      AS VARCHAR) AS surface,
+                       'E' || CAST((d.doc_id * 31 + j.j) % 50
+                                   AS VARCHAR) AS target
+                FROM documents d, generate_series(0, 3) AS j(j)
+                WHERE j.j < d.doc_id % 4
+            )
+            SELECT surface, target, COUNT(*) AS n,
+                   CAST(COUNT(*) AS DOUBLE)
+                       / SUM(COUNT(*)) OVER (PARTITION BY surface)
+                       AS prior
+            FROM links GROUP BY surface, target
         """,
         "line_dedup": """
             WITH toks AS (

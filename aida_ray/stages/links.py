@@ -122,3 +122,114 @@ def robots_filter(pages: ray.data.Dataset, rules: list[tuple[str, str]],
         return b.append_column("blocked", pa.array(blocked))
 
     return pages.map_batches(tag, batch_format="pyarrow")
+
+
+# anchor tags with their inner text: the raw material of a
+# mention->entity prior dictionary (anchor-link frequency)
+_ANCHOR_RE = re.compile(rb'<a\s[^>]*href="([^"]+)"[^>]*>([^<]*)</a>', re.I)
+
+
+def anchor_surface_pairs(pages: ray.data.Dataset,
+                         html_col: str = "html") -> ray.data.Dataset:
+    """(surface, target) rows from raw html bytes: surface = the
+    anchor's inner text lowercased/stripped, target = its href.  Heavy
+    html dies in this stage, exactly like :func:`extract_links`."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        surfs: list[str] = []
+        tgts: list[str] = []
+        for h in b[html_col].to_pylist():
+            if h is None:
+                continue
+            for href, txt in _ANCHOR_RE.findall(h):
+                s = txt.decode("utf-8", "replace").strip().lower()
+                if not s:
+                    continue
+                surfs.append(s)
+                tgts.append(href.decode("utf-8", "replace"))
+        return pa.table({"surface": pa.array(surfs, pa.string()),
+                         "target": pa.array(tgts, pa.string())})
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def anchor_priors(pages: ray.data.Dataset, html_col: str = "html",
+                  broadcast_rows: int = 4_000_000) -> ray.data.Dataset:
+    """Mention→entity prior dictionary from corpus anchor statistics —
+    prior(surface, target) = links(surface→target) / links(surface).
+
+    This is how the reference's YAGO2 dictionary priors are built
+    (anchor-link frequency over Wikipedia; consumed by
+    `DataAccess.getEntitiesForMention` — SURVEY.md §2.5 G1 asserts
+    they sum to 1 per surface), lifted to crawl scale:
+
+    1. per-block (surface, target) partial counts (pandas hash groupby
+       in C — the shuffle ships dictionary rows × blocks, never links);
+    2. pair combine via :func:`agg.bucket_reduce` (the pair space IS
+       the dictionary — unbounded, so no single-reducer finisher);
+    3. per-surface totals: a second bucket_reduce over the already-
+       combined pairs (volume = dictionary rows);
+    4. totals rejoin the pairs map-side — broadcast as sorted
+       hash + searchsorted lookup below ``broadcast_rows`` distinct
+       surfaces, hash-join fallback above — and the prior divide is
+       one vectorized float64 op.
+
+    Output: (surface, target, n, prior) — priors sum to 1 per surface
+    by construction."""
+    from aida_ray.stages.agg import bucket_reduce
+    from aida_ray.stages.dedup import _concat_blocks, _get_cached, \
+        hash_strings62
+    import ray
+
+    raw = anchor_surface_pairs(pages, html_col=html_col)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "surface": b["surface"].to_numpy(zero_copy_only=False),
+            "target": b["target"].to_numpy(zero_copy_only=False)})
+        g = df.groupby(["surface", "target"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = raw.map_batches(count_partial, batch_format="pyarrow")
+    pairs = bucket_reduce(partials, ["surface", "target"],
+                          {"n": "sum"}).materialize()
+    totals = bucket_reduce(pairs, ["surface"],
+                           {"tot": ("n", "sum")}).materialize()
+
+    if totals.count() <= broadcast_rows:
+        tt = _concat_blocks([ray.get(r) for r in totals.to_arrow_refs()],
+                            pa.schema([("surface", pa.string()),
+                                       ("tot", pa.int64())]))
+        th = hash_strings62(tt["surface"])
+        o = np.argsort(th)
+        tot_ref = ray.put((th[o],
+                           tt["tot"].to_numpy(zero_copy_only=False)[o]))
+
+        def divide(b: pa.Table) -> pa.Table:
+            hs, tots = _get_cached(tot_ref)
+            h = hash_strings62(b["surface"])
+            pos = np.searchsorted(hs, h)
+            n = b["n"].to_numpy(zero_copy_only=False).astype("float64")
+            tot = tots[pos].astype("float64")
+            return pa.table({
+                "surface": b["surface"],
+                "target": b["target"],
+                "n": pc.cast(b["n"], pa.int64()),
+                "prior": pa.array(n / tot, pa.float64())})
+
+        return pairs.map_batches(divide, batch_format="pyarrow")
+
+    from aida_ray.stages.shuffle_join import hash_join
+    joined = hash_join(pairs, totals, on=("surface",))
+
+    def divide_joined(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype("float64")
+        tot = b["tot"].to_numpy(zero_copy_only=False).astype("float64")
+        return pa.table({
+            "surface": b["surface"],
+            "target": b["target"],
+            "n": pc.cast(b["n"], pa.int64()),
+            "prior": pa.array(n / tot, pa.float64())})
+
+    return joined.map_batches(divide_joined, batch_format="pyarrow")
