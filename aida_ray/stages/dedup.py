@@ -914,19 +914,50 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3,
 
     sketches = ds.map_batches(sketch, batch_format="pyarrow").materialize()
 
-    def explode_grams(batch: pa.Table) -> pa.Table:
+    def gram_count_partial(batch: pa.Table) -> pa.Table:
         bufs = batch["shingles"].to_pylist()
         if not bufs:
-            return pa.table({"g": pa.array([], pa.int64())})
-        return pa.table({"g": pa.array(np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in bufs]), pa.int64())})
+            return pa.table({"g": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        g, c = np.unique(np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in bufs]),
+            return_counts=True)
+        return pa.table({"g": pa.array(g, pa.int64()),
+                         "c": pa.array(c.astype("int64"))})
 
-    repeated = sketches.select_columns(["shingles"]) \
-        .map_batches(explode_grams, batch_format="pyarrow") \
-        .groupby("g").count() \
-        .map_batches(lambda b: b.rename_columns(["g", "df"]),
-                     batch_format="pyarrow") \
-        .filter(expr="df >= 2").materialize()
+    # gram dfs: per-block partials + gated combine — the sort-based
+    # groupby.count pays per-key Python at gram-vocabulary cardinality
+    # (PERF.md wide-key lesson)
+    gcounts = sketches.select_columns(["shingles"]) \
+        .map_batches(gram_count_partial, batch_format="pyarrow") \
+        .materialize()
+    if gcounts.count() <= 20_000_000:
+        @ray.remote
+        def df_task(*tabs: pa.Table) -> pa.Table:
+            tt = _concat_blocks(tabs, pa.schema(
+                [("g", pa.int64()), ("c", pa.int64())]))
+            g = tt["g"].to_numpy(zero_copy_only=False)
+            c = tt["c"].to_numpy(zero_copy_only=False)
+            o = np.argsort(g, kind="stable")
+            g, c = g[o], c[o]
+            st = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]) \
+                if len(g) else np.empty(0, dtype="int64")
+            tot = np.add.reduceat(c, st) if len(st) \
+                else np.empty(0, dtype="int64")
+            keep = tot >= 2
+            return pa.table({"g": pa.array(g[st][keep], pa.int64()),
+                             "df": pa.array(tot[keep], pa.int64())})
+
+        repeated = ray.data.from_arrow_refs(
+            [df_task.remote(*gcounts.to_arrow_refs())]).materialize()
+    else:
+        from aida_ray.stages.agg import bucket_reduce
+        repeated = bucket_reduce(gcounts, ["g"], {"df": ("c", "sum")}) \
+            .filter(expr="df >= 2") \
+            .map_batches(lambda b: pa.table({
+                "g": pc.cast(b["g"], pa.int64()),
+                "df": pc.cast(b["df"], pa.int64())}),
+                batch_format="pyarrow").materialize()
 
     if repeated.count() <= broadcast_threshold:
         from aida_ray.state.collect import collect_table
