@@ -65,3 +65,61 @@ def bucket_reduce(partials: ray.data.Dataset, key_cols: list[str],
 
     return partials.map_batches(tag, batch_format="pyarrow") \
         .groupby("_b").map_groups(combine, batch_format="pandas")
+
+
+def gated_count(rows: ray.data.Dataset, key: str,
+                min_count: int | None = None,
+                max_count: int | None = None, out: str = "n",
+                task_gate_rows: int = 20_000_000) -> ray.data.Dataset:
+    """COUNT(*) per int64 ``key`` — the wide-key replacement for
+    ``Dataset.groupby(key).count()``: per-block ``np.unique`` partials,
+    then ONE sorted-reduceat task below ``task_gate_rows`` surviving
+    partial rows or :func:`bucket_reduce` above it.  Optional
+    ``min_count``/``max_count`` filter inside the combine (the common
+    df-band / hot-bucket use).  Output: (key, out) rows."""
+    import numpy as np
+
+    import ray
+
+    from aida_ray.stages.dedup import _concat_blocks
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        k, c = np.unique(b[key].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({key: pa.array(k, pa.int64()),
+                         "c": pa.array(c.astype("int64"))})
+
+    counts = rows.map_batches(count_partial,
+                              batch_format="pyarrow").materialize()
+    lo = 1 if min_count is None else min_count
+    hi = max_count
+    if counts.count() <= task_gate_rows:
+        @ray.remote
+        def combine_task(*tabs: pa.Table) -> pa.Table:
+            t = _concat_blocks(tabs, pa.schema(
+                [(key, pa.int64()), ("c", pa.int64())]))
+            k = t[key].to_numpy(zero_copy_only=False)
+            c = t["c"].to_numpy(zero_copy_only=False)
+            o = np.argsort(k, kind="stable")
+            k, c = k[o], c[o]
+            st = np.flatnonzero(np.r_[True, k[1:] != k[:-1]]) \
+                if len(k) else np.empty(0, dtype="int64")
+            tot = np.add.reduceat(c, st) if len(st) \
+                else np.empty(0, dtype="int64")
+            keep = tot >= lo
+            if hi is not None:
+                keep &= tot <= hi
+            return pa.table({key: pa.array(k[st][keep], pa.int64()),
+                             out: pa.array(tot[keep], pa.int64())})
+
+        return ray.data.from_arrow_refs(
+            [combine_task.remote(*counts.to_arrow_refs())]).materialize()
+    red = bucket_reduce(counts, [key], {out: ("c", "sum")})
+    if hi is not None:
+        red = red.filter(expr=f"{out} >= {lo} and {out} <= {hi}")
+    elif lo > 1:
+        red = red.filter(expr=f"{out} >= {lo}")
+    return red.map_batches(lambda b: pa.table({
+        key: pc.cast(b[key], pa.int64()),
+        out: pc.cast(b[out], pa.int64())}),
+        batch_format="pyarrow").materialize()

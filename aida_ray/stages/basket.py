@@ -48,8 +48,9 @@ def _distinct_basket_items(ds: ray.data.Dataset, group_col: str,
         return pa.table({"p": pa.array(
             np.unique((g << _ITEM_BITS) | i), pa.int64())})
 
-    return ds.map_batches(pack, batch_format="pyarrow") \
-        .groupby("p").count().drop_columns(["count()"])
+    from aida_ray.stages.agg import gated_count
+    return gated_count(ds.map_batches(pack, batch_format="pyarrow"),
+                       "p").select_columns(["p"])
 
 
 def market_basket_rules(ds: ray.data.Dataset, group_col: str,
@@ -93,8 +94,10 @@ def market_basket_rules(ds: ray.data.Dataset, group_col: str,
             b["p"].to_numpy(zero_copy_only=False) >> _ITEM_BITS),
             pa.int64())})
 
-    n_baskets = bi.map_batches(basket_partial, batch_format="pyarrow") \
-        .groupby("b").count().count()
+    from aida_ray.stages.agg import gated_count
+    n_baskets = gated_count(
+        bi.map_batches(basket_partial, batch_format="pyarrow"),
+        "b").count()
     item_ids, item_n = item_ids[item_ids >= 0], item_n[item_ids >= 0]
     sup_ref = ray.put((item_ids, item_n))
 

@@ -113,12 +113,13 @@ def repeated_spans(ds: ray.data.Dataset, n: int = 3, min_docs: int = 2,
 
     rows = ds.map_batches(explode, batch_format="pyarrow").materialize()
     # (gram, doc) rows are already distinct per doc (word_ngram_set is a
-    # set), so a plain count per gram == distinct-doc count
-    shared = rows.groupby("g").count() \
-        .map_batches(lambda b: b.rename_columns(["g", "n_docs"]),
-                     batch_format="pyarrow") \
-        .filter(expr=f"n_docs >= {min_docs}").select_columns(["g"]) \
-        .materialize()
+    # set), so a plain count per gram == distinct-doc count; counted
+    # with the gated wide-key combine (agg.gated_count — gram space is
+    # corpus-sized, the PERF.md per-key-Python trap)
+    from aida_ray.stages.agg import gated_count
+    shared = gated_count(rows.select_columns(["g"]), "g",
+                         min_count=min_docs, out="n_docs") \
+        .select_columns(["g"]).materialize()
 
     if shared.count() <= broadcast_threshold:
         t = collect_table(shared, schema=_G_SCHEMA)

@@ -333,10 +333,9 @@ def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
             id_col, broadcast_threshold, *exploded.to_arrow_refs()))
         if res is not None:
             return ray.data.from_arrow(res).materialize()
-    hot = exploded.groupby("band_hash").count() \
-        .map_batches(lambda b: b.rename_columns(["band_hash", "n_members"]),
-                     batch_format="pyarrow") \
-        .filter(expr="n_members >= 2").materialize()
+    from aida_ray.stages.agg import gated_count
+    hot = gated_count(exploded.select_columns(["band_hash"]),
+                      "band_hash", min_count=2, out="n_members")
     # candidate-pair volume Σ n·(n-1)/2 over hot buckets — computed
     # distributed from the (band_hash, n_members) table; gates the
     # single-task pair generator below (a single 60k-member boilerplate
@@ -408,11 +407,22 @@ def _distinct_pairs_from_buckets(exploded: ray.data.Dataset, id_col: str,
         right = hot_rows.map_batches(
             lambda b: pa.table({"band_hash": b["band_hash"], "b": b[id_col]}),
             batch_format="pyarrow")
-        pairs = left.join(right, join_type="inner",
-                          num_partitions=num_partitions, on=("band_hash",)) \
-            .filter(expr="a < b") \
-            .groupby(["a", "b"]).count().select_columns(["a", "b"]) \
-            .materialize()
+        joined = left.join(right, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("band_hash",)) \
+            .filter(expr="a < b")
+        # distinct (a, b) via the packed-key gated count (pair space is
+        # candidate-sized — the wide-key groupby trap)
+        from aida_ray.stages.agg import gated_count
+        packed = joined.map_batches(lambda b: pa.table({
+            "ab": pc.bit_wise_or(
+                pc.shift_left(pc.cast(b["a"], pa.int64()), 32),
+                pc.cast(b["b"], pa.int64()))}), batch_format="pyarrow")
+        pairs = gated_count(packed, "ab").map_batches(
+            lambda b: pa.table({
+                "a": pc.shift_right(b["ab"], 32),
+                "b": pc.bit_wise_and(b["ab"], 0xFFFFFFFF)}),
+            batch_format="pyarrow").materialize()
     return pairs
 
 
@@ -659,8 +669,10 @@ def label_propagation_clusters(pairs: ray.data.Dataset,
         return ray.data.from_arrow_refs([_solve.remote(*pair_refs)])
 
     edges = pairs.map_batches(undirect, batch_format="pyarrow").materialize()
-    # initial label = own id
-    labels = edges.groupby("src").count() \
+    # initial label = own id (distinct nodes via the gated wide-key
+    # count — node space is corpus-sized)
+    from aida_ray.stages.agg import gated_count
+    labels = gated_count(edges.select_columns(["src"]), "src") \
         .map_batches(lambda b: pa.table({
             "node": pc.cast(b["src"], pa.int64()),
             "label": pc.cast(b["src"], pa.int64())}),
@@ -914,50 +926,23 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, n: int = 3,
 
     sketches = ds.map_batches(sketch, batch_format="pyarrow").materialize()
 
-    def gram_count_partial(batch: pa.Table) -> pa.Table:
+    def explode_grams(batch: pa.Table) -> pa.Table:
         bufs = batch["shingles"].to_pylist()
         if not bufs:
-            return pa.table({"g": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64())})
-        g, c = np.unique(np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in bufs]),
-            return_counts=True)
-        return pa.table({"g": pa.array(g, pa.int64()),
-                         "c": pa.array(c.astype("int64"))})
+            return pa.table({"g": pa.array([], pa.int64())})
+        return pa.table({"g": pa.array(np.concatenate(
+            [np.frombuffer(b, dtype=np.int64) for b in bufs]), pa.int64())})
 
-    # gram dfs: per-block partials + gated combine — the sort-based
-    # groupby.count pays per-key Python at gram-vocabulary cardinality
-    # (PERF.md wide-key lesson)
-    gcounts = sketches.select_columns(["shingles"]) \
-        .map_batches(gram_count_partial, batch_format="pyarrow") \
-        .materialize()
-    if gcounts.count() <= 20_000_000:
-        @ray.remote
-        def df_task(*tabs: pa.Table) -> pa.Table:
-            tt = _concat_blocks(tabs, pa.schema(
-                [("g", pa.int64()), ("c", pa.int64())]))
-            g = tt["g"].to_numpy(zero_copy_only=False)
-            c = tt["c"].to_numpy(zero_copy_only=False)
-            o = np.argsort(g, kind="stable")
-            g, c = g[o], c[o]
-            st = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]) \
-                if len(g) else np.empty(0, dtype="int64")
-            tot = np.add.reduceat(c, st) if len(st) \
-                else np.empty(0, dtype="int64")
-            keep = tot >= 2
-            return pa.table({"g": pa.array(g[st][keep], pa.int64()),
-                             "df": pa.array(tot[keep], pa.int64())})
-
-        repeated = ray.data.from_arrow_refs(
-            [df_task.remote(*gcounts.to_arrow_refs())]).materialize()
-    else:
-        from aida_ray.stages.agg import bucket_reduce
-        repeated = bucket_reduce(gcounts, ["g"], {"df": ("c", "sum")}) \
-            .filter(expr="df >= 2") \
-            .map_batches(lambda b: pa.table({
-                "g": pc.cast(b["g"], pa.int64()),
-                "df": pc.cast(b["df"], pa.int64())}),
-                batch_format="pyarrow").materialize()
+    # gram dfs: per-block partials + gated combine (agg.gated_count) —
+    # the sort-based groupby.count pays per-key Python at
+    # gram-vocabulary cardinality (PERF.md wide-key lesson); the
+    # explode fuses with the helper's partial, so raw gram rows never
+    # ship
+    from aida_ray.stages.agg import gated_count
+    repeated = gated_count(
+        sketches.select_columns(["shingles"])
+        .map_batches(explode_grams, batch_format="pyarrow"),
+        "g", min_count=2, out="df")
 
     if repeated.count() <= broadcast_threshold:
         from aida_ray.state.collect import collect_table

@@ -196,7 +196,9 @@ def cooccurrence_edges(ds: ray.data.Dataset, group_col: str,
         if brefs else ray.data.from_arrow(
             pa.table({"ab": pa.array([], pa.int64())}))
 
-    pairs = inner.union(bpairs).groupby("ab").count()
+    # distinct via the gated wide-key count (pair space is edge-sized)
+    from aida_ray.stages.agg import gated_count
+    pairs = gated_count(inner.union(bpairs), "ab")
 
     def unpack(b: pa.Table) -> pa.Table:
         ab = b["ab"].to_numpy(zero_copy_only=False)

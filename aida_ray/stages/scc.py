@@ -178,8 +178,9 @@ def strongly_connected_components(
             lambda b: pa.table({"node": pa.array(np.concatenate(
                 [b["src"].to_numpy(zero_copy_only=False),
                  b["dst"].to_numpy(zero_copy_only=False)]), pa.int64())}),
-            batch_format="pyarrow") \
-            .groupby("node").count() \
+            batch_format="pyarrow")
+        from aida_ray.stages.agg import gated_count
+        nodes = gated_count(nodes, "node") \
             .map_batches(lambda b: pa.table({
                 "node": pc.cast(b["node"], pa.int64()),
                 "color": pc.cast(b["node"], pa.int64())}),
@@ -304,11 +305,12 @@ def strongly_connected_components(
             if stranded.count() > 0:
                 done_parts.append(stranded)
             break
-        remaining = edges.map_batches(
+        from aida_ray.stages.agg import gated_count
+        remaining = gated_count(edges.map_batches(
             lambda b: pa.table({"rnode": pa.array(np.concatenate(
                 [b["src"].to_numpy(zero_copy_only=False),
                  b["dst"].to_numpy(zero_copy_only=False)]), pa.int64())}),
-            batch_format="pyarrow").groupby("rnode").count() \
+            batch_format="pyarrow"), "rnode") \
             .map_batches(lambda b: pa.table({
                 "rnode": pc.cast(b["rnode"], pa.int64()),
                 "rseen": pa.array([1] * b.num_rows, pa.int64())}),

@@ -262,9 +262,9 @@ def rolling_active_users(events: ray.data.Dataset,
                       | b["wday"].to_numpy(zero_copy_only=False))
         return pa.table({"p": pa.array(p, pa.int64())})
 
-    distinct = pairs.map_batches(local_distinct,
-                                 batch_format="pyarrow") \
-        .groupby("p").count()
+    from aida_ray.stages.agg import gated_count
+    distinct = gated_count(pairs.map_batches(
+        local_distinct, batch_format="pyarrow"), "p")
 
     def day_partial(b: pa.Table) -> pa.Table:
         d, n = np.unique(b["p"].to_numpy(zero_copy_only=False)

@@ -167,46 +167,13 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
 
     ex = ds.map_batches(postings, batch_format="pyarrow").materialize()
 
-    # gram document frequencies: per-block (gh, c) partials + gated
-    # combine — Ray's sort-based groupby.count pays per-key Python at
+    # gram document frequencies: per-block partials + gated combine —
+    # Ray's sort-based groupby.count pays per-key Python at
     # gram-vocabulary cardinality (the PERF.md wide-key lesson; this
     # step alone dominated the query's wall before)
-    def count_partial(b: pa.Table) -> pa.Table:
-        gh, c = np.unique(b["gh"].to_numpy(zero_copy_only=False),
-                          return_counts=True)
-        return pa.table({"gh": pa.array(gh, pa.int64()),
-                         "c": pa.array(c.astype("int64"))})
-
-    counts = ex.map_batches(count_partial,
-                            batch_format="pyarrow").materialize()
-    if counts.count() <= 20_000_000:
-        @ray.remote
-        def df_task(*tabs: pa.Table) -> pa.Table:
-            from aida_ray.stages.dedup import _concat_blocks
-            t = _concat_blocks(tabs, pa.schema(
-                [("gh", pa.int64()), ("c", pa.int64())]))
-            gh = t["gh"].to_numpy(zero_copy_only=False)
-            c = t["c"].to_numpy(zero_copy_only=False)
-            o = np.argsort(gh, kind="stable")
-            gh, c = gh[o], c[o]
-            st = np.flatnonzero(np.r_[True, gh[1:] != gh[:-1]]) \
-                if len(gh) else np.empty(0, dtype="int64")
-            tot = np.add.reduceat(c, st) if len(st) \
-                else np.empty(0, dtype="int64")
-            keep = (tot >= df_min) & (tot <= df_max)
-            return pa.table({"gh": pa.array(gh[st][keep], pa.int64()),
-                             "df": pa.array(tot[keep], pa.int64())})
-
-        dfc = ray.data.from_arrow_refs(
-            [df_task.remote(*counts.to_arrow_refs())]).materialize()
-    else:
-        from aida_ray.stages.agg import bucket_reduce
-        dfc = bucket_reduce(counts, ["gh"], {"df": ("c", "sum")}) \
-            .filter(expr=f"df >= {df_min} and df <= {df_max}") \
-            .map_batches(lambda b: pa.table({
-                "gh": pc.cast(b["gh"], pa.int64()),
-                "df": pc.cast(b["df"], pa.int64())}),
-                batch_format="pyarrow").materialize()
+    from aida_ray.stages.agg import gated_count
+    dfc = gated_count(ex.select_columns(["gh"]), "gh",
+                      min_count=df_min, max_count=df_max, out="df")
 
     def pair_partial(b: pa.Table) -> pa.Table:
         d = b["df"].to_numpy(zero_copy_only=False).astype("int64")
@@ -281,12 +248,17 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
     right = rare_rows.map_batches(
         lambda b: pa.table({"gh": b["gh"], "b": b["doc_id"]}),
         batch_format="pyarrow")
+    from aida_ray.stages.agg import gated_count
     from aida_ray.stages.shuffle_join import hash_join
-    pairs = hash_join(left, right, on=("gh",)).filter(expr="a < b") \
-        .groupby(["a", "b"]).count()
-    return pairs.map_batches(
+    packed = hash_join(left, right, on=("gh",)).filter(expr="a < b") \
+        .map_batches(lambda b: pa.table({
+            "ab": pc.bit_wise_or(
+                pc.shift_left(pc.cast(b["a"], pa.int64()), 32),
+                pc.cast(b["b"], pa.int64()))}), batch_format="pyarrow")
+    return gated_count(packed, "ab", min_count=min_shared,
+                       out="n_shared").map_batches(
         lambda b: pa.table({
-            "a": pc.cast(b["a"], pa.int64()),
-            "b": pc.cast(b["b"], pa.int64()),
-            "n_shared": pc.cast(b["count()"], pa.int64())}),
-        batch_format="pyarrow").filter(expr=f"n_shared >= {min_shared}")
+            "a": pc.shift_right(b["ab"], 32),
+            "b": pc.bit_wise_and(b["ab"], 0xFFFFFFFF),
+            "n_shared": pc.cast(b["n_shared"], pa.int64())}),
+        batch_format="pyarrow")
