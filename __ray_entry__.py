@@ -359,6 +359,37 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return t.rename_columns(["text", "rep_doc_id", "n_dups"])
 
 
+def q_warc_ingest(sf_dir: str) -> pa.Table:
+    """WARC container ingest (sources/warc.py): documents round-trip
+    through WET-style conversion records in sharded WARC files, read
+    back with one parse task per shard; the oracle checks byte fidelity
+    of url/timestamp/payload against the parquet source of truth."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from aida_ray.sources.warc import (read_warc, warc_record,
+                                       write_warc_file)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = os.path.join("/tmp/aida_ray_cache", f"warc_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    base = 1767225600                     # 2026-01-01T00:00:00Z
+    shards: dict[int, list[bytes]] = {}
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        shards.setdefault(int(i) % 8, []).append(warc_record(
+            f"http://crawl.test/w/{i}", base + int(i), t.encode()))
+    for s, recs in shards.items():
+        write_warc_file(os.path.join(tmp, f"shard-{s}.warc"), recs)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"], "ts_s": b["ts_s"],
+                         "text": pc.cast(b["payload"], pa.string())})
+
+    return _collect(read_warc(tmp, rec_types=("conversion",))
+                    .map_batches(project, batch_format="pyarrow"))
+
+
 def q_anchor_priors(sf_dir: str) -> pa.Table:
     """Mention→entity prior dictionary built from crawl anchor
     statistics (anchor-link frequency — the reference's YAGO2 prior
@@ -4211,6 +4242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "line_dedup": q_line_dedup,
         "anchor_priors": q_anchor_priors,
+        "warc_ingest": q_warc_ingest,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "domain_stats": q_domain_stats,
@@ -5095,6 +5127,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "warc_ingest": """
+            SELECT 'http://crawl.test/w/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   1767225600 + doc_id AS ts_s,
+                   text
+            FROM documents
         """,
         "anchor_priors": """
             WITH links AS (

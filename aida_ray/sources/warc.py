@@ -1,0 +1,145 @@
+"""WARC (Web ARChive, ISO 28500) ingest — the container format
+Common-Crawl actually ships; the step upstream of this repo's pages
+parquet (``input_hint`` shape ``url, warc_ts, html``).
+
+Two record flavors are supported, matching the two CC products a
+pipeline consumes:
+
+- ``response`` (the .warc files): payload is an HTTP response; the
+  html body is everything after the HTTP header block;
+- ``conversion`` (the .wet files): payload is already-extracted plain
+  text, no HTTP framing.
+
+The reference has no crawl ingest (prepared collections only —
+``src/mpi/aida/preparator``); this is the crawl-side complement, built
+like the repo's XML readers: a deterministic stdlib parser exercised
+byte-exactly, no external codec.
+
+Scale shape: WARC shards are ~1 GB by CC convention, so
+``ray.data.read_binary_files`` (one file per block) feeds a stateless
+``map_batches`` parse whose output drops the container framing — raw
+WARC bytes die in the parse stage, and everything downstream is the
+columnar pages shape.  Record-granularity Python is the parse cost,
+exactly like the XML sources.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import pyarrow as pa
+
+import ray.data
+
+_CRLF2 = b"\r\n\r\n"
+
+
+def _parse_ts(s: str) -> int:
+    """WARC-Date (ISO 8601 Zulu) → epoch seconds."""
+    return int(datetime.fromisoformat(
+        s.replace("Z", "+00:00")).timestamp())
+
+
+def parse_warc_bytes(data: bytes) -> pa.Table:
+    """All records of one WARC file → (url, ts_s, rec_type, payload).
+
+    ``payload`` is the html body for ``response`` records (HTTP
+    headers stripped) and the raw payload for everything else.
+    Truncated trailing records are dropped, records without a
+    Content-Length or WARC-Target-URI are skipped — the lenient
+    posture a crawl reader needs."""
+    urls: list[str] = []
+    tss: list[int] = []
+    types: list[str] = []
+    payloads: list[bytes] = []
+    i, n = 0, len(data)
+    while i < n:
+        j = data.find(b"WARC/", i)
+        if j < 0:
+            break
+        he = data.find(_CRLF2, j)
+        if he < 0:
+            break
+        headers: dict[bytes, bytes] = {}
+        for line in data[j:he].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            i = he + 4
+            continue
+        body = data[he + 4: he + 4 + clen]
+        i = he + 4 + clen
+        if len(body) < clen:
+            break                      # truncated tail record
+        url = headers.get(b"warc-target-uri")
+        if url is None:
+            continue
+        rtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
+        try:
+            ts = _parse_ts(headers.get(b"warc-date", b"")
+                           .decode("ascii", "replace"))
+        except ValueError:
+            continue
+        if rtype == "response":
+            k = body.find(_CRLF2)
+            body = body[k + 4:] if k >= 0 else b""
+        urls.append(url.decode("utf-8", "replace"))
+        tss.append(ts)
+        types.append(rtype)
+        payloads.append(body)
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "ts_s": pa.array(tss, pa.int64()),
+        "rec_type": pa.array(types, pa.string()),
+        "payload": pa.array(payloads, pa.binary())})
+
+
+def read_warc(path: str, rec_types: tuple[str, ...] = ("response",),
+              ) -> ray.data.Dataset:
+    """Directory (or single file) of WARC shards → Dataset of
+    (url, ts_s, rec_type, payload) rows, one parse task per shard."""
+    want = set(rec_types)
+
+    def parse(b: pa.Table) -> pa.Table:
+        tabs = [parse_warc_bytes(raw.as_py()) for raw in b["bytes"]]
+        t = pa.concat_tables(tabs) if tabs else parse_warc_bytes(b"")
+        if want:
+            import pyarrow.compute as pc
+            t = t.filter(pc.is_in(t["rec_type"],
+                                  value_set=pa.array(sorted(want))))
+        return t
+
+    return ray.data.read_binary_files(path) \
+        .map_batches(parse, batch_format="pyarrow")
+
+
+def warc_record(url: str, ts_s: int, payload: bytes,
+                rec_type: str = "conversion",
+                http_headers: bytes = b"HTTP/1.1 200 OK\r\n"
+                                      b"Content-Type: text/html\r\n",
+                ) -> bytes:
+    """One serialized WARC record (response records get HTTP framing)."""
+    if rec_type == "response":
+        payload = http_headers + b"\r\n" + payload
+    ts = datetime.fromtimestamp(ts_s, tz=timezone.utc) \
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: {rec_type}\r\n"
+            f"WARC-Target-URI: {url}\r\n"
+            f"WARC-Date: {ts}\r\n"
+            f"Content-Length: {len(payload)}\r\n").encode()
+    # head lines each end with CRLF; one more CRLF closes the header
+    # block (appending CRLF2 here would leak a stray CRLF into the body)
+    return head + b"\r\n" + payload + _CRLF2
+
+
+def write_warc_file(path: str, records: list[bytes]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for r in records:
+            f.write(r)
+    os.replace(tmp, path)

@@ -1,0 +1,62 @@
+"""WARC source (sources/warc.py): framing round-trip, HTTP stripping
+for response records, lenient parsing of malformed/truncated input."""
+
+import pyarrow as pa
+
+import ray.data
+
+from aida_ray.sources.warc import (parse_warc_bytes, read_warc,
+                                   warc_record, write_warc_file)
+
+TS = 1767225600        # 2026-01-01T00:00:00Z
+
+
+def test_conversion_roundtrip():
+    recs = [warc_record(f"http://x/{i}", TS + i, f"text {i}".encode())
+            for i in range(3)]
+    t = parse_warc_bytes(b"".join(recs))
+    assert t.num_rows == 3
+    assert t["url"].to_pylist() == [f"http://x/{i}" for i in range(3)]
+    assert t["ts_s"].to_pylist() == [TS, TS + 1, TS + 2]
+    assert t["payload"].to_pylist() == [f"text {i}".encode()
+                                        for i in range(3)]
+
+
+def test_response_strips_http_headers():
+    body = b"<html><body>hi</body></html>"
+    rec = warc_record("http://x/r", TS, body, rec_type="response")
+    t = parse_warc_bytes(rec)
+    assert t["rec_type"].to_pylist() == ["response"]
+    assert t["payload"].to_pylist() == [body]
+
+
+def test_mixed_types_and_filtering(tmp_path, ray_session):
+    recs = [
+        warc_record("http://x/0", TS, b"resp body", rec_type="response"),
+        warc_record("http://x/1", TS + 1, b"wet text"),
+        warc_record("http://x/2", TS + 2, b"meta", rec_type="warcinfo"),
+    ]
+    write_warc_file(str(tmp_path / "s.warc"), recs)
+    got = read_warc(str(tmp_path), rec_types=("conversion",)).to_pandas()
+    assert list(got.url) == ["http://x/1"]
+    got2 = read_warc(str(tmp_path),
+                     rec_types=("response", "conversion")).to_pandas()
+    assert sorted(got2.url) == ["http://x/0", "http://x/1"]
+
+
+def test_lenient_on_garbage_and_truncation():
+    good = warc_record("http://x/ok", TS, b"payload")
+    # garbage prefix, a record missing Content-Length, truncated tail
+    noise = b"not a warc header\r\n\r\n"
+    no_len = (b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+              b"WARC-Target-URI: http://x/broken\r\n"
+              b"WARC-Date: 2026-01-01T00:00:00Z\r\n\r\n")
+    truncated = warc_record("http://x/cut", TS, b"full payload")[:-10]
+    t = parse_warc_bytes(noise + no_len + good + truncated)
+    assert t["url"].to_pylist() == ["http://x/ok"]
+
+
+def test_payload_binary_fidelity():
+    body = bytes(range(256)) * 3
+    t = parse_warc_bytes(warc_record("http://x/b", TS, body))
+    assert t["payload"].to_pylist() == [body]
