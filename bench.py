@@ -111,7 +111,8 @@ def run_bench() -> dict:
                  "doc_sim", "bfs_hops", "taxonomy_closure", "skyline",
                  "group_mode", "dup_coverage", "q3_shipping",
                  "cheapest_supplier", "ohlc_bars", "event_transitions",
-                 "semdedup", "dsir"]:
+                 "semdedup", "dsir", "line_dedup", "anchor_priors",
+                 "group_hll", "warc_ingest"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
