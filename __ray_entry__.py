@@ -4223,6 +4223,146 @@ def q_ivfadc_top1(sf_dir: str) -> pa.Table:
         "top1": pa.array(t["vec_id"].to_numpy(), pa.int64())})
 
 
+def q_hits(sf_dir: str) -> pa.Table:
+    """HITS hubs/authorities over an arithmetically-derived directed
+    crawl graph (src = doc_id % 41, dst = (doc_id // 41) % 41, distinct,
+    no self-loops) — fully ORACLE-CHECKED: the SQL twin unrolls the same
+    5 L1-normalized power half-steps as chained CTEs, so every hub and
+    authority score matches to 6 decimals."""
+    from aida_ray.stages.agg import gated_count
+    from aida_ray.stages.graphs import hits
+    mod = 41
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        src = ids % mod
+        dst = (ids // mod) % mod
+        keep = src != dst
+        return pa.table({"sd": pa.array((src[keep] << 32) | dst[keep],
+                                        pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(sd >> 32, pa.int64()),
+                         "dst": pa.array(sd & 0xFFFFFFFF, pa.int64())})
+
+    edges = gated_count(
+        docs.map_batches(to_edges, batch_format="pyarrow"), "sd") \
+        .map_batches(unpack, batch_format="pyarrow")
+    t = hits(edges, iters=5).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    t["hub"] = t["hub"].round(6)
+    t["auth"] = t["auth"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_adamic_adar(sf_dir: str) -> pa.Table:
+    """Adamic–Adar link prediction over a derived undirected doc graph
+    (edge = sorted(doc_id % 37, (doc_id // 37) % 37), distinct, no
+    self-loops) — full SQL oracle: common-neighbor self-join weighted
+    1/ln(degree)."""
+    from aida_ray.stages.agg import gated_count
+    from aida_ray.stages.graphs import adamic_adar
+    mod = 37
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        x = ids % mod
+        y = (ids // mod) % mod
+        keep = x != y
+        lo = np.minimum(x[keep], y[keep])
+        hi = np.maximum(x[keep], y[keep])
+        return pa.table({"ab": pa.array((lo << 32) | hi, pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        ab = t["ab"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(ab >> 32, pa.int64()),
+                         "b": pa.array(ab & 0xFFFFFFFF, pa.int64())})
+
+    edges = gated_count(
+        docs.map_batches(to_edges, batch_format="pyarrow"), "ab") \
+        .map_batches(unpack, batch_format="pyarrow")
+    t = adamic_adar(edges).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    t["score"] = t["score"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_fuzzy_contamination(sf_dir: str) -> pa.Table:
+    """NEAR-duplicate train/eval contamination via MinHash-LSH between
+    splits — catches paraphrased benchmark leakage the exact n-gram
+    check misses.  Planted eval twins (every doc_id % 100 == 7 copied
+    with a short tail at id + 1_000_000) make the check non-vacuous at
+    every sf; the oracle is a brute-force EXACT char-5-gram Jaccard
+    cross join (the LSH verify stage computes exact shingle Jaccard and
+    the fixed-seed (64, 16) banding captures every pair of this corpus,
+    so LSH output == exact output and any recall loss flips the row)."""
+    from aida_ray.stages.contamination import fuzzy_contamination
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def with_twins(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        keep = ids % 100 == 7
+        tw = pa.table({
+            "doc_id": pa.array(ids[keep] + 1_000_000, pa.int64()),
+            "text": pc.binary_join_element_wise(
+                pc.cast(b.filter(pa.array(keep))["text"], pa.string()),
+                " eval tail", "")})
+        base = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pc.cast(b["text"], pa.string())})
+        return pa.concat_tables([base, tw])
+
+    corpus = docs.map_batches(with_twins, batch_format="pyarrow")
+    t = fuzzy_contamination(
+        corpus, is_eval=lambda x: x >= 1_000_000,
+        num_hashes=64, bands=16, jaccard_threshold=0.8).to_pandas()
+    if len(t):
+        t["jaccard"] = t["jaccard"].round(6)
+        t = t.sort_values(["eval_id", "train_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
+    """Unrolled-CTE SQL twin of q_hits: each iteration is two join+
+    groupby half-steps with scalar-subquery L1 normalization."""
+    ctes = [f"""
+        WITH e AS MATERIALIZED (SELECT DISTINCT doc_id % {mod} AS src,
+                          (doc_id // {mod}) % {mod} AS dst
+                   FROM documents
+                   WHERE doc_id % {mod} != (doc_id // {mod}) % {mod}),
+        nodes AS MATERIALIZED (SELECT src AS node FROM e
+                               UNION SELECT dst FROM e),
+        h0 AS MATERIALIZED (SELECT node,
+                1.0 / (SELECT count(*) FROM nodes) AS h
+               FROM nodes)"""]
+    prev = "h0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        a{k}r AS MATERIALIZED (SELECT e.dst AS node, sum(p.h) AS a
+                  FROM e JOIN {prev} p ON e.src = p.node GROUP BY e.dst),
+        a{k} AS MATERIALIZED (SELECT n.node,
+                        coalesce(r.a, 0) / (SELECT sum(a) FROM a{k}r) AS a
+                 FROM nodes n LEFT JOIN a{k}r r ON n.node = r.node),
+        h{k}r AS MATERIALIZED (SELECT e.src AS node, sum(p.a) AS h
+                  FROM e JOIN a{k} p ON e.dst = p.node GROUP BY e.src),
+        h{k} AS MATERIALIZED (SELECT n.node,
+                        coalesce(r.h, 0) / (SELECT sum(h) FROM h{k}r) AS h
+                 FROM nodes n LEFT JOIN h{k}r r ON n.node = r.node)""")
+        prev = f"h{k}"
+    return ",".join(ctes) + f"""
+        SELECT n.node, ROUND(h{iters}.h, 6) AS hub,
+               ROUND(a{iters}.a, 6) AS auth
+        FROM nodes n
+        JOIN h{iters} ON n.node = h{iters}.node
+        JOIN a{iters} ON n.node = a{iters}.node"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -4359,6 +4499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_audit": q_table_audit,
         "connected_components": q_connected_components,
         "scc": q_scc,
+        "hits": q_hits,
+        "adamic_adar": q_adamic_adar,
+        "fuzzy_contamination": q_fuzzy_contamination,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -5853,6 +5996,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN und u ON u.s = r.reach)
             SELECT node AS doc_id, MIN(reach) AS cluster
             FROM r GROUP BY node
+        """,
+        "hits": _hits_oracle_sql(iters=5, mod=41),
+        "adamic_adar": """
+            WITH e0 AS (SELECT DISTINCT
+                            least(doc_id % 37, (doc_id // 37) % 37) AS a,
+                            greatest(doc_id % 37, (doc_id // 37) % 37) AS b
+                        FROM documents
+                        WHERE doc_id % 37 != (doc_id // 37) % 37),
+            adj AS (SELECT a AS z, b AS nb FROM e0
+                    UNION SELECT b, a FROM e0),
+            deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+            pr AS (SELECT x.z AS z, x.nb AS u, y.nb AS v
+                   FROM adj x JOIN adj y ON x.z = y.z AND x.nb < y.nb)
+            SELECT u, v, ROUND(sum(1.0 / ln(d)), 6) AS score
+            FROM pr JOIN deg USING (z)
+            GROUP BY u, v
+        """,
+        "fuzzy_contamination": """
+            WITH allx AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       text || ' eval tail' AS text
+                FROM documents WHERE doc_id % 100 = 7),
+            d AS (SELECT doc_id,
+                         regexp_replace(trim(lower(text)),
+                                        '\\s+', ' ', 'g') AS t
+                  FROM allx),
+            g AS (SELECT doc_id,
+                         list_distinct([t[i:i+4] FOR i IN
+                             range(1, greatest(length(t)-3, 2))]) AS grams
+                  FROM d),
+            pr AS (SELECT e.doc_id AS eval_id, b.doc_id AS train_id,
+                          len(list_intersect(e.grams, b.grams)) AS inter,
+                          len(e.grams) AS la, len(b.grams) AS lb
+                   FROM g e JOIN g b
+                     ON e.doc_id >= 1000000 AND b.doc_id < 1000000)
+            SELECT eval_id, train_id,
+                   ROUND(inter / (la + lb - inter), 6) AS jaccard
+            FROM pr WHERE inter / (la + lb - inter) >= 0.8
         """,
         "scc": """
             SELECT doc_id AS node,
