@@ -4328,6 +4328,48 @@ def q_fuzzy_contamination(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_sitemap_ingest(sf_dir: str) -> pa.Table:
+    """Sitemap XML ingest (sources/sitemap.py): documents round-trip
+    through protocol-shaped urlset shards plus one sitemapindex, read
+    back with one parse task per file; the oracle re-derives every
+    field (url, lastmod epoch, priority incl. the protocol's 0.5
+    default, index flag, source shard) arithmetically from doc_id."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from aida_ray.sources.sitemap import (read_sitemaps,
+                                          write_sitemap_file,
+                                          write_sitemap_index)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = os.path.join("/tmp/aida_ray_cache", f"sitemap_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    base = 1767225600                     # 2026-01-01T00:00:00Z
+    shards: dict[int, list[int]] = {}
+    for i in ids:
+        shards.setdefault(int(i) % 8, []).append(int(i))
+    for s, members in shards.items():
+        write_sitemap_file(
+            os.path.join(tmp, f"shard-{s}.xml"),
+            urls=[f"http://crawl.test/s/{i}" for i in members],
+            lastmods_s=[base + i for i in members],
+            priorities=[(i % 10) / 10.0 for i in members])
+    write_sitemap_index(
+        os.path.join(tmp, "index.xml"),
+        [f"http://crawl.test/maps/shard-{s}.xml"
+         for s in sorted(shards)])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b["url"], "lastmod_s": b["lastmod_s"],
+            "priority": pc.round(b["priority"], 6),
+            "is_index": b["is_index"], "source": b["source"]})
+
+    return _collect(read_sitemaps(tmp)
+                    .map_batches(project, batch_format="pyarrow"))
+
+
 def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
     """Unrolled-CTE SQL twin of q_hits: each iteration is two join+
     groupby half-steps with scalar-subquery L1 normalization."""
@@ -4502,6 +4544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q_hits,
         "adamic_adar": q_adamic_adar,
         "fuzzy_contamination": q_fuzzy_contamination,
+        "sitemap_ingest": q_sitemap_ingest,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -5996,6 +6039,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN und u ON u.s = r.reach)
             SELECT node AS doc_id, MIN(reach) AS cluster
             FROM r GROUP BY node
+        """,
+        "sitemap_ingest": """
+            SELECT 'http://crawl.test/s/' || doc_id AS url,
+                   1767225600 + doc_id AS lastmod_s,
+                   ROUND((doc_id % 10) / 10.0, 6) AS priority,
+                   FALSE AS is_index,
+                   'shard-' || (doc_id % 8) || '.xml' AS source
+            FROM documents
+            UNION ALL
+            SELECT 'http://crawl.test/maps/shard-' || s || '.xml',
+                   -1, 0.5, TRUE, 'index.xml'
+            FROM range(8) t(s)
         """,
         "hits": _hits_oracle_sql(iters=5, mod=41),
         "adamic_adar": """
