@@ -4370,6 +4370,46 @@ def q_sitemap_ingest(sf_dir: str) -> pa.Table:
                     .map_batches(project, batch_format="pyarrow"))
 
 
+def q_main_content(sf_dir: str) -> pa.Table:
+    """Density-based main-content extraction over synthetic pages with
+    deterministic boilerplate: a pure-link nav bar, a sub-threshold
+    stub block, and a link-dominated footer are injected around the
+    article text (plus a planted appendix paragraph on every 5th doc);
+    main_content() must keep exactly the article (+ appendix) — the
+    oracle reconstructs the expected text arithmetically."""
+    from aida_ray.text.extract import main_content
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out_ids, mains = [], []
+        for i, tx in zip(ids, texts):
+            i = int(i)
+            esc = tx.replace("&", "&amp;").replace("<", "&lt;") \
+                .replace(">", "&gt;")
+            appendix = (f"<p>appendix section for document {i} "
+                        f"with enough characters to keep</p>"
+                        if i % 5 == 0 else "")
+            html = (
+                '<html><body>'
+                '<div><a href="/n1">site navigation home</a> '
+                '<a href="/n2">about</a> <a href="/n3">contact</a></div>'
+                '<p>stub</p>'
+                f'<p>{esc}</p>{appendix}'
+                '<div>copyright 2026 <a href="/t">terms of use</a> '
+                '<a href="/p">privacy policy</a></div>'
+                '</body></html>').encode()
+            out_ids.append(i)
+            mains.append(main_content(html))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "main": pa.array(mains, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return _collect(docs.map_batches(to_pages, batch_format="pyarrow"))
+
+
 def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
     """Unrolled-CTE SQL twin of q_hits: each iteration is two join+
     groupby half-steps with scalar-subquery L1 normalization."""
@@ -4545,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q_adamic_adar,
         "fuzzy_contamination": q_fuzzy_contamination,
         "sitemap_ingest": q_sitemap_ingest,
+        "main_content": q_main_content,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6039,6 +6080,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN und u ON u.s = r.reach)
             SELECT node AS doc_id, MIN(reach) AS cluster
             FROM r GROUP BY node
+        """,
+        "main_content": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN text || chr(10) ||
+                             'appendix section for document ' || doc_id ||
+                             ' with enough characters to keep'
+                        ELSE text END AS main
+            FROM documents
         """,
         "sitemap_ingest": """
             SELECT 'http://crawl.test/s/' || doc_id AS url,

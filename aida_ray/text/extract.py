@@ -52,3 +52,44 @@ def wrap_text_as_html(text: str, title: str = "") -> bytes:
         "<body>\n<!-- synthetic page -->\n" + paras + "</body></html>\n"
     )
     return doc.encode("utf-8")
+
+
+_ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+
+
+def _unescape(s: str) -> str:
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def main_content(html: bytes | str, min_block_chars: int = 30,
+                 max_link_ratio: float = 0.5) -> str:
+    """Density-based MAIN-content extraction (the Boilerpipe/JusText
+    principle as a deterministic rule set): segment at block tags,
+    score each block by normalized text length and link-text ratio,
+    keep blocks with >= ``min_block_chars`` chars and <=
+    ``max_link_ratio`` of their characters inside anchors.  Navigation
+    bars (pure links), footers (link-dominated), and stub blocks drop;
+    article paragraphs survive.  Kept blocks join with newlines.
+
+    Like :func:`extract_text` this is a self-defined deterministic
+    contract (the reference has no HTML input); byte-stable per url.
+    """
+    if isinstance(html, bytes):
+        html = html.decode("utf-8")
+    s = _COMMENT_RE.sub("", html)
+    s = _SCRIPT_RE.sub("", s)
+    out = []
+    for blk in _BLOCK_TAG_RE.split(s):
+        text = _unescape(_TAG_RE.sub("", blk))
+        norm = re.sub(r"\s+", " ", text).strip()
+        if len(norm) < min_block_chars:
+            continue
+        link_text = "".join(_unescape(_TAG_RE.sub("", m))
+                            for m in _ANCHOR_RE.findall(blk))
+        lnorm = re.sub(r"\s+", " ", link_text).strip()
+        if len(lnorm) / len(norm) > max_link_ratio:
+            continue
+        out.append(norm)
+    return "\n".join(out)

@@ -115,3 +115,45 @@ def test_datetime_utils_golden():
     assert days[31] == ms(1980, 2, 1)
     assert days[31] != ms(1980, 2, 1, 0, 1)
     assert round_to_midnight(ms(1980, 1, 1, 11, 11)) == ms(1980, 1, 1)
+
+
+def test_main_content_drops_boilerplate():
+    from aida_ray.text.extract import main_content
+    h = (b'<html><body>'
+         b'<div><a href="/1">home</a> <a href="/2">about page</a> '
+         b'<a href="/3">contact us now</a></div>'
+         b'<p>tiny</p>'
+         b'<p>the actual article body with plenty of characters here</p>'
+         b'<div>copyright 2026 <a href="/t">terms of use</a> '
+         b'<a href="/p">privacy policy</a></div>'
+         b'</body></html>')
+    assert main_content(h) == \
+        "the actual article body with plenty of characters here"
+
+
+def test_main_content_multi_block_and_entities():
+    from aida_ray.text.extract import main_content
+    h = (b'<p>first paragraph long enough to clear the threshold</p>'
+         b'<p>second paragraph &amp; also long enough to be kept ok</p>')
+    assert main_content(h) == (
+        "first paragraph long enough to clear the threshold\n"
+        "second paragraph & also long enough to be kept ok")
+
+
+def test_main_content_link_ratio_boundary():
+    from aida_ray.text.extract import main_content
+    # exactly half the characters inside anchors -> kept (<= ratio)
+    half = '<p><a href="/x">aaaaaaaaaaaaaaaaaaaa</a>bbbbbbbbbbbbbbbbbbbb</p>'
+    assert main_content(half) == "aaaaaaaaaaaaaaaaaaaabbbbbbbbbbbbbbbbbbbb"
+    # one char more of link text -> dropped
+    over = '<p><a href="/x">aaaaaaaaaaaaaaaaaaaaa</a>bbbbbbbbbbbbbbbbbbbb</p>'
+    assert main_content(over) == ""
+
+
+def test_main_content_script_and_comment_stripped():
+    from aida_ray.text.extract import main_content
+    h = (b'<script>var boilerplate = "this string is very long indeed";'
+         b'</script><!-- a long comment that should never survive -->'
+         b'<p>real content of respectable length for the filter</p>')
+    assert main_content(h) == \
+        "real content of respectable length for the filter"
