@@ -4410,6 +4410,28 @@ def q_main_content(sf_dir: str) -> pa.Table:
     return _collect(docs.map_batches(to_pages, batch_format="pyarrow"))
 
 
+def q_crawl_frontier(sf_dir: str) -> pa.Table:
+    """Politeness crawl-frontier ranking (urls.frontier_rank): per-host
+    fetch position over an arithmetically-derived URL set; dequeuing by
+    (rn, host, url) interleaves hosts round-robin.  Oracle =
+    ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)."""
+    from aida_ray.stages.urls import frontier_rank
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        hosts = [f"host{(int(i) * 7919) % 23}.example.com" for i in ids]
+        urls = [f"http://{h}/p{int(i)}" for h, i in zip(hosts, ids)]
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "url": pa.array(urls, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(frontier_rank(
+        docs.map_batches(to_urls, batch_format="pyarrow"))).to_pandas()
+    t = t.sort_values(["rn", "host", "url"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
     """Unrolled-CTE SQL twin of q_hits: each iteration is two join+
     groupby half-steps with scalar-subquery L1 normalization."""
@@ -4586,6 +4608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_contamination": q_fuzzy_contamination,
         "sitemap_ingest": q_sitemap_ingest,
         "main_content": q_main_content,
+        "crawl_frontier": q_crawl_frontier,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6080,6 +6103,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM r JOIN und u ON u.s = r.reach)
             SELECT node AS doc_id, MIN(reach) AS cluster
             FROM r GROUP BY node
+        """,
+        "crawl_frontier": """
+            WITH t AS (SELECT
+                'host' || ((doc_id * 7919) % 23) || '.example.com' AS host,
+                'http://host' || ((doc_id * 7919) % 23) ||
+                    '.example.com/p' || doc_id AS url
+                FROM documents)
+            SELECT host, url,
+                   ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn
+            FROM t
         """,
         "main_content": """
             SELECT doc_id,

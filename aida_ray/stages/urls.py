@@ -71,3 +71,35 @@ def canonicalize_urls(ds: ray.data.Dataset, url_col: str = "url") -> ray.data.Da
     """Streaming URL canonicalization + registrable-domain extraction."""
     return ds.map_batches(lambda b: domain_batch(canonicalize_batch(b, url_col)),
                           batch_format="pyarrow")
+
+
+def frontier_rank(ds: "ray.data.Dataset", host_col: str = "host",
+                  url_col: str = "url",
+                  group_size_limit: int = 50_000_000) -> "ray.data.Dataset":
+    """Politeness crawl-frontier ranking: per-host fetch position
+    ``rn`` (ROW_NUMBER over the host's URL order).  Dequeuing by
+    ``(rn, host, url)`` interleaves hosts round-robin — no host is hit
+    twice before every host with pending URLs is hit once — which is
+    the standard frontier politeness discipline.
+
+    One ``groupby(host).map_groups`` shuffle; per-host URL counts are
+    politeness-bounded in practice (a crawl schedules a bounded batch
+    per host per cycle), with the same ``group_size_limit`` guard as
+    the window operators against pathological hosts.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot host {g[host_col].iloc[0]!r}: {len(g)} rows "
+                "exceed the per-group bound — pre-split by url bucket")
+        g = g.sort_values(url_col).reset_index(drop=True)
+        out = pd.DataFrame({
+            host_col: g[host_col], url_col: g[url_col],
+            "rn": np.arange(1, len(g) + 1, dtype="int64")})
+        return out
+
+    return ds.groupby(host_col).map_groups(per_host,
+                                           batch_format="pandas")

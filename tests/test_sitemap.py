@@ -50,3 +50,23 @@ def test_malformed_is_lenient():
     assert len(t) == 0
     assert t.schema.names == ["url", "lastmod_s", "priority",
                               "is_index", "source"]
+
+
+def test_frontier_rank_politeness(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from aida_ray.stages.urls import frontier_rank
+    hosts = ["a", "a", "a", "b", "b", "c"]
+    urls = [f"http://{h}/{i}" for i, h in enumerate(hosts)]
+    t = frontier_rank(
+        rd.from_arrow(pa.table({"host": hosts, "url": urls}))
+        .repartition(3)).to_pandas()
+    t = t.sort_values(["rn", "host"]).reset_index(drop=True)
+    # round-robin: first wave covers every host once
+    assert list(t.loc[t["rn"] == 1, "host"]) == ["a", "b", "c"]
+    assert list(t.loc[t["rn"] == 2, "host"]) == ["a", "b"]
+    assert list(t.loc[t["rn"] == 3, "host"]) == ["a"]
+    # rn is the position in the host's sorted url list
+    a = t[t["host"] == "a"].sort_values("rn")
+    assert list(a["url"]) == sorted(a["url"])
