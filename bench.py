@@ -112,7 +112,8 @@ def run_bench() -> dict:
                  "group_mode", "dup_coverage", "q3_shipping",
                  "cheapest_supplier", "ohlc_bars", "event_transitions",
                  "semdedup", "dsir", "line_dedup", "anchor_priors",
-                 "group_hll", "warc_ingest"]:
+                 "group_hll", "warc_ingest", "fuzzy_contamination",
+                 "main_content", "crawl_frontier"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
