@@ -4432,6 +4432,67 @@ def q_crawl_frontier(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_bm25(sf_dir: str) -> pa.Table:
+    """Distributed BM25 top-10 retrieval (stages/retrieval.bm25_topk)
+    for three term queries over the documents table: one stats pass
+    (df per query term + N + avgdl ride a single tiny shuffle), one
+    scoring pass emitting local top-k per block, driver merge of
+    blocks x k rows.  Scores round to 6 decimals and rank by
+    (score DESC, doc_id ASC); the oracle recomputes the same formula
+    in SQL with the identical RE2 tokenization."""
+    from aida_ray.stages.retrieval import bm25_topk
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return bm25_topk(docs, queries=[(0, ["hash", "join"]),
+                                    (1, ["window", "sort"]),
+                                    (2, ["merge"])], k=10)
+
+
+_BM25_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), toks2 AS MATERIALIZED (
+        SELECT * FROM toks WHERE term <> ''
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+    ), st AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM dl)
+                   / (SELECT COUNT(*) FROM documents) AS avgdl
+    ), q(query_id, term) AS (
+        VALUES (0, 'hash'), (0, 'join'), (1, 'window'), (1, 'sort'),
+               (2, 'merge')
+    ), df AS MATERIALIZED (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), tf AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+    ), scored AS MATERIALIZED (
+        SELECT q.query_id, tf.doc_id,
+               SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / st.avgdl))) AS s
+        FROM q JOIN df USING (term)
+        JOIN tf ON tf.term = q.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st
+        GROUP BY q.query_id, tf.doc_id
+    ), ranked AS (
+        SELECT query_id, doc_id, ROUND(s, 6) AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(s, 6) DESC, doc_id)
+                   AS "rank"
+        FROM scored
+    )
+    SELECT query_id, "rank", doc_id, score FROM ranked WHERE "rank" <= 10
+"""
+
+
 def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
     """Unrolled-CTE SQL twin of q_hits: each iteration is two join+
     groupby half-steps with scalar-subquery L1 normalization."""
@@ -4609,6 +4670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_ingest": q_sitemap_ingest,
         "main_content": q_main_content,
         "crawl_frontier": q_crawl_frontier,
+        "bm25": q_bm25,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6114,6 +6176,7 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS rn
             FROM t
         """,
+        "bm25": _BM25_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0
