@@ -4449,6 +4449,65 @@ def q_bm25(sf_dir: str) -> pa.Table:
                                     (2, ["merge"])], k=10)
 
 
+def q_hearst(sf_dir: str) -> pa.Table:
+    """Hearst-pattern is-a extraction (stages/hearst.hearst_isa) over
+    deterministic planted sentences — doc_id % 5 cycles the five
+    pattern families (such_as / such_n_as / or_other / and_other /
+    including); the oracle reconstructs the expected (hypo, isa,
+    hyper) rows arithmetically."""
+    from aida_ray.stages.hearst import hearst_isa
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 5
+            if m == 0:
+                s = f"we saw vehicles such as car{i}, truck{i} and bike{i} today"
+            elif m == 1:
+                s = f"such fruits as apple{i} and pear{i} were sold"
+            elif m == 2:
+                s = f"copper{i} or other metals were mined"
+            elif m == 3:
+                s = f"city{i} and other cities grew fast"
+            else:
+                s = f"drinks, including tea{i}, coffee{i} were served"
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(hearst_isa(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
+_HEARST_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+    SELECT doc_id, hypo, hyper, pattern FROM (
+        SELECT doc_id, 'car' || doc_id AS hypo, 'vehicles' AS hyper,
+               'such_as' AS pattern FROM d WHERE m = 0
+        UNION ALL SELECT doc_id, 'truck' || doc_id, 'vehicles',
+               'such_as' FROM d WHERE m = 0
+        UNION ALL SELECT doc_id, 'bike' || doc_id, 'vehicles',
+               'such_as' FROM d WHERE m = 0
+        UNION ALL SELECT doc_id, 'apple' || doc_id, 'fruits',
+               'such_n_as' FROM d WHERE m = 1
+        UNION ALL SELECT doc_id, 'pear' || doc_id, 'fruits',
+               'such_n_as' FROM d WHERE m = 1
+        UNION ALL SELECT doc_id, 'copper' || doc_id, 'metals',
+               'or_other' FROM d WHERE m = 2
+        UNION ALL SELECT doc_id, 'city' || doc_id, 'cities',
+               'and_other' FROM d WHERE m = 3
+        UNION ALL SELECT doc_id, 'tea' || doc_id, 'drinks',
+               'including' FROM d WHERE m = 4
+        UNION ALL SELECT doc_id, 'coffee' || doc_id, 'drinks',
+               'including' FROM d WHERE m = 4
+    )
+"""
+
+
 _BM25_ORACLE = """
     WITH toks AS MATERIALIZED (
         SELECT doc_id,
@@ -4671,6 +4730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": q_main_content,
         "crawl_frontier": q_crawl_frontier,
         "bm25": q_bm25,
+        "hearst_isa": q_hearst,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6177,6 +6237,7 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "bm25": _BM25_ORACLE,
+        "hearst_isa": _HEARST_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0

@@ -1,0 +1,86 @@
+"""Hearst-pattern is-a (hypernym) triple extraction.
+
+The classic lexico-syntactic patterns (Hearst 1992) re-expressed as a
+deterministic word-level rule set — the KG-construction companion to
+the pipeline's co-occurrence triples: ``X such as A, B and C`` /
+``such X as A`` / ``A or other X`` / ``A and other X`` /
+``X, including A`` / ``X, especially A`` each yield
+``(hyponym, isa, hypernym)`` rows.
+
+Contract: noun phrases are single lowercase word tokens
+(``[a-z][a-z0-9]*``) — the same simplification the synthetic corpus
+and SQL oracle share; input text is lowercased before matching.
+Patterns are compiled once at module import; matching is a stateless
+``map_batches`` stage (parse-bound like text/extract.py — the per-row
+regex scan IS the work, there is no vectorized alternative for
+backreference-free multi-pattern extraction in Arrow).
+
+Scale shape: stateless map over the corpus stream, output volume
+tracks pattern occurrences (<< corpus bytes); no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_WORD = r"[a-z][a-z0-9]*"
+# word list: "a", "a, b", "a, b and c", "a or b" ... — trailing and/or
+# joiner optional, Oxford comma tolerated
+_LIST = rf"{_WORD}(?:\s*,\s*{_WORD})*(?:\s*,?\s*(?:and|or)\s+{_WORD})?"
+
+_PATTERNS: list[tuple[str, re.Pattern, int, int]] = [
+    # (name, regex, hypernym group, hyponym-list group)
+    ("such_as", re.compile(rf"\b({_WORD})\s+such\s+as\s+({_LIST})"), 1, 2),
+    ("such_n_as", re.compile(rf"\bsuch\s+({_WORD})\s+as\s+({_LIST})"), 1, 2),
+    ("or_other",
+     re.compile(rf"\b({_LIST})\s*,?\s+or\s+other\s+({_WORD})"), 2, 1),
+    ("and_other",
+     re.compile(rf"\b({_LIST})\s*,?\s+and\s+other\s+({_WORD})"), 2, 1),
+    ("including",
+     re.compile(rf"\b({_WORD})\s*,\s*including\s+({_LIST})"), 1, 2),
+    ("especially",
+     re.compile(rf"\b({_WORD})\s*,\s*especially\s+({_LIST})"), 1, 2),
+]
+
+_SPLIT = re.compile(r"\s*,\s*|\s+")
+_JOINERS = {"and", "or", ""}
+
+
+def _extract_row(text: str) -> list[tuple[str, str, str]]:
+    """(hyponym, hypernym, pattern) tuples for one document."""
+    out = []
+    low = text.lower()
+    for name, rx, hyper_g, list_g in _PATTERNS:
+        for m in rx.finditer(low):
+            hyper = m.group(hyper_g)
+            for hypo in _SPLIT.split(m.group(list_g)):
+                if hypo not in _JOINERS:
+                    out.append((hypo, hyper, name))
+    return out
+
+
+def hearst_isa(ds: ray.data.Dataset, id_col: str = "doc_id",
+               text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, hypo, hyper, pattern) rows from Hearst patterns."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        ids_out, hypos, hypers, pats = [], [], [], []
+        for i, txt in zip(ids, b[text_col].to_pylist()):
+            for hypo, hyper, pat in _extract_row(txt or ""):
+                ids_out.append(int(i))
+                hypos.append(hypo)
+                hypers.append(hyper)
+                pats.append(pat)
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "hypo": pa.array(hypos, pa.string()),
+            "hyper": pa.array(hypers, pa.string()),
+            "pattern": pa.array(pats, pa.string())})
+
+    return ds.map_batches(batch, batch_format="pyarrow")
