@@ -4483,6 +4483,51 @@ def q_hearst(sf_dir: str) -> pa.Table:
         docs.map_batches(to_text, batch_format="pyarrow")))
 
 
+def q_redirects(sf_dir: str) -> pa.Table:
+    """Redirect-chain resolution (urls.resolve_redirects): doc_id i
+    with i % 8 != 0 redirects to i-1 (chains of length <= 7 ending at
+    the multiple-of-8 anchor); a planted 2-cycle 8<->16 turns anchors
+    8 and 16 — and every chain feeding them — into loop rows
+    (final = hops = -1).  URL ids are ints (dictionary-encoded urls);
+    the oracle reconstructs final/hops arithmetically."""
+    from aida_ray.stages.urls import resolve_redirects
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        srcs, dsts = [], []
+        for i in ids:
+            i = int(i)
+            if i % 8 != 0:
+                srcs.append(i)
+                dsts.append(i - 1)
+            elif i == 8:
+                srcs.append(8)
+                dsts.append(16)
+            elif i == 16:
+                srcs.append(16)
+                dsts.append(8)
+        return pa.table({"src": pa.array(srcs, pa.int64()),
+                         "dst": pa.array(dsts, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(resolve_redirects(
+        docs.map_batches(to_edges, batch_format="pyarrow")))
+
+
+_REDIRECTS_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT i AS node,
+           CASE WHEN (i - (i % 8)) IN (8, 16) THEN -1
+                ELSE i - (i % 8) END AS final,
+           CASE WHEN (i - (i % 8)) IN (8, 16) THEN -1
+                ELSE i % 8 END AS hops
+    FROM d WHERE i % 8 <> 0
+    UNION ALL
+    SELECT i, -1, -1 FROM d WHERE i IN (8, 16)
+"""
+
+
 _HEARST_ORACLE = """
     WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
     SELECT doc_id, hypo, hyper, pattern FROM (
@@ -4731,6 +4776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "bm25": q_bm25,
         "hearst_isa": q_hearst,
+        "redirect_resolve": q_redirects,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6238,6 +6284,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25": _BM25_ORACLE,
         "hearst_isa": _HEARST_ORACLE,
+        "redirect_resolve": _REDIRECTS_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0

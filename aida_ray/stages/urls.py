@@ -103,3 +103,153 @@ def frontier_rank(ds: "ray.data.Dataset", host_col: str = "host",
 
     return ds.groupby(host_col).map_groups(per_host,
                                            batch_format="pandas")
+
+
+def _resolve_np(nodes, ptrs, max_rounds: int = 64):
+    """Single-process pointer-doubling resolve of a functional graph.
+
+    Returns (final, hops) arrays aligned to ``nodes``: the terminal
+    node reached from each source and the exact path length; rows on
+    or feeding a cycle get (-1, -1).
+    """
+    import numpy as np
+
+    order = np.argsort(nodes, kind="stable")
+    sn = nodes[order]
+    ptr = ptrs.astype(np.int64).copy()
+    hops = np.ones(len(nodes), dtype=np.int64)
+    n = len(nodes)
+    for _ in range(max_rounds):
+        idx = np.searchsorted(sn, ptr)
+        idx_c = np.clip(idx, 0, max(0, n - 1))
+        hit = (sn[idx_c] == ptr) if n else np.zeros(0, dtype=bool)
+        # rows whose accumulated length exceeds the node count are
+        # provably cycling — freeze them so the loop can terminate
+        hit &= hops <= n
+        if not hit.any():
+            break
+        pos = order[idx_c]
+        # simultaneous composition f <- f(f): read frozen copies
+        ptr_prev, hops_prev = ptr, hops
+        ptr = np.where(hit, ptr_prev[pos], ptr_prev)
+        hops = np.where(hit, hops_prev + hops_prev[pos], hops_prev)
+    # anything still pointing at a source node is in / feeds a cycle
+    idx = np.searchsorted(sn, ptr)
+    idx_c = np.clip(idx, 0, max(0, n - 1))
+    cyc = ((sn[idx_c] == ptr) | (hops > n)) if n else np.zeros(0, dtype=bool)
+    final = np.where(cyc, -1, ptr)
+    hops = np.where(cyc, -1, hops)
+    return final, hops
+
+
+def resolve_redirects(edges: ray.data.Dataset, src: str = "src",
+                      dst: str = "dst", max_rounds: int = 64,
+                      broadcast_rows: int = 8_000_000) -> ray.data.Dataset:
+    """Resolve every URL's redirect CHAIN to its terminal target.
+
+    Input is a functional edge set (each source redirects to exactly
+    one destination, int64 ids — map URLs to ids upstream with
+    dictionary encoding; string keys would force object-dtype
+    searchsorted in the hot loop).  Output: (node, final, hops) for
+    every redirecting source — the terminal id and exact chain length,
+    or (-1, -1) for sources on or feeding a redirect loop.
+
+    Scale shape mirrors ``dedup.label_propagation_clusters``: below
+    ``broadcast_rows`` (8M ≈ 192 MB of int64 triples) the edge set is
+    solved by ONE distributed numpy pointer-doubling task (off-driver,
+    O(log depth) vector passes); above it, an iterative self-join plan
+    doubles the pointer each round (state ⋈ state on ptr = node),
+    converging in O(log depth) hash-join rounds with the driver seeing
+    only scalar convergence counts.
+    """
+    import numpy as np
+
+    from aida_ray.state.collect import concat_blocks
+    from aida_ray.stages.shuffle_join import hash_join
+
+    schema = pa.schema([(src, pa.int64()), (dst, pa.int64())])
+    n_edges = edges.count()
+    if n_edges <= broadcast_rows:
+        refs = edges.to_arrow_refs()
+        if n_edges == 0 or not refs:
+            return ray.data.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "final": pa.array([], pa.int64()),
+                 "hops": pa.array([], pa.int64())}))
+
+        @ray.remote
+        def _solve(*tabs: pa.Table) -> pa.Table:
+            t = concat_blocks(tabs, schema)
+            nodes = t[src].to_numpy(zero_copy_only=False).astype(np.int64)
+            ptrs = t[dst].to_numpy(zero_copy_only=False).astype(np.int64)
+            final, hops = _resolve_np(nodes, ptrs, max_rounds)
+            return pa.table({"node": pa.array(nodes, pa.int64()),
+                             "final": pa.array(final, pa.int64()),
+                             "hops": pa.array(hops, pa.int64())})
+
+        return ray.data.from_arrow_refs([_solve.remote(*refs)])
+
+    # ---- iterative plan: state (node, ptr, hops, live) self-joined ----
+    def init(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "node": pc.cast(t[src], pa.int64()),
+            "ptr": pc.cast(t[dst], pa.int64()),
+            "hops": pa.array(np.ones(n, dtype=np.int64))})
+
+    state = edges.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(max_rounds):
+        right = state.map_batches(
+            lambda b: pa.table({"jnode": b["node"], "jptr": b["ptr"],
+                                "jhops": b["hops"]}),
+            batch_format="pyarrow")
+        joined = hash_join(state, right, on=("ptr",), right_on=("jnode",),
+                           join_type="left_outer")
+
+        def step(b: pa.Table) -> pa.Table:
+            hops = b["hops"].to_numpy(zero_copy_only=False)
+            jptr = b["jptr"].to_numpy(zero_copy_only=False)
+            jhops = b["jhops"].to_numpy(zero_copy_only=False)
+            ptr = b["ptr"].to_numpy(zero_copy_only=False)
+            hit = ~pa.compute.is_null(b["jptr"]).to_numpy(
+                zero_copy_only=False)
+            hit &= hops <= n_edges          # freeze provable cycles
+            new_ptr = np.where(hit, np.nan_to_num(
+                jptr.astype("float64")).astype(np.int64), ptr)
+            new_hops = np.where(hit, hops + np.nan_to_num(
+                jhops.astype("float64")).astype(np.int64), hops)
+            return pa.table({
+                "node": b["node"],
+                "ptr": pa.array(new_ptr, pa.int64()),
+                "hops": pa.array(new_hops, pa.int64()),
+                "moved": pa.array(hit.astype(np.int64), pa.int64())})
+
+        stepped = joined.map_batches(step, batch_format="pyarrow") \
+            .materialize()
+        moved = stepped.sum("moved")
+        state = stepped.drop_columns(["moved"]).materialize()
+        if not moved:
+            break
+
+    # cycle marking: sources still pointing at a source are cycling
+    # (the join drops the right key column, so a ones payload column
+    # carries the membership signal)
+    right = state.map_batches(
+        lambda b: pa.table({
+            "jnode": b["node"],
+            "jflag": pa.array(np.ones(b.num_rows, dtype=np.int64))}),
+        batch_format="pyarrow")
+    marked = hash_join(state, right, on=("ptr",), right_on=("jnode",),
+                       join_type="left_outer")
+
+    def finish(b: pa.Table) -> pa.Table:
+        hops = b["hops"].to_numpy(zero_copy_only=False)
+        ptr = b["ptr"].to_numpy(zero_copy_only=False)
+        cyc = (~pa.compute.is_null(b["jflag"]).to_numpy(
+            zero_copy_only=False)) | (hops > n_edges)
+        return pa.table({
+            "node": b["node"],
+            "final": pa.array(np.where(cyc, -1, ptr), pa.int64()),
+            "hops": pa.array(np.where(cyc, -1, hops), pa.int64())})
+
+    return marked.map_batches(finish, batch_format="pyarrow")
