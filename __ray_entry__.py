@@ -4515,6 +4515,46 @@ def q_redirects(sf_dir: str) -> pa.Table:
         docs.map_batches(to_edges, batch_format="pyarrow")))
 
 
+def q_triple_fuse(sf_dir: str) -> pa.Table:
+    """Noisy-OR provenance fusion (stages/fuse.noisy_or_fuse): each doc
+    is one witness of an arithmetically-derived (subj, pred, obj)
+    assertion with conf = ((doc_id*7) % 10 + 5)/20; groups of ~6-13
+    witnesses fuse to 1 - prod(1-conf).  The oracle recomputes
+    1 - EXP(SUM(LN(1-conf))) per triple; both sides round to 6."""
+    from aida_ray.stages.fuse import noisy_or_fuse
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "subj": pa.array([f"e{int(i) % 40}" for i in ids], pa.string()),
+            "pred": pa.array(["linksTo" if int(i) % 2 == 0 else "relatedTo"
+                              for i in ids], pa.string()),
+            "obj": pa.array([f"e{(int(i) * 3 + 1) % 40}" for i in ids],
+                            pa.string()),
+            "conf": pa.array([((int(i) * 7) % 10 + 5) / 20.0 for i in ids],
+                             pa.float64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(noisy_or_fuse(
+        docs.map_batches(to_triples, batch_format="pyarrow")))
+
+
+_TRIPLE_FUSE_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || (doc_id % 40) AS subj,
+               CASE WHEN doc_id % 2 = 0 THEN 'linksTo'
+                    ELSE 'relatedTo' END AS pred,
+               'e' || ((doc_id * 3 + 1) % 40) AS obj,
+               ((doc_id * 7) % 10 + 5) / 20.0 AS conf
+        FROM documents)
+    SELECT subj, pred, obj, COUNT(*) AS n_src,
+           ROUND(MAX(conf), 6) AS max_conf,
+           ROUND(1.0 - EXP(SUM(LN(1.0 - conf))), 6) AS fused
+    FROM t GROUP BY subj, pred, obj
+"""
+
+
 _REDIRECTS_ORACLE = """
     WITH d AS (SELECT doc_id AS i FROM documents)
     SELECT i AS node,
@@ -4777,6 +4817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
+        "triple_fuse": q_triple_fuse,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6285,6 +6326,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _BM25_ORACLE,
         "hearst_isa": _HEARST_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
+        "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0
