@@ -4540,6 +4540,82 @@ def q_triple_fuse(sf_dir: str) -> pa.Table:
         docs.map_batches(to_triples, batch_format="pyarrow")))
 
 
+def _constraint_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Shared synthetic assertion stream for the KG-constraint checks:
+    every third doc asserts functional bornIn (even subjects get two
+    distinct cities — violations; odd subjects always c0), the rest
+    assert linksTo objects e{(3i+1) % 40} (ids >= 20 dangle vs the
+    e0..e19 registry)."""
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        subs, preds, objs = [], [], []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                subs.append(f"e{i % 30}")
+                preds.append("bornIn")
+                c = (i % 60) // 30 if (i % 30) % 2 == 0 else 0
+                objs.append(f"c{c}")
+            else:
+                subs.append(f"e{i % 30}")
+                preds.append("linksTo")
+                objs.append(f"e{(i * 3 + 1) % 40}")
+        return pa.table({"subj": pa.array(subs, pa.string()),
+                         "pred": pa.array(preds, pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return docs.map_batches(to_triples, batch_format="pyarrow")
+
+
+def q_kg_func_violations(sf_dir: str) -> pa.Table:
+    """Functional-property violations (kgqa.functional_violations):
+    subjects asserting >1 distinct object for the functional bornIn
+    predicate; oracle = GROUP BY HAVING COUNT(DISTINCT obj) > 1."""
+    from aida_ray.stages.kgqa import functional_violations
+    return _collect(functional_violations(
+        _constraint_triples(sf_dir), functional_preds=["bornIn"]))
+
+
+def q_kg_dangling(sf_dir: str) -> pa.Table:
+    """Dangling-object referential check (kgqa.dangling_objects):
+    linksTo objects missing from the e0..e19 registry, with reference
+    counts; registry broadcast once via ray.put."""
+    from aida_ray.stages.kgqa import dangling_objects
+
+    ents = ray.data.from_arrow(pa.table(
+        {"entity": pa.array([f"e{i}" for i in range(20)] +
+                            [f"c{i}" for i in range(2)], pa.string())}))
+    links = _constraint_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b["pred"], "linksTo")),
+        batch_format="pyarrow")
+    return _collect(dangling_objects(links, ents))
+
+
+_KG_FUNC_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || (doc_id % 30) AS subj, 'bornIn' AS pred,
+               'c' || (CASE WHEN (doc_id % 30) % 2 = 0
+                            THEN (doc_id % 60) // 30 ELSE 0 END) AS obj
+        FROM documents WHERE doc_id % 3 = 0)
+    SELECT subj, pred, COUNT(DISTINCT obj) AS n_obj
+    FROM t GROUP BY subj, pred
+    HAVING COUNT(DISTINCT obj) > 1
+"""
+
+
+_KG_DANGLING_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || ((doc_id * 3 + 1) % 40) AS obj,
+               (doc_id * 3 + 1) % 40 AS onum
+        FROM documents WHERE doc_id % 3 <> 0)
+    SELECT obj, COUNT(*) AS n_refs
+    FROM t WHERE onum >= 20 GROUP BY obj
+"""
+
+
 _TRIPLE_FUSE_ORACLE = """
     WITH t AS (
         SELECT 'e' || (doc_id % 40) AS subj,
@@ -4818,6 +4894,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
+        "kg_func_violations": q_kg_func_violations,
+        "kg_dangling": q_kg_dangling,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6327,6 +6405,8 @@ def oracle_sql() -> dict[str, str]:
         "hearst_isa": _HEARST_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
+        "kg_func_violations": _KG_FUNC_ORACLE,
+        "kg_dangling": _KG_DANGLING_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0
