@@ -4594,6 +4594,86 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_validity_intervals(sf_dir: str) -> pa.Table:
+    """Temporal fact scoping (temporal.validity_intervals): each doc is
+    one observation of (e{doc_id % 25}, worksAt) at ts = doc_id with
+    obj = o{(doc_id // 100) % 3} — runs of equal objects become
+    validity intervals.  Oracle = the gaps-and-islands
+    ROW_NUMBER-difference idiom."""
+    from aida_ray.stages.temporal import validity_intervals
+
+    def to_obs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "subj": pa.array([f"e{int(i) % 25}" for i in ids], pa.string()),
+            "pred": pa.array(["worksAt"] * len(ids), pa.string()),
+            "obj": pa.array([f"o{(int(i) // 100) % 3}" for i in ids],
+                            pa.string()),
+            "ts": pa.array(ids, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(validity_intervals(
+        docs.map_batches(to_obs, batch_format="pyarrow")))
+
+
+_VALIDITY_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || (doc_id % 25) AS subj, 'worksAt' AS pred,
+               'o' || ((doc_id // 100) % 3) AS obj, doc_id AS ts
+        FROM documents),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY subj, pred ORDER BY ts)
+             - ROW_NUMBER() OVER (PARTITION BY subj, pred, obj
+                                  ORDER BY ts) AS isl
+        FROM t)
+    SELECT subj, pred, obj, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           COUNT(*) AS n_obs
+    FROM r GROUP BY subj, pred, obj, isl
+"""
+
+
+def q_rdfs_types(sf_dir: str) -> pa.Table:
+    """RDFS subClassOf entailment (kgqa.rdfs_type_entailment): a
+    15-class heap-shaped hierarchy (parent of k is k//2); entity
+    e{doc_id} asserted type (doc_id % 15) + 1 entails every ancestor
+    up to the root.  Oracle = recursive CTE over the same edges."""
+    from aida_ray.stages.kgqa import rdfs_type_entailment
+
+    def to_types(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "entity": pa.array([f"e{int(i)}" for i in ids], pa.string()),
+            "cls": pa.array([(int(i) % 15) + 1 for i in ids], pa.int64())})
+
+    sub = ray.data.from_arrow(pa.table({
+        "child": pa.array(list(range(2, 16)), pa.int64()),
+        "parent": pa.array([k // 2 for k in range(2, 16)], pa.int64())}))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    types = docs.map_batches(to_types, batch_format="pyarrow")
+    return _collect(rdfs_type_entailment(types, sub))
+
+
+_RDFS_ORACLE = """
+    WITH RECURSIVE sub AS (
+        SELECT k AS child, k // 2 AS parent FROM range(2, 16) t(k)),
+    anc AS (
+        SELECT child, parent FROM sub
+        UNION
+        SELECT a.child, s.parent FROM anc a JOIN sub s
+        ON a.parent = s.child),
+    types AS (
+        SELECT 'e' || doc_id AS entity, (doc_id % 15) + 1 AS cls
+        FROM documents)
+    SELECT entity, cls FROM types
+    UNION
+    SELECT t.entity, a.parent AS cls FROM types t
+    JOIN anc a ON t.cls = a.child
+"""
+
+
 _KG_FUNC_ORACLE = """
     WITH t AS (
         SELECT 'e' || (doc_id % 30) AS subj, 'bornIn' AS pred,
@@ -4896,6 +4976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
         "kg_dangling": q_kg_dangling,
+        "validity_intervals": q_validity_intervals,
+        "rdfs_types": q_rdfs_types,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6407,6 +6489,8 @@ def oracle_sql() -> dict[str, str]:
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "kg_func_violations": _KG_FUNC_ORACLE,
         "kg_dangling": _KG_DANGLING_ORACLE,
+        "validity_intervals": _VALIDITY_ORACLE,
+        "rdfs_types": _RDFS_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0

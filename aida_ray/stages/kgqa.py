@@ -128,3 +128,97 @@ def dangling_objects(triples: ray.data.Dataset,
         lambda b: pa.table({o: b[o],
                             "n_refs": pc.cast(b["sum(n)"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def rdfs_type_entailment(types: ray.data.Dataset,
+                         subclass: ray.data.Dataset,
+                         ent_col: str = "entity", cls_col: str = "cls",
+                         child: str = "child", parent: str = "parent",
+                         broadcast_rows: int = 4_000_000
+                         ) -> ray.data.Dataset:
+    """RDFS subClassOf entailment: every entity typed c is also typed
+    every ancestor of c.  Returns DISTINCT (entity, cls) — asserted
+    plus inferred.
+
+    The subclass hierarchy is CLASS-vocabulary-sized (thousands of
+    rows next to a trillion assertions), so its transitive closure
+    (via :func:`aida_ray.stages.graphs.ancestor_closure`, pointer
+    doubling) is broadcast once and applied map-side; above the
+    broadcast gate a hash join on cls takes over.  The final distinct
+    runs over (entity, cls) — bounded by entities x depth, the output
+    itself.
+    """
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.graphs import ancestor_closure
+
+    closure = ancestor_closure(subclass, child=child, parent=parent)
+
+    def explode_bcast(anc_ref):
+        from aida_ray.stages.dedup import _get_cached
+
+        def fn(b: pa.Table) -> pa.Table:
+            anc = _get_cached(anc_ref)          # dict cls -> np ancestors
+            cls = b[cls_col].to_numpy(zero_copy_only=False)
+            ents = b[ent_col].to_pandas()
+            counts = np.fromiter(
+                (len(anc.get(int(c), ())) + 1 for c in cls),
+                dtype=np.int64, count=len(cls))
+            out_ent = np.repeat(ents.to_numpy(), counts)
+            out_cls = np.concatenate(
+                [np.concatenate(([int(c)], anc.get(int(c), np.array([], dtype=np.int64))))
+                 for c in cls]) if len(cls) else np.array([], dtype=np.int64)
+            return pa.table({ent_col: pa.array(out_ent, pa.string()),
+                             cls_col: pa.array(out_cls, pa.int64()),
+                             "one": pa.array(np.ones(len(out_cls),
+                                                     dtype=np.int64))})
+        return fn
+
+    n_closure = closure.count()
+    if n_closure <= broadcast_rows:
+        ct = collect_table(closure, schema=pa.schema(
+            [("node", pa.int64()), ("anc", pa.int64()),
+             ("dist", pa.int64())]))
+        node = ct["node"].to_numpy(zero_copy_only=False)
+        anc = ct["anc"].to_numpy(zero_copy_only=False)
+        amap: dict[int, np.ndarray] = {}
+        order = np.argsort(node, kind="stable")
+        for k, a in zip(node[order], anc[order]):
+            amap.setdefault(int(k), []).append(int(a))
+        amap = {k: np.array(v, dtype=np.int64) for k, v in amap.items()}
+        ref = ray.put(amap)
+        exploded = types.map_batches(explode_bcast(ref),
+                                     batch_format="pyarrow")
+    else:
+        from aida_ray.stages.shuffle_join import hash_join
+
+        anc_side = closure.map_batches(
+            lambda b: pa.table({"jcls": b["node"], "janc": b["anc"]}),
+            batch_format="pyarrow")
+        joined = hash_join(types, anc_side, on=(cls_col,),
+                           right_on=("jcls",), join_type="left_outer")
+
+        def unfold(b: pa.Table) -> pa.Table:
+            ents = b[ent_col].to_pandas()
+            cls = b[cls_col].to_numpy(zero_copy_only=False)
+            janc = b["janc"].to_numpy(zero_copy_only=False)
+            have = ~pa.compute.is_null(b["janc"]).to_numpy(
+                zero_copy_only=False)
+            out_ent = np.concatenate([ents.to_numpy(),
+                                      ents.to_numpy()[have]])
+            out_cls = np.concatenate([
+                cls.astype(np.int64),
+                np.nan_to_num(janc[have].astype("float64")).astype(
+                    np.int64)])
+            return pa.table({ent_col: pa.array(out_ent, pa.string()),
+                             cls_col: pa.array(out_cls, pa.int64()),
+                             "one": pa.array(np.ones(len(out_cls),
+                                                     dtype=np.int64))})
+
+        exploded = joined.map_batches(unfold, batch_format="pyarrow")
+
+    distinct = exploded.groupby([ent_col, cls_col]).aggregate(Sum("one"))
+    return distinct.map_batches(
+        lambda b: pa.table({ent_col: b[ent_col],
+                            cls_col: pc.cast(b[cls_col], pa.int64())}),
+        batch_format="pyarrow")

@@ -1,0 +1,49 @@
+"""Temporal scoping of KG assertions (validity intervals).
+
+YAGO2 attaches time scopes to facts; a crawl-built KG derives them
+from observation snapshots: the same (subj, pred) observed at many
+timestamps with possibly-changing objects yields one VALIDITY
+INTERVAL per maximal run of consecutive equal objects (the
+gaps-and-islands problem).
+
+Scale shape: one groupby((subj, pred)).map_groups — the shuffle is
+keyed by fact identity, never the corpus; per-group work is a
+vectorized sort + run-break cumsum over that fact's observation
+history (politeness-bounded like the window operators — a single
+fact's history is crawl-frequency-sized, guarded by
+``group_size_limit``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def validity_intervals(ds: ray.data.Dataset, s: str = "subj",
+                       p: str = "pred", o: str = "obj", ts: str = "ts",
+                       group_size_limit: int = 2_000_000
+                       ) -> ray.data.Dataset:
+    """(subj, pred, obj, start_ts, end_ts, n_obs) per maximal run of
+    equal objects in the (subj, pred) observation history ordered by
+    ts.  A re-asserted object after an interruption starts a NEW
+    interval (islands semantics)."""
+
+    def per_fact(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot fact {g[s].iloc[0]!r}/{g[p].iloc[0]!r}: {len(g)} "
+                "observations exceed the per-group bound")
+        g = g.sort_values(ts, kind="mergesort").reset_index(drop=True)
+        run = (g[o] != g[o].shift()).cumsum()
+        out = g.groupby(run, sort=True).agg(
+            subj=(s, "first"), pred=(p, "first"), obj=(o, "first"),
+            start_ts=(ts, "min"), end_ts=(ts, "max"),
+            n_obs=(o, "size")).reset_index(drop=True)
+        out["n_obs"] = out["n_obs"].astype(np.int64)
+        return out
+
+    return ds.groupby([s, p]).map_groups(per_fact, batch_format="pandas")
