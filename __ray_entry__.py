@@ -4449,6 +4449,33 @@ def q_bm25(sf_dir: str) -> pa.Table:
                                     (2, ["merge"])], k=10)
 
 
+def q_bm25_index(sf_dir: str) -> pa.Table:
+    """BM25 via the PERSISTED term-bucketed inverted index
+    (retrieval.bm25_index_write/topk): postings hive-partitioned by
+    term-hash bucket, the query wave reads ONLY its terms' buckets
+    (asserted via read stats), df rides a same-partitioned sidecar.
+    Results must equal the full-scan bm25 query, so the oracle is the
+    same brute-force SQL plus a TRUE pruned flag."""
+    import hashlib as _hl
+
+    from aida_ray.stages.retrieval import bm25_index_topk, bm25_index_write
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    idx = os.path.join("/tmp/aida_ray_indexes",
+                       "bm25_" + _hl.md5(sf_dir.encode()).hexdigest()[:10])
+    bm25_index_write(docs, idx, n_buckets=32)
+    t, stats = bm25_index_topk(idx, queries=[(0, ["hash", "join"]),
+                                             (1, ["window", "sort"]),
+                                             (2, ["merge"])], k=10)
+    assert stats["buckets_read"] < stats["buckets_total"], \
+        f"BM25 read was not pruned: {stats}"
+    assert stats["buckets_read"] <= 5, stats
+    t = t.to_pandas()
+    t["pruned"] = stats["buckets_read"] < stats["buckets_total"]
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_hearst(sf_dir: str) -> pa.Table:
     """Hearst-pattern is-a extraction (stages/hearst.hearst_isa) over
     deterministic planted sentences — doc_id % 5 cycles the five
@@ -4971,6 +4998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": q_main_content,
         "crawl_frontier": q_crawl_frontier,
         "bm25": q_bm25,
+        "bm25_index": q_bm25_index,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
@@ -6484,6 +6512,9 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "bm25": _BM25_ORACLE,
+        "bm25_index": _BM25_ORACLE.replace(
+            "SELECT query_id, \"rank\", doc_id, score",
+            "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),
         "hearst_isa": _HEARST_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "triple_fuse": _TRIPLE_FUSE_ORACLE,

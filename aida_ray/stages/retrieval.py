@@ -146,3 +146,224 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[tuple[int, list[str]]],
                      "rank": pa.array(out["rank"], pa.int64()),
                      "doc_id": pa.array(out["doc_id"], pa.int64()),
                      "score": pa.array(out["score"], pa.float64())})
+
+
+# ------------------------------------------------------------------
+# Persisted inverted index — the 100-TB query path.  A full-corpus
+# scan per query wave (bm25_topk) is the right shape for ad-hoc
+# queries over a stream; a SERVED index must prune I/O instead:
+# postings are written hive-partitioned by term-hash bucket
+# (pbucket=N/), so a query reads ONLY its terms' buckets — the same
+# structural pruning as knn.ivf_index_write (stats prove unprobed
+# partitions are never opened).  Doc length rides denormalized on
+# each posting row (no join at query time); per-term df lives in a
+# parallel df/pbucket=N/ table (vocabulary-sized, same pruning); N
+# and avgdl are scalars in _meta.npz.
+
+import os
+
+
+def _term_bucket(terms, n_buckets: int) -> np.ndarray:
+    """Stable term -> bucket id, identical at build and query time."""
+    from aida_ray.stages.dedup import _string_hashes_vec
+    h1, _ = _string_hashes_vec(terms)
+    return (h1 % np.int64(n_buckets)).astype(np.int64)
+
+
+def bm25_index_write(ds: ray.data.Dataset, path: str,
+                     n_buckets: int = 32, id_col: str = "doc_id",
+                     text_col: str = "text") -> dict:
+    """Build + persist the inverted index.  Idempotent on config match
+    (resume).  Returns {"n": N, "avgdl": float}."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.knn import (_index_finalize, _index_meta_read,
+                                     _index_meta_write, _index_tmp_swap,
+                                     index_exists)
+
+    cfg = {"kind": "bm25", "n_buckets": n_buckets, "id_col": id_col,
+           "text_col": text_col}
+    if index_exists(path, cfg):
+        _, arrays = _index_meta_read(path)
+        return {"n": int(arrays["n"][0]), "avgdl": float(arrays["avgdl"][0])}
+
+    def postings(b: pa.Table) -> pa.Table:
+        dt = _doc_terms(b, id_col, text_col)
+        dl = dt.groupby("doc_id", sort=False).size()
+        tf = dt.groupby(["doc_id", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        tf["dl"] = dl.loc[tf.doc_id].to_numpy()
+        tf["pbucket"] = _term_bucket(tf.term.tolist(), n_buckets)
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    tmp = _index_tmp_swap(path)
+    post = ds.map_batches(postings, batch_format="pyarrow").materialize()
+    post.write_parquet(os.path.join(tmp, "postings"),
+                       partition_cols=["pbucket"])
+
+    # df per term (postings are per-(doc, term) rows, so df = row
+    # count per term) + corpus scalars off the same materialized pass
+    def df_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"term": b["term"].to_pandas()})
+        g = df.groupby("term", sort=False).size().rename("df").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    dfagg = post.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df"))
+
+    def df_finish(b: pa.Table) -> pa.Table:
+        terms = b["term"].to_pandas().tolist()
+        return pa.table({
+            "term": b["term"],
+            "df": pc.cast(b["sum(df)"], pa.int64()),
+            "pbucket": pa.array(_term_bucket(terms, n_buckets)
+                                if terms else
+                                np.array([], dtype=np.int64), pa.int64())})
+
+    dfagg.map_batches(df_finish, batch_format="pyarrow") \
+        .write_parquet(os.path.join(tmp, "df"), partition_cols=["pbucket"])
+
+    # corpus scalars: one doc appears in exactly one block, so
+    # (distinct docs, total tokens) partial-sum cleanly
+    def scal(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": b["doc_id"].to_pandas(),
+                           "dl": b["dl"].to_numpy(zero_copy_only=False)})
+        per_doc = df.drop_duplicates("doc_id")
+        return pa.table({"n": pa.array([len(per_doc)], pa.int64()),
+                         "toks": pa.array([int(per_doc.dl.sum())],
+                                          pa.int64())})
+
+    sc = collect_table(post.map_batches(scal, batch_format="pyarrow"),
+                       schema=pa.schema([("n", pa.int64()),
+                                         ("toks", pa.int64())])).to_pandas()
+    n = int(sc.n.sum())
+    avgdl = float(sc.toks.sum()) / max(1, n)
+    _index_meta_write(tmp, cfg, n=np.array([n], dtype=np.int64),
+                      avgdl=np.array([avgdl], dtype=np.float64))
+    _index_finalize(path)
+    return {"n": n, "avgdl": avgdl}
+
+
+def _bucket_files(root: str, buckets: list[int]) -> tuple[list, dict]:
+    """Parquet file list restricted to the probed pbucket dirs."""
+    all_b = sorted(int(d.split("=", 1)[1]) for d in os.listdir(root)
+                   if d.startswith("pbucket="))
+    hit = [b for b in buckets if b in set(all_b)]
+
+    def files(b):
+        d = os.path.join(root, f"pbucket={b}")
+        return sorted(os.path.join(d, f) for f in os.listdir(d)
+                      if f.endswith(".parquet"))
+
+    flist = [f for b in hit for f in files(b)]
+    stats = {"buckets_total": len(all_b), "buckets_read": len(hit),
+             "files_read": len(flist),
+             "files_total": sum(len(files(b)) for b in all_b)}
+    return flist, stats
+
+
+def bm25_index_topk(path: str, queries: list[tuple[int, list[str]]],
+                    k: int = 10, k1: float = 1.2,
+                    b: float = 0.75) -> tuple[pa.Table, dict]:
+    """Query the persisted index reading ONLY the query terms' buckets.
+    Returns (top-k table in bm25_topk's shape, read stats)."""
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.stages.knn import _index_meta_read
+
+    _, arrays = _index_meta_read(path)
+    n = int(arrays["n"][0])
+    avgdl = float(arrays["avgdl"][0])
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    want = sorted(set(int(x) for x in _term_bucket(
+        all_terms, _n_buckets_on_disk(path))))
+    post_files, stats = _bucket_files(os.path.join(path, "postings"), want)
+    df_files, _ = _bucket_files(os.path.join(path, "df"), want)
+
+    # per-term df: vocabulary-bounded read over probed buckets only
+    dfs: dict[str, int] = {}
+    if df_files:
+        dft = pq_read_filtered(df_files, all_terms)
+        dfs = dict(zip(dft["term"].to_pylist(),
+                       (int(x) for x in dft["df"].to_pylist())))
+    idf = {t: float(np.log(1.0 + (n - dfs.get(t, 0) + 0.5)
+                           / (dfs.get(t, 0) + 0.5))) for t in all_terms}
+    qlist = [(int(qid), sorted(ts)) for qid, ts in queries]
+
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int64()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+    if not post_files:
+        return empty, stats
+
+    ds = ray.data.read_parquet(post_files,
+                               columns=["term", "doc_id", "tf", "dl"])
+    qref = ray.put((qlist, idf, set(all_terms)))
+
+    def score(bt: pa.Table) -> pa.Table:
+        ql, idfs, termset = _get_cached(qref)
+        df = pd.DataFrame({
+            "term": bt["term"].to_pandas(),
+            "doc_id": bt["doc_id"].to_numpy(zero_copy_only=False),
+            "tf": bt["tf"].to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+            "dl": bt["dl"].to_numpy(zero_copy_only=False)
+                .astype(np.float64)})
+        df = df[df.term.isin(termset)]
+        rows = {"query_id": [], "doc_id": [], "score": []}
+        for qid, terms in ql:
+            sub = df[df.term.isin(terms)]
+            if not len(sub):
+                continue
+            contrib = sub.term.map(idfs).to_numpy() * sub.tf.to_numpy() \
+                * (k1 + 1.0) / (sub.tf.to_numpy()
+                                + k1 * (1.0 - b + b * sub.dl.to_numpy()
+                                        / avgdl))
+            # NO local top-k here: a doc's score for a multi-term query
+            # splits across buckets/blocks, so blocks emit full partial
+            # per-doc sums (bounded by the postings actually read) and
+            # the merge groupby-sums before ranking
+            per_doc = pd.Series(contrib).groupby(
+                sub.doc_id.to_numpy()).sum()
+            rows["query_id"] += [qid] * len(per_doc)
+            rows["doc_id"] += [int(d) for d in per_doc.index]
+            rows["score"] += [float(s) for s in per_doc.to_numpy()]
+        return pa.table({"query_id": pa.array(rows["query_id"], pa.int64()),
+                         "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                         "score": pa.array(rows["score"], pa.float64())})
+
+    parts = collect_table(
+        ds.map_batches(score, batch_format="pyarrow")).to_pandas()
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, _ in qlist:
+        sub = parts[parts.query_id == qid].copy()
+        if not len(sub):
+            continue
+        # postings for one doc+term live in exactly one bucket, but a
+        # multi-term query's doc scores may split across buckets/blocks
+        sub = sub.groupby("doc_id", as_index=False)["score"].sum()
+        sub["score_r"] = sub.score.round(6)
+        sub = sub.sort_values(["score_r", "doc_id"],
+                              ascending=[False, True]).head(k)
+        out["query_id"] += [qid] * len(sub)
+        out["rank"] += list(range(1, len(sub) + 1))
+        out["doc_id"] += [int(d) for d in sub.doc_id]
+        out["score"] += [float(s) for s in sub.score_r]
+    return pa.table({"query_id": pa.array(out["query_id"], pa.int64()),
+                     "rank": pa.array(out["rank"], pa.int64()),
+                     "doc_id": pa.array(out["doc_id"], pa.int64()),
+                     "score": pa.array(out["score"], pa.float64())}), stats
+
+
+def _n_buckets_on_disk(path: str) -> int:
+    import json
+    with open(os.path.join(path, "_meta.json")) as f:
+        return int(json.load(f)["n_buckets"])
+
+
+def pq_read_filtered(files: list[str], terms: list[str]) -> pa.Table:
+    """Small filtered read of the df sidecar (vocabulary-bounded)."""
+    import pyarrow.dataset as pads
+    dset = pads.dataset(files)
+    return dset.to_table(filter=pads.field("term").isin(terms),
+                         columns=["term", "df"])

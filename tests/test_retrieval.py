@@ -77,3 +77,60 @@ def test_bm25_k_truncation_and_blocking_invariance(ray_session):
                   queries=[(0, ["term"])], k=4).to_pandas()
     assert len(a) == 4
     assert a.equals(b)
+
+
+def test_bm25_index_matches_fullscan_and_prunes(ray_session, tmp_path):
+    import ray.data
+    from aida_ray.stages.retrieval import (bm25_index_topk,
+                                           bm25_index_write, bm25_topk)
+    docs = {i: ("alpha " * (i % 3 + 1) + "beta " * (i % 2) + f"w{i} filler")
+            for i in range(40)}
+    tbl = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                    "text": pa.array(list(docs.values()), pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    queries = [(0, ["alpha", "beta"]), (1, ["w7"])]
+    full = bm25_topk(ds, queries, k=5).to_pandas()
+    idx = str(tmp_path / "bm25idx")
+    meta = bm25_index_write(ds, idx, n_buckets=16)
+    assert meta["n"] == 40
+    got, stats = bm25_index_topk(idx, queries, k=5)
+    got = got.to_pandas()
+    assert stats["buckets_read"] < stats["buckets_total"]
+    assert stats["buckets_read"] <= 3
+    assert full.equals(got)
+
+
+def test_bm25_index_resume_skips_rebuild(ray_session, tmp_path):
+    import os
+    import ray.data
+    from aida_ray.stages.retrieval import bm25_index_write
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b", "b c"], pa.string())})
+    ds = ray.data.from_arrow(tbl)
+    idx = str(tmp_path / "idx2")
+    m1 = bm25_index_write(ds, idx, n_buckets=4)
+    stamp = os.path.getmtime(os.path.join(idx, "_meta.json"))
+    m2 = bm25_index_write(ds, idx, n_buckets=4)
+    assert m1 == m2
+    assert os.path.getmtime(os.path.join(idx, "_meta.json")) == stamp
+
+
+def test_bm25_index_terms_split_across_buckets(ray_session, tmp_path):
+    # force n_buckets large so the two query terms land in different
+    # buckets with high probability; doc scores must still merge
+    import ray.data
+    from aida_ray.stages.retrieval import (_term_bucket, bm25_index_topk,
+                                           bm25_index_write, bm25_topk)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["red blue", "red red green", "blue blue"],
+                         pa.string())})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    b = _term_bucket(["red", "blue"], 64)
+    assert b[0] != b[1]          # distinct buckets for this vocab/size
+    idx = str(tmp_path / "idx3")
+    bm25_index_write(ds, idx, n_buckets=64)
+    queries = [(9, ["red", "blue"])]
+    got, _ = bm25_index_topk(idx, queries, k=3)
+    want = bm25_topk(ds, queries, k=3)
+    assert got.to_pandas().equals(want.to_pandas())
