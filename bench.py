@@ -113,7 +113,9 @@ def run_bench() -> dict:
                  "cheapest_supplier", "ohlc_bars", "event_transitions",
                  "semdedup", "dsir", "line_dedup", "anchor_priors",
                  "group_hll", "warc_ingest", "fuzzy_contamination",
-                 "main_content", "crawl_frontier"]:
+                 "main_content", "crawl_frontier",
+                 "bm25", "bm25_index", "hearst_isa", "redirect_resolve",
+                 "triple_fuse", "validity_intervals", "rdfs_types"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
