@@ -4449,6 +4449,90 @@ def q_bm25(sf_dir: str) -> pa.Table:
                                     (2, ["merge"])], k=10)
 
 
+def q_robots_rules(sf_dir: str) -> pa.Table:
+    """robots.txt parsing (links.parse_robots): per-host synthetic REP
+    bodies with a non-matching agent group, comments, empty Disallow
+    (allow-all), a Crawl-delay line mid-group, and a conditional extra
+    rule on every 3rd host; the oracle reconstructs the (host, prefix)
+    rule rows arithmetically."""
+    from aida_ray.stages.links import parse_robots
+
+    def to_robots(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        hosts, bodies = [], []
+        for i in ids:
+            i = int(i)
+            body = (f"User-agent: otherbot\nDisallow: /secret{i}\n\n"
+                    f"User-agent: *\nDisallow: /private{i % 4}\n"
+                    "Disallow:\n# comment line\nCrawl-delay: 5\n")
+            if i % 3 == 0:
+                body += "Disallow: /tmp\n"
+            hosts.append(f"H{i}.Test")         # parser lowercases
+            bodies.append(body)
+        return pa.table({"host": pa.array(hosts, pa.string()),
+                         "body": pa.array(bodies, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(parse_robots(
+        docs.map_batches(to_robots, batch_format="pyarrow")))
+
+
+_ROBOTS_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT 'h' || i || '.test' AS host,
+           '/private' || (i % 4) AS prefix FROM d
+    UNION ALL
+    SELECT 'h' || i || '.test', '/tmp' FROM d WHERE i % 3 = 0
+"""
+
+
+def q_page_meta(sf_dir: str) -> pa.Table:
+    """Page-metadata extraction (text/extract.extract_meta): planted
+    <title> (entity-escaped, whitespace-padded), conditional
+    description meta and canonical link; missing fields are ''."""
+    from aida_ray.text.extract import extract_meta
+
+    def to_meta(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "title": [], "description": [],
+               "canonical": []}
+        for i in ids:
+            i = int(i)
+            html = (f"<html><head><title>  Doc {i} &amp;\n more </title>"
+                    + (f'<meta name="description" content="summary {i}">'
+                       if i % 2 == 0 else "")
+                    + (f'<link rel="canonical" href="http://canon.test/{i}">'
+                       if i % 5 != 0 else "")
+                    + "</head><body>x</body></html>").encode()
+            m = extract_meta(html)
+            out["doc_id"].append(i)
+            out["title"].append(m["title"])
+            out["description"].append(m["description"])
+            out["canonical"].append(m["canonical"])
+        return pa.table({"doc_id": pa.array(out["doc_id"], pa.int64()),
+                         "title": pa.array(out["title"], pa.string()),
+                         "description": pa.array(out["description"],
+                                                 pa.string()),
+                         "canonical": pa.array(out["canonical"],
+                                               pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(docs.map_batches(to_meta, batch_format="pyarrow"))
+
+
+_PAGE_META_ORACLE = """
+    SELECT doc_id,
+           'Doc ' || doc_id || ' & more' AS title,
+           CASE WHEN doc_id % 2 = 0 THEN 'summary ' || doc_id
+                ELSE '' END AS description,
+           CASE WHEN doc_id % 5 <> 0 THEN 'http://canon.test/' || doc_id
+                ELSE '' END AS canonical
+    FROM documents
+"""
+
+
 def q_bm25_index(sf_dir: str) -> pa.Table:
     """BM25 via the PERSISTED term-bucketed inverted index
     (retrieval.bm25_index_write/topk): postings hive-partitioned by
@@ -4999,6 +5083,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "bm25": q_bm25,
         "bm25_index": q_bm25_index,
+        "robots_rules": q_robots_rules,
+        "page_meta": q_page_meta,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
@@ -6517,6 +6603,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),
         "hearst_isa": _HEARST_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
+        "robots_rules": _ROBOTS_ORACLE,
+        "page_meta": _PAGE_META_ORACLE,
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "kg_func_violations": _KG_FUNC_ORACLE,
         "kg_dangling": _KG_DANGLING_ORACLE,

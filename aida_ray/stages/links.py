@@ -233,3 +233,50 @@ def anchor_priors(pages: ray.data.Dataset, html_col: str = "html",
             "prior": pa.array(n / tot, pa.float64())})
 
     return joined.map_batches(divide_joined, batch_format="pyarrow")
+
+
+def parse_robots(ds: ray.data.Dataset, host_col: str = "host",
+                 body_col: str = "body",
+                 agent: str = "*") -> ray.data.Dataset:
+    """Parse robots.txt bodies into the (host, prefix) disallow rules
+    :func:`robots_filter` consumes (REP semantics per RFC 9309, the
+    subset a crawl filter needs): group lines by User-agent, collect
+    ``Disallow:`` paths of every group whose agent matches ``agent``
+    exactly or is ``*``; empty Disallow (allow-all) and comment/blank
+    lines drop; paths keep their case, hosts lowercase.
+
+    Scale shape: stateless parse-bound map (one robots.txt per host —
+    the input is HOST-bounded, tiny next to the page stream); output
+    is rule rows.
+    """
+
+    def batch(b: pa.Table) -> pa.Table:
+        hosts_out, prefixes = [], []
+        for host, body in zip(b[host_col].to_pylist(),
+                              b[body_col].to_pylist()):
+            host = (host or "").lower()
+            applies = False
+            group_open = False   # new User-agent lines extend a group
+            for raw in (body or "").splitlines():
+                line = raw.split("#", 1)[0].strip()
+                if not line or ":" not in line:
+                    continue
+                field, _, value = line.partition(":")
+                field = field.strip().lower()
+                value = value.strip()
+                if field == "user-agent":
+                    if not group_open:
+                        applies = False
+                        group_open = True
+                    applies = applies or value == "*" or value == agent
+                elif field == "disallow":
+                    group_open = False
+                    if applies and value:
+                        hosts_out.append(host)
+                        prefixes.append(value)
+                else:
+                    group_open = False
+        return pa.table({"host": pa.array(hosts_out, pa.string()),
+                         "prefix": pa.array(prefixes, pa.string())})
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -93,3 +93,33 @@ def main_content(html: bytes | str, min_block_chars: int = 30,
             continue
         out.append(norm)
     return "\n".join(out)
+
+
+_TITLE_RE = re.compile(r"<title\b[^>]*>(.*?)</title\s*>", re.S | re.I)
+_META_DESC_RE = re.compile(
+    r'<meta\b[^>]*name\s*=\s*["\']description["\'][^>]*'
+    r'content\s*=\s*["\']([^"\']*)["\']', re.I)
+_CANONICAL_RE = re.compile(
+    r'<link\b[^>]*rel\s*=\s*["\']canonical["\'][^>]*'
+    r'href\s*=\s*["\']([^"\']*)["\']', re.I)
+
+
+def extract_meta(html: bytes | str) -> dict:
+    """Deterministic page-metadata extraction: first <title> text
+    (whitespace-normalized, entities unescaped), first
+    <meta name="description" content=...>, first
+    <link rel="canonical" href=...>; missing fields are ''.
+    Attribute order within the tag is fixed by the contract
+    (name/rel before content/href) — the synthetic-corpus shape; a
+    full HTML5 attribute parser is out of scope like the rest of
+    text/extract.py's self-defined contract."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8")
+    s = _COMMENT_RE.sub("", html)
+    m = _TITLE_RE.search(s)
+    title = _unescape(re.sub(r"\s+", " ", m.group(1)).strip()) if m else ""
+    m = _META_DESC_RE.search(s)
+    desc = _unescape(m.group(1).strip()) if m else ""
+    m = _CANONICAL_RE.search(s)
+    canon = m.group(1).strip() if m else ""
+    return {"title": title, "description": desc, "canonical": canon}
