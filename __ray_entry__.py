@@ -4904,6 +4904,79 @@ _BM25_ORACLE = """
 """
 
 
+def q_trustrank(sf_dir: str) -> pa.Table:
+    """TrustRank (personalized PageRank, seeds {0,1,2}) over the same
+    arithmetic mod-41 crawl graph as q_hits, 5 iterations — fully
+    oracle-checked via an unrolled MATERIALIZED-CTE power iteration
+    (teleport AND dangling mass flow to the seed set)."""
+    from aida_ray.stages.agg import gated_count
+    from aida_ray.stages.graphs import pagerank
+    mod = 41
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        src = ids % mod
+        dst = (ids // mod) % mod
+        keep = src != dst
+        return pa.table({"sd": pa.array((src[keep] << 32) | dst[keep],
+                                        pa.int64())})
+
+    def unpack(t: pa.Table) -> pa.Table:
+        sd = t["sd"].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(sd >> 32, pa.int64()),
+                         "dst": pa.array(sd & 0xFFFFFFFF, pa.int64())})
+
+    edges = gated_count(
+        docs.map_batches(to_edges, batch_format="pyarrow"), "sd") \
+        .map_batches(unpack, batch_format="pyarrow")
+    t = pagerank(edges, iters=5, personalization=[0, 1, 2]).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    t["rank"] = t["rank"].round(6)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _trustrank_oracle_sql(iters: int = 5, mod: int = 41,
+                          damping: float = 0.85) -> str:
+    """Unrolled-CTE SQL twin of q_trustrank: classic power iteration
+    with seed-restricted teleport + dangling redistribution."""
+    d = damping
+    ctes = [f"""
+        WITH e AS MATERIALIZED (SELECT DISTINCT doc_id % {mod} AS src,
+                          (doc_id // {mod}) % {mod} AS dst
+                   FROM documents
+                   WHERE doc_id % {mod} != (doc_id // {mod}) % {mod}),
+        nodes AS MATERIALIZED (SELECT src AS node FROM e
+                               UNION SELECT dst FROM e),
+        nd AS MATERIALIZED (SELECT n.node, COALESCE(o.od, 0) AS od
+               FROM nodes n LEFT JOIN (SELECT src AS node,
+                                              COUNT(*) AS od
+                                       FROM e GROUP BY src) o
+               ON n.node = o.node),
+        tv AS MATERIALIZED (SELECT node,
+                CASE WHEN node IN (0, 1, 2) THEN 1.0 / 3.0
+                     ELSE 0.0 END AS t FROM nodes),
+        r0 AS MATERIALIZED (SELECT node, t AS r FROM tv)"""]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        m{k} AS MATERIALIZED (SELECT e.dst AS node,
+                     SUM(p.r / nd.od) AS m
+                FROM e JOIN {prev} p ON e.src = p.node
+                JOIN nd ON nd.node = e.src GROUP BY e.dst),
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0) AS dang
+                FROM {prev} p JOIN nd ON nd.node = p.node
+                WHERE nd.od = 0),
+        r{k} AS MATERIALIZED (SELECT tv.node,
+                     {1 - d} * tv.t + {d} * (COALESCE(m.m, 0)
+                         + (SELECT dang FROM d{k}) * tv.t) AS r
+                FROM tv LEFT JOIN m{k} m ON tv.node = m.node)""")
+        prev = f"r{k}"
+    return ",".join(ctes) + f"""
+        SELECT node, ROUND(r, 6) AS "rank" FROM r{iters}"""
+
+
 def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
     """Unrolled-CTE SQL twin of q_hits: each iteration is two join+
     groupby half-steps with scalar-subquery L1 normalization."""
@@ -5085,6 +5158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
+        "trustrank": q_trustrank,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
@@ -6605,6 +6679,7 @@ def oracle_sql() -> dict[str, str]:
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
+        "trustrank": _trustrank_oracle_sql(),
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "kg_func_violations": _KG_FUNC_ORACLE,
         "kg_dangling": _KG_DANGLING_ORACLE,

@@ -36,9 +36,16 @@ from aida_ray.stages.ml import _compact
 
 def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iters: int = 20,
-             dense_threshold: int = 4_000_000) -> pa.Table:
+             dense_threshold: int = 4_000_000,
+             personalization=None) -> pa.Table:
     """PageRank over a (src, dst) edge Dataset.  Returns
-    (node, rank) for every node, ranks summing to 1."""
+    (node, rank) for every node, ranks summing to 1.
+
+    ``personalization``: optional array of trusted seed node ids —
+    teleport mass (both the 1-d restart and the dangling redistribution)
+    flows to the seeds uniformly instead of to all nodes (TrustRank,
+    Gyöngyi et al. VLDB'04; personalized PageRank).  None keeps the
+    classic uniform teleport bit-for-bit."""
     from ray.data.aggregate import Sum
 
     # node universe + out-degrees: one aggregation pass
@@ -65,7 +72,17 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
     if n == 0:
         return pa.table({"node": pa.array([], pa.int64()),
                          "rank": pa.array([], pa.float64())})
-    rank = np.full(n, 1.0 / n)
+    if personalization is None:
+        tvec = np.full(n, 1.0 / n)
+    else:
+        seeds = np.unique(np.asarray(personalization))
+        si = np.searchsorted(nodes, seeds)
+        si = si[(si < n) & (nodes[np.clip(si, 0, n - 1)] == seeds)]
+        if len(si) == 0:
+            raise ValueError("no personalization seed exists in the graph")
+        tvec = np.zeros(n)
+        tvec[si] = 1.0 / len(si)
+    rank = tvec.copy()
 
     edges = _compact(edges, rows_per_block=65536)  # reused every iteration
     dense = n <= dense_threshold   # dense partials ≤ 32 MB per block row
@@ -112,7 +129,7 @@ def pagerank(edges: ray.data.Dataset, src: str = "src", dst: str = "dst",
             gi = np.searchsorted(nodes, got["node"].to_numpy())
             mass[gi] = got["sum(mass)"].to_numpy(dtype="float64")
         dangling = rank[outd == 0].sum()
-        rank = (1 - damping) / n + damping * (mass + dangling / n)
+        rank = (1 - damping) * tvec + damping * (mass + dangling * tvec)
 
     return pa.table({"node": pa.array(nodes),
                      "rank": pa.array(rank, pa.float64())})

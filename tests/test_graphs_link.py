@@ -4,6 +4,7 @@ fuzzy (MinHash) cross-split contamination."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 import ray.data as rd
 
@@ -122,3 +123,57 @@ def test_fuzzy_contamination_plants(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["eval_id"] == 10 and out.iloc[0]["train_id"] == 3
     assert out.iloc[0]["jaccard"] > 0.8
+
+
+def test_pagerank_personalization_uniform_unchanged(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from aida_ray.stages.graphs import pagerank
+    t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 0, 0], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    a = pagerank(ds, iters=8).to_pandas()
+    b = pagerank(ds, iters=8,
+                 personalization=[0, 1, 2, 3]).to_pandas()
+    assert np.allclose(a["rank"], b["rank"], atol=0, rtol=0)
+
+
+def test_trustrank_seeds_concentrate_mass(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from aida_ray.stages.graphs import pagerank
+    # 0 -> 1 -> 2 (chain), 5 -> 6 isolated pair; trust seeded at 0
+    t = pa.table({"src": pa.array([0, 1, 5], pa.int64()),
+                  "dst": pa.array([1, 2, 6], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    out = pagerank(ds, iters=20, personalization=[0]).to_pandas() \
+        .set_index("node")["rank"]
+    # local numpy reference on the same 5-node graph
+    nodes = np.array([0, 1, 2, 5, 6])
+    outd = np.array([1.0, 1.0, 0.0, 1.0, 0.0])
+    tv = np.array([1.0, 0, 0, 0, 0])
+    r = tv.copy()
+    for _ in range(20):
+        share = r / np.maximum(outd, 1.0)
+        mass = np.zeros(5)
+        mass[1] += share[0]
+        mass[2] += share[1]
+        mass[4] += share[3]
+        dang = r[outd == 0].sum()
+        r = 0.15 * tv + 0.85 * (mass + dang * tv)
+    for i, n in enumerate(nodes):
+        assert out.loc[n] == pytest.approx(r[i], abs=1e-12)
+    # untrusted component receives no mass
+    assert out.loc[5] == 0.0 and out.loc[6] == 0.0
+
+
+def test_trustrank_unknown_seed_raises(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from aida_ray.stages.graphs import pagerank
+    t = pa.table({"src": pa.array([0], pa.int64()),
+                  "dst": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="seed"):
+        pagerank(ray.data.from_arrow(t), personalization=[99])
