@@ -4904,6 +4904,33 @@ _BM25_ORACLE = """
 """
 
 
+def q_burst_windows(sf_dir: str) -> pa.Table:
+    """Burst detection (timeseries.burst_windows) over the events
+    stream: hourly windows per event_type, score vs the previous
+    existing window; oracle = LAG over the same grouped counts."""
+    from aida_ray.stages.timeseries import burst_windows
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts"])
+    return _collect(burst_windows(ev))
+
+
+_BURST_ORACLE = """
+    WITH c AS (
+        SELECT event_type,
+               epoch_us(ts) // 3600000000 AS w, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+    l AS (
+        SELECT event_type, w, n,
+               COALESCE(LAG(n) OVER (PARTITION BY event_type
+                                     ORDER BY w), 0) AS prev
+        FROM c)
+    SELECT event_type, w, n, prev,
+           ROUND((n - prev) / SQRT(prev + 1.0), 6) AS burst
+    FROM l
+"""
+
+
 def q_trustrank(sf_dir: str) -> pa.Table:
     """TrustRank (personalized PageRank, seeds {0,1,2}) over the same
     arithmetic mod-41 crawl graph as q_hits, 5 iterations — fully
@@ -5159,6 +5186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
         "trustrank": q_trustrank,
+        "burst_windows": q_burst_windows,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
@@ -6680,6 +6708,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
         "trustrank": _trustrank_oracle_sql(),
+        "burst_windows": _BURST_ORACLE,
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "kg_func_violations": _KG_FUNC_ORACLE,
         "kg_dangling": _KG_DANGLING_ORACLE,

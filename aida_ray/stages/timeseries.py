@@ -160,3 +160,43 @@ def ohlc_bars(events: ray.data.Dataset, key: str = "event_type",
         "low": pc.cast(b["low"], pa.float64()),
         "close": pc.cast(b["close"], pa.float64()),
         "n": pc.cast(b["n"], pa.int64())}), batch_format="pyarrow")
+
+
+def burst_windows(events: ray.data.Dataset, key: str = "event_type",
+                  ts_col: str = "ts",
+                  window_us: int = 3_600_000_000) -> ray.data.Dataset:
+    """Burst detection per (key, time window): count events in fixed
+    windows and score each window against its PREDECESSOR window of
+    the same key, ``burst = (n - prev) / sqrt(prev + 1)`` (the
+    Poisson-surprise normalization of Kleinberg-style burst scoring,
+    simplified to a deterministic one-lag rule).  Windows with zero
+    events are absent on both sides of the comparison (LAG over
+    existing windows), prev defaults to 0 for a key's first window.
+
+    Scale shape: per-batch (key, window) partial counts (volume =
+    distinct windows per block, not events), one groupby-sum, then a
+    per-key vectorized shift — per-key state is its WINDOW COUNT
+    (span/window), not its events.  Scores round to 6 decimals.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        w = us // window_us
+        df = pd.DataFrame({key: b[key].to_pandas(), "w": w})
+        g = df.groupby([key, "w"], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = events.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key, "w"]).aggregate(Sum("n"))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("w").reset_index(drop=True)
+        n = g["sum(n)"].to_numpy(dtype=np.int64)
+        prev = np.concatenate(([0], n[:-1]))
+        burst = np.round((n - prev) / np.sqrt(prev + 1.0), 6)
+        return pd.DataFrame({key: g[key], "w": g["w"].astype(np.int64),
+                             "n": n, "prev": prev, "burst": burst})
+
+    return counts.groupby(key).map_groups(per_key, batch_format="pandas")

@@ -78,3 +78,29 @@ def test_rdfs_entailment_routes(ray_session):
     assert {(r.entity, int(r.cls)) for r in big.itertuples()} == want
     # e1: 4 -> 2 -> 1 inferred; duplicates collapsed
     assert len(small) == len(want)
+
+
+def test_burst_windows(ray_session):
+    import numpy as np
+    import ray.data
+    from aida_ray.stages.timeseries import burst_windows
+    # key A: windows 0 (2 events), 1 (6 events), 3 (1 event — window 2
+    # empty and absent); key B: single window
+    us = lambda w, off: w * 100 + off
+    t = pa.table({
+        "event_type": pa.array(["A"] * 9 + ["B"], pa.string()),
+        "ts": pa.array([us(0, 1), us(0, 2)] + [us(1, i) for i in range(6)]
+                       + [us(3, 0), us(0, 5)],
+                       pa.timestamp("us"))})
+    out = burst_windows(ray.data.from_arrow(t).repartition(3),
+                        window_us=100).to_pandas() \
+        .sort_values(["event_type", "w"]).reset_index(drop=True)
+    a = out[out.event_type == "A"]
+    assert list(a.w) == [0, 1, 3]
+    assert list(a.n) == [2, 6, 1]
+    assert list(a.prev) == [0, 2, 6]
+    assert list(a.burst) == [round(2 / 1.0, 6),
+                             round(4 / np.sqrt(3.0), 6),
+                             round(-5 / np.sqrt(7.0), 6)]
+    b = out[out.event_type == "B"]
+    assert list(b.n) == [1] and list(b.prev) == [0]
