@@ -115,7 +115,9 @@ def run_bench() -> dict:
                  "group_hll", "warc_ingest", "fuzzy_contamination",
                  "main_content", "crawl_frontier",
                  "bm25", "bm25_index", "hearst_isa", "redirect_resolve",
-                 "triple_fuse", "validity_intervals", "rdfs_types"]:
+                 "triple_fuse", "validity_intervals", "rdfs_types",
+                 "robots_rules", "page_meta", "trustrank",
+                 "burst_windows"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
