@@ -4904,6 +4904,91 @@ _BM25_ORACLE = """
 """
 
 
+def q_table_triples(sf_dir: str) -> pa.Table:
+    """Web-table triple extraction (webtables.html_table_triples):
+    planted relational <table> markup per doc (header row names the
+    predicates, first column the subject; every 4th doc a second data
+    row); the oracle reconstructs the triples arithmetically."""
+    from aida_ray.stages.webtables import html_table_triples
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            rows = (f"<tr><td>city{i}</td><td>{i * 10}</td>"
+                    f"<td>country{i % 7}</td></tr>")
+            if i % 4 == 0:
+                rows += (f"<tr><td>town{i}</td><td>{i}</td>"
+                         f"<td>country{i % 7}</td></tr>")
+            htmls.append(
+                "<html><body><p>prose</p><table>"
+                "<tr><th>name</th><th>population</th>"
+                "<th> country </th></tr>" + rows +
+                "</table></body></html>")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(html_table_triples(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_TABLE_TRIPLES_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT i AS doc_id, 'city' || i AS subj, 'population' AS pred,
+           CAST(i * 10 AS VARCHAR) AS obj FROM d
+    UNION ALL SELECT i, 'city' || i, 'country',
+           'country' || (i % 7) FROM d
+    UNION ALL SELECT i, 'town' || i, 'population',
+           CAST(i AS VARCHAR) FROM d WHERE i % 4 = 0
+    UNION ALL SELECT i, 'town' || i, 'country',
+           'country' || (i % 7) FROM d WHERE i % 4 = 0
+"""
+
+
+def q_jsonld_triples(sf_dir: str) -> pa.Table:
+    """schema.org JSON-LD triple extraction (webtables.jsonld_triples):
+    one structured block per doc (@id subject, @type, name, integer
+    age) plus a malformed block on every 6th doc that must be skipped
+    leniently; arithmetic oracle."""
+    from aida_ray.stages.webtables import jsonld_triples
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            typ = "Place" if i % 2 == 0 else "Person"
+            h = ("<html><head><script type=\"application/ld+json\">"
+                 f'{{"@id": "ent{i}", "@type": "{typ}", '
+                 f'"name": "Name {i}", "age": {i % 90}, '
+                 f'"nested": {{"skip": 1}}, "@context": "https://schema.org"}}'
+                 "</script>")
+            if i % 6 == 0:
+                h += ('<script type="application/ld+json">{broken'
+                      "</script>")
+            htmls.append(h + "</head><body>x</body></html>")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(jsonld_triples(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_JSONLD_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT i AS doc_id, 'ent' || i AS subj, '@type' AS pred,
+           CASE WHEN i % 2 = 0 THEN 'Place' ELSE 'Person' END AS obj
+    FROM d
+    UNION ALL SELECT i, 'ent' || i, 'name', 'Name ' || i FROM d
+    UNION ALL SELECT i, 'ent' || i, 'age', CAST(i % 90 AS VARCHAR) FROM d
+"""
+
+
 def q_burst_windows(sf_dir: str) -> pa.Table:
     """Burst detection (timeseries.burst_windows) over the events
     stream: hourly windows per event_type, score vs the previous
@@ -5187,6 +5272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_meta": q_page_meta,
         "trustrank": q_trustrank,
         "burst_windows": q_burst_windows,
+        "table_triples": q_table_triples,
+        "jsonld_triples": q_jsonld_triples,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
@@ -6709,6 +6796,8 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _PAGE_META_ORACLE,
         "trustrank": _trustrank_oracle_sql(),
         "burst_windows": _BURST_ORACLE,
+        "table_triples": _TABLE_TRIPLES_ORACLE,
+        "jsonld_triples": _JSONLD_ORACLE,
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "kg_func_violations": _KG_FUNC_ORACLE,
         "kg_dangling": _KG_DANGLING_ORACLE,

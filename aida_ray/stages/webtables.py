@@ -1,0 +1,140 @@
+"""Web-table and JSON-LD triple extraction.
+
+Two classic KG-construction sources beyond running text (the
+WebTables / schema.org line of work — public methodology):
+
+- :func:`html_table_triples` — relational <table> markup: the header
+  row names the predicates, the first column names the row subject,
+  every other cell becomes one (subj, pred, obj) triple.
+- :func:`jsonld_triples` — embedded ``<script
+  type="application/ld+json">`` blocks: subject = ``@id`` (fallback
+  ``name``), ``@type`` and every scalar property become triples.
+
+Both are stateless parse-bound ``map_batches`` stages (the per-row
+regex/json scan IS the work, like text/extract.py); output volume
+tracks markup occurrences.  The HTML parsing is the same
+self-defined deterministic contract as the rest of text/extract —
+attribute-quoting variants beyond the contract are out of scope.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from aida_ray.text.extract import _unescape
+
+_TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.S | re.I)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.S | re.I)
+_CELL_RE = re.compile(r"<t[hd]\b[^>]*>(.*?)</t[hd]\s*>", re.S | re.I)
+_TAG_RE = re.compile(r"<[^>]*>")
+_JSONLD_RE = re.compile(
+    r'<script\b[^>]*type\s*=\s*["\']application/ld\+json["\'][^>]*>'
+    r"(.*?)</script\s*>", re.S | re.I)
+
+
+def _cell_text(cell_html: str) -> str:
+    return _unescape(re.sub(r"\s+", " ",
+                            _TAG_RE.sub("", cell_html)).strip())
+
+
+def extract_table_rows(html: str) -> list[list[list[str]]]:
+    """All tables as row-major cell-text matrices."""
+    tables = []
+    for tm in _TABLE_RE.finditer(html):
+        rows = [[_cell_text(c) for c in _CELL_RE.findall(rm.group(1))]
+                for rm in _TR_RE.finditer(tm.group(1))]
+        rows = [r for r in rows if r]
+        if rows:
+            tables.append(rows)
+    return tables
+
+
+def table_triples_of(html: str) -> list[tuple[str, str, str]]:
+    """(subj, pred, obj) per data cell: header row names predicates,
+    first column names the subject; ragged/short rows are truncated to
+    the header width, header-only tables yield nothing."""
+    out = []
+    for rows in extract_table_rows(html):
+        header = rows[0]
+        if len(header) < 2:
+            continue
+        for row in rows[1:]:
+            if not row or not row[0]:
+                continue
+            subj = row[0]
+            for j in range(1, min(len(header), len(row))):
+                if header[j] and row[j]:
+                    out.append((subj, header[j], row[j]))
+    return out
+
+
+def jsonld_triples_of(html: str) -> list[tuple[str, str, str]]:
+    """(subj, pred, obj) per scalar JSON-LD property.  Subject is
+    ``@id`` (fallback ``name``); ``@type`` emits as predicate
+    ``@type``; nested objects/lists and blocks without a subject are
+    skipped (a full expansion algorithm is out of scope); malformed
+    JSON blocks are ignored (crawl reality)."""
+    out = []
+    for m in _JSONLD_RE.finditer(html):
+        try:
+            data = json.loads(m.group(1))
+        except ValueError:
+            continue
+        blocks = data if isinstance(data, list) else [data]
+        for blk in blocks:
+            if not isinstance(blk, dict):
+                continue
+            subj = blk.get("@id") or blk.get("name")
+            if not isinstance(subj, str) or not subj:
+                continue
+            for k, v in blk.items():
+                if k == "@id":
+                    continue
+                if k == "@type" and isinstance(v, str):
+                    out.append((subj, "@type", v))
+                elif not k.startswith("@") and \
+                        isinstance(v, (str, int, float, bool)) and \
+                        not isinstance(v, bool):
+                    out.append((subj, k, str(v)))
+    return out
+
+
+def _triples_stage(fn, id_col: str, html_col: str):
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, subs, preds, objs = [], [], [], []
+        for i, h in zip(ids, b[html_col].to_pylist()):
+            if isinstance(h, bytes):
+                h = h.decode("utf-8", "replace")
+            for s, p, o in fn(h or ""):
+                out_id.append(int(i))
+                subs.append(s)
+                preds.append(p)
+                objs.append(o)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "subj": pa.array(subs, pa.string()),
+                         "pred": pa.array(preds, pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+    return batch
+
+
+def html_table_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
+                       html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, subj, pred, obj) from every relational <table>."""
+    return pages.map_batches(_triples_stage(table_triples_of, id_col,
+                                            html_col),
+                             batch_format="pyarrow")
+
+
+def jsonld_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
+                   html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, subj, pred, obj) from embedded JSON-LD blocks."""
+    return pages.map_batches(_triples_stage(jsonld_triples_of, id_col,
+                                            html_col),
+                             batch_format="pyarrow")
