@@ -4370,6 +4370,49 @@ def q_sitemap_ingest(sf_dir: str) -> pa.Table:
                     .map_batches(project, batch_format="pyarrow"))
 
 
+def q_feed_ingest(sf_dir: str) -> pa.Table:
+    """RSS/Atom feed ingest (sources/feeds.py): documents round-trip
+    through protocol-shaped feed shards (even shards RSS 2.0 with
+    RFC-822 pubDates, odd shards Atom with W3C updated), read back one
+    parse task per file; the oracle re-derives every field
+    arithmetically from doc_id."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from aida_ray.sources.feeds import (read_feeds, write_atom_file,
+                                        write_rss_file)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = os.path.join("/tmp/aida_ray_cache", f"feeds_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    base = 1767225600                     # 2026-01-01T00:00:00Z
+    shards: dict[int, list[int]] = {}
+    for i in ids:
+        shards.setdefault(int(i) % 8, []).append(int(i))
+    for s, members in shards.items():
+        items = [(f"http://crawl.test/f/{i}", f"Item {i}", base + i)
+                 for i in members]
+        path = os.path.join(tmp, f"feed-{s}.xml")
+        if s % 2 == 0:
+            write_rss_file(path, items)
+        else:
+            write_atom_file(path, items)
+    return _collect(read_feeds(tmp))
+
+
+_FEED_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT 'http://crawl.test/f/' || i AS url,
+           'Item ' || i AS title,
+           1767225600 + i AS published_s,
+           CASE WHEN (i % 8) % 2 = 0 THEN 'rss' ELSE 'atom' END
+               AS feed_kind,
+           'feed-' || (i % 8) || '.xml' AS source
+    FROM d
+"""
+
+
 def q_main_content(sf_dir: str) -> pa.Table:
     """Density-based main-content extraction over synthetic pages with
     deterministic boilerplate: a pure-link nav bar, a sub-threshold
@@ -5274,6 +5317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burst_windows": q_burst_windows,
         "table_triples": q_table_triples,
         "jsonld_triples": q_jsonld_triples,
+        "feed_ingest": q_feed_ingest,
         "hearst_isa": q_hearst,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
@@ -6798,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         "burst_windows": _BURST_ORACLE,
         "table_triples": _TABLE_TRIPLES_ORACLE,
         "jsonld_triples": _JSONLD_ORACLE,
+        "feed_ingest": _FEED_ORACLE,
         "triple_fuse": _TRIPLE_FUSE_ORACLE,
         "kg_func_violations": _KG_FUNC_ORACLE,
         "kg_dangling": _KG_DANGLING_ORACLE,
