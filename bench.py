@@ -117,7 +117,8 @@ def run_bench() -> dict:
                  "bm25", "bm25_index", "hearst_isa", "redirect_resolve",
                  "triple_fuse", "validity_intervals", "rdfs_types",
                  "robots_rules", "page_meta", "trustrank",
-                 "burst_windows"]:
+                 "burst_windows", "table_triples", "jsonld_triples",
+                 "feed_ingest"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
