@@ -4748,6 +4748,81 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_acronyms(sf_dir: str) -> pa.Table:
+    """Acronym-definition extraction (hearst.acronym_definitions):
+    planted 'Long Form (LF)' sentences — every 3rd doc defines a
+    3-word acronym, every 5th a non-matching parenthetical that must
+    NOT extract; arithmetic oracle."""
+    from aida_ray.stages.hearst import acronym_definitions
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            t = f"report {i} from the "
+            if i % 3 == 0:
+                t += f"World Data Council{i} (WDC) meeting"
+            elif i % 5 == 0:
+                t += "annual strategy (ZQX) session"   # initials mismatch
+            else:
+                t += "field office"
+            texts.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(acronym_definitions(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
+_ACRONYMS_ORACLE = """
+    SELECT doc_id, 'WDC' AS short,
+           'World Data Council' || doc_id AS long
+    FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+def q_kg_negatives(sf_dir: str) -> pa.Table:
+    """Deterministic KG negative sampling (kgqa.negative_samples, k=2)
+    over the arithmetic assertion stream vs the e0..e39 registry; the
+    oracle replays the Knuth-hash draw and the collision shift."""
+    from aida_ray.stages.kgqa import negative_samples
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "ex_id": pa.array(ids, pa.int64()),
+            "subj": pa.array([f"e{int(i) % 40}" for i in ids], pa.string()),
+            "pred": pa.array(["linksTo"] * len(ids), pa.string()),
+            "obj": pa.array([f"e{(int(i) * 3 + 1) % 40}" for i in ids],
+                            pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    ents = [f"e{i}" for i in range(40)]
+    return _collect(negative_samples(
+        docs.map_batches(to_triples, batch_format="pyarrow"), ents, k=2))
+
+
+_KG_NEG_ORACLE = """
+    WITH t AS (
+        SELECT doc_id AS ex_id, 'e' || (doc_id % 40) AS subj,
+               'linksTo' AS pred, (doc_id * 3 + 1) % 40 AS true_idx
+        FROM documents),
+    draws AS (
+        SELECT ex_id, subj, pred, true_idx, j,
+               (ex_id * 2654435761 + j) % 40 AS idx
+        FROM t CROSS JOIN (SELECT unnest([0, 1]) AS j))
+    SELECT ex_id, subj, pred,
+           'e' || (CASE WHEN idx = true_idx THEN (idx + 1) % 40
+                        ELSE idx END) AS neg_obj,
+           j, 0 AS label
+    FROM draws
+"""
+
+
 def q_validity_intervals(sf_dir: str) -> pa.Table:
     """Temporal fact scoping (temporal.validity_intervals): each doc is
     one observation of (e{doc_id % 25}, worksAt) at ts = doc_id with
@@ -5325,6 +5400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_dangling": q_kg_dangling,
         "validity_intervals": q_validity_intervals,
         "rdfs_types": q_rdfs_types,
+        "acronyms": q_acronyms,
+        "kg_negatives": q_kg_negatives,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6848,6 +6925,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_dangling": _KG_DANGLING_ORACLE,
         "validity_intervals": _VALIDITY_ORACLE,
         "rdfs_types": _RDFS_ORACLE,
+        "acronyms": _ACRONYMS_ORACLE,
+        "kg_negatives": _KG_NEG_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0

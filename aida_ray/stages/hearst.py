@@ -84,3 +84,62 @@ def hearst_isa(ds: ray.data.Dataset, id_col: str = "doc_id",
             "pattern": pa.array(pats, pa.string())})
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# Acronym definitions — the "long form (SHORT)" convention of
+# Schwartz & Hearst (PSB 2003), restricted to the initial-letters
+# rule (each short-form character is the initial of the corresponding
+# preceding word) so the SQL oracle can reconstruct matches exactly —
+# deterministic, no model.
+
+_PAREN_RE = re.compile(r"\(([A-Za-z][A-Za-z0-9]{1,9})\)")
+_WORD_RE = re.compile(r"[A-Za-z0-9]+")
+
+
+def _valid_short(short: str) -> bool:
+    return 2 <= len(short) <= 10 and short[0].isalpha() and \
+        any(c.isupper() for c in short)
+
+
+def acronym_pairs(text: str) -> list[tuple[str, str]]:
+    """(short, long) definition pairs via the initial-letters rule:
+    take the |short| words before '(SHORT)'; the k-th word must start
+    with the k-th character of the short form (case-insensitive).
+    Simpler than full Schwartz-Hearst inner-character matching but
+    exactly reconstructable in SQL — the deterministic contract."""
+    out = []
+    for m in _PAREN_RE.finditer(text):
+        short = m.group(1)
+        if not _valid_short(short):
+            continue
+        words = _WORD_RE.findall(text[:m.start()])
+        k = len(short)
+        if len(words) < k:
+            continue
+        cand = words[-k:]
+        if all(w[0].lower() == c.lower() for w, c in zip(cand, short)):
+            out.append((short, " ".join(cand)))
+    return out
+
+
+def acronym_definitions(ds: ray.data.Dataset, id_col: str = "doc_id",
+                        text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, short, long) rows — a per-document acronym dictionary
+    for mention normalization (expand 'WHO' to its in-document long
+    form before candidate lookup).  Stateless parse-bound map like
+    :func:`hearst_isa`."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, shorts, longs = [], [], []
+        for i, txt in zip(ids, b[text_col].to_pylist()):
+            for s, l in acronym_pairs(txt or ""):
+                out_id.append(int(i))
+                shorts.append(s)
+                longs.append(l)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "short": pa.array(shorts, pa.string()),
+                         "long": pa.array(longs, pa.string())})
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -222,3 +222,52 @@ def rdfs_type_entailment(types: ray.data.Dataset,
         lambda b: pa.table({ent_col: b[ent_col],
                             cls_col: pc.cast(b[cls_col], pa.int64())}),
         batch_format="pyarrow")
+
+
+_KNUTH = 2654435761
+
+
+def negative_samples(triples: ray.data.Dataset, entities: list[str],
+                     id_col: str = "ex_id", s: str = "subj",
+                     p: str = "pred", o: str = "obj",
+                     k: int = 1) -> ray.data.Dataset:
+    """Deterministic object-corruption negatives for KG-embedding
+    training (the uniform negative sampling of TransE et al., made
+    reproducible): example ``id`` draws replacement index
+    ``(id * 2654435761 + j) % |E|`` (Knuth multiplicative hash) for
+    j < k; a draw that hits the TRUE object shifts to the next index,
+    so every negative is guaranteed false under the closed registry.
+
+    The registry rides by closure (dictionary-sized next to the
+    assertion stream — the same broadcast judgement as
+    :func:`dangling_objects`); the stage is a stateless map, output
+    k rows per positive with ``label = 0``.
+    """
+    ents = np.asarray(entities)
+    n = len(ents)
+    if n < 2:
+        raise ValueError("need at least 2 registry entities to corrupt")
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep id * KNUTH inside int64 — numpy would wrap silently
+        # where a SQL twin errors (the zscore-overflow lesson)
+        assert ids.size == 0 or abs(ids).max() < (1 << 31), \
+            "example ids must fit 31 bits; pre-bucket larger id spaces"
+        objs = b[o].to_pandas().to_numpy()
+        parts = []
+        for j in range(k):
+            idx = (ids * _KNUTH + j) % n
+            neg = ents[idx]
+            hit = neg == objs
+            idx = np.where(hit, (idx + 1) % n, idx)
+            neg = ents[idx]
+            parts.append(pa.table({
+                id_col: pa.array(ids, pa.int64()),
+                s: b[s], p: b[p],
+                "neg_obj": pa.array(neg, pa.string()),
+                "j": pa.array(np.full(len(ids), j, dtype=np.int64)),
+                "label": pa.array(np.zeros(len(ids), dtype=np.int64))}))
+        return pa.concat_tables(parts)
+
+    return triples.map_batches(batch, batch_format="pyarrow")

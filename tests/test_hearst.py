@@ -60,3 +60,32 @@ def test_hearst_isa_dataset(ray_session):
     assert list(out.hypo) == ["iron", "rome"]
     assert list(out.hyper) == ["metals", "capitals"]
     assert list(out.pattern) == ["such_as", "and_other"]
+
+
+def test_acronym_pairs_rules():
+    from aida_ray.stages.hearst import acronym_pairs
+    assert acronym_pairs("the World Health Organization (WHO) said") == \
+        [("WHO", "World Health Organization")]
+    # initials mismatch
+    assert acronym_pairs("annual strategy review (ZQX)") == []
+    # too few preceding words
+    assert acronym_pairs("AB CD (ABCD)") == []
+    # short form must contain an uppercase and start with a letter
+    assert acronym_pairs("some long text here (abcd)") == []
+    assert acronym_pairs("one (1AB) two") == []
+    # multiple definitions in one doc
+    got = acronym_pairs("Central Bank (CB) met the World Trade Org (WTO)")
+    assert got == [("CB", "Central Bank"), ("WTO", "World Trade Org")]
+
+
+def test_acronym_definitions_dataset(ray_session):
+    import ray.data
+    from aida_ray.stages.hearst import acronym_definitions
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["United Nations (UN) session", "no acronyms"],
+                         pa.string())})
+    out = acronym_definitions(ray.data.from_arrow(t).repartition(2)) \
+        .to_pandas()
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (1, "UN", "United Nations")]
