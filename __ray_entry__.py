@@ -4784,6 +4784,43 @@ _ACRONYMS_ORACLE = """
 """
 
 
+def q_quotes(sf_dir: str) -> pa.Table:
+    """Quotation attribution (hearst.quotes): even docs use the
+    trailing frame ('"...," said Name Surname'), odd docs the leading
+    frame ('Name said: "..."'); arithmetic oracle."""
+    from aida_ray.stages.hearst import quotes
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            if i % 2 == 0:
+                texts.append(f'"stocks rose {i} percent," said '
+                             f"Alice{i} Smith at the briefing")
+            else:
+                texts.append(f'Bob{i} said: "rain expected in {i} towns"')
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(quotes(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
+_QUOTES_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT i AS doc_id, 'Alice' || i || ' Smith' AS speaker,
+           'stocks rose ' || i || ' percent' AS quote,
+           'after' AS frame
+    FROM d WHERE i % 2 = 0
+    UNION ALL
+    SELECT i, 'Bob' || i, 'rain expected in ' || i || ' towns', 'before'
+    FROM d WHERE i % 2 = 1
+"""
+
+
 def q_kg_negatives(sf_dir: str) -> pa.Table:
     """Deterministic KG negative sampling (kgqa.negative_samples, k=2)
     over the arithmetic assertion stream vs the e0..e39 registry; the
@@ -5402,6 +5439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rdfs_types": q_rdfs_types,
         "acronyms": q_acronyms,
         "kg_negatives": q_kg_negatives,
+        "quotes": q_quotes,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6927,6 +6965,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_types": _RDFS_ORACLE,
         "acronyms": _ACRONYMS_ORACLE,
         "kg_negatives": _KG_NEG_ORACLE,
+        "quotes": _QUOTES_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0

@@ -143,3 +143,46 @@ def acronym_definitions(ds: ray.data.Dataset, id_col: str = "doc_id",
                          "long": pa.array(longs, pa.string())})
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# Quotation attribution — the two canonical reported-speech frames,
+# word-level deterministic like the Hearst patterns: speakers are 1-2
+# capitalized tokens, quotes are double-quoted spans.
+
+_QUOTE_AFTER = re.compile(
+    r'"([^"]+)," said ((?:[A-Z][A-Za-z0-9]*)(?: [A-Z][A-Za-z0-9]*)?)')
+_QUOTE_BEFORE = re.compile(
+    r'((?:[A-Z][A-Za-z0-9]*)(?: [A-Z][A-Za-z0-9]*)?) said: "([^"]+)"')
+
+
+def quote_attributions(text: str) -> list[tuple[str, str, str]]:
+    """(speaker, quote, frame) tuples; frame is 'after' for
+    '"...," said Name' and 'before' for 'Name said: "..."'."""
+    out = [(m.group(2), m.group(1), "after")
+           for m in _QUOTE_AFTER.finditer(text)]
+    out += [(m.group(1), m.group(2), "before")
+            for m in _QUOTE_BEFORE.finditer(text)]
+    return out
+
+
+def quotes(ds: ray.data.Dataset, id_col: str = "doc_id",
+           text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, speaker, quote, frame) rows — (speaker, said, quote)
+    triples for the KG.  Stateless parse-bound map."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, spk, qt, fr = [], [], [], []
+        for i, txt in zip(ids, b[text_col].to_pylist()):
+            for s, q, f in quote_attributions(txt or ""):
+                out_id.append(int(i))
+                spk.append(s)
+                qt.append(q)
+                fr.append(f)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "speaker": pa.array(spk, pa.string()),
+                         "quote": pa.array(qt, pa.string()),
+                         "frame": pa.array(fr, pa.string())})
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -89,3 +89,29 @@ def test_acronym_definitions_dataset(ray_session):
         .to_pandas()
     assert [tuple(r) for r in out.itertuples(index=False)] == [
         (1, "UN", "United Nations")]
+
+
+def test_quote_attributions():
+    from aida_ray.stages.hearst import quote_attributions
+    assert quote_attributions(
+        '"it works," said Jane Doe today') == [
+        ("Jane Doe", "it works", "after")]
+    assert quote_attributions('Li said: "done"') == [
+        ("Li", "done", "before")]
+    # speaker must be capitalized; lowercase does not match
+    assert quote_attributions('"x," said nobody') == []
+    # both frames in one document
+    got = quote_attributions('"a," said Ann. Bo said: "b"')
+    assert ("Ann", "a", "after") in got and ("Bo", "b", "before") in got
+    assert quote_attributions("no quotes") == []
+
+
+def test_quotes_dataset(ray_session):
+    import ray.data
+    from aida_ray.stages.hearst import quotes
+    t = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": pa.array(['"up," said Cy Young'], pa.string())})
+    out = quotes(ray.data.from_arrow(t)).to_pandas()
+    assert [tuple(r) for r in out.itertuples(index=False)] == [
+        (7, "Cy Young", "up", "after")]
