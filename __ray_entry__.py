@@ -4784,6 +4784,51 @@ _ACRONYMS_ORACLE = """
 """
 
 
+def q_bigram_pmi(sf_dir: str) -> pa.Table:
+    """Top-20 PMI collocations over the documents corpus
+    (lm.bigram_pmi, min_count 5); oracle recomputes the identical
+    Church-Hanks formula with ROW_NUMBER-rebased adjacency."""
+    from aida_ray.stages.lm import bigram_pmi
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return bigram_pmi(docs, min_count=5, k=20)
+
+
+_BIGRAM_PMI_ORACLE = """
+    WITH raw AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9]+')) AS term,
+               generate_subscripts(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9]+'), 1) AS pos
+        FROM documents),
+    toks AS MATERIALIZED (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM raw WHERE term <> ''),
+    bg AS MATERIALIZED (
+        SELECT a.doc_id, a.term AS t1, b.term AS t2
+        FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+    cb AS MATERIALIZED (
+        SELECT t1, t2, COUNT(*) AS nab FROM bg GROUP BY t1, t2),
+    cu AS MATERIALIZED (
+        SELECT term, COUNT(*) AS n1 FROM toks GROUP BY term),
+    tot AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM bg) AS nb,
+               (SELECT COUNT(*) FROM toks) AS nu)
+    SELECT t1, t2, nab,
+           ROUND(LN(CAST(nab AS DOUBLE) * tot.nu * tot.nu
+                    / (CAST(tot.nb AS DOUBLE) * ua.n1 * ub.n1)), 6) AS pmi
+    FROM cb JOIN cu ua ON ua.term = cb.t1
+    JOIN cu ub ON ub.term = cb.t2
+    CROSS JOIN tot
+    WHERE nab >= 5
+    ORDER BY pmi DESC, t1, t2 LIMIT 20
+"""
+
+
 def q_quotes(sf_dir: str) -> pa.Table:
     """Quotation attribution (hearst.quotes): even docs use the
     trailing frame ('"...," said Name Surname'), odd docs the leading
@@ -5440,6 +5485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acronyms": q_acronyms,
         "kg_negatives": q_kg_negatives,
         "quotes": q_quotes,
+        "bigram_pmi": q_bigram_pmi,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -6966,6 +7012,7 @@ def oracle_sql() -> dict[str, str]:
         "acronyms": _ACRONYMS_ORACLE,
         "kg_negatives": _KG_NEG_ORACLE,
         "quotes": _QUOTES_ORACLE,
+        "bigram_pmi": _BIGRAM_PMI_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0

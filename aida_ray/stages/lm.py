@@ -118,3 +118,71 @@ def bigram_lm_scores(ds: ray.data.Dataset, id_col: str = "doc_id",
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_pmi(ds: ray.data.Dataset, min_count: int = 5, k: int = 20,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> pa.Table:
+    """Top-k collocations by pointwise mutual information,
+    ``pmi = ln(n_ab * N_uni^2 / (N_bi * n_a * n_b))`` (Church & Hanks
+    1990) over adjacent-token bigrams with ``n_ab >= min_count``.
+
+    Scale shape: two vocabulary-bounded counting aggregations (bigram
+    + unigram partials per block — shuffle tracks vocabulary, never
+    the corpus); unigram counts broadcast once via ``ray.put`` and the
+    bigram-count stream scores itself map-side, emitting per-block
+    local top-k; the driver merges blocks x k rows.  Ranking is
+    (round(pmi, 6) DESC, t1, t2) — deterministic under float noise.
+    """
+    from ray.data.aggregate import Sum
+
+    from aida_ray.state.collect import collect_table
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        bg = _doc_bigrams(b, id_col, text_col)
+        g = bg.groupby(["t1", "t2"], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def uni_partial(b: pa.Table) -> pa.Table:
+        dt = _doc_terms(b, id_col, text_col)
+        g = dt.groupby("term", sort=False).size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    uni = collect_table(
+        ds.map_batches(uni_partial, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("n"))).to_pandas()
+    n_uni = float(uni["sum(n)"].sum())
+    uni_map = dict(zip(uni.term, uni["sum(n)"].astype(float)))
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby(["t1", "t2"]).aggregate(Sum("n")).materialize()
+    n_bi = float(bi.sum("sum(n)") or 0)
+    uref = ray.put(uni_map)
+
+    def score(b: pa.Table) -> pa.Table:
+        um = _get_cached(uref)
+        df = pd.DataFrame({"t1": b["t1"].to_pandas(),
+                           "t2": b["t2"].to_pandas(),
+                           "nab": b["sum(n)"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+        df = df[df.nab >= min_count]
+        if not len(df):
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "nab": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        na = df.t1.map(um).to_numpy(dtype=np.float64)
+        nb = df.t2.map(um).to_numpy(dtype=np.float64)
+        pmi = np.log(df.nab.to_numpy(dtype=np.float64) * n_uni * n_uni
+                     / (n_bi * na * nb))
+        df["pmi"] = np.round(pmi, 6)
+        df = df.sort_values(["pmi", "t1", "t2"],
+                            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = collect_table(
+        bi.map_batches(score, batch_format="pyarrow")).to_pandas()
+    parts = parts.sort_values(["pmi", "t1", "t2"],
+                              ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(parts, preserve_index=False)

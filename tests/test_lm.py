@@ -48,3 +48,38 @@ def test_bigram_lm_matches_reference(ray_session):
         assert abs(out.loc[i, "avg_nll"] - nll) < 1e-9
     assert out.loc[40, "n_bigrams"] == 0
     assert out.loc[41, "avg_nll"] == 0.0
+
+
+def test_bigram_pmi_matches_bruteforce(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+    from aida_ray.stages.lm import bigram_pmi
+    docs = {
+        0: "strong coffee strong coffee strong coffee",
+        1: "strong tea weak tea strong coffee",
+        2: "coffee strong coffee strong coffee plain",
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())})).repartition(2)
+    out = bigram_pmi(ds, min_count=2, k=5).to_pandas()
+    # brute force
+    toks = {d: t.split() for d, t in docs.items()}
+    uni, bi = {}, {}
+    for t in toks.values():
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    nu = sum(uni.values())
+    nb = sum(bi.values())
+    want = []
+    for (a, b), nab in bi.items():
+        if nab >= 2:
+            pmi = round(math.log(nab * nu * nu / (nb * uni[a] * uni[b])), 6)
+            want.append((pmi, a, b, nab))
+    want.sort(key=lambda r: (-r[0], r[1], r[2]))
+    got = [(r.pmi, r.t1, r.t2, r.nab) for r in out.itertuples()]
+    assert got == [(p, a, b, n) for p, a, b, n in want[:5]]
