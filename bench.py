@@ -118,7 +118,8 @@ def run_bench() -> dict:
                  "triple_fuse", "validity_intervals", "rdfs_types",
                  "robots_rules", "page_meta", "trustrank",
                  "burst_windows", "table_triples", "jsonld_triples",
-                 "feed_ingest"]:
+                 "feed_ingest", "acronyms", "kg_negatives", "quotes",
+                 "bigram_pmi"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
