@@ -72,6 +72,8 @@ def _corpus_stats(ds: ray.data.Dataset, terms: list[str],
     agg = collect_table(
         ds.map_batches(partial, batch_format="pyarrow")
           .groupby("term").aggregate(Sum("df"), Sum("tf"))).to_pandas()
+    if agg.empty or "term" not in agg.columns:   # zero-block corpus
+        return {}, 0, 0.0
     sent = agg[agg.term == _SENTINEL]
     n = int(sent["sum(df)"].iloc[0])
     total_tokens = int(sent["sum(tf)"].iloc[0])
@@ -134,6 +136,8 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[tuple[int, list[str]]],
         ds.map_batches(score_block, batch_format="pyarrow")).to_pandas()
     out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
     for qid, _ in qlist:
+        if parts.empty or "query_id" not in parts.columns:
+            break
         sub = parts[parts.query_id == qid].copy()
         sub["score_r"] = sub.score.round(6)
         sub = sub.sort_values(["score_r", "doc_id"],
