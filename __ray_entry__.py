@@ -1354,16 +1354,57 @@ def q_heavy_hitters(sf_dir: str) -> pa.Table:
 
 
 def q_pagerank(sf_dir: str) -> pa.Table:
-    """PageRank over the order→part bipartite graph (broadcast rank
-    vector, streamed edges; rows-only — iterative, not SQL-expressible).
-    Returns every node with its rank."""
+    """PageRank over the order→part bipartite graph — now fully
+    ORACLE-CHECKED: the SQL twin unrolls the same 10 power iterations
+    (multi-edge weights, dangling redistribution, uniform teleport) as
+    MATERIALIZED CTEs, matching the distributed ranks to 6 decimals
+    (was rows-only through round 3 session 3)."""
     from aida_ray.stages.graphs import pagerank
     li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                                columns=["l_orderkey", "l_partkey"])
     t = pagerank(li, src="l_orderkey", dst="l_partkey", iters=10) \
         .to_pandas().sort_values("node").reset_index(drop=True)
-    t["rank"] = t["rank"].round(9)
+    t["rank"] = t["rank"].round(6)
     return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled-CTE twin of q_pagerank: uniform teleport over the
+    lineitem order→part multigraph (parallel edges weigh, as in the
+    distributed degree counting); float association mirrors the numpy
+    expression ((1-d)*(1/n), d*(mass + dang*(1/n)))."""
+    d = damping
+    ctes = [f"""
+        WITH e AS MATERIALIZED (
+            SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nd AS MATERIALIZED (
+            SELECT n.node, COALESCE(o.od, 0) AS od
+            FROM nodes n LEFT JOIN (SELECT src AS node, COUNT(*) AS od
+                                    FROM e GROUP BY src) o
+            ON n.node = o.node),
+        cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT node, (1.0 / cnt.n) AS r FROM nodes CROSS JOIN cnt)"""]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        m{k} AS MATERIALIZED (SELECT e.dst AS node,
+                     SUM(p.r / nd.od) AS m
+                FROM e JOIN {prev} p ON e.src = p.node
+                JOIN nd ON nd.node = e.src GROUP BY e.dst),
+        d{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0) AS dang
+                FROM {prev} p JOIN nd ON nd.node = p.node
+                WHERE nd.od = 0),
+        r{k} AS MATERIALIZED (SELECT n.node,
+                     {1 - d} * (1.0 / cnt.n) + {d} * (COALESCE(m.m, 0)
+                         + (SELECT dang FROM d{k}) * (1.0 / cnt.n)) AS r
+                FROM nodes n LEFT JOIN m{k} m ON n.node = m.node
+                CROSS JOIN cnt)""")
+        prev = f"r{k}"
+    return ",".join(ctes) + f"""
+        SELECT node, ROUND(r, 6) AS "rank" FROM r{iters}"""
 
 
 def q_month_revenue(sf_dir: str) -> pa.Table:
@@ -1758,11 +1799,59 @@ def q_kg_pagerank(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+_FUZZY_JOIN_ORACLE = """
+    WITH probes AS MATERIALIZED (
+      SELECT c_custkey AS probe_id,
+             CASE WHEN length(c_name) > 4
+                  THEN substr(c_name, 1, 3) || substr(c_name, 5)
+                  ELSE c_name END AS probe
+      FROM customer),
+    rg AS MATERIALIZED (
+      SELECT DISTINCT c_custkey AS rkey, c_name AS rname,
+             substr(lower(c_name), CAST(t.i AS INT), 3) AS gram
+      FROM customer,
+           unnest(generate_series(1, greatest(1, length(c_name) - 2)))
+               AS t(i)),
+    rsz AS MATERIALIZED (
+      SELECT rkey, COUNT(DISTINCT gram) AS nb FROM rg GROUP BY rkey),
+    pg AS MATERIALIZED (
+      SELECT DISTINCT probe_id, probe,
+             substr(lower(probe), CAST(t.i AS INT), 3) AS gram
+      FROM probes,
+           unnest(generate_series(1, greatest(1, length(probe) - 2)))
+               AS t(i)),
+    psz AS MATERIALIZED (
+      SELECT probe_id, COUNT(DISTINCT gram) AS na FROM pg
+      GROUP BY probe_id),
+    inter AS MATERIALIZED (
+      SELECT pg.probe_id, rg.rkey, COUNT(DISTINCT pg.gram) AS ic
+      FROM pg JOIN rg ON pg.gram = rg.gram GROUP BY 1, 2)
+    SELECT i.probe_id,
+           any_value(p.probe) AS l_name,
+           i.rkey AS c_custkey,
+           any_value(r.rname) AS r_name,
+           ROUND(CAST(any_value(i.ic) AS DOUBLE)
+                 / (any_value(psz.na) + any_value(rsz.nb)
+                    - any_value(i.ic)), 6) AS sim
+    FROM inter i
+    JOIN psz ON psz.probe_id = i.probe_id
+    JOIN rsz ON rsz.rkey = i.rkey
+    JOIN probes p ON p.probe_id = i.probe_id
+    JOIN (SELECT DISTINCT rkey, rname FROM rg) r ON r.rkey = i.rkey
+    GROUP BY i.probe_id, i.rkey
+    HAVING CAST(any_value(i.ic) AS DOUBLE)
+           / (any_value(psz.na) + any_value(rsz.nb)
+              - any_value(i.ic)) >= 0.6
+"""
+
+
 def q_fuzzy_join(sf_dir: str) -> pa.Table:
     """Similarity join: customer names with a deterministically typo'd
     probe set (char 3 dropped) fuzzy-joined back via broadcast
-    trigram-MinHash LSH + exact-Jaccard verify (rows-only — LSH
-    banding; semantics pinned in tests/test_fuzzy_join.py)."""
+    trigram-MinHash LSH + exact-Jaccard verify — now ORACLE-CHECKED
+    against a brute-force trigram-Jaccard SQL join (the minhash_pairs
+    precedent: any LSH recall loss flips the named row red; was
+    rows-only through round 3 session 3)."""
     import pyarrow.parquet as pq
 
     from aida_ray.stages.fuzzy_join import fuzzy_join
@@ -1780,7 +1869,8 @@ def q_fuzzy_join(sf_dir: str) -> pa.Table:
         columns=["c_custkey", "c_name"]) \
         .map_batches(typo, batch_format="pyarrow")
     t = _collect(fuzzy_join(probes, cust, "probe_id", "probe",
-                            "c_custkey", "c_name", minsim=0.6)) \
+                            "c_custkey", "c_name", minsim=0.6,
+                            bands=32, rows=2)) \
         .to_pandas().sort_values(["probe_id", "c_custkey"]) \
         .reset_index(drop=True)
     return pa.Table.from_pandas(t, preserve_index=False)
@@ -2265,11 +2355,48 @@ def q_group_mode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def _kcore_oracle_sql(rounds: int = 30, max_item: int = 2000) -> str:
+    """Unrolled-peel twin of q_kcore: distinct co-purchase pairs
+    (a < b, items < max_item), k = GREATEST(3, FLOOR(0.7 * avg deg)),
+    each round keeps nodes whose degree within the previous alive set
+    is >= k.  ``rounds`` must exceed the true peel depth — if it does
+    not, the unconverged oracle simply mismatches and flags itself."""
+    ctes = [f"""
+        WITH ed AS MATERIALIZED (
+            SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
+            FROM lineitem la JOIN lineitem lb
+            ON la.l_orderkey = lb.l_orderkey
+               AND la.l_partkey < lb.l_partkey
+            WHERE la.l_partkey < {max_item}
+              AND lb.l_partkey < {max_item}),
+        und AS MATERIALIZED (
+            SELECT a AS x, b AS y FROM ed
+            UNION ALL SELECT b, a FROM ed),
+        a0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM und),
+        kk AS MATERIALIZED (
+            SELECT GREATEST(3, CAST(FLOOR(
+                0.7 * (2.0 * (SELECT COUNT(*) FROM ed)
+                       / (SELECT COUNT(*) FROM a0))) AS BIGINT)) AS k)"""]
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        d{r} AS MATERIALIZED (
+            SELECT u.x AS node, COUNT(*) AS deg FROM und u
+            JOIN {prev} p ON u.x = p.node
+            JOIN {prev} q ON u.y = q.node GROUP BY u.x),
+        a{r} AS MATERIALIZED (
+            SELECT node FROM d{r} CROSS JOIN kk WHERE deg >= kk.k)""")
+        prev = f"a{r}"
+    return ",".join(ctes) + f"""
+        SELECT node, deg AS degree FROM d{rounds}
+        CROSS JOIN kk WHERE deg >= kk.k"""
+
+
 def q_kcore(sf_dir: str) -> pa.Table:
     """k-core of the co-purchase graph at k = 0.7 × average degree —
-    distributed peeling to the fixpoint (rows-only: iterative, not
-    SQL-expressible; peeling is property-tested vs a python reference
-    in tests/test_graphs.py)."""
+    distributed peeling to the fixpoint, now ORACLE-CHECKED via an
+    unrolled-peel SQL twin (was rows-only; also property-tested vs a
+    python reference in tests/test_graphs.py)."""
     from aida_ray.stages.graphs import cooccurrence_edges, kcore
     li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                                columns=["l_orderkey", "l_partkey"])
@@ -7293,6 +7420,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(11 AS BIGINT) AS degree
             FROM generate_series(0, 11) AS t(r)
         """,
+        "pagerank": _pagerank_oracle_sql(),
+        "kcore": _kcore_oracle_sql(),
+        "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """
             WITH c AS (
                 SELECT COUNT(*) * 1.0 AS nn, COUNT(*) - 1.0 AS n,

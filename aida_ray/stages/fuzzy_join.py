@@ -86,11 +86,16 @@ class FuzzyIndex:
 
 def fuzzy_join(left: ray.data.Dataset, right: pa.Table,
                lkey: str, lcol: str, rkey: str, rcol: str,
-               minsim: float = 0.5) -> ray.data.Dataset:
+               minsim: float = 0.5, bands: int = 16,
+               rows: int = 4) -> ray.data.Dataset:
     """Rows (lkey, lname, rkey, rname, sim) for every left string whose
     trigram Jaccard to a right string is ≥ minsim (LSH-candidate
-    recall; exact-verified precision)."""
-    index = FuzzyIndex(right[rkey].to_pylist(), right[rcol].to_pylist())
+    recall; exact-verified precision).  Size the banding to the
+    threshold: recall at similarity s is 1-(1-s^rows)^bands, so a 0.6
+    threshold wants wide shallow bands (e.g. 32×2 → ~1-6e-7) while the
+    default 16×4 suits ~0.8+ thresholds."""
+    index = FuzzyIndex(right[rkey].to_pylist(), right[rcol].to_pylist(),
+                       bands=bands, rows=rows)
     iref = ray.put(index)
 
     def probe(b: pa.Table) -> pa.Table:
