@@ -5032,6 +5032,34 @@ _KG_NEG_ORACLE = """
 """
 
 
+def q_mixture_sample(sf_dir: str) -> pa.Table:
+    """Data-mixture rebalancing (sampling.mixture_sample, uniform
+    weights → every domain downsamples toward the rarest domain's
+    size) over the documents `lang` column (skewed: en dominates, fr
+    rarest — a real rebalance, not a pass-through); pure
+    integer-threshold arithmetic, so the oracle replays counts →
+    thresholds → keep filter exactly."""
+    from aida_ray.stages.sampling import mixture_sample
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"])
+    return _collect(mixture_sample(docs, domain_col="lang"))
+
+
+_MIXTURE_ORACLE = """
+    WITH c AS MATERIALIZED (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    best AS MATERIALIZED (
+        SELECT n AS bn FROM c ORDER BY n ASC, lang ASC LIMIT 1),
+    th AS MATERIALIZED (
+        SELECT c.lang, (2147483648 * best.bn) // c.n AS t
+        FROM c CROSS JOIN best)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN th ON th.lang = d.lang
+    WHERE (d.doc_id * 2654435761) % 2147483648 < th.t
+"""
+
+
 def q_validity_intervals(sf_dir: str) -> pa.Table:
     """Temporal fact scoping (temporal.validity_intervals): each doc is
     one observation of (e{doc_id % 25}, worksAt) at ts = doc_id with
@@ -5613,6 +5641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": q_kg_negatives,
         "quotes": q_quotes,
         "bigram_pmi": q_bigram_pmi,
+        "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
         "group_stats": q_group_stats,
@@ -7140,6 +7169,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negatives": _KG_NEG_ORACLE,
         "quotes": _QUOTES_ORACLE,
         "bigram_pmi": _BIGRAM_PMI_ORACLE,
+        "mixture_sample": _MIXTURE_ORACLE,
         "main_content": """
             SELECT doc_id,
                    CASE WHEN doc_id % 5 = 0
