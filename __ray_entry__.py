@@ -540,6 +540,74 @@ def q_langid(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "lang_pred"])
 
 
+def q_langid_confusion(sf_dir: str) -> pa.Table:
+    """Language-ID evaluation: confusion matrix of the declared `lang`
+    column vs the heuristic prediction (a data-quality audit a
+    multilingual crawl runs before routing tokenizers).  The oracle
+    re-derives the same predictions in SQL and groups identically."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.textstats import LangId
+    ds = _docs(sf_dir).map_batches(LangId, batch_format="pyarrow",
+                                   concurrency=min(2, _pool()), num_cpus=1)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"lang": b["lang"].to_pandas(),
+                           "lang_pred": b["lang_pred"].to_pandas()})
+        g = df.groupby(["lang", "lang_pred"], sort=False).size() \
+            .rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["lang", "lang_pred"]).aggregate(Sum("n"))
+    return _collect(agg.map_batches(
+        lambda b: pa.table({"lang": b["lang"], "lang_pred": b["lang_pred"],
+                            "n": pc.cast(b["sum(n)"], pa.int64())}),
+        batch_format="pyarrow"))
+
+
+def q_zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf-law fit: OLS slope/intercept of ln(freq) on ln(rank) over
+    the top-100 corpus tokens (rank by count DESC, token ASC) — the
+    standard corpus-statistics diagnostic; oracle = REGR_SLOPE /
+    REGR_INTERCEPT over the same ranked counts."""
+    from aida_ray.stages.tfidf import term_stats
+    stats = _collect(term_stats(_docs(sf_dir))).to_pandas()
+    top = stats.sort_values(["tf", "term"], ascending=[False, True]) \
+        .head(100).reset_index(drop=True)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top.tf.to_numpy(dtype=np.float64))
+    xm, ym = x.mean(), y.mean()
+    slope = float(((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum())
+    intercept = float(ym - slope * xm)
+    return pa.table({"n_tokens": pa.array([len(top)], pa.int64()),
+                     "slope": pa.array([round(slope, 6)], pa.float64()),
+                     "intercept": pa.array([round(intercept, 6)],
+                                           pa.float64())})
+
+
+_ZIPF_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9]+')) AS term
+        FROM documents),
+    c AS MATERIALIZED (
+        SELECT term, COUNT(*) AS tf FROM toks WHERE term <> ''
+        GROUP BY term),
+    top AS MATERIALIZED (
+        SELECT term, tf,
+               ROW_NUMBER() OVER (ORDER BY tf DESC, term ASC) AS r
+        FROM c ORDER BY tf DESC, term ASC LIMIT 100)
+    SELECT COUNT(*) AS n_tokens,
+           ROUND(REGR_SLOPE(LN(CAST(tf AS DOUBLE)),
+                            LN(CAST(r AS DOUBLE))), 6) AS slope,
+           ROUND(REGR_INTERCEPT(LN(CAST(tf AS DOUBLE)),
+                                LN(CAST(r AS DOUBLE))), 6) AS intercept
+    FROM top
+"""
+
+
 def q_topk_tokens(sf_dir: str) -> pa.Table:
     """Top-20 tokens by frequency (K-ops: partial counts → groupby → sort/limit)."""
     def partial(b: pa.Table) -> pa.Table:
@@ -5505,6 +5573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": q_quality,
         "lang_dist": q_lang_dist,
         "langid": q_langid,
+        "langid_confusion": q_langid_confusion,
+        "zipf_slope": q_zipf_slope,
         "topk_tokens": q_topk_tokens,
         "sort_limit": q_sort_limit,
         "window_agg": q_window_agg,
@@ -5739,6 +5809,17 @@ def _chunked_doc_oracle() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_dict()
+    # derived oracles wrapping other entries
+    d["langid_confusion"] = (
+        "WITH pred AS MATERIALIZED (" + d["langid"] + ") "
+        "SELECT doc.lang, p.lang_pred, COUNT(*) AS n "
+        "FROM documents doc JOIN pred p USING (doc_id) GROUP BY 1, 2")
+    d["zipf_slope"] = _ZIPF_ORACLE
+    return d
+
+
+def _oracle_sql_dict() -> dict[str, str]:
     return {
         "pages": f"""
             SELECT 'http://doc/' || CAST(doc_id AS VARCHAR) AS url,
