@@ -119,7 +119,7 @@ def run_bench() -> dict:
                  "robots_rules", "page_meta", "trustrank",
                  "burst_windows", "table_triples", "jsonld_triples",
                  "feed_ingest", "acronyms", "kg_negatives", "quotes",
-                 "bigram_pmi"]:
+                 "bigram_pmi", "mixture_sample", "zipf_slope"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
