@@ -4832,6 +4832,43 @@ def q_hearst(sf_dir: str) -> pa.Table:
         docs.map_batches(to_text, batch_format="pyarrow")))
 
 
+def q_openie(sf_dir: str) -> pa.Table:
+    """ReVerb-style Open IE (stages/openie.openie_triples) over
+    deterministic planted sentences — doc_id % 6 cycles the pattern
+    families (V W* P longest match / bare V / verb+particle /
+    pronoun-subject negative / aux+verb+prep / adverb-skipping);
+    the oracle reconstructs the (arg1, rel, rel_norm, arg2) rows
+    arithmetically (the m==3 pronoun case yields no row)."""
+    from aida_ray.stages.openie import openie_triples
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 6
+            if m == 0:
+                s = f"alice{i} founded acme{i} in paris{i} ."
+            elif m == 1:
+                s = f"bob{i} likes green tea{i} ."
+            elif m == 2:
+                s = f"carol{i} set up shop{i} ."
+            elif m == 3:
+                s = f"it acquired corp{i} ."
+            elif m == 4:
+                s = f"dave{i} was born in town{i} ."
+            else:
+                s = f"eve{i} quickly joined club{i} ."
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(openie_triples(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
 def q_redirects(sf_dir: str) -> pa.Table:
     """Redirect-chain resolution (urls.resolve_redirects): doc_id i
     with i % 8 != 0 redirects to i-1 (chains of length <= 7 ending at
@@ -5257,6 +5294,36 @@ _REDIRECTS_ORACLE = """
     SELECT i, -1, -1 FROM d WHERE i IN (8, 16)
 """
 
+
+_OPENIE_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN 'alice' || doc_id
+               WHEN 1 THEN 'bob' || doc_id
+               WHEN 2 THEN 'carol' || doc_id
+               WHEN 4 THEN 'dave' || doc_id
+               ELSE 'eve' || doc_id END AS arg1,
+           CASE doc_id % 6
+               WHEN 0 THEN 'founded acme' || doc_id || ' in'
+               WHEN 1 THEN 'likes'
+               WHEN 2 THEN 'set up'
+               WHEN 4 THEN 'was born in'
+               ELSE 'joined' END AS rel,
+           CASE doc_id % 6
+               WHEN 0 THEN 'founded acme' || doc_id || ' in'
+               WHEN 1 THEN 'likes'
+               WHEN 2 THEN 'set up'
+               WHEN 4 THEN 'born in'
+               ELSE 'joined' END AS rel_norm,
+           CASE doc_id % 6
+               WHEN 0 THEN 'paris' || doc_id
+               WHEN 1 THEN 'green tea' || doc_id
+               WHEN 2 THEN 'shop' || doc_id
+               WHEN 4 THEN 'town' || doc_id
+               ELSE 'club' || doc_id END AS arg2
+    FROM documents
+    WHERE doc_id % 6 <> 3
+"""
 
 _HEARST_ORACLE = """
     WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
@@ -5701,6 +5768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonld_triples": q_jsonld_triples,
         "feed_ingest": q_feed_ingest,
         "hearst_isa": q_hearst,
+        "openie_triples": q_openie,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7233,6 +7301,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),
         "hearst_isa": _HEARST_ORACLE,
+        "openie_triples": _OPENIE_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
