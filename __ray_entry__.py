@@ -4869,6 +4869,65 @@ def q_openie(sf_dir: str) -> pa.Table:
         docs.map_batches(to_text, batch_format="pyarrow")))
 
 
+def _rule_triples(sf_dir: str) -> "ray.data.Dataset":
+    """Shared planted KG for the AMIE rule miners: with k = doc_id//4
+    and m = doc_id%4 — m==0 asserts bornIn(p{k%40}, c{(k%40)%8}),
+    m==1 cityOf(c{k%8}, n{(k%8)%4}), m==2 nationality(p{j},
+    n{(j%8)%4}) for j=k%40 consistent with the composition only when
+    j<30 (else shifted by one), m==3 locatedIn = cityOf's synonym but
+    only for k%8<6.  Distinct facts: 40 bornIn, 8 cityOf, 40
+    nationality, 6 locatedIn — pair rule cityOf=>locatedIn conf 0.75,
+    path rule bornIn+cityOf=>nationality conf 0.75."""
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        subs, preds, objs = [], [], []
+        for i in ids:
+            i = int(i)
+            m, k = i % 4, i // 4
+            if m == 0:
+                j = k % 40
+                subs.append(f"p{j}")
+                preds.append("bornIn")
+                objs.append(f"c{j % 8}")
+            elif m == 1:
+                subs.append(f"c{k % 8}")
+                preds.append("cityOf")
+                objs.append(f"n{(k % 8) % 4}")
+            elif m == 2:
+                j = k % 40
+                v = (j % 8) % 4 if j < 30 else ((j % 8) + 1) % 4
+                subs.append(f"p{j}")
+                preds.append("nationality")
+                objs.append(f"n{v}")
+            elif (k % 8) < 6:
+                subs.append(f"c{k % 8}")
+                preds.append("locatedIn")
+                objs.append(f"n{(k % 8) % 4}")
+        return pa.table({"subj": pa.array(subs, pa.string()),
+                         "pred": pa.array(preds, pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return docs.map_batches(to_triples, batch_format="pyarrow")
+
+
+def q_amie_pair_rules(sf_dir: str) -> pa.Table:
+    """Synonym/implication rules b(x,y) => h(x,y) (rules.
+    mine_pair_rules) over the planted KG; oracle = generic DISTINCT
+    self-join support/confidence computation on the same facts."""
+    from aida_ray.stages.rules import mine_pair_rules
+    return mine_pair_rules(_rule_triples(sf_dir))
+
+
+def q_amie_path_rules(sf_dir: str) -> pa.Table:
+    """Composition rules p1(x,y) AND p2(y,z) => h(x,z) (rules.
+    mine_path_rules, x != z) over the planted KG; generic SQL twin."""
+    from aida_ray.stages.rules import mine_path_rules
+    return mine_path_rules(_rule_triples(sf_dir))
+
+
 def q_redirects(sf_dir: str) -> pa.Table:
     """Redirect-chain resolution (urls.resolve_redirects): doc_id i
     with i % 8 != 0 redirects to i-1 (chains of length <= 7 ending at
@@ -5292,6 +5351,56 @@ _REDIRECTS_ORACLE = """
     FROM d WHERE i % 8 <> 0
     UNION ALL
     SELECT i, -1, -1 FROM d WHERE i IN (8, 16)
+"""
+
+
+_RULE_FACTS_CTE = """
+    WITH d AS (SELECT doc_id % 4 AS m, doc_id // 4 AS k FROM documents),
+    raw AS (
+        SELECT 'p' || (k % 40) AS subj, 'bornIn' AS pred,
+               'c' || ((k % 40) % 8) AS obj FROM d WHERE m = 0
+        UNION ALL
+        SELECT 'c' || (k % 8), 'cityOf', 'n' || ((k % 8) % 4)
+        FROM d WHERE m = 1
+        UNION ALL
+        SELECT 'p' || (k % 40), 'nationality',
+               'n' || (CASE WHEN (k % 40) < 30
+                            THEN ((k % 40) % 8) % 4
+                            ELSE (((k % 40) % 8) + 1) % 4 END)
+        FROM d WHERE m = 2
+        UNION ALL
+        SELECT 'c' || (k % 8), 'locatedIn', 'n' || ((k % 8) % 4)
+        FROM d WHERE m = 3 AND (k % 8) < 6
+    ),
+    f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
+"""
+
+_AMIE_PAIR_ORACLE = _RULE_FACTS_CTE + """
+    , sz AS (SELECT pred, COUNT(*) AS n FROM f GROUP BY pred)
+    , co AS (SELECT a.pred AS body_pred, b.pred AS head_pred,
+                    COUNT(*) AS support
+             FROM f a JOIN f b
+               ON a.subj = b.subj AND a.obj = b.obj AND a.pred <> b.pred
+             GROUP BY 1, 2)
+    SELECT co.body_pred, co.head_pred, co.support, sz.n AS body_size,
+           ROUND(co.support * 1.0 / sz.n, 6) AS confidence
+    FROM co JOIN sz ON sz.pred = co.body_pred
+"""
+
+_AMIE_PATH_ORACLE = _RULE_FACTS_CTE + """
+    , paths AS MATERIALIZED (
+        SELECT DISTINCT a.pred AS p1, b.pred AS p2,
+                        a.subj AS x, b.obj AS z
+        FROM f a JOIN f b ON a.obj = b.subj
+        WHERE a.subj <> b.obj)
+    , bs AS (SELECT p1, p2, COUNT(*) AS n FROM paths GROUP BY 1, 2)
+    , sup AS (SELECT p.p1, p.p2, h.pred AS head_pred,
+                     COUNT(*) AS support
+              FROM paths p JOIN f h ON h.subj = p.x AND h.obj = p.z
+              GROUP BY 1, 2, 3)
+    SELECT sup.p1, sup.p2, sup.head_pred, sup.support, bs.n AS body_size,
+           ROUND(sup.support * 1.0 / bs.n, 6) AS confidence
+    FROM sup JOIN bs ON bs.p1 = sup.p1 AND bs.p2 = sup.p2
 """
 
 
@@ -5769,6 +5878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feed_ingest": q_feed_ingest,
         "hearst_isa": q_hearst,
         "openie_triples": q_openie,
+        "amie_pair_rules": q_amie_pair_rules,
+        "amie_path_rules": q_amie_path_rules,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7302,6 +7413,8 @@ def _oracle_sql_dict() -> dict[str, str]:
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),
         "hearst_isa": _HEARST_ORACLE,
         "openie_triples": _OPENIE_ORACLE,
+        "amie_pair_rules": _AMIE_PAIR_ORACLE,
+        "amie_path_rules": _AMIE_PATH_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,

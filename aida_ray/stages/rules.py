@@ -1,0 +1,256 @@
+"""AMIE-style horn-rule mining over a (subj, pred, obj) triple table.
+
+Distributed re-expression of the AMIE support/confidence framework
+(Galarraga, Teflioudi, Hose & Suchanek 2013, "AMIE: Association Rule
+Mining under Incomplete Evidence in Ontological Knowledge Bases") for
+the two rule shapes that dominate web-extracted KGs:
+
+- :func:`mine_pair_rules` — synonym/implication rules
+  ``b(x, y) => h(x, y)`` (e.g. cityOf => locatedIn);
+- :func:`mine_path_rules` — composition rules
+  ``p1(x, y) AND p2(y, z) => h(x, z)`` (e.g. bornIn + cityOf =>
+  nationality).
+
+Both report AMIE's *standard* confidence: ``support`` = number of
+distinct variable bindings satisfying body AND head, ``body_size`` =
+distinct bindings satisfying the body, ``confidence = support /
+body_size`` (CWA denominator — the PCA variant is a denominator swap
+the caller can derive).
+
+Scale shape: the assertion stream is first collapsed to DISTINCT
+facts (block-level dedup + one groupby — same pattern as
+kgqa.functional_violations); pair rules then need ONE shuffle keyed
+by the (subj, obj) pair; path rules need two more (join entities on
+the shared variable y, then bindings vs head facts keyed by (x, z)).
+Every aggregate AFTER the binding joins is predicate-pair-bounded
+(|P|^2 rows), so the final confidence division happens on a
+driver-side table the size of the predicate vocabulary — the big
+data never leaves the cluster.  Hub entities (large in-degree AND
+out-degree on the same node) quadratically inflate the y-join; the
+``max_fanout`` guard drops those groups explicitly (logged in the
+output contract) rather than silently OOMing — at web scale you'd
+salt or sample hubs, and rules they support are recoverable from the
+surviving tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from aida_ray.state.collect import collect_table
+
+_SEP = "\x1f"
+
+
+def _distinct_facts(triples: ray.data.Dataset, s: str, p: str,
+                    o: str) -> ray.data.Dataset:
+    """Globally-distinct (s, p, o) rows: block-level dedup partial,
+    then one groupby over the collapsed stream."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                           o: b[o].to_pandas()}).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby([s, p, o]).aggregate(Sum("one"))
+
+
+def _finish_confidence(counts: pa.Table, sizes: dict,
+                       body_cols: list[str], min_support: int,
+                       out_body: list[str]) -> pa.Table:
+    """Small driver-side finish: join |rules| count rows against the
+    |P|-bounded body-size dict and divide."""
+    df = counts.to_pandas()
+    if len(df) == 0:
+        cols = {c: pd.Series([], dtype=object) for c in out_body}
+        cols["support"] = pd.Series([], dtype=np.int64)
+        cols["body_size"] = pd.Series([], dtype=np.int64)
+        cols["confidence"] = pd.Series([], dtype=np.float64)
+        return pa.Table.from_pandas(pd.DataFrame(cols),
+                                    preserve_index=False)
+    df = df[df["support"] >= min_support].copy()
+    key = list(zip(*(df[c] for c in body_cols))) if len(body_cols) > 1 \
+        else list(df[body_cols[0]])
+    df["body_size"] = [int(sizes[k]) for k in key]
+    df["support"] = df["support"].astype(np.int64)
+    df["confidence"] = (df["support"] / df["body_size"]).round(6)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def mine_pair_rules(triples: ray.data.Dataset, min_support: int = 1,
+                    s: str = "subj", p: str = "pred",
+                    o: str = "obj") -> pa.Table:
+    """``body_pred(x, y) => head_pred(x, y)`` rules with columns
+    (body_pred, head_pred, support, body_size, confidence).
+
+    One (subj, obj)-keyed shuffle emits every ordered predicate pair
+    co-asserted on the same entity pair; body sizes are the per-pred
+    distinct-pair counts (a |P|-row aggregate).  The result is
+    |P|^2-bounded, returned as an Arrow table.
+    """
+    from ray.data.aggregate import Sum
+
+    facts = _distinct_facts(triples, s, p, o)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        obj = b[o].to_pandas().astype(str)
+        return pa.table({
+            "pairkey": pa.array((subj + _SEP + obj).tolist(),
+                                pa.string()),
+            "pred_": pa.array(b[p].to_pandas().astype(str).tolist(),
+                              pa.string())})
+
+    def per_pair(df: pd.DataFrame) -> pd.DataFrame:
+        preds = sorted(set(df["pred_"]))
+        bp, hp = [], []
+        for a in preds:
+            for h in preds:
+                if a != h:
+                    bp.append(a)
+                    hp.append(h)
+        return pd.DataFrame({"body_pred": bp, "head_pred": hp,
+                             "one": np.ones(len(bp), dtype=np.int64)})
+
+    co = facts.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("pairkey").map_groups(per_pair, batch_format="pandas") \
+        .groupby(["body_pred", "head_pred"]).aggregate(Sum("one"))
+
+    def size_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred_": b[p],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    sz = collect_table(
+        facts.map_batches(size_rows, batch_format="pyarrow")
+        .groupby("pred_").aggregate(Sum("one")),
+        schema=pa.schema([("pred_", pa.string()),
+                          ("sum(one)", pa.int64())]))
+    sizes = dict(zip(sz["pred_"].to_pylist(),
+                     sz["sum(one)"].to_pylist()))
+
+    counts = collect_table(
+        co, schema=pa.schema([("body_pred", pa.string()),
+                              ("head_pred", pa.string()),
+                              ("sum(one)", pa.int64())]))
+    counts = counts.rename_columns(["body_pred", "head_pred", "support"])
+    return _finish_confidence(counts, sizes, ["body_pred"], min_support,
+                              ["body_pred", "head_pred"])
+
+
+def mine_path_rules(triples: ray.data.Dataset, min_support: int = 1,
+                    max_fanout: int | None = None, s: str = "subj",
+                    p: str = "pred", o: str = "obj") -> pa.Table:
+    """``p1(x, y) AND p2(y, z) => head_pred(x, z)`` rules with columns
+    (p1, p2, head_pred, support, body_size, confidence).
+
+    Bindings with ``x == z`` are excluded (distinct-variable
+    convention).  ``max_fanout`` drops y-groups whose in*out product
+    exceeds the bound (hub guard; None = no cap).
+    """
+    from ray.data.aggregate import Sum
+
+    facts = _distinct_facts(triples, s, p, o)
+
+    def roles(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        pred = b[p].to_pandas().astype(str)
+        obj = b[o].to_pandas().astype(str)
+        # 'in' rows arrive at y == obj (they are the p1 leg);
+        # 'out' rows leave y == subj (the p2 leg)
+        y = pd.concat([obj, subj], ignore_index=True)
+        role = np.concatenate([np.zeros(len(subj), dtype=np.int8),
+                               np.ones(len(subj), dtype=np.int8)])
+        pr = pd.concat([pred, pred], ignore_index=True)
+        other = pd.concat([subj, obj], ignore_index=True)
+        return pa.table({"y": pa.array(y.tolist(), pa.string()),
+                         "role": pa.array(role),
+                         "pr": pa.array(pr.tolist(), pa.string()),
+                         "other": pa.array(other.tolist(), pa.string())})
+
+    def compose(df: pd.DataFrame) -> pd.DataFrame:
+        ins = df[df["role"] == 0]
+        outs = df[df["role"] == 1]
+        if len(ins) == 0 or len(outs) == 0 or (
+                max_fanout is not None
+                and len(ins) * len(outs) > max_fanout):
+            return pd.DataFrame({"p1": pd.Series([], dtype=object),
+                                 "p2": pd.Series([], dtype=object),
+                                 "x": pd.Series([], dtype=object),
+                                 "z": pd.Series([], dtype=object),
+                                 "one": pd.Series([], dtype=np.int64)})
+        cross = ins.merge(outs, how="cross", suffixes=("_a", "_b"))
+        cross = cross[cross["other_a"] != cross["other_b"]]
+        return pd.DataFrame({"p1": cross["pr_a"].to_numpy(),
+                             "p2": cross["pr_b"].to_numpy(),
+                             "x": cross["other_a"].to_numpy(),
+                             "z": cross["other_b"].to_numpy(),
+                             "one": np.ones(len(cross), dtype=np.int64)})
+
+    bindings = facts.map_batches(roles, batch_format="pyarrow") \
+        .groupby("y").map_groups(compose, batch_format="pandas") \
+        .groupby(["p1", "p2", "x", "z"]).aggregate(Sum("one"))
+
+    # tagged union keyed by the (x, z) pair: body bindings vs head facts
+    def body_rows(b: pa.Table) -> pa.Table:
+        x = b["x"].to_pandas().astype(str)
+        z = b["z"].to_pandas().astype(str)
+        return pa.table({
+            "pairkey": pa.array((x + _SEP + z).tolist(), pa.string()),
+            "tag": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            "a": b["p1"], "b": b["p2"]})
+
+    def head_rows(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        obj = b[o].to_pandas().astype(str)
+        return pa.table({
+            "pairkey": pa.array((subj + _SEP + obj).tolist(),
+                                pa.string()),
+            "tag": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            "a": b[p],
+            "b": pa.array([""] * b.num_rows, pa.string())})
+
+    tagged = bindings.map_batches(body_rows, batch_format="pyarrow") \
+        .union(facts.map_batches(head_rows, batch_format="pyarrow"))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        bodies = df[df["tag"] == 0]
+        heads = df[df["tag"] == 1]
+        p1s, p2s, hs = [], [], []
+        for a, b2 in zip(bodies["a"], bodies["b"]):
+            # one body-size marker per binding (head_pred = '')
+            p1s.append(a)
+            p2s.append(b2)
+            hs.append("")
+            for h in heads["a"]:
+                p1s.append(a)
+                p2s.append(b2)
+                hs.append(h)
+        return pd.DataFrame({"p1": p1s, "p2": p2s, "head_pred": hs,
+                             "one": np.ones(len(p1s), dtype=np.int64)})
+
+    counts = collect_table(
+        tagged.groupby("pairkey").map_groups(match,
+                                             batch_format="pandas")
+        .groupby(["p1", "p2", "head_pred"]).aggregate(Sum("one")),
+        schema=pa.schema([("p1", pa.string()), ("p2", pa.string()),
+                          ("head_pred", pa.string()),
+                          ("sum(one)", pa.int64())]))
+    df = counts.to_pandas()
+    bs = df[df["head_pred"] == ""]
+    sizes = {(a, b): int(n) for a, b, n in
+             zip(bs["p1"], bs["p2"], bs["sum(one)"])}
+    sup = df[df["head_pred"] != ""].rename(
+        columns={"sum(one)": "support"}).reset_index(drop=True)
+    return _finish_confidence(
+        pa.Table.from_pandas(sup, preserve_index=False), sizes,
+        ["p1", "p2"], min_support, ["p1", "p2", "head_pred"])
