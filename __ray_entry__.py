@@ -4869,6 +4869,41 @@ def q_openie(sf_dir: str) -> pa.Table:
         docs.map_batches(to_text, batch_format="pyarrow")))
 
 
+def q_coref(sf_dir: str) -> pa.Table:
+    """Pronoun-antecedent resolution (stages/coref.
+    pronoun_antecedents) over planted two/three-sentence docs —
+    doc_id % 5 cycles subject/object parallelism, it-recency, plural
+    fan-out, the no-candidate fallback across an empty sentence, and
+    the pronoun-free negative; the oracle enumerates the resolved
+    rows arithmetically."""
+    from aida_ray.stages.coref import pronoun_antecedents
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 5
+            if m == 0:
+                s = f"Alice{i} met Bob{i} . She praised him ."
+            elif m == 1:
+                s = f"Carol{i} built Acme{i} . It grew fast ."
+            elif m == 2:
+                s = f"Dan{i} and Eve{i} left . They returned ."
+            elif m == 3:
+                s = f"Frank{i} slept . The day ended . He woke ."
+            else:
+                s = f"Grace{i} sang ."
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(pronoun_antecedents(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
 def _rule_triples(sf_dir: str) -> "ray.data.Dataset":
     """Shared planted KG for the AMIE rule miners: with k = doc_id//4
     and m = doc_id%4 — m==0 asserts bornIn(p{k%40}, c{(k%40)%8}),
@@ -5351,6 +5386,18 @@ _REDIRECTS_ORACLE = """
     FROM d WHERE i % 8 <> 0
     UNION ALL
     SELECT i, -1, -1 FROM d WHERE i IN (8, 16)
+"""
+
+
+_COREF_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent_idx, 'she' AS pronoun,
+           'Alice' || doc_id AS antecedent FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 1, 'him', 'Bob' || doc_id FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 1, 'it', 'Acme' || doc_id FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 1, 'they', 'Dan' || doc_id FROM d WHERE m = 2
+    UNION ALL SELECT doc_id, 1, 'they', 'Eve' || doc_id FROM d WHERE m = 2
+    UNION ALL SELECT doc_id, 2, 'he', 'Frank' || doc_id FROM d WHERE m = 3
 """
 
 
@@ -5880,6 +5927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "openie_triples": q_openie,
         "amie_pair_rules": q_amie_pair_rules,
         "amie_path_rules": q_amie_path_rules,
+        "coref_pronouns": q_coref,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7415,6 +7463,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "openie_triples": _OPENIE_ORACLE,
         "amie_pair_rules": _AMIE_PAIR_ORACLE,
         "amie_path_rules": _AMIE_PATH_ORACLE,
+        "coref_pronouns": _COREF_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
