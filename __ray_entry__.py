@@ -4869,6 +4869,83 @@ def q_openie(sf_dir: str) -> pa.Table:
         docs.map_batches(to_text, batch_format="pyarrow")))
 
 
+def q_timex(sf_dir: str) -> pa.Table:
+    """TIMEX-lite date grounding (stages/timex.timex_mentions):
+    doc_id % 6 cycles ISO / month-day-year / day-month-year /
+    month-year / bare-year / DCT-relative ("yesterday" against a
+    planted dct column); the oracle rebuilds mention + ISO value
+    arithmetically (printf zero-padding, DATE arithmetic for the
+    relative row)."""
+    from aida_ray.stages.timex import timex_mentions
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts, dcts = [], []
+        for i in ids:
+            i = int(i)
+            m = i % 6
+            d, y = 1 + i % 28, 1990 + i % 30
+            if m == 0:
+                s = "review 2021-05-03 scheduled"
+            elif m == 1:
+                s = f"born May {d} , {y} in town"
+            elif m == 2:
+                s = f"on {d} March {y}"
+            elif m == 3:
+                s = f"since October {y}"
+            elif m == 4:
+                s = f"back in {1960 + i % 60}"
+            else:
+                s = "report due yesterday"
+            texts.append(s)
+            dcts.append(f"2021-01-{d:02d}")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string()),
+                         "dct": pa.array(dcts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(timex_mentions(
+        docs.map_batches(to_text, batch_format="pyarrow"),
+        dct_col="dct"))
+
+
+def q_quantities(sf_dir: str) -> pa.Table:
+    """Quantity + SI normalization (stages/quantities.
+    quantity_mentions): doc_id % 5 cycles km/g/min/tb conversions and
+    the multiplier-with-free-noun case ("a.a million users"); the
+    oracle mirrors each conversion operation-for-operation in IEEE
+    double (CAST of the same decimal literal, same multiply) so no
+    rounding seam exists."""
+    from aida_ray.stages.quantities import quantity_mentions
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 5
+            if m == 0:
+                s = f"the route spans {1 + i % 500} km"
+            elif m == 1:
+                s = f"weighs {1 + i % 90} g in total"
+            elif m == 2:
+                a = i % 10
+                s = f"about {a}.{a} million users joined"
+            elif m == 3:
+                s = f"cpu time {1 + i % 60} min per task"
+            else:
+                s = f"disk holds {1 + i % 8} tb now"
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(quantity_mentions(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
 def q_coref(sf_dir: str) -> pa.Table:
     """Pronoun-antecedent resolution (stages/coref.
     pronoun_antecedents) over planted two/three-sentence docs —
@@ -5386,6 +5463,51 @@ _REDIRECTS_ORACLE = """
     FROM d WHERE i % 8 <> 0
     UNION ALL
     SELECT i, -1, -1 FROM d WHERE i IN (8, 16)
+"""
+
+
+_TIMEX_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 6 AS m, 1 + doc_id % 28 AS dd,
+                      1990 + doc_id % 30 AS yy FROM documents)
+    SELECT doc_id, '2021-05-03' AS mention, '2021-05-03' AS value
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'May ' || dd || ' , ' || yy,
+                     printf('%04d-05-%02d', yy, dd) FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, dd || ' March ' || yy,
+                     printf('%04d-03-%02d', yy, dd) FROM d WHERE m = 2
+    UNION ALL SELECT doc_id, 'October ' || yy, printf('%04d-10', yy)
+    FROM d WHERE m = 3
+    UNION ALL SELECT doc_id, CAST(1960 + doc_id % 60 AS VARCHAR),
+                     CAST(1960 + doc_id % 60 AS VARCHAR)
+    FROM d WHERE m = 4
+    UNION ALL SELECT doc_id, 'yesterday',
+                     strftime(DATE '2021-01-01'
+                              + (doc_id % 28) * INTERVAL 1 DAY
+                              - INTERVAL 1 DAY, '%Y-%m-%d')
+    FROM d WHERE m = 5
+"""
+
+_QUANTITIES_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 5 AS m FROM documents)
+    SELECT doc_id, (1 + doc_id % 500) || ' km' AS mention,
+           CAST(1 + doc_id % 500 AS DOUBLE) * 1000.0 AS value_si,
+           'm' AS unit_si FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, (1 + doc_id % 90) || ' g',
+                     CAST(1 + doc_id % 90 AS DOUBLE) * 0.001, 'kg'
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id,
+                     (doc_id % 10) || '.' || (doc_id % 10)
+                         || ' million users',
+                     CAST((doc_id % 10) || '.' || (doc_id % 10)
+                          AS DOUBLE) * 1000000.0, 'users'
+    FROM d WHERE m = 2
+    UNION ALL SELECT doc_id, (1 + doc_id % 60) || ' min',
+                     CAST(1 + doc_id % 60 AS DOUBLE) * 60.0, 's'
+    FROM d WHERE m = 3
+    UNION ALL SELECT doc_id, (1 + doc_id % 8) || ' tb',
+                     CAST(1 + doc_id % 8 AS DOUBLE)
+                         * 1000000000000.0, 'b'
+    FROM d WHERE m = 4
 """
 
 
@@ -5928,6 +6050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "amie_pair_rules": q_amie_pair_rules,
         "amie_path_rules": q_amie_path_rules,
         "coref_pronouns": q_coref,
+        "timex_dates": q_timex,
+        "quantity_si": q_quantities,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7464,6 +7588,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "amie_pair_rules": _AMIE_PAIR_ORACLE,
         "amie_path_rules": _AMIE_PATH_ORACLE,
         "coref_pronouns": _COREF_ORACLE,
+        "timex_dates": _TIMEX_ORACLE,
+        "quantity_si": _QUANTITIES_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
