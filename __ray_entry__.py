@@ -5025,6 +5025,38 @@ def _rule_triples(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(to_triples, batch_format="pyarrow")
 
 
+def q_kg_signatures(sf_dir: str) -> pa.Table:
+    """Predicate type-signature induction (sparql.
+    predicate_signatures) over the planted KG assertion stream with a
+    registry typing p* Person, n* Country, c* Metro/City by idx % 3 —
+    purities are fractions (bornIn 25/40 of distinct objs repeat
+    city types); oracle = generic window-function twin with the same
+    (support DESC, st, ot) tie-break."""
+    from aida_ray.stages.sparql import predicate_signatures
+
+    types = ray.data.from_arrow(pa.table({
+        "entity": pa.array(
+            [f"p{i}" for i in range(40)] + [f"c{i}" for i in range(8)]
+            + [f"n{i}" for i in range(4)], pa.string()),
+        "type": pa.array(
+            ["Person"] * 40
+            + [("Metro" if i % 3 == 0 else "City") for i in range(8)]
+            + ["Country"] * 4, pa.string())}))
+    return _collect(predicate_signatures(_rule_triples(sf_dir), types))
+
+
+def q_kg_bgp(sf_dir: str) -> pa.Table:
+    """SPARQL-lite BGP (sparql.bgp_match): ?x bornIn ?y . ?y cityOf
+    ?z . ?x nationality ?z over the planted KG — the 30 persons whose
+    nationality is composition-consistent; oracle = three-way
+    self-join over DISTINCT facts."""
+    from aida_ray.stages.sparql import bgp_match
+    return _collect(bgp_match(_rule_triples(sf_dir),
+                              [("?x", "bornIn", "?y"),
+                               ("?y", "cityOf", "?z"),
+                               ("?x", "nationality", "?z")]))
+
+
 def q_amie_pair_rules(sf_dir: str) -> pa.Table:
     """Synonym/implication rules b(x,y) => h(x,y) (rules.
     mine_pair_rules) over the planted KG; oracle = generic DISTINCT
@@ -5544,6 +5576,40 @@ _RULE_FACTS_CTE = """
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
 
+_KG_SIGNATURES_ORACLE = _RULE_FACTS_CTE + """
+    , typed AS (
+        SELECT pred,
+               CASE WHEN subj LIKE 'p%' THEN 'Person'
+                    WHEN subj LIKE 'n%' THEN 'Country'
+                    WHEN CAST(substr(subj, 2) AS INT) % 3 = 0
+                         THEN 'Metro' ELSE 'City' END AS subj_type,
+               CASE WHEN obj LIKE 'p%' THEN 'Person'
+                    WHEN obj LIKE 'n%' THEN 'Country'
+                    WHEN CAST(substr(obj, 2) AS INT) % 3 = 0
+                         THEN 'Metro' ELSE 'City' END AS obj_type
+        FROM raw)
+    , cnt AS (SELECT pred, subj_type, obj_type, COUNT(*) AS support
+              FROM typed GROUP BY 1, 2, 3)
+    , tot AS (SELECT pred, CAST(SUM(support) AS BIGINT) AS total
+              FROM cnt GROUP BY 1)
+    , ranked AS (SELECT cnt.*, ROW_NUMBER() OVER (
+                     PARTITION BY pred
+                     ORDER BY support DESC, subj_type, obj_type) AS rn
+                 FROM cnt)
+    SELECT r.pred, r.subj_type, r.obj_type, r.support, t.total,
+           ROUND(r.support * 1.0 / t.total, 6) AS purity
+    FROM ranked r JOIN tot t USING (pred) WHERE rn = 1
+"""
+
+_KG_BGP_ORACLE = _RULE_FACTS_CTE + """
+    SELECT a.subj AS x, a.obj AS y, b.obj AS z
+    FROM f a
+    JOIN f b ON b.subj = a.obj AND b.pred = 'cityOf'
+    JOIN f h ON h.subj = a.subj AND h.obj = b.obj
+            AND h.pred = 'nationality'
+    WHERE a.pred = 'bornIn'
+"""
+
 _AMIE_PAIR_ORACLE = _RULE_FACTS_CTE + """
     , sz AS (SELECT pred, COUNT(*) AS n FROM f GROUP BY pred)
     , co AS (SELECT a.pred AS body_pred, b.pred AS head_pred,
@@ -6052,6 +6118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coref_pronouns": q_coref,
         "timex_dates": q_timex,
         "quantity_si": q_quantities,
+        "kg_signatures": q_kg_signatures,
+        "kg_bgp": q_kg_bgp,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7590,6 +7658,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "coref_pronouns": _COREF_ORACLE,
         "timex_dates": _TIMEX_ORACLE,
         "quantity_si": _QUANTITIES_ORACLE,
+        "kg_signatures": _KG_SIGNATURES_ORACLE,
+        "kg_bgp": _KG_BGP_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
