@@ -5025,6 +5025,98 @@ def _rule_triples(sf_dir: str) -> "ray.data.Dataset":
     return docs.map_batches(to_triples, batch_format="pyarrow")
 
 
+def q_salience(sf_dir: str) -> pa.Table:
+    """Entity salience (salience.entity_salience): tf + first-mention
+    position score over planted docs (doc_id % 3 cycles repeated /
+    late-first / single-mention layouts); arithmetic oracle."""
+    from aida_ray.stages.salience import entity_salience
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                s = (f"Acme{i} opened . Beta{i} praised Acme{i} . "
+                     f"Acme{i} grew .")
+            elif m == 1:
+                s = f"The market fell . Gamma{i} rose ."
+            else:
+                s = f"Delta{i} won ."
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(entity_salience(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
+def q_infobox(sf_dir: str) -> pa.Table:
+    """Wikitext infobox extraction (infobox.infobox_attributes):
+    doc_id % 4 cycles plain attributes / link-label + nested-template
+    values / no infobox / key normalization; arithmetic oracle."""
+    from aida_ray.stages.infobox import infobox_attributes
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 4
+            if m == 0:
+                s = (f"{{{{Infobox company | name = Acme {i} | "
+                     f"founded = {1900 + i % 100} | "
+                     f"hq = [[City{i}]] }}}}")
+            elif m == 1:
+                s = (f"{{{{Infobox person | born = [[x|Town{i}]] | "
+                     f"note = {{{{cite}}}} ok }}}}")
+            elif m == 2:
+                s = "plain prose only"
+            else:
+                s = f"{{{{Infobox place | Area Size = {i} km }}}}"
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(infobox_attributes(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
+def q_modality(sf_dir: str) -> pa.Table:
+    """Negation/hedge tagging (modality.sentence_modality): doc_id %
+    4 cycles plain assertion / negation / hedge / combined+second
+    sentence; arithmetic oracle."""
+    from aida_ray.stages.modality import sentence_modality
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 4
+            if m == 0:
+                s = f"Acme{i} bought Beta{i} ."
+            elif m == 1:
+                s = f"Acme{i} did not buy Beta{i} ."
+            elif m == 2:
+                s = f"Acme{i} may buy Beta{i} ."
+            else:
+                s = f"Acme{i} never allegedly paid . It shrugged ."
+            texts.append(s)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(sentence_modality(
+        docs.map_batches(to_text, batch_format="pyarrow")))
+
+
 def q_kg_signatures(sf_dir: str) -> pa.Table:
     """Predicate type-signature induction (sparql.
     predicate_signatures) over the planted KG assertion stream with a
@@ -5576,6 +5668,51 @@ _RULE_FACTS_CTE = """
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
 
+_SALIENCE_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+    SELECT doc_id, 'Acme' || doc_id AS entity, CAST(3 AS BIGINT) AS tf,
+           CAST(0 AS BIGINT) AS first_sent, 4.0 AS score
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'Beta' || doc_id, 1, 1, 1.5
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'Gamma' || doc_id, 1, 1, 1.5
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 'Delta' || doc_id, 1, 0, 2.0
+    FROM d WHERE m = 2
+"""
+
+_INFOBOX_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+    SELECT doc_id, 'company' AS subject, 'name' AS key,
+           'Acme ' || doc_id AS value FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'company', 'founded',
+                     CAST(1900 + doc_id % 100 AS VARCHAR)
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'company', 'hq', 'City' || doc_id
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'person', 'born', 'Town' || doc_id
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 'person', 'note', 'ok' FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 'place', 'area_size', doc_id || ' km'
+    FROM d WHERE m = 3
+"""
+
+_MODALITY_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS sent_idx, 'pos' AS polarity,
+           '' AS neg_trigger, 'asserted' AS modality,
+           '' AS hedge_trigger FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 0, 'neg', 'not', 'asserted', ''
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 0, 'pos', '', 'uncertain', 'may'
+    FROM d WHERE m = 2
+    UNION ALL SELECT doc_id, 0, 'neg', 'never', 'uncertain',
+                     'allegedly' FROM d WHERE m = 3
+    UNION ALL SELECT doc_id, 1, 'pos', '', 'asserted', ''
+    FROM d WHERE m = 3
+"""
+
+
 _KG_SIGNATURES_ORACLE = _RULE_FACTS_CTE + """
     , typed AS (
         SELECT pred,
@@ -6120,6 +6257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantity_si": q_quantities,
         "kg_signatures": q_kg_signatures,
         "kg_bgp": q_kg_bgp,
+        "entity_salience": q_salience,
+        "infobox_attrs": q_infobox,
+        "sentence_modality": q_modality,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7660,6 +7800,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "quantity_si": _QUANTITIES_ORACLE,
         "kg_signatures": _KG_SIGNATURES_ORACLE,
         "kg_bgp": _KG_BGP_ORACLE,
+        "entity_salience": _SALIENCE_ORACLE,
+        "infobox_attrs": _INFOBOX_ORACLE,
+        "sentence_modality": _MODALITY_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
