@@ -5275,6 +5275,68 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_kb_slotfill(sf_dir: str) -> pa.Table:
+    """Majority-vote slot filling (kb_slots.slot_fill) over the full
+    constraint assertion stream (bornIn conflicts + linksTo fan-out);
+    oracle = generic vote/total window twin with the same
+    (votes DESC, obj ASC) tie-break."""
+    from aida_ray.stages.kb_slots import slot_fill
+    return _collect(slot_fill(_constraint_triples(sf_dir)))
+
+
+def q_kb_provenance(sf_dir: str) -> pa.Table:
+    """Triple provenance (kb_slots.triple_provenance): per distinct
+    bornIn fact, the sorted distinct supporting doc ids ','-joined;
+    oracle = string_agg ORDER BY twin."""
+    from aida_ray.stages.kb_slots import triple_provenance
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        did, subs, objs = [], [], []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                did.append(i)
+                subs.append(f"e{i % 30}")
+                c = (i % 60) // 30 if (i % 30) % 2 == 0 else 0
+                objs.append(f"c{c}")
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "subj": pa.array(subs, pa.string()),
+                         "pred": pa.array(["bornIn"] * len(did),
+                                          pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(triple_provenance(
+        docs.map_batches(to_triples, batch_format="pyarrow")))
+
+
+def q_taxonomy_lca(sf_dir: str) -> pa.Table:
+    """Lowest common ancestor (lca.lca_pairs) over a 63-node
+    heap-indexed binary taxonomy (parent(k) = (k-1)//2), pairs
+    (doc_id % 63, (doc_id*7+3) % 63); oracle = recursive
+    walk-the-larger-index-up CTE with FLOOR(LOG2(n+1)) depth."""
+    from aida_ray.stages.lca import lca_pairs
+
+    edges = ray.data.from_arrow(pa.table({
+        "child": pa.array(list(range(1, 63)), pa.int64()),
+        "parent": pa.array([(k - 1) // 2 for k in range(1, 63)],
+                           pa.int64())}))
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "a": pa.array(ids % 63, pa.int64()),
+            "b": pa.array((ids * 7 + 3) % 63, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(lca_pairs(
+        docs.map_batches(to_pairs, batch_format="pyarrow"), edges))
+
+
 def q_acronyms(sf_dir: str) -> pa.Table:
     """Acronym-definition extraction (hearst.acronym_definitions):
     planted 'Long Form (LF)' sentences — every 3rd doc defines a
@@ -5667,6 +5729,60 @@ _RULE_FACTS_CTE = """
     ),
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
+
+_KB_SLOTFILL_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || (doc_id % 30) AS subj,
+               CASE WHEN doc_id % 3 = 0 THEN 'bornIn'
+                    ELSE 'linksTo' END AS pred,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'c' || (CASE WHEN (doc_id % 30) % 2 = 0
+                                THEN (doc_id % 60) // 30 ELSE 0 END)
+               ELSE 'e' || ((doc_id * 3 + 1) % 40) END AS obj
+        FROM documents),
+    v AS (SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM t GROUP BY 1, 2, 3),
+    tot AS (SELECT subj, pred, CAST(SUM(votes) AS BIGINT) AS total
+            FROM v GROUP BY 1, 2),
+    r AS (SELECT v.*, ROW_NUMBER() OVER (
+              PARTITION BY subj, pred
+              ORDER BY votes DESC, obj) AS rn FROM v)
+    SELECT r.subj, r.pred, r.obj, r.votes, t.total,
+           ROUND(r.votes * 1.0 / t.total, 6) AS agreement
+    FROM r JOIN tot t ON t.subj = r.subj AND t.pred = r.pred
+    WHERE rn = 1
+"""
+
+_KB_PROVENANCE_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, 'e' || (doc_id % 30) AS subj,
+               'bornIn' AS pred,
+               'c' || (CASE WHEN (doc_id % 30) % 2 = 0
+                            THEN (doc_id % 60) // 30 ELSE 0 END) AS obj
+        FROM documents WHERE doc_id % 3 = 0),
+    d AS (SELECT DISTINCT subj, pred, obj, doc_id FROM t)
+    SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id) AS doc_list
+    FROM d GROUP BY 1, 2, 3
+"""
+
+_TAXONOMY_LCA_ORACLE = """
+    WITH RECURSIVE pairs AS (
+        SELECT doc_id, doc_id % 63 AS a, (doc_id * 7 + 3) % 63 AS b
+        FROM documents),
+    walk AS (
+        SELECT doc_id, a AS x, b AS y FROM pairs
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN x > y THEN (x - 1) // 2 ELSE x END,
+               CASE WHEN y > x THEN (y - 1) // 2 ELSE y END
+        FROM walk WHERE x <> y)
+    SELECT p.doc_id, p.a, p.b, w.x AS lca,
+           CAST(FLOOR(LOG2(w.x + 1)) AS BIGINT) AS lca_depth
+    FROM pairs p JOIN walk w ON w.doc_id = p.doc_id AND w.x = w.y
+"""
+
 
 _SALIENCE_ORACLE = """
     WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
@@ -6260,6 +6376,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_salience": q_salience,
         "infobox_attrs": q_infobox,
         "sentence_modality": q_modality,
+        "kb_slotfill": q_kb_slotfill,
+        "kb_provenance": q_kb_provenance,
+        "taxonomy_lca": q_taxonomy_lca,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7803,6 +7922,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "entity_salience": _SALIENCE_ORACLE,
         "infobox_attrs": _INFOBOX_ORACLE,
         "sentence_modality": _MODALITY_ORACLE,
+        "kb_slotfill": _KB_SLOTFILL_ORACLE,
+        "kb_provenance": _KB_PROVENANCE_ORACLE,
+        "taxonomy_lca": _TAXONOMY_LCA_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,

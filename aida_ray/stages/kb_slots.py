@@ -1,0 +1,112 @@
+"""KB slot filling + triple provenance aggregation.
+
+Two publish-side aggregations over the raw assertion stream:
+
+- :func:`slot_fill` — majority-vote slot filling: per (subj, pred)
+  pick the object with the most supporting assertions (the
+  redundancy-voting step of TAC-KBP-style slot filling); ties break
+  lexicographically on the object.  Emits the winner with its vote
+  count, the total votes for the slot, and agreement = votes/total.
+- :func:`triple_provenance` — per distinct (subj, pred, obj), the
+  sorted list of supporting document ids (joined ',') and their
+  count — the provenance record a published KG carries per fact.
+
+Scale shape: both are ONE groupby after block-level pandas
+pre-aggregation (each block collapses to its distinct keys first, so
+the shuffle moves counts, not assertions).  slot_fill's winner pick
+is a second, slot-bounded groupby.  Provenance lists for hot triples
+are unbounded — ``max_docs`` caps the stored list (count stays
+exact) so a fact asserted by 10^7 pages doesn't build a gigabyte
+string on one reducer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def slot_fill(triples: ray.data.Dataset, s: str = "subj",
+              p: str = "pred", o: str = "obj") -> ray.data.Dataset:
+    """(subj, pred, obj, votes, total, agreement) — the winning
+    object per slot under assertion-count majority vote."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                           o: b[o].to_pandas()})
+        g = df.groupby([s, p, o], sort=False).size().rename(
+            "n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    votes = triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby([s, p, o]).aggregate(Sum("n"))
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["sum(n)"].sum())
+        df = df.sort_values(["sum(n)", o], ascending=[False, True])
+        top = df.iloc[0]
+        v = int(top["sum(n)"])
+        return pd.DataFrame({
+            s: [top[s]], p: [top[p]], o: [top[o]],
+            "votes": np.array([v], dtype=np.int64),
+            "total": np.array([total], dtype=np.int64),
+            "agreement": [round(v / total, 6)]})
+
+    def slot_key(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        pred = b[p].to_pandas().astype(str)
+        return b.append_column(
+            "slot", pa.array((subj + "\x1f" + pred).tolist(),
+                             pa.string()))
+
+    return votes.map_batches(slot_key, batch_format="pyarrow") \
+        .groupby("slot").map_groups(winner, batch_format="pandas")
+
+
+def triple_provenance(triples: ray.data.Dataset,
+                      doc_col: str = "doc_id", s: str = "subj",
+                      p: str = "pred", o: str = "obj",
+                      max_docs: int | None = None) -> ray.data.Dataset:
+    """(subj, pred, obj, n_docs, doc_list) — distinct supporting doc
+    ids per fact, sorted ascending, ','-joined (first ``max_docs``
+    kept when capped; n_docs stays the exact distinct count)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            s: b[s].to_pandas(), p: b[p].to_pandas(),
+            o: b[o].to_pandas(),
+            doc_col: b[doc_col].to_pandas().astype(np.int64)})
+        df = df.drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby([s, p, o, doc_col]).aggregate(Sum("one"))
+
+    def gather(df: pd.DataFrame) -> pd.DataFrame:
+        docs = np.sort(df[doc_col].to_numpy(dtype=np.int64))
+        shown = docs if max_docs is None else docs[:max_docs]
+        return pd.DataFrame({
+            s: [df[s].iloc[0]], p: [df[p].iloc[0]],
+            o: [df[o].iloc[0]],
+            "n_docs": np.array([len(docs)], dtype=np.int64),
+            "doc_list": [",".join(str(d) for d in shown)]})
+
+    def fact_key(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        pred = b[p].to_pandas().astype(str)
+        obj = b[o].to_pandas().astype(str)
+        return b.append_column(
+            "fact", pa.array(
+                (subj + "\x1f" + pred + "\x1f" + obj).tolist(),
+                pa.string()))
+
+    return distinct.map_batches(fact_key, batch_format="pyarrow") \
+        .groupby("fact").map_groups(gather, batch_format="pandas")
