@@ -5275,6 +5275,64 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_boilerplate(sf_dir: str) -> pa.Table:
+    """Per-domain boilerplate lines (boilerplate.boilerplate_lines):
+    domain d{doc_id % 10}; every page carries 'copyright d{d}' (frac
+    1.0), every third page 'menu home' (~0.33), plus a unique content
+    line (dropped at min_frac 0.3); generic fraction-twin oracle."""
+    from aida_ray.stages.boilerplate import boilerplate_lines
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        doms, texts = [], []
+        for i in ids:
+            i = int(i)
+            d = f"d{i % 10}"
+            lines = [f"copyright {d}"]
+            if i % 3 == 0:
+                lines.append("menu home")
+            lines.append(f"content {i}")
+            doms.append(d)
+            texts.append("\n".join(lines))
+        return pa.table({"domain": pa.array(doms, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(boilerplate_lines(
+        docs.map_batches(to_pages, batch_format="pyarrow"),
+        min_frac=0.3))
+
+
+def q_url_templates(sf_dir: str) -> pa.Table:
+    """URL template induction (urls.url_path_templates): doc_id % 4
+    cycles /article/{id}/view, /user/{id%50}/profile,
+    /static/css/main, /item/{id}; oracle groups by the CASE-derived
+    template with MIN(path) example."""
+    from aida_ray.stages.urls import url_path_templates
+
+    def to_paths(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        paths = []
+        for i in ids:
+            i = int(i)
+            m = i % 4
+            if m == 0:
+                paths.append(f"/article/{i}/view")
+            elif m == 1:
+                paths.append(f"/user/{i % 50}/profile")
+            elif m == 2:
+                paths.append("/static/css/main")
+            else:
+                paths.append(f"/item/{i}")
+        return pa.table({"path": pa.array(paths, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(url_path_templates(
+        docs.map_batches(to_paths, batch_format="pyarrow")))
+
+
 def q_kb_slotfill(sf_dir: str) -> pa.Table:
     """Majority-vote slot filling (kb_slots.slot_fill) over the full
     constraint assertion stream (bornIn conflicts + linksTo fan-out);
@@ -5729,6 +5787,44 @@ _RULE_FACTS_CTE = """
     ),
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
+
+_BOILERPLATE_ORACLE = """
+    WITH p AS (SELECT doc_id, 'd' || (doc_id % 10) AS domain
+               FROM documents),
+    lines AS (
+        SELECT doc_id, domain, 'copyright ' || domain AS line FROM p
+        UNION ALL SELECT doc_id, domain, 'menu home' FROM p
+        WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, domain, 'content ' || doc_id FROM p),
+    np AS (SELECT domain, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM p GROUP BY 1),
+    cnt AS (SELECT domain, line,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_pages
+            FROM lines GROUP BY 1, 2)
+    SELECT c.domain, c.line, c.n_pages,
+           ROUND(c.n_pages * 1.0 / np.n, 6) AS frac
+    FROM cnt c JOIN np USING (domain)
+    WHERE c.n_pages * 1.0 / np.n >= 0.3
+"""
+
+_URL_TEMPLATES_ORACLE = """
+    WITH p AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+    paths AS (
+        SELECT CASE m WHEN 0 THEN '/article/' || doc_id || '/view'
+                      WHEN 1 THEN '/user/' || (doc_id % 50)
+                                  || '/profile'
+                      WHEN 2 THEN '/static/css/main'
+                      ELSE '/item/' || doc_id END AS path,
+               CASE m WHEN 0 THEN '/article/{n}/view'
+                      WHEN 1 THEN '/user/{n}/profile'
+                      WHEN 2 THEN '/static/css/main'
+                      ELSE '/item/{n}' END AS template
+        FROM p)
+    SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+           MIN(path) AS example
+    FROM paths GROUP BY template
+"""
+
 
 _KB_SLOTFILL_ORACLE = """
     WITH t AS (
@@ -6379,6 +6475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kb_slotfill": q_kb_slotfill,
         "kb_provenance": q_kb_provenance,
         "taxonomy_lca": q_taxonomy_lca,
+        "boilerplate_lines": q_boilerplate,
+        "url_templates": q_url_templates,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -7925,6 +8023,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "kb_slotfill": _KB_SLOTFILL_ORACLE,
         "kb_provenance": _KB_PROVENANCE_ORACLE,
         "taxonomy_lca": _TAXONOMY_LCA_ORACLE,
+        "boilerplate_lines": _BOILERPLATE_ORACLE,
+        "url_templates": _URL_TEMPLATES_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,

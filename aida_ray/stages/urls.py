@@ -253,3 +253,44 @@ def resolve_redirects(edges: ray.data.Dataset, src: str = "src",
             "hops": pa.array(np.where(cyc, -1, hops), pa.int64())})
 
     return marked.map_batches(finish, batch_format="pyarrow")
+
+
+def url_path_templates(ds: ray.data.Dataset,
+                       path_col: str = "path") -> ray.data.Dataset:
+    """URL template induction: collapse all-digit path segments to
+    ``{n}`` and aggregate — ``/article/123/view`` and
+    ``/article/7/view`` both template to ``/article/{n}/view``.
+    The site-structure discovery step of a focused crawler (public
+    pattern: URL normalization for near-dup page-template grouping).
+
+    Emits (template, n_urls, example) where example is the
+    lexicographically-smallest member path.
+
+    Scale shape: per-block pandas pre-aggregation collapses each block
+    to its distinct templates (count + min example) before ONE
+    template-keyed groupby; template vocabulary is site-structure
+    sized, orders below the URL stream."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        tpls = []
+        for p in b[path_col].to_pylist():
+            segs = (p or "").split("/")
+            tpls.append("/".join("{n}" if s.isdigit() else s
+                                 for s in segs))
+        df = pd.DataFrame({"template": tpls,
+                           "path": b[path_col].to_pandas()})
+        g = df.groupby("template", sort=False).agg(
+            n=("path", "size"), example=("path", "min")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "template": [df["template"].iloc[0]],
+            "n_urls": np.array([int(df["n"].sum())], dtype=np.int64),
+            "example": [df["example"].min()]})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("template").map_groups(finish, batch_format="pandas")
