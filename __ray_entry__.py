@@ -5275,6 +5275,40 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_transe(sf_dir: str) -> pa.Table:
+    """TransE embedding training (transe.train_transe): relation 0
+    translates entity i -> i+30 over a 60-entity KG asserted by the
+    document stream; 8 distributed epochs, then a ranking eval
+    against fresh deterministic corruptions.  Rows-only by nature
+    (trained float embeddings have no SQL analogue); the query
+    SELF-ASSERTS the learning signal (>= 80% of true triples beat
+    their corruption) and emits only integers so the recorded row is
+    schedule-stable."""
+    from aida_ray.stages.transe import train_transe, transe_eval
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "h": pa.array(ids % 30, pa.int64()),
+            "r": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "t": pa.array(ids % 30 + 30, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    trip = docs.map_batches(to_triples, batch_format="pyarrow")
+    ent, rel = train_transe(trip, n_ent=60, n_rel=1, dim=8, epochs=8,
+                            lr=0.15)
+    ev = _collect(transe_eval(trip, ent, rel)).to_pandas()
+    n = len(ev)
+    n_better = int(ev["better"].sum())
+    ok = n > 0 and n_better / n >= 0.8
+    assert ok, f"TransE failed to learn: {n_better}/{n} better"
+    return pa.table({
+        "n_triples": pa.array([n], pa.int64()),
+        "n_better": pa.array([n_better], pa.int64()),
+        "ok": pa.array([ok], pa.bool_())})
+
+
 def q_boilerplate(sf_dir: str) -> pa.Table:
     """Per-domain boilerplate lines (boilerplate.boilerplate_lines):
     domain d{doc_id % 10}; every page carries 'copyright d{d}' (frac
@@ -6477,6 +6511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxonomy_lca": q_taxonomy_lca,
         "boilerplate_lines": q_boilerplate,
         "url_templates": q_url_templates,
+        "transe_rank": q_transe,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
