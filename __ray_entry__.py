@@ -5275,6 +5275,101 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_interval_conflicts(sf_dir: str) -> pa.Table:
+    """Temporal functional-violation pairs (temporal.
+    interval_conflicts): doc i asserts leaderOf(e{i%20},
+    g{(i%60)//20}) valid [(i//20)*10, +15] — consecutive revisions
+    overlap by 5 with a different leader; oracle = self-join twin
+    with LEAST/GREATEST canonicalization."""
+    from aida_ray.stages.temporal import interval_conflicts
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        start = (ids // 20) * 10
+        return pa.table({
+            "subj": pa.array([f"e{int(i) % 20}" for i in ids],
+                             pa.string()),
+            "pred": pa.array(["leaderOf"] * len(ids), pa.string()),
+            "obj": pa.array([f"g{(int(i) % 60) // 20}" for i in ids],
+                            pa.string()),
+            "start": pa.array(start, pa.int64()),
+            "end": pa.array(start + 15, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(interval_conflicts(
+        docs.map_batches(to_intervals, batch_format="pyarrow")))
+
+
+def q_nearest_site(sf_dir: str) -> pa.Table:
+    """Nearest-site geo join (geo.nearest_site): 8 planted sites at
+    (7j % 50, 11j % 60), points (doc_id % 100, doc_id*3 % 120);
+    int64-exact squared distance, ties to the smaller site id;
+    oracle = cross join + ROW_NUMBER twin."""
+    from aida_ray.stages.geo import nearest_site
+
+    sites = pa.table({
+        "site": pa.array(list(range(8)), pa.int64()),
+        "x": pa.array([(7 * j) % 50 for j in range(8)], pa.int64()),
+        "y": pa.array([(11 * j) % 60 for j in range(8)], pa.int64())})
+
+    def to_points(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "x": pa.array(ids % 100, pa.int64()),
+                         "y": pa.array((ids * 3) % 120, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(nearest_site(
+        docs.map_batches(to_points, batch_format="pyarrow"), sites))
+
+
+def q_dated_events(sf_dir: str) -> pa.Table:
+    """Composed extraction (openie x timex): each doc carries one
+    OpenIE pattern-family sentence plus 'signed on {d} March {y}';
+    the two extractors run on the SAME stream and hash-join on
+    doc_id, grounding each event triple to its ISO date.  Oracle =
+    the openie oracle extended with the reconstructed date."""
+    from aida_ray.stages.openie import openie_triples
+    from aida_ray.stages.shuffle_join import hash_join
+    from aida_ray.stages.timex import timex_mentions
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 6
+            d, y = 1 + i % 28, 1990 + i % 30
+            if m == 0:
+                s = f"alice{i} founded acme{i} in paris{i} ."
+            elif m == 1:
+                s = f"bob{i} likes green tea{i} ."
+            elif m == 2:
+                s = f"carol{i} set up shop{i} ."
+            elif m == 3:
+                s = f"it acquired corp{i} ."
+            elif m == 4:
+                s = f"dave{i} was born in town{i} ."
+            else:
+                s = f"eve{i} quickly joined club{i} ."
+            texts.append(s + f" signed on {d} March {y} .")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    pages = docs.map_batches(to_text, batch_format="pyarrow")
+    events = openie_triples(pages).map_batches(
+        lambda b: b.select(["doc_id", "arg1", "rel_norm", "arg2"]),
+        batch_format="pyarrow")
+    dates = timex_mentions(pages).map_batches(
+        lambda b: b.select(["doc_id", "value"]),
+        batch_format="pyarrow")
+    return _collect(hash_join(events, dates, on=("doc_id",)))
+
+
 def q_transe(sf_dir: str) -> pa.Table:
     """TransE embedding training (transe.train_transe): relation 0
     translates entity i -> i+30 over a 60-entity KG asserted by the
@@ -5821,6 +5916,68 @@ _RULE_FACTS_CTE = """
     ),
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
+
+_INTERVAL_CONFLICTS_ORACLE = """
+    WITH t AS (SELECT doc_id, 'e' || (doc_id % 20) AS subj,
+                      'leaderOf' AS pred,
+                      'g' || ((doc_id % 60) // 20) AS obj,
+                      CAST((doc_id // 20) * 10 AS BIGINT) AS s,
+                      CAST((doc_id // 20) * 10 + 15 AS BIGINT) AS e
+               FROM documents)
+    SELECT a.subj, a.pred,
+           LEAST(a.obj, b.obj) AS obj_a,
+           GREATEST(a.obj, b.obj) AS obj_b,
+           GREATEST(a.s, b.s) AS overlap_start,
+           LEAST(a.e, b.e) AS overlap_end
+    FROM t a JOIN t b ON a.subj = b.subj AND a.pred = b.pred
+                     AND a.s < b.s
+    WHERE a.obj <> b.obj AND a.s <= b.e AND b.s <= a.e
+"""
+
+_NEAREST_SITE_ORACLE = """
+    WITH sites AS (
+        SELECT j AS site, CAST((7 * j) % 50 AS BIGINT) AS sx,
+               CAST((11 * j) % 60 AS BIGINT) AS sy
+        FROM range(8) t(j)),
+    pts AS (SELECT doc_id, CAST(doc_id % 100 AS BIGINT) AS x,
+                   CAST((doc_id * 3) % 120 AS BIGINT) AS y
+            FROM documents),
+    d AS (SELECT p.doc_id, p.x, p.y, s.site,
+                 (p.x - s.sx) * (p.x - s.sx)
+                 + (p.y - s.sy) * (p.y - s.sy) AS d2,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY p.doc_id
+                     ORDER BY (p.x - s.sx) * (p.x - s.sx)
+                              + (p.y - s.sy) * (p.y - s.sy),
+                              s.site) AS rn
+          FROM pts p CROSS JOIN sites s)
+    SELECT doc_id, x, y, CAST(site AS BIGINT) AS site, d2
+    FROM d WHERE rn = 1
+"""
+
+_DATED_EVENTS_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 6 AS m, 1 + doc_id % 28 AS dd,
+                      1990 + doc_id % 30 AS yy FROM documents)
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'alice' || doc_id
+                  WHEN 1 THEN 'bob' || doc_id
+                  WHEN 2 THEN 'carol' || doc_id
+                  WHEN 4 THEN 'dave' || doc_id
+                  ELSE 'eve' || doc_id END AS arg1,
+           CASE m WHEN 0 THEN 'founded acme' || doc_id || ' in'
+                  WHEN 1 THEN 'likes'
+                  WHEN 2 THEN 'set up'
+                  WHEN 4 THEN 'born in'
+                  ELSE 'joined' END AS rel_norm,
+           CASE m WHEN 0 THEN 'paris' || doc_id
+                  WHEN 1 THEN 'green tea' || doc_id
+                  WHEN 2 THEN 'shop' || doc_id
+                  WHEN 4 THEN 'town' || doc_id
+                  ELSE 'club' || doc_id END AS arg2,
+           printf('%04d-03-%02d', yy, dd) AS value
+    FROM d WHERE m <> 3
+"""
+
 
 _BOILERPLATE_ORACLE = """
     WITH p AS (SELECT doc_id, 'd' || (doc_id % 10) AS domain
@@ -6512,6 +6669,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": q_boilerplate,
         "url_templates": q_url_templates,
         "transe_rank": q_transe,
+        "interval_conflicts": q_interval_conflicts,
+        "nearest_site": q_nearest_site,
+        "dated_events": q_dated_events,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -8060,6 +8220,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "taxonomy_lca": _TAXONOMY_LCA_ORACLE,
         "boilerplate_lines": _BOILERPLATE_ORACLE,
         "url_templates": _URL_TEMPLATES_ORACLE,
+        "interval_conflicts": _INTERVAL_CONFLICTS_ORACLE,
+        "nearest_site": _NEAREST_SITE_ORACLE,
+        "dated_events": _DATED_EVENTS_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
