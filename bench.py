@@ -119,7 +119,11 @@ def run_bench() -> dict:
                  "robots_rules", "page_meta", "trustrank",
                  "burst_windows", "table_triples", "jsonld_triples",
                  "feed_ingest", "acronyms", "kg_negatives", "quotes",
-                 "bigram_pmi", "mixture_sample", "zipf_slope"]:
+                 "bigram_pmi", "mixture_sample", "zipf_slope",
+                 "openie_triples", "coref_pronouns", "timex_dates",
+                 "quantity_si", "amie_path_rules", "kg_bgp",
+                 "boilerplate_lines", "kb_slotfill",
+                 "interval_conflicts", "nearest_site"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
