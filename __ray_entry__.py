@@ -5275,6 +5275,56 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_record_linkage(sf_dir: str) -> pa.Table:
+    """Record linkage end-to-end (stages/blocking.py):
+    sorted-neighborhood blocking on name (window 3, histogram-based
+    total ranks — no global sort) -> field join-back -> Fellegi-
+    Sunter agreement scoring on name/city/year with quarter-exact
+    weights; oracle = ROW_NUMBER window twin."""
+    from aida_ray.stages.blocking import (linkage_scores,
+                                          sorted_neighborhood)
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def to_records(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "name": pa.array([f"n{int(i) % 40}" for i in ids],
+                             pa.string()),
+            "city": pa.array([f"c{int(i) % 12}" for i in ids],
+                             pa.string()),
+            "year": pa.array([f"y{1980 + int(i) % 25}" for i in ids],
+                             pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    records = docs.map_batches(to_records, batch_format="pyarrow")
+    pairs = sorted_neighborhood(records, "name", id_col="id",
+                                window=3)
+
+    def side(suffix: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "id" + suffix: b["id"],
+                "name" + suffix: b["name"],
+                "city" + suffix: b["city"],
+                "year" + suffix: b["year"]})
+        return f
+
+    j = hash_join(pairs, records.map_batches(
+        side("_a"), batch_format="pyarrow"), on=("id_a",),
+        right_on=("id_a",))
+    j = hash_join(j, records.map_batches(
+        side("_b"), batch_format="pyarrow"), on=("id_b",),
+        right_on=("id_b",))
+    scored = linkage_scores(
+        j, {"name": (3.0, -2.0), "city": (2.0, -1.0),
+            "year": (1.5, -0.75)}, upper=4.0, lower=1.0)
+    return _collect(scored.map_batches(
+        lambda b: b.select(["id_a", "id_b", "score", "decision"]),
+        batch_format="pyarrow"))
+
+
 def q_interval_conflicts(sf_dir: str) -> pa.Table:
     """Temporal functional-violation pairs (temporal.
     interval_conflicts): doc i asserts leaderOf(e{i%20},
@@ -5916,6 +5966,27 @@ _RULE_FACTS_CTE = """
     ),
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
+
+_RECORD_LINKAGE_ORACLE = """
+    WITH r AS (SELECT doc_id AS id, 'n' || (doc_id % 40) AS name,
+                      'c' || (doc_id % 12) AS city,
+                      'y' || (1980 + doc_id % 25) AS year
+               FROM documents),
+    s AS (SELECT r.*, ROW_NUMBER() OVER (ORDER BY name, id) AS rn
+          FROM r),
+    p AS (SELECT a.id AS id_a, b.id AS id_b,
+                 CASE WHEN a.name = b.name THEN 3.0 ELSE -2.0 END
+                 + CASE WHEN a.city = b.city THEN 2.0 ELSE -1.0 END
+                 + CASE WHEN a.year = b.year THEN 1.5 ELSE -0.75 END
+                     AS score
+          FROM s a JOIN s b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+    SELECT id_a, id_b, score,
+           CASE WHEN score >= 4.0 THEN 'match'
+                WHEN score >= 1.0 THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+    FROM p
+"""
+
 
 _INTERVAL_CONFLICTS_ORACLE = """
     WITH t AS (SELECT doc_id, 'e' || (doc_id % 20) AS subj,
@@ -6672,6 +6743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_conflicts": q_interval_conflicts,
         "nearest_site": q_nearest_site,
         "dated_events": q_dated_events,
+        "record_linkage": q_record_linkage,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -8223,6 +8295,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "interval_conflicts": _INTERVAL_CONFLICTS_ORACLE,
         "nearest_site": _NEAREST_SITE_ORACLE,
         "dated_events": _DATED_EVENTS_ORACLE,
+        "record_linkage": _RECORD_LINKAGE_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,
