@@ -5275,6 +5275,41 @@ def q_kg_dangling(sf_dir: str) -> pa.Table:
     return _collect(dangling_objects(links, ents))
 
 
+def q_fact_verdicts(sf_dir: str) -> pa.Table:
+    """Claim verification against a trusted KB (kgqa.fact_verdicts):
+    the constraint assertion stream checked against a broadcast core
+    (bornIn(e0..e9)=c0 functional + one linksTo fact) — emits
+    supported / contradicted / novel per extraction; arithmetic CASE
+    oracle."""
+    from aida_ray.stages.kgqa import fact_verdicts
+
+    kb = pa.table({
+        "subj": pa.array([f"e{k}" for k in range(10)] + ["e1"],
+                         pa.string()),
+        "pred": pa.array(["bornIn"] * 10 + ["linksTo"], pa.string()),
+        "obj": pa.array(["c0"] * 10 + ["e4"], pa.string())})
+    return _collect(fact_verdicts(_constraint_triples(sf_dir), kb,
+                                  functional_preds=["bornIn"]))
+
+
+def q_entity_cards(sf_dir: str) -> pa.Table:
+    """KB-card top-k facts per subject (kb_slots.entity_cards, k=2):
+    most-asserted facts with (votes DESC, pred, obj) order and a rank
+    column; ROW_NUMBER window oracle."""
+    from aida_ray.stages.kb_slots import entity_cards
+    return _collect(entity_cards(_constraint_triples(sf_dir),
+                                 top_k=2))
+
+
+def q_dirt_relations(sf_dir: str) -> pa.Table:
+    """DIRT-style relation paraphrase candidates (rules.
+    relation_jaccard) over the planted KG — cityOf/locatedIn share
+    6 of 8 argument pairs (jaccard 0.75); generic set-overlap
+    oracle at min_jaccard 0.1."""
+    from aida_ray.stages.rules import relation_jaccard
+    return relation_jaccard(_rule_triples(sf_dir), min_jaccard=0.1)
+
+
 def q_record_linkage(sf_dir: str) -> pa.Table:
     """Record linkage end-to-end (stages/blocking.py):
     sorted-neighborhood blocking on name (window 3, histogram-based
@@ -5966,6 +6001,66 @@ _RULE_FACTS_CTE = """
     ),
     f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw)
 """
+
+_FACT_VERDICTS_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || (doc_id % 30) AS subj,
+               CASE WHEN doc_id % 3 = 0 THEN 'bornIn'
+                    ELSE 'linksTo' END AS pred,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'c' || (CASE WHEN (doc_id % 30) % 2 = 0
+                                THEN (doc_id % 60) // 30 ELSE 0 END)
+               ELSE 'e' || ((doc_id * 3 + 1) % 40) END AS obj
+        FROM documents)
+    SELECT subj, pred, obj,
+           CASE WHEN pred = 'bornIn'
+                     AND CAST(substr(subj, 2) AS INT) < 10
+                     AND obj = 'c0' THEN 'supported'
+                WHEN pred = 'linksTo' AND subj = 'e1'
+                     AND obj = 'e4' THEN 'supported'
+                WHEN pred = 'bornIn'
+                     AND CAST(substr(subj, 2) AS INT) < 10
+                     THEN 'contradicted'
+                ELSE 'novel' END AS verdict
+    FROM t
+"""
+
+_ENTITY_CARDS_ORACLE = """
+    WITH t AS (
+        SELECT 'e' || (doc_id % 30) AS subj,
+               CASE WHEN doc_id % 3 = 0 THEN 'bornIn'
+                    ELSE 'linksTo' END AS pred,
+               CASE WHEN doc_id % 3 = 0 THEN
+                   'c' || (CASE WHEN (doc_id % 30) % 2 = 0
+                                THEN (doc_id % 60) // 30 ELSE 0 END)
+               ELSE 'e' || ((doc_id * 3 + 1) % 40) END AS obj
+        FROM documents),
+    v AS (SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS votes
+          FROM t GROUP BY 1, 2, 3),
+    r AS (SELECT v.*, ROW_NUMBER() OVER (
+              PARTITION BY subj
+              ORDER BY votes DESC, pred, obj) AS rn FROM v)
+    SELECT subj, pred, obj, votes, rn AS "rank" FROM r WHERE rn <= 2
+"""
+
+_DIRT_ORACLE = _RULE_FACTS_CTE + """
+    , sz AS (SELECT pred, CAST(COUNT(*) AS BIGINT) AS n
+             FROM f GROUP BY 1)
+    , inter AS (SELECT a.pred AS pred_a, b.pred AS pred_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter
+                FROM f a JOIN f b
+                  ON a.subj = b.subj AND a.obj = b.obj
+                 AND a.pred < b.pred
+                GROUP BY 1, 2)
+    SELECT i.pred_a, i.pred_b, i.inter, sa.n AS size_a,
+           sb.n AS size_b,
+           ROUND(i.inter * 1.0 / (sa.n + sb.n - i.inter), 6)
+               AS jaccard
+    FROM inter i JOIN sz sa ON sa.pred = i.pred_a
+                 JOIN sz sb ON sb.pred = i.pred_b
+    WHERE i.inter * 1.0 / (sa.n + sb.n - i.inter) >= 0.1
+"""
+
 
 _RECORD_LINKAGE_ORACLE = """
     WITH r AS (SELECT doc_id AS id, 'n' || (doc_id % 40) AS name,
@@ -6744,6 +6839,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_site": q_nearest_site,
         "dated_events": q_dated_events,
         "record_linkage": q_record_linkage,
+        "fact_verdicts": q_fact_verdicts,
+        "entity_cards": q_entity_cards,
+        "dirt_relations": q_dirt_relations,
         "redirect_resolve": q_redirects,
         "triple_fuse": q_triple_fuse,
         "kg_func_violations": q_kg_func_violations,
@@ -8296,6 +8394,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "nearest_site": _NEAREST_SITE_ORACLE,
         "dated_events": _DATED_EVENTS_ORACLE,
         "record_linkage": _RECORD_LINKAGE_ORACLE,
+        "fact_verdicts": _FACT_VERDICTS_ORACLE,
+        "entity_cards": _ENTITY_CARDS_ORACLE,
+        "dirt_relations": _DIRT_ORACLE,
         "redirect_resolve": _REDIRECTS_ORACLE,
         "robots_rules": _ROBOTS_ORACLE,
         "page_meta": _PAGE_META_ORACLE,

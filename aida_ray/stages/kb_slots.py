@@ -110,3 +110,38 @@ def triple_provenance(triples: ray.data.Dataset,
 
     return distinct.map_batches(fact_key, batch_format="pyarrow") \
         .groupby("fact").map_groups(gather, batch_format="pandas")
+
+
+def entity_cards(triples: ray.data.Dataset, top_k: int = 2,
+                 s: str = "subj", p: str = "pred",
+                 o: str = "obj") -> ray.data.Dataset:
+    """KB-card fact selection: the ``top_k`` most-asserted facts per
+    SUBJECT (votes DESC, then pred, obj lexicographic), with a rank
+    column — what an entity summary panel shows.
+
+    Same two-phase shape as slot_fill: block-level distinct counts,
+    one (s, p, o) groupby, then a subject-keyed top-k (per-subject
+    fact counts are profile-bounded)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                           o: b[o].to_pandas()})
+        g = df.groupby([s, p, o], sort=False).size().rename(
+            "n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    votes = triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby([s, p, o]).aggregate(Sum("n"))
+
+    def top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sum(n)", p, o],
+                            ascending=[False, True, True]).head(top_k)
+        return pd.DataFrame({
+            s: df[s].to_numpy(), p: df[p].to_numpy(),
+            o: df[o].to_numpy(),
+            "votes": df["sum(n)"].astype(np.int64).to_numpy(),
+            "rank": np.arange(1, len(df) + 1, dtype=np.int64)})
+
+    return votes.groupby(s).map_groups(top, batch_format="pandas")

@@ -271,3 +271,44 @@ def negative_samples(triples: ray.data.Dataset, entities: list[str],
         return pa.concat_tables(parts)
 
     return triples.map_batches(batch, batch_format="pyarrow")
+
+
+def fact_verdicts(extractions: ray.data.Dataset, kb: pa.Table,
+                  functional_preds: list[str], s: str = "subj",
+                  p: str = "pred", o: str = "obj") -> ray.data.Dataset:
+    """Verify extracted triples against a trusted KB: verdict =
+    'supported' (exact (s, p, o) match), 'contradicted' (the KB
+    asserts a DIFFERENT object for the same (s, p) slot of a
+    FUNCTIONAL predicate), else 'novel' — the claim-verification
+    triage a fusion pipeline runs before admitting web extractions.
+
+    The KB is broadcast once via ``ray.put`` (trusted cores are
+    registry-sized next to the extraction stream); each batch checks
+    set membership vectorized over packed keys — no shuffle."""
+    from aida_ray.stages.dedup import _get_cached
+
+    funcs = set(functional_preds)
+    facts = set()
+    slots: dict[tuple[str, str], str] = {}
+    for ks, kp, ko in zip(kb[s].to_pylist(), kb[p].to_pylist(),
+                          kb[o].to_pylist()):
+        facts.add((ks, kp, ko))
+        if kp in funcs:
+            slots[(ks, kp)] = ko
+    ref = ray.put((facts, slots))
+
+    def batch(b: pa.Table) -> pa.Table:
+        fset, fslots = _get_cached(ref)
+        verdicts = []
+        for es, ep, eo in zip(b[s].to_pylist(), b[p].to_pylist(),
+                              b[o].to_pylist()):
+            if (es, ep, eo) in fset:
+                verdicts.append("supported")
+            elif (es, ep) in fslots and fslots[(es, ep)] != eo:
+                verdicts.append("contradicted")
+            else:
+                verdicts.append("novel")
+        return b.append_column("verdict",
+                               pa.array(verdicts, pa.string()))
+
+    return extractions.map_batches(batch, batch_format="pyarrow")

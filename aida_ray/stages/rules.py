@@ -254,3 +254,52 @@ def mine_path_rules(triples: ray.data.Dataset, min_support: int = 1,
     return _finish_confidence(
         pa.Table.from_pandas(sup, preserve_index=False), sizes,
         ["p1", "p2"], min_support, ["p1", "p2", "head_pred"])
+
+
+def relation_jaccard(triples: ray.data.Dataset,
+                     min_jaccard: float = 0.0, s: str = "subj",
+                     p: str = "pred", o: str = "obj") -> pa.Table:
+    """DIRT-style relation similarity (Lin & Pantel 2001, "DIRT —
+    Discovery of Inference Rules from Text", reduced to its
+    set-overlap core): two predicates are paraphrase candidates when
+    their DISTINCT (subj, obj) argument-pair sets overlap.
+
+    Emits one row per unordered predicate pair with
+    ``jaccard = |A ∩ B| / |A ∪ B|`` >= min_jaccard, columns
+    (pred_a, pred_b, inter, size_a, size_b, jaccard) with
+    pred_a < pred_b.
+
+    Reuses the pair-rule machinery: the intersection count IS the
+    pair-rule support, so this is the same single (subj, obj)-keyed
+    shuffle with a symmetric |P|^2-bounded finish.
+    """
+    rules = mine_pair_rules(triples, min_support=1, s=s, p=p, o=o)
+    df = rules.to_pandas()
+    df = df[df["body_pred"] < df["head_pred"]].copy()
+    if len(df) == 0:
+        return pa.table({
+            "pred_a": pa.array([], pa.string()),
+            "pred_b": pa.array([], pa.string()),
+            "inter": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())})
+    # body_size is |A|; |B| comes from the mirrored rule's body_size,
+    # equal to support_ab + (rows of B outside A): recover it from the
+    # symmetric rule (b => a) present in the same result
+    rev = rules.to_pandas().set_index(["body_pred", "head_pred"])
+    size_b = [int(rev.loc[(b, a), "body_size"])
+              for a, b in zip(df["body_pred"], df["head_pred"])]
+    inter = df["support"].astype("int64")
+    size_a = df["body_size"].astype("int64")
+    union = size_a.to_numpy() + np.asarray(size_b) - inter.to_numpy()
+    jac = (inter.to_numpy() / union).round(6)
+    keep = jac >= min_jaccard
+    return pa.table({
+        "pred_a": pa.array(df["body_pred"].to_numpy()[keep]),
+        "pred_b": pa.array(df["head_pred"].to_numpy()[keep]),
+        "inter": pa.array(inter.to_numpy()[keep], pa.int64()),
+        "size_a": pa.array(size_a.to_numpy()[keep], pa.int64()),
+        "size_b": pa.array(np.asarray(size_b, dtype=np.int64)[keep],
+                           pa.int64()),
+        "jaccard": pa.array(jac[keep], pa.float64())})
