@@ -6664,6 +6664,503 @@ def _hits_oracle_sql(iters: int = 5, mod: int = 41) -> str:
         JOIN a{iters} ON n.node = a{iters}.node"""
 
 
+# ------------------------------------------------- community / truth family
+
+def pq_file_rows(path: str) -> int:
+    """Row count from parquet metadata (no data read)."""
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def q_truth_discovery(sf_dir: str) -> pa.Table:
+    """Iterative truth discovery (truth.truthfinder, TruthFinder/Sums
+    family): 4 sources with planted reliabilities assert conflicting
+    values per doc-keyed claim; 3 trust<->confidence iterations; the
+    SQL twin unrolls the same iterations as MATERIALIZED CTEs."""
+    from aida_ray.stages.truth import truthfinder
+
+    def to_claims(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src, ky, vl = [], [], []
+        for i in ids:
+            j = int(i)
+            src.append("s0"); ky.append(f"k{j}"); vl.append(f"T{j}")
+            src.append("s1"); ky.append(f"k{j}")
+            vl.append(f"T{j}" if j % 2 == 0 else f"F{j}")
+            if j % 3 == 0:
+                src.append("s2"); ky.append(f"k{j}"); vl.append(f"F{j}")
+            if j % 5 == 0:
+                src.append("s3"); ky.append(f"k{j}"); vl.append(f"T{j}")
+        return pa.table({"source": pa.array(src), "key": pa.array(ky),
+                         "value": pa.array(vl)})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(truthfinder(
+        docs.map_batches(to_claims, batch_format="pyarrow"))).to_pandas()
+    t = t.sort_values(["key", "value"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _truth_oracle_sql(iters: int = 3, tau0: float = 0.8,
+                      damp: float = 0.8) -> str:
+    """Unrolled-CTE twin of q_truth_discovery: conf = noisy-OR of
+    damp*trust (EXP/SUM/LN association mirrors the numpy expression),
+    trust = AVG(conf) per source; best = top conf per key, value ASC."""
+    ctes = [f"""
+        WITH claims AS MATERIALIZED (
+            SELECT 's0' AS source, 'k' || doc_id AS key,
+                   'T' || doc_id AS value FROM documents
+            UNION ALL
+            SELECT 's1', 'k' || doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'T' ELSE 'F' END
+                       || doc_id FROM documents
+            UNION ALL
+            SELECT 's2', 'k' || doc_id, 'F' || doc_id FROM documents
+            WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT 's3', 'k' || doc_id, 'T' || doc_id FROM documents
+            WHERE doc_id % 5 = 0),
+        t0 AS MATERIALIZED (
+            SELECT DISTINCT source, {tau0} AS tau FROM claims)"""]
+    prev = "t0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        c{k} AS MATERIALIZED (
+            SELECT c.key, c.value,
+                   1.0 - EXP(SUM(LN(1.0 - {damp} * t.tau))) AS conf,
+                   COUNT(*) AS n_src
+            FROM claims c JOIN {prev} t ON t.source = c.source
+            GROUP BY c.key, c.value),
+        t{k} AS MATERIALIZED (
+            SELECT c.source, AVG(cc.conf) AS tau
+            FROM claims c JOIN c{k} cc
+                 ON cc.key = c.key AND cc.value = c.value
+            GROUP BY c.source)""")
+        prev = f"t{k}"
+    return ",".join(ctes) + f"""
+        SELECT key, value, CAST(n_src AS BIGINT) AS n_src,
+               ROUND(conf, 6) AS conf,
+               ROW_NUMBER() OVER (PARTITION BY key
+                   ORDER BY ROUND(conf, 6) DESC, value ASC) = 1 AS best
+        FROM c{iters}"""
+
+
+def q_lpa_communities(sf_dir: str) -> pa.Table:
+    """Synchronous label-propagation communities (community.
+    lpa_communities): 8-cliques by doc_id//8 with sparse bridges;
+    4 rounds, min-label tie-break; unrolled-CTE oracle."""
+    from aida_ray.stages.community import lpa_communities
+    n = pq_file_rows(os.path.join(sf_dir, "documents.parquet"))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s, d = [], []
+        for i in ids:
+            j = int(i)
+            c = j // 8
+            for k in range(j + 1, min((c + 1) * 8, n)):
+                s.append(j); d.append(k)
+            if j % 40 == 0 and j >= 8:
+                s.append(j - 8); d.append(j)
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = lpa_communities(
+        docs.map_batches(to_edges, batch_format="pyarrow"),
+        iters=4).to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _lpa_oracle_sql(iters: int = 4) -> str:
+    """Unrolled-CTE twin of q_lpa_communities: per round, each node
+    takes the most frequent neighbor label (symmetrized edges), ties
+    to the smallest label, keep own label when isolated."""
+    ctes = ["""
+        WITH e AS MATERIALIZED (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM documents a JOIN documents b
+                 ON a.doc_id // 8 = b.doc_id // 8
+                AND b.doc_id > a.doc_id
+            UNION ALL
+            SELECT doc_id - 8, doc_id FROM documents
+            WHERE doc_id % 40 = 0 AND doc_id >= 8),
+        sym AS MATERIALIZED (
+            SELECT src AS node, dst AS nb FROM e
+            UNION ALL SELECT dst, src FROM e),
+        l0 AS MATERIALIZED (
+            SELECT DISTINCT node, node AS label FROM sym)"""]
+    prev = "l0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        v{k} AS MATERIALIZED (
+            SELECT s.node, p.label, COUNT(*) AS c
+            FROM sym s JOIN {prev} p ON p.node = s.nb
+            GROUP BY s.node, p.label),
+        w{k} AS MATERIALIZED (
+            SELECT node, label FROM (
+                SELECT node, label, ROW_NUMBER() OVER (
+                    PARTITION BY node
+                    ORDER BY c DESC, label ASC) AS rn FROM v{k})
+            WHERE rn = 1),
+        l{k} AS MATERIALIZED (
+            SELECT p.node, COALESCE(w.label, p.label) AS label
+            FROM {prev} p LEFT JOIN w{k} w ON w.node = p.node)""")
+        prev = f"l{k}"
+    return ",".join(ctes) + f"""
+        SELECT node, label FROM l{iters}"""
+
+
+def q_random_walks(sf_dir: str) -> pa.Table:
+    """Deterministic DeepWalk-style walk corpus (community.
+    random_walks) over a planted 3-out functional graph; the hash-
+    argmin step rule is replicated exactly by the SQL twin's
+    arg_min."""
+    from aida_ray.stages.community import random_walks
+    n = pq_file_rows(os.path.join(sf_dir, "documents.parquet"))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = np.concatenate([i, i, i])
+        d = np.concatenate([(3 * i + 1) % n, (7 * i + 2) % n,
+                            (i + 1) % n])
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    seeds = np.arange(0, n, 10, dtype=np.int64)
+    t = random_walks(
+        docs.map_batches(to_edges, batch_format="pyarrow"),
+        seeds, length=6).to_pandas() \
+        .sort_values(["walk_id", "step"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _walks_oracle_sql(length: int = 6) -> str:
+    from aida_ray.stages.community import (_WALK_A, _WALK_B, _WALK_C,
+                                           _WALK_M)
+    ctes = ["""
+        WITH cnt AS (SELECT COUNT(*) AS n FROM documents),
+        e AS MATERIALIZED (
+            SELECT doc_id AS src, (3 * doc_id + 1) % cnt.n AS dst
+            FROM documents CROSS JOIN cnt
+            UNION ALL SELECT doc_id, (7 * doc_id + 2) % cnt.n
+            FROM documents CROSS JOIN cnt
+            UNION ALL SELECT doc_id, (doc_id + 1) % cnt.n
+            FROM documents CROSS JOIN cnt),
+        s0 AS MATERIALIZED (
+            SELECT doc_id // 10 AS walk_id, CAST(0 AS BIGINT) AS step,
+                   doc_id AS node
+            FROM documents WHERE doc_id % 10 = 0)"""]
+    prev = "s0"
+    for k in range(1, length + 1):
+        ctes.append(f"""
+        s{k} AS MATERIALIZED (
+            SELECT p.walk_id, CAST({k} AS BIGINT) AS step,
+                   arg_min(e.dst,
+                           ({_WALK_A} * p.walk_id + {_WALK_B} * {k}
+                            + {_WALK_C} * e.dst) % {_WALK_M}) AS node
+            FROM {prev} p JOIN e ON e.src = p.node
+            GROUP BY p.walk_id)""")
+        prev = f"s{k}"
+    steps = " UNION ALL ".join(
+        f"SELECT * FROM s{k}" for k in range(length + 1))
+    return ",".join(ctes) + f" {steps}"
+
+
+def q_wl_labels(sf_dir: str) -> pa.Table:
+    """Weisfeiler-Lehman refinement labels (community.wl_refine) over
+    the doc_id binary tree; md5-string twin in SQL (symmetric
+    subtrees must hash equal, asymmetric ones must differ)."""
+    from aida_ray.stages.community import wl_refine
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        i = i[i >= 1]
+        return pa.table({"src": pa.array(i, pa.int64()),
+                         "dst": pa.array(i // 2, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = wl_refine(
+        docs.map_batches(to_edges, batch_format="pyarrow"),
+        iters=2).to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _wl_oracle_sql(iters: int = 2) -> str:
+    """Unrolled WL twin: label0 = degree as VARCHAR; round k =
+    substr(md5(own || '|' || string_agg(nbr, ',' ORDER BY nbr)), 1,
+    16) — byte-identical to hashlib.md5 hexdigest."""
+    ctes = ["""
+        WITH e AS MATERIALIZED (
+            SELECT doc_id AS src, doc_id // 2 AS dst FROM documents
+            WHERE doc_id >= 1),
+        nbr AS MATERIALIZED (
+            SELECT src AS node, dst AS nb FROM e
+            UNION ALL SELECT dst, src FROM e),
+        l0 AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS VARCHAR) AS lbl
+            FROM nbr GROUP BY node)"""]
+    prev = "l0"
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+        l{k} AS MATERIALIZED (
+            SELECT a.node,
+                   substr(md5(own.lbl || '|' ||
+                              string_agg(b.lbl, ',' ORDER BY b.lbl)),
+                          1, 16) AS lbl
+            FROM nbr a
+            JOIN {prev} own ON own.node = a.node
+            JOIN {prev} b ON b.node = a.nb
+            GROUP BY a.node, own.lbl)""")
+        prev = f"l{k}"
+    return ",".join(ctes) + f"""
+        SELECT node, lbl AS wl_label FROM l{iters}"""
+
+
+def q_cocitation(sf_dir: str) -> pa.Table:
+    """Co-citation pair counts (community.cocitation) over a planted
+    3-out citation graph; brute-force self-join SQL twin."""
+    from aida_ray.stages.community import cocitation
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = np.concatenate([i, i, i])
+        d = np.concatenate([i % 5, 5 + i % 3, 8 + i % 2])
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(cocitation(
+        docs.map_batches(to_edges, batch_format="pyarrow"),
+        min_count=2)).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_COCITATION_ORACLE = """
+    WITH e AS MATERIALIZED (
+        SELECT doc_id AS src, doc_id % 5 AS dst FROM documents
+        UNION ALL SELECT doc_id, 5 + doc_id % 3 FROM documents
+        UNION ALL SELECT doc_id, 8 + doc_id % 2 FROM documents)
+    SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS n
+    FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
+def q_spam_scores(sf_dir: str) -> pa.Table:
+    """Keyword-stuffing diagnostics (webstats.spam_scores) over the
+    REAL documents text; full SQL twin shares the RE2 tokenization
+    and the integer spam thresholds."""
+    from aida_ray.stages.webstats import spam_scores
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(spam_scores(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_SPAM_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+')) AS term
+        FROM documents),
+    cnt AS (SELECT doc_id, term, COUNT(*) AS c FROM toks
+            WHERE term <> '' GROUP BY 1, 2),
+    st AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS k, MAX(c) AS top,
+                  SUM(c * LN(c)) AS slc
+           FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(st.n, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(st.k, 0) AS BIGINT) AS n_distinct,
+           CAST(COALESCE(st.top, 0) AS BIGINT) AS top_tf,
+           CASE WHEN st.n > 0
+                THEN ROUND(st.top / CAST(st.n AS DOUBLE), 6)
+                ELSE 0.0 END AS concentration,
+           CASE WHEN st.n > 0
+                THEN ROUND(LN(CAST(st.n AS DOUBLE))
+                           - st.slc / CAST(st.n AS DOUBLE), 6)
+                ELSE 0.0 END AS entropy,
+           COALESCE(st.n > 0 AND (10 * st.top > 3 * st.n
+                                  OR 5 * st.k < st.n), FALSE) AS is_spam
+    FROM documents d LEFT JOIN st USING (doc_id)
+"""
+
+
+def q_sentiment(sf_dir: str) -> pa.Table:
+    """Lexicon sentiment (webstats.sentiment_scores) over planted
+    valence text; the oracle RE-DERIVES the score in SQL by joining
+    the same lexicon VALUES over the same tokens (not a precomputed
+    answer table)."""
+    from aida_ray.stages.webstats import sentiment_scores
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        m = ids % 4
+        texts = np.where(m == 0, "good great stuff, but bad support!",
+                np.where(m == 1, "terrible awful slow day",
+                np.where(m == 2, "the market moved sideways",
+                         "love it but hate the broken fast mode")))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts.astype(str))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(sentiment_scores(
+        docs.map_batches(to_text, batch_format="pyarrow"))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _sentiment_oracle_sql() -> str:
+    from aida_ray.stages.webstats import SENTIMENT_LEXICON
+    lex = ", ".join(f"('{w}', {v})"
+                    for w, v in sorted(SENTIMENT_LEXICON.items()))
+    return f"""
+    WITH d AS (SELECT doc_id, doc_id % 4 AS m FROM documents),
+    txt AS (SELECT doc_id, CASE m
+                WHEN 0 THEN 'good great stuff, but bad support!'
+                WHEN 1 THEN 'terrible awful slow day'
+                WHEN 2 THEN 'the market moved sideways'
+                ELSE 'love it but hate the broken fast mode'
+            END AS text FROM d),
+    toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS term FROM txt),
+    lex(term, v) AS (VALUES {lex}),
+    hit AS (SELECT t.doc_id, COUNT(*) AS k, SUM(l.v) AS s
+            FROM toks t JOIN lex l USING (term) GROUP BY 1)
+    SELECT d.doc_id, CAST(COALESCE(h.k, 0) AS BIGINT) AS n_scored,
+           CAST(COALESCE(h.s, 0) AS BIGINT) AS score,
+           CASE WHEN COALESCE(h.s, 0) > 0 THEN 'pos'
+                WHEN COALESCE(h.s, 0) < 0 THEN 'neg'
+                ELSE 'neu' END AS label
+    FROM d LEFT JOIN hit h USING (doc_id)"""
+
+
+def q_textrank_keywords(sf_dir: str) -> pa.Table:
+    """TextRank corpus keywords (webstats.textrank_keywords) over the
+    REAL documents text; unrolled-pagerank SQL twin over the same
+    adjacent-token word graph."""
+    from aida_ray.stages.webstats import textrank_keywords
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = textrank_keywords(docs, k=10).to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def _textrank_oracle_sql(iters: int = 10, damping: float = 0.85,
+                         k: int = 10) -> str:
+    """Unrolled-CTE twin of q_textrank_keywords: tokenize → ordinal
+    pairs → symmetric word edges → the exact pagerank iteration of
+    _pagerank_oracle_sql over VARCHAR word nodes."""
+    d = damping
+    ctes = ["""
+        WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text),
+                         '[^a-z0-9]+') AS a FROM documents),
+        tk AS (SELECT doc_id, unnest(a) AS tok,
+                      unnest(range(1, len(a) + 1)) AS o FROM raw),
+        tk2 AS (SELECT doc_id, tok, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY o) AS r
+                FROM tk WHERE tok <> ''),
+        pe AS MATERIALIZED (
+            SELECT x.tok AS w1, y.tok AS w2
+            FROM tk2 x JOIN tk2 y
+                 ON x.doc_id = y.doc_id AND y.r = x.r + 1),
+        e AS MATERIALIZED (SELECT w1 AS src, w2 AS dst FROM pe
+                           UNION ALL SELECT w2, w1 FROM pe),
+        nodes AS MATERIALIZED (
+            SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nd AS MATERIALIZED (
+            SELECT n.node, COALESCE(o.od, 0) AS od
+            FROM nodes n LEFT JOIN (SELECT src AS node, COUNT(*) AS od
+                                    FROM e GROUP BY src) o
+            ON n.node = o.node),
+        cnt AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+        r0 AS MATERIALIZED (
+            SELECT node, (1.0 / cnt.n) AS r FROM nodes CROSS JOIN cnt)"""]
+    prev = "r0"
+    for j in range(1, iters + 1):
+        ctes.append(f"""
+        m{j} AS MATERIALIZED (SELECT e.dst AS node,
+                     SUM(p.r / nd.od) AS m
+                FROM e JOIN {prev} p ON e.src = p.node
+                JOIN nd ON nd.node = e.src GROUP BY e.dst),
+        d{j} AS MATERIALIZED (SELECT COALESCE(SUM(p.r), 0) AS dang
+                FROM {prev} p JOIN nd ON nd.node = p.node
+                WHERE nd.od = 0),
+        r{j} AS MATERIALIZED (SELECT n.node,
+                     {1 - d} * (1.0 / cnt.n) + {d} * (COALESCE(m.m, 0)
+                         + (SELECT dang FROM d{j}) * (1.0 / cnt.n)) AS r
+                FROM nodes n LEFT JOIN m{j} m ON n.node = m.node
+                CROSS JOIN cnt)""")
+        prev = f"r{j}"
+    return ",".join(ctes) + f"""
+        SELECT node AS term, ROUND(r, 6) AS "rank" FROM r{iters}
+        ORDER BY ROUND(r, 6) DESC, term ASC LIMIT {k}"""
+
+
+def q_heading_tree(sf_dir: str) -> pa.Table:
+    """HTML heading-outline extraction (extract.extract_headings):
+    planted h1-h3 structures incl. entity/whitespace normalization
+    and heading-free pages; parent = nearest preceding lower level."""
+    from aida_ray.text.extract import extract_headings
+
+    def to_tree(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = {"doc_id": [], "idx": [], "level": [], "heading": [],
+               "parent_idx": []}
+        for i in ids:
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                html = (f"<h1>A{i}</h1><h2>B{i}</h2>"
+                        f"<h3>C{i}</h3><h2>D{i}</h2>")
+            elif m == 1:
+                html = (f"<h2> X&amp;Y  {i} </h2><body>t</body>"
+                        f"<h1>Top {i}</h1>")
+            else:
+                html = "<p>no outline</p>"
+            for r in extract_headings(html):
+                out["doc_id"].append(i)
+                out["idx"].append(r["idx"])
+                out["level"].append(r["level"])
+                out["heading"].append(r["heading"])
+                out["parent_idx"].append(r["parent_idx"])
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], pa.int64()),
+            "idx": pa.array(out["idx"], pa.int64()),
+            "level": pa.array(out["level"], pa.int64()),
+            "heading": pa.array(out["heading"], pa.string()),
+            "parent_idx": pa.array(out["parent_idx"], pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(docs.map_batches(to_tree, batch_format="pyarrow")) \
+        .to_pandas().sort_values(["doc_id", "idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_HEADING_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+    SELECT doc_id, CAST(0 AS BIGINT) AS idx, CAST(1 AS BIGINT) AS level,
+           'A' || doc_id AS heading, CAST(-1 AS BIGINT) AS parent_idx
+    FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 1, 2, 'B' || doc_id, 0 FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 2, 3, 'C' || doc_id, 1 FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 3, 2, 'D' || doc_id, 0 FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 0, 2, 'X&Y ' || doc_id, -1 FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 1, 1, 'Top ' || doc_id, -1 FROM d WHERE m = 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -6931,6 +7428,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": q_grouping_sets,
         "ivfpq_top1": q_ivfpq_top1,
         "ivfadc_top1": q_ivfadc_top1,
+        "truth_discovery": q_truth_discovery,
+        "lpa_communities": q_lpa_communities,
+        "random_walks": q_random_walks,
+        "wl_labels": q_wl_labels,
+        "cocitation": q_cocitation,
+        "spam_scores": q_spam_scores,
+        "sentiment": q_sentiment,
+        "textrank_keywords": q_textrank_keywords,
+        "heading_tree": q_heading_tree,
     }
 
 
@@ -8696,6 +9202,15 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM generate_series(0, 11) AS t(r)
         """,
         "pagerank": _pagerank_oracle_sql(),
+        "truth_discovery": _truth_oracle_sql(),
+        "lpa_communities": _lpa_oracle_sql(),
+        "random_walks": _walks_oracle_sql(),
+        "wl_labels": _wl_oracle_sql(),
+        "cocitation": _COCITATION_ORACLE,
+        "spam_scores": _SPAM_ORACLE,
+        "sentiment": _sentiment_oracle_sql(),
+        "textrank_keywords": _textrank_oracle_sql(),
+        "heading_tree": _HEADING_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

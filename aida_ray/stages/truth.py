@@ -1,0 +1,175 @@
+"""Iterative truth discovery over conflicting source claims.
+
+KG construction fuses assertions from many crawl sources; when sources
+CONFLICT (two values for the same key), a single noisy-OR pass
+(fuse.py) over-trusts prolific bad sources.  The public fix is the
+TruthFinder family (Yin, Han & Yu, KDD'07; Pasternack & Roth "Sums",
+COLING'10): iterate source trustworthiness and claim confidence to a
+fixpoint —
+
+    conf(c)  = 1 - prod_{s asserts c} (1 - damp * trust(s))
+    trust(s) = mean over claims asserted by s of conf(c)
+
+with trust(s) initialised to ``tau0``.  A fixed iteration count keeps
+the operator deterministic and gives the SQL oracle an exact unrolled
+twin (the pagerank-oracle pattern).
+
+Scale shape: the assertion stream is first collapsed to DISTINCT
+(source, key, value) rows by per-block partials + one groupby (the
+only wide shuffle, proportional to distinct assertions, not mentions).
+Each iteration is then:
+
+* conf pass — trust is a per-SOURCE map (sources are extractors /
+  crawl domains: bounded), broadcast once per iteration via
+  ``ray.put``; each block turns its assertions into per-claim partial
+  ``sum(ln(1 - damp*trust))`` rows and a ``groupby(key,value).sum``
+  (mergeable across any blocking) finishes the product.
+* trust pass — per-claim conf is re-derived inside the same block
+  scan from the broadcast trust of the PREVIOUS iteration plus the
+  claim-conf table shipped back as a broadcast map under a gate
+  (distinct claims ≤ ``claim_broadcast_rows``) or a hash join above
+  it; then ``groupby(source).mean``.
+
+Nothing materializes the assertion stream on the driver; the driver
+holds only the per-source trust vector (bounded) per iteration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from aida_ray.stages.dedup import _concat_blocks, _get_cached
+from aida_ray.stages.ml import _compact
+
+
+def _distinct_assertions(claims: ray.data.Dataset, source: str,
+                         key: str, value: str) -> ray.data.Dataset:
+    """DISTINCT (source, key, value): per-block dedup partials, then
+    one groupby-count whose count column is dropped (the standard
+    wide-distinct shape — shuffle carries one row per distinct
+    assertion per block)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({source: b[source].to_pandas(),
+                           key: b[key].to_pandas(),
+                           value: b[value].to_pandas()})
+        return pa.Table.from_pandas(
+            df.drop_duplicates(), preserve_index=False)
+
+    return claims.map_batches(partial, batch_format="pyarrow") \
+        .groupby([source, key, value]).count() \
+        .select_columns([source, key, value])
+
+
+def truthfinder(claims: ray.data.Dataset, source: str = "source",
+                key: str = "key", value: str = "value",
+                iters: int = 3, tau0: float = 0.8, damp: float = 0.8,
+                claim_broadcast_rows: int = 2_000_000) -> ray.data.Dataset:
+    """(key, value, n_src, conf, best) per distinct claim.
+
+    ``best`` marks, per key, the claim with the highest final
+    confidence (ties broken by smaller ``value`` string — determinism
+    over float equality).  ``conf`` is rounded to 6 decimals; the
+    iteration itself runs full float64.
+
+    ``claim_broadcast_rows``: above this many distinct claims the
+    trust pass switches from a broadcast claim→conf map to a hash
+    join (claims scale with the corpus; sources never do).
+    """
+    from ray.data.aggregate import Mean, Sum
+
+    a = _compact(_distinct_assertions(claims, source, key, value),
+                 rows_per_block=65536)
+
+    # source universe + per-source claim counts: bounded, one pass
+    src_tbl = a.groupby(source).count().to_pandas()
+    if src_tbl.empty:
+        return ray.data.from_arrow(pa.table({
+            key: pa.array([], pa.string()),
+            value: pa.array([], pa.string()),
+            "n_src": pa.array([], pa.int64()),
+            "conf": pa.array([], pa.float64()),
+            "best": pa.array([], pa.bool_())}))
+    sources = np.sort(src_tbl[source].to_numpy())
+    trust = np.full(len(sources), float(tau0))
+
+    conf_ds = None
+    for _ in range(iters):
+        tref = ray.put((sources, trust))
+
+        # ---- conf pass: per-claim noisy-OR of damp*trust ----------
+        def logq_partial(b: pa.Table, _tref=tref) -> pa.Table:
+            srcs, tr = _get_cached(_tref)
+            si = np.searchsorted(srcs, b[source].to_numpy(
+                zero_copy_only=False))
+            # np.log(1-x), not log1p: bit-parity with the oracle's
+            # LN(1 - damp*tau) matters more than the last ulp here
+            lq = np.log(1.0 - damp * tr[si])
+            df = pd.DataFrame({key: b[key].to_pandas(),
+                               value: b[value].to_pandas(),
+                               "logq": lq, "one": 1})
+            g = df.groupby([key, value], sort=False).agg(
+                logq=("logq", "sum"), n=("one", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        conf_ds = a.map_batches(logq_partial, batch_format="pyarrow") \
+            .groupby([key, value]).aggregate(Sum("logq"), Sum("n")) \
+            .materialize()
+
+        # ---- trust pass: per-source mean of its claims' conf ------
+        n_claims = conf_ds.count()
+        if n_claims <= claim_broadcast_rows:
+            ct = _concat_blocks(
+                ray.get(conf_ds.to_arrow_refs()),
+                pa.schema([(key, pa.string()), (value, pa.string()),
+                           ("sum(logq)", pa.float64()),
+                           ("sum(n)", pa.int64())]))
+            cmap = dict(zip(
+                zip(ct[key].to_pylist(), ct[value].to_pylist()),
+                (1.0 - np.exp(
+                    ct["sum(logq)"].to_numpy(zero_copy_only=False)))))
+            cref = ray.put(cmap)
+
+            def trust_partial(b: pa.Table, _cref=cref) -> pa.Table:
+                cm = _get_cached(_cref)
+                ks = b[key].to_pylist()
+                vs = b[value].to_pylist()
+                cf = np.fromiter((cm[(k, v)] for k, v in zip(ks, vs)),
+                                 dtype=np.float64, count=len(ks))
+                return pa.table({source: b[source], "conf": pa.array(cf)})
+
+            tt = a.map_batches(trust_partial, batch_format="pyarrow") \
+                .groupby(source).aggregate(Mean("conf")).to_pandas()
+        else:
+            # hash-join fallback: ship conf to the assertion stream
+            def finish_conf(b: pa.Table) -> pa.Table:
+                cf = 1.0 - np.exp(
+                    b["sum(logq)"].to_numpy(zero_copy_only=False))
+                return pa.table({key: b[key], value: b[value],
+                                 "conf": pa.array(cf)})
+
+            from aida_ray.stages.shuffle_join import hash_join
+            cj = conf_ds.map_batches(finish_conf, batch_format="pyarrow")
+            tt = hash_join(a, cj, on=(key, value)) \
+                .groupby(source).aggregate(Mean("conf")).to_pandas()
+        tmap = dict(zip(tt[source], tt["mean(conf)"]))
+        trust = np.array([tmap[s] for s in sources])
+
+    # ---- finish: per-key best flag, distributed (claims scale with
+    # the corpus — groupby(key).map_groups, never a driver pull) -----
+    def mark_best(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["conf"] = np.round(1.0 - np.exp(g["sum(logq)"]), 6)
+        g = g.sort_values(["conf", value], ascending=[False, True],
+                          kind="stable").reset_index(drop=True)
+        g["best"] = np.arange(len(g)) == 0
+        g["n_src"] = g["sum(n)"].astype("int64")
+        return g[[key, value, "n_src", "conf", "best"]]
+
+    return conf_ds.groupby(key).map_groups(mark_best,
+                                           batch_format="pandas")

@@ -1,0 +1,185 @@
+"""Webtext scoring stages — spam concentration, lexicon sentiment,
+TextRank keywords.
+
+- :func:`spam_scores` — keyword-stuffing diagnostics per document
+  (the classic SEO-spam signals: top-term concentration, low
+  distinct-token ratio, unigram entropy; cf. Ntoulas et al., WWW'06
+  "Detecting Spam Web Pages through Content Analysis").  Stateless
+  vectorized ``map_batches``; the spam flag compares INTEGERS
+  (``10*top_tf > 3*n`` etc.) so no float threshold can flip across
+  engines.  Tokenization is the package-standard RE2 split
+  (tfidf.TOKEN_SPLIT) for SQL-oracle parity.
+
+- :func:`sentiment_scores` — AFINN-style lexicon scoring (Nielsen
+  2011's method; the inline lexicon here is a small purpose-written
+  valence table, not the AFINN data file).  Integer sum per doc,
+  pos/neg/neu label.  Stateless map_batches; the lexicon is a
+  module constant (hundreds of entries at most — compiled into the
+  worker, never shipped per batch).
+
+- :func:`textrank_keywords` — TextRank (Mihalcea & Tarau, EMNLP'04):
+  adjacent-token co-occurrence edges over the corpus, PageRank on the
+  word graph, top-k corpus keywords.  Scale shape: edges stream as
+  one map pass over documents; the word graph is VOCABULARY-sized
+  (graphs.pagerank's node-bounded broadcast assumption holds by
+  construction); word→id mapping pulled once under the same bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from aida_ray.stages.dedup import _get_cached
+from aida_ray.stages.tfidf import TOKEN_SPLIT, _doc_terms
+
+# small purpose-written valence lexicon (AFINN-style integer scores)
+SENTIMENT_LEXICON: dict[str, int] = {
+    "good": 3, "great": 3, "excellent": 5, "best": 3, "love": 3,
+    "nice": 2, "fine": 2, "happy": 3, "win": 2, "fast": 1,
+    "bad": -3, "terrible": -3, "awful": -3, "worst": -3, "hate": -3,
+    "poor": -2, "horrible": -3, "broken": -2, "slow": -1, "fail": -2,
+}
+
+
+def spam_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_distinct, top_tf, concentration, entropy,
+    is_spam) per document.  concentration = top_tf/n; entropy is the
+    unigram Shannon entropy in nats; is_spam when the top term takes
+    >30% of tokens OR fewer than 20% of tokens are distinct (both
+    integer comparisons)."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        df = _doc_terms(b, id_col, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        if len(df):
+            cnt = df.groupby([id_col, "term"], sort=False) \
+                .size().rename("c").reset_index()
+            g = cnt.groupby(id_col, sort=False)["c"]
+            stats = g.agg(n="sum", k="size", top="max")
+            # entropy: sum(c*ln(c))/n trick — one vectorized pass
+            cl = cnt.assign(clc=cnt["c"] * np.log(cnt["c"]))
+            stats["slc"] = cl.groupby(id_col, sort=False)["clc"].sum()
+            stats = stats.reindex(ids, fill_value=0)
+        else:
+            stats = pd.DataFrame(0, index=ids,
+                                 columns=["n", "k", "top", "slc"])
+        n = stats["n"].to_numpy(dtype="int64")
+        kd = stats["k"].to_numpy(dtype="int64")
+        top = stats["top"].to_numpy(dtype="int64")
+        slc = stats["slc"].to_numpy(dtype="float64")
+        nz = n > 0
+        nf = np.where(nz, n, 1).astype("float64")
+        ent = np.where(nz, np.round(np.log(nf) - slc / nf, 6), 0.0)
+        conc = np.where(nz, np.round(top / nf, 6), 0.0)
+        spam = nz & ((10 * top > 3 * n) | (5 * kd < n))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_distinct": pa.array(kd, pa.int64()),
+            "top_tf": pa.array(top, pa.int64()),
+            "concentration": pa.array(conc, pa.float64()),
+            "entropy": pa.array(ent, pa.float64()),
+            "is_spam": pa.array(spam, pa.bool_())})
+
+    return docs.map_batches(batch, batch_format="pyarrow")
+
+
+def sentiment_scores(docs: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     lexicon: dict[str, int] | None = None
+                     ) -> ray.data.Dataset:
+    """(doc_id, n_scored, score, label) per document — sum of lexicon
+    valences over RE2 tokens; label pos/neg/neu by the sign."""
+    lex = SENTIMENT_LEXICON if lexicon is None else lexicon
+
+    def batch(b: pa.Table) -> pa.Table:
+        df = _doc_terms(b, id_col, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        if len(df):
+            df["v"] = df["term"].map(lex)
+            hit = df.dropna(subset=["v"])
+            agg = hit.groupby(id_col, sort=False)["v"] \
+                .agg(["size", "sum"]).reindex(ids, fill_value=0)
+        else:
+            agg = pd.DataFrame(0, index=ids, columns=["size", "sum"])
+        k = agg["size"].to_numpy(dtype="int64")
+        s = agg["sum"].to_numpy(dtype="int64")
+        lb = np.where(s > 0, "pos", np.where(s < 0, "neg", "neu"))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_scored": pa.array(k, pa.int64()),
+            "score": pa.array(s, pa.int64()),
+            "label": pa.array(lb.astype(str))})
+
+    return docs.map_batches(batch, batch_format="pyarrow")
+
+
+def _adjacent_pairs(b: pa.Table, id_col: str,
+                    text_col: str) -> pd.DataFrame:
+    """(w1, w2) consecutive non-empty token pairs per document."""
+    df = _doc_terms(b, id_col, text_col)
+    if not len(df):
+        return pd.DataFrame({"w1": [], "w2": []})
+    # _doc_terms preserves in-document token order within each doc run
+    same = df[id_col].to_numpy()[1:] == df[id_col].to_numpy()[:-1]
+    t = df["term"].to_numpy()
+    return pd.DataFrame({"w1": t[:-1][same], "w2": t[1:][same]})
+
+
+def textrank_keywords(docs: ray.data.Dataset, k: int = 10,
+                      iters: int = 10, id_col: str = "doc_id",
+                      text_col: str = "text") -> pa.Table:
+    """Top-``k`` corpus keywords (term, rank) by TextRank: undirected
+    adjacent-token graph (both directions emitted; duplicate pairs act
+    as multi-edge weights, matching graphs.pagerank's degree math),
+    10 damped power iterations, rank rounded to 6; ties at the k
+    boundary break by term ASC."""
+    from aida_ray.stages.graphs import pagerank
+
+    def pair_batch(b: pa.Table) -> pa.Table:
+        p = _adjacent_pairs(b, id_col, text_col)
+        return pa.table({"w1": pa.array(p["w1"], pa.string()),
+                         "w2": pa.array(p["w2"], pa.string())})
+
+    pairs = docs.map_batches(pair_batch,
+                             batch_format="pyarrow").materialize()
+
+    # vocabulary (node-bounded by construction) — one distinct pass
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([
+            b["w1"].to_numpy(zero_copy_only=False),
+            b["w2"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"term": pa.array(u, pa.string())})
+
+    vt = pairs.map_batches(vocab_partial, batch_format="pyarrow") \
+        .groupby("term").count().to_pandas()
+    if vt.empty:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.float64())})
+    vocab = np.sort(vt["term"].to_numpy())
+    vref = ray.put(vocab)
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        v = _get_cached(vref)
+        a = np.searchsorted(v, b["w1"].to_numpy(zero_copy_only=False))
+        c = np.searchsorted(v, b["w2"].to_numpy(zero_copy_only=False))
+        # undirected: emit both directions
+        return pa.table({
+            "src": pa.array(np.concatenate([a, c]), pa.int64()),
+            "dst": pa.array(np.concatenate([c, a]), pa.int64())})
+
+    ranks = pagerank(pairs.map_batches(to_ids, batch_format="pyarrow"),
+                     iters=iters).to_pandas()
+    ranks["term"] = vocab[ranks["node"].to_numpy()]
+    ranks["rank"] = ranks["rank"].round(6)
+    top = ranks.sort_values(["rank", "term"],
+                            ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top[["term", "rank"]].reset_index(
+        drop=True), preserve_index=False)

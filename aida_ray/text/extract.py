@@ -123,3 +123,30 @@ def extract_meta(html: bytes | str) -> dict:
     m = _CANONICAL_RE.search(s)
     canon = m.group(1).strip() if m else ""
     return {"title": title, "description": desc, "canonical": canon}
+
+
+_HEADING_RE = re.compile(r"<h([1-6])\b[^>]*>(.*?)</h\1\s*>",
+                         re.I | re.S)
+
+
+def extract_headings(html: bytes | str) -> list[dict]:
+    """Document outline: (idx, level, heading, parent_idx) per
+    <h1>-<h6> in document order; parent_idx is the nearest PRECEDING
+    heading with a smaller level, -1 at the top.  Heading text is
+    whitespace-normalized and entity-unescaped (same contract as
+    extract_meta); comments stripped first."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8")
+    s = _COMMENT_RE.sub("", html)
+    out = []
+    for m in _HEADING_RE.finditer(s):
+        level = int(m.group(1))
+        text = _unescape(re.sub(r"\s+", " ", m.group(2)).strip())
+        parent = -1
+        for j in range(len(out) - 1, -1, -1):
+            if out[j]["level"] < level:
+                parent = out[j]["idx"]
+                break
+        out.append({"idx": len(out), "level": level,
+                    "heading": text, "parent_idx": parent})
+    return out
