@@ -7161,6 +7161,183 @@ _HEADING_ORACLE = """
 """
 
 
+def q_text_tiles(sf_dir: str) -> pa.Table:
+    """TextTiling-style topic-gap scores (segment.text_tiles) over the
+    REAL documents text: Jaccard between adjacent 10-token blocks,
+    integer boundary rule; full SQL twin."""
+    from aida_ray.stages.segment import text_tiles
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(text_tiles(docs, w=10)).to_pandas() \
+        .sort_values(["doc_id", "gap_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_TEXT_TILES_ORACLE = """
+    WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(text),
+                     '[^a-z0-9]+') AS a FROM documents),
+    tk AS (SELECT doc_id, unnest(a) AS tok,
+                  unnest(range(1, len(a) + 1)) AS o FROM raw),
+    tk2 AS (SELECT doc_id, tok, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY o) - 1 AS r
+            FROM tk WHERE tok <> ''),
+    blk AS (SELECT DISTINCT doc_id, r // 10 AS block, tok FROM tk2),
+    sz AS (SELECT doc_id, block, COUNT(*) AS n FROM blk GROUP BY 1, 2),
+    itr AS (SELECT x.doc_id, x.block, COUNT(*) AS i
+            FROM blk x JOIN blk y
+                 ON x.doc_id = y.doc_id AND y.block = x.block + 1
+                AND x.tok = y.tok
+            GROUP BY 1, 2),
+    g AS (SELECT sa.doc_id, sa.block AS gap_idx,
+                 COALESCE(i.i, 0) AS inter,
+                 sa.n + sb.n - COALESCE(i.i, 0) AS u
+          FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id
+               AND sb.block = sa.block + 1
+          LEFT JOIN itr i ON i.doc_id = sa.doc_id
+               AND i.block = sa.block)
+    SELECT doc_id, gap_idx, CAST(inter AS BIGINT) AS inter,
+           CAST(u AS BIGINT) AS union_size,
+           ROUND(inter / CAST(u AS DOUBLE), 6) AS sim,
+           10 * inter < u AS is_boundary
+    FROM g
+"""
+
+
+def q_readability(sf_dir: str) -> pa.Table:
+    """Flesch reading-ease (segment.readability_scores) over planted
+    punctuated text; the oracle re-derives words/sentences/syllables
+    with the same RE2 patterns (vowel-group syllable proxy)."""
+    from aida_ray.stages.segment import readability_scores
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = []
+        for i in ids:
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                texts.append("the cat sat. the dog ran! happy end.")
+            elif m == 1:
+                texts.append(
+                    "one long sentence without any stop words here")
+            else:
+                texts.append(f"read me item{i}. twice?")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(readability_scores(
+        docs.map_batches(to_text, batch_format="pyarrow"))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_READABILITY_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents),
+    txt AS (SELECT doc_id, CASE m
+                WHEN 0 THEN 'the cat sat. the dog ran! happy end.'
+                WHEN 1 THEN 'one long sentence without any stop words here'
+                ELSE 'read me item' || doc_id || '. twice?'
+            END AS text FROM d),
+    sent AS (SELECT doc_id,
+                    GREATEST(len(regexp_extract_all(lower(text),
+                        '[a-z0-9][^.!?]*')), 1) AS st
+             FROM txt),
+    toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS tok FROM txt),
+    w AS (SELECT doc_id, COUNT(*) AS nw,
+                 SUM(len(regexp_extract_all(tok, '[aeiouy]+'))) AS ns
+          FROM toks WHERE tok <> '' GROUP BY doc_id)
+    SELECT s.doc_id, CAST(s.st AS BIGINT) AS n_sents,
+           CAST(COALESCE(w.nw, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(w.ns, 0) AS BIGINT) AS n_syllables,
+           CASE WHEN COALESCE(w.nw, 0) > 0
+                THEN ROUND(206.835
+                           - 1.015 * (CAST(w.nw AS DOUBLE) / s.st)
+                           - 84.6 * (CAST(w.ns AS DOUBLE) / w.nw), 6)
+                ELSE 0.0 END AS flesch
+    FROM sent s LEFT JOIN w USING (doc_id)
+"""
+
+
+def q_relation_clusters(sf_dir: str) -> pa.Table:
+    """Open-relation canonicalization (CESI-style composition:
+    rules.relation_jaccard >= 0.5 pairs -> dedup.
+    label_propagation_clusters): planted predicates with nested
+    argument-pair sets form {p0,p1,p2}, {p3,p4}, {p5}; cluster rep =
+    lexicographic min predicate; recursive-CTE oracle."""
+    from aida_ray.stages.dedup import label_propagation_clusters
+    from aida_ray.stages.rules import relation_jaccard
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        preds, subs, objs = [], [], []
+        for i in ids:
+            j = int(i)
+            conds = [("p0", j % 2 == 0), ("p1", j % 4 == 0),
+                     ("p2", j % 8 == 0), ("p3", j % 2 == 1),
+                     ("p4", j % 4 == 1), ("p5", j % 16 == 2)]
+            for p, ok in conds:
+                if ok:
+                    preds.append(p)
+                    subs.append(f"x{j}")
+                    objs.append(f"y{j}")
+        return pa.table({"subj": pa.array(subs), "pred": pa.array(preds),
+                         "obj": pa.array(objs)})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    triples = docs.map_batches(to_triples,
+                               batch_format="pyarrow").materialize()
+    pairs = relation_jaccard(triples, min_jaccard=0.5)
+
+    # predicate universe (bounded — the relation vocabulary)
+    preds = sorted(triples.groupby("pred").count()
+                   .to_pandas()["pred"].tolist())
+    idx = {p: k for k, p in enumerate(preds)}
+    import pandas as pd
+    pdf = pairs.to_pandas()
+    clusters = {p: p for p in preds}
+    if len(pdf):
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": [idx[p] for p in pdf["pred_a"]],
+            "b": [idx[p] for p in pdf["pred_b"]]}))
+        cc = _collect(label_propagation_clusters(edges)).to_pandas()
+        for _, r in cc.iterrows():
+            clusters[preds[int(r["doc_id"])]] = preds[int(r["cluster"])]
+    out = pd.DataFrame({"pred": preds,
+                        "cluster": [clusters[p] for p in preds]})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_RELATION_CLUSTERS_ORACLE = """
+    WITH RECURSIVE t AS (
+        SELECT 'p0' AS pred, doc_id AS j FROM documents WHERE doc_id % 2 = 0
+        UNION ALL SELECT 'p1', doc_id FROM documents WHERE doc_id % 4 = 0
+        UNION ALL SELECT 'p2', doc_id FROM documents WHERE doc_id % 8 = 0
+        UNION ALL SELECT 'p3', doc_id FROM documents WHERE doc_id % 2 = 1
+        UNION ALL SELECT 'p4', doc_id FROM documents WHERE doc_id % 4 = 1
+        UNION ALL SELECT 'p5', doc_id FROM documents WHERE doc_id % 16 = 2),
+    sz AS (SELECT pred, COUNT(*) AS n FROM t GROUP BY pred),
+    pr AS (SELECT x.pred AS pa, y.pred AS pb, COUNT(*) AS i
+           FROM t x JOIN t y ON x.j = y.j AND x.pred < y.pred
+           GROUP BY 1, 2),
+    ed AS (SELECT pa, pb FROM pr
+           JOIN sz sa ON sa.pred = pr.pa
+           JOIN sz sb ON sb.pred = pr.pb
+           WHERE ROUND(i / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5),
+    und AS (SELECT pa AS s, pb AS d FROM ed
+            UNION ALL SELECT pb, pa FROM ed),
+    r(pred, reach) AS (
+        SELECT pred, pred FROM sz
+        UNION
+        SELECT r.pred, u.d FROM r JOIN und u ON u.s = r.reach)
+    SELECT pred, MIN(reach) AS cluster FROM r GROUP BY pred
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -7437,6 +7614,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentiment": q_sentiment,
         "textrank_keywords": q_textrank_keywords,
         "heading_tree": q_heading_tree,
+        "text_tiles": q_text_tiles,
+        "readability": q_readability,
+        "relation_clusters": q_relation_clusters,
     }
 
 
@@ -9211,6 +9391,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "sentiment": _sentiment_oracle_sql(),
         "textrank_keywords": _textrank_oracle_sql(),
         "heading_tree": _HEADING_ORACLE,
+        "text_tiles": _TEXT_TILES_ORACLE,
+        "readability": _READABILITY_ORACLE,
+        "relation_clusters": _RELATION_CLUSTERS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """
