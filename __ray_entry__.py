@@ -1436,15 +1436,19 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
-def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
-    """Unrolled-CTE twin of q_pagerank: uniform teleport over the
-    lineitem order→part multigraph (parallel edges weigh, as in the
-    distributed degree counting); float association mirrors the numpy
-    expression ((1-d)*(1/n), d*(mass + dang*(1/n)))."""
+def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85,
+                         edges_sql: str =
+                         "SELECT l_orderkey AS src, l_partkey AS dst"
+                         " FROM lineitem",
+                         node_alias: str = "node") -> str:
+    """Unrolled-CTE twin of graphs.pagerank over any (src, dst) edge
+    SELECT: uniform teleport, multi-edge weights, dangling
+    redistribution; float association mirrors the numpy expression
+    ((1-d)*(1/n), d*(mass + dang*(1/n)))."""
     d = damping
     ctes = [f"""
         WITH e AS MATERIALIZED (
-            SELECT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+            {edges_sql}),
         nodes AS MATERIALIZED (
             SELECT src AS node FROM e UNION SELECT dst FROM e),
         nd AS MATERIALIZED (
@@ -1472,7 +1476,8 @@ def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
                 CROSS JOIN cnt)""")
         prev = f"r{k}"
     return ",".join(ctes) + f"""
-        SELECT node, ROUND(r, 6) AS "rank" FROM r{iters}"""
+        SELECT node AS {node_alias}, ROUND(r, 6) AS "rank"
+        FROM r{iters}"""
 
 
 def q_month_revenue(sf_dir: str) -> pa.Table:
@@ -6838,7 +6843,9 @@ def q_random_walks(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
-def _walks_oracle_sql(length: int = 6) -> str:
+def _walks_cte_sql(length: int = 6) -> tuple[str, str]:
+    """(joined CTEs, steps-union SELECT) for the planted walk corpus —
+    shared by the random_walks and walk_skipgrams oracles."""
     from aida_ray.stages.community import (_WALK_A, _WALK_B, _WALK_C,
                                            _WALK_M)
     ctes = ["""
@@ -6867,7 +6874,23 @@ def _walks_oracle_sql(length: int = 6) -> str:
         prev = f"s{k}"
     steps = " UNION ALL ".join(
         f"SELECT * FROM s{k}" for k in range(length + 1))
-    return ",".join(ctes) + f" {steps}"
+    return ",".join(ctes), steps
+
+
+def _walks_oracle_sql(length: int = 6) -> str:
+    ctes, steps = _walks_cte_sql(length)
+    return f"{ctes} {steps}"
+
+
+def _skipgram_oracle_sql(length: int = 6, window: int = 2) -> str:
+    ctes, steps = _walks_cte_sql(length)
+    return f"""{ctes},
+        w AS MATERIALIZED ({steps})
+        SELECT x.node AS center, y.node AS context, COUNT(*) AS n
+        FROM w x JOIN w y ON x.walk_id = y.walk_id
+             AND x.step <> y.step
+             AND ABS(x.step - y.step) <= {window}
+        GROUP BY 1, 2"""
 
 
 def q_wl_labels(sf_dir: str) -> pa.Table:
@@ -7338,6 +7361,155 @@ _RELATION_CLUSTERS_ORACLE = """
 """
 
 
+def q_walk_skipgrams(sf_dir: str) -> pa.Table:
+    """Skip-gram training pairs from the deterministic walk corpus
+    (community.skipgram_pairs over community.random_walks — the
+    DeepWalk preprocessing chain); window 2; SQL twin re-derives the
+    walks then self-joins within the window."""
+    from aida_ray.stages.community import random_walks, skipgram_pairs
+    n = pq_file_rows(os.path.join(sf_dir, "documents.parquet"))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = np.concatenate([i, i, i])
+        d = np.concatenate([(3 * i + 1) % n, (7 * i + 2) % n,
+                            (i + 1) % n])
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    seeds = np.arange(0, n, 10, dtype=np.int64)
+    walks = random_walks(
+        docs.map_batches(to_edges, batch_format="pyarrow"),
+        seeds, length=6)
+    t = _collect(skipgram_pairs(ray.data.from_arrow(walks),
+                                window=2)).to_pandas() \
+        .sort_values(["center", "context"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+def q_content_drift(sf_dir: str) -> pa.Table:
+    """Re-crawl content drift (webstats.snapshot_drift): REAL document
+    texts paired as (old, new) snapshots of url_id = doc_id // 2;
+    distinct-vocabulary Jaccard with the integer changed rule."""
+    from aida_ray.stages.webstats import snapshot_drift
+
+    def keyed(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "url_id": pa.array(i // 2, pa.int64()),
+            "version": pa.array(i % 2, pa.int64()),
+            "doc_id": pa.array(i, pa.int64()),
+            "text": b["text"]})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(snapshot_drift(
+        docs.map_batches(keyed, batch_format="pyarrow"))).to_pandas() \
+        .sort_values("url_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_CONTENT_DRIFT_ORACLE = """
+    WITH t AS (SELECT doc_id // 2 AS url_id, doc_id % 2 AS v,
+                      unnest(regexp_split_to_array(lower(text),
+                          '[^a-z0-9]+')) AS tok
+               FROM documents),
+    d AS (SELECT DISTINCT url_id, v, tok FROM t WHERE tok <> ''),
+    m AS (SELECT url_id, tok,
+                 SUM(CASE WHEN v = 0 THEN 1 ELSE 2 END) AS mask
+          FROM d GROUP BY 1, 2),
+    g AS (SELECT url_id,
+                 SUM(CASE WHEN mask IN (1, 3) THEN 1 ELSE 0 END) AS no,
+                 SUM(CASE WHEN mask IN (2, 3) THEN 1 ELSE 0 END) AS nw,
+                 SUM(CASE WHEN mask = 3 THEN 1 ELSE 0 END) AS i
+          FROM m GROUP BY url_id)
+    SELECT url_id, CAST(no AS BIGINT) AS n_old,
+           CAST(nw AS BIGINT) AS n_new, CAST(i AS BIGINT) AS inter,
+           CAST(no + nw - i AS BIGINT) AS union_size,
+           ROUND(i / CAST(no + nw - i AS DOUBLE), 6) AS sim,
+           10 * i < 9 * (no + nw - i) AS changed
+    FROM g
+"""
+
+
+def q_anchor_names(sf_dir: str) -> pa.Table:
+    """Inbound anchor-term profiles (links.anchor_term_index): planted
+    multi-word anchors parsed back from raw html bytes; per-target
+    top-3 terms by (count DESC, term ASC)."""
+    from aida_ray.stages.links import anchor_term_index
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            anchors = "".join(
+                f'<a href="E{(i * 31 + j) % 20}">'
+                f'The great page{(i * 13 + j) % 5}</a>'
+                for j in range(i % 3))
+            htmls.append(
+                f"<html><body>{anchors}</body></html>".encode())
+        return pa.table({"html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(anchor_term_index(
+        docs.map_batches(to_pages, batch_format="pyarrow"),
+        k=3)).to_pandas() \
+        .sort_values(["target", "rank_idx"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_ANCHOR_NAMES_ORACLE = """
+    WITH a AS (SELECT doc_id, unnest(range(doc_id % 3)) AS j
+               FROM documents),
+    anc AS (SELECT 'E' || ((doc_id * 31 + j) % 20) AS target,
+                   (doc_id * 13 + j) % 5 AS pg
+            FROM a),
+    toks AS (SELECT target, 'the' AS term FROM anc
+             UNION ALL SELECT target, 'great' FROM anc
+             UNION ALL SELECT target, 'page' || pg FROM anc),
+    cnt AS (SELECT target, term, COUNT(*) AS n
+            FROM toks GROUP BY 1, 2),
+    rk AS (SELECT target, term, n, ROW_NUMBER() OVER (
+               PARTITION BY target ORDER BY n DESC, term ASC)
+               AS rank_idx
+           FROM cnt)
+    SELECT target, term, CAST(n AS BIGINT) AS n,
+           CAST(rank_idx AS BIGINT) AS rank_idx
+    FROM rk WHERE rank_idx <= 3
+"""
+
+
+def q_host_rank(sf_dir: str) -> pa.Table:
+    """Host-graph authority (domain-level PageRank — the crawl-
+    prioritization signal): page links collapsed to host→host edges
+    (multi-edges keep their weight), graphs.pagerank at 8 iterations;
+    the oracle reuses the unrolled pagerank twin over the same host
+    edge derivation."""
+    from aida_ray.stages.graphs import pagerank
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        s = (i * 7919) % 23
+        d = (i * 104729) % 23
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = pagerank(docs.map_batches(to_edges, batch_format="pyarrow"),
+                 iters=8).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    t["rank"] = t["rank"].round(6)
+    t = t.rename(columns={"node": "host_id"})
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -7617,6 +7789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tiles": q_text_tiles,
         "readability": q_readability,
         "relation_clusters": q_relation_clusters,
+        "walk_skipgrams": q_walk_skipgrams,
+        "content_drift": q_content_drift,
+        "anchor_names": q_anchor_names,
+        "host_rank": q_host_rank,
     }
 
 
@@ -9394,6 +9570,16 @@ def _oracle_sql_dict() -> dict[str, str]:
         "text_tiles": _TEXT_TILES_ORACLE,
         "readability": _READABILITY_ORACLE,
         "relation_clusters": _RELATION_CLUSTERS_ORACLE,
+        "walk_skipgrams": _skipgram_oracle_sql(),
+        "content_drift": _CONTENT_DRIFT_ORACLE,
+        "anchor_names": _ANCHOR_NAMES_ORACLE,
+        "host_rank": _pagerank_oracle_sql(
+            iters=8,
+            edges_sql="SELECT (doc_id * 7919) % 23 AS src,"
+                      " (doc_id * 104729) % 23 AS dst FROM documents"
+                      " WHERE (doc_id * 7919) % 23"
+                      " <> (doc_id * 104729) % 23",
+            node_alias="host_id"),
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

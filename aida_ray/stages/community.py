@@ -198,6 +198,45 @@ def random_walks(edges: ray.data.Dataset, seeds: np.ndarray,
     return t
 
 
+def skipgram_pairs(walks: ray.data.Dataset, window: int = 2,
+                   walk_col: str = "walk_id", step_col: str = "step",
+                   node_col: str = "node") -> ray.data.Dataset:
+    """(center, context, n) skip-gram training pairs from a walk
+    corpus (DeepWalk / node2vec preprocessing): for each walk, every
+    ordered pair of nodes within ``window`` steps of each other.
+
+    Scale shape: walks shuffle once by walk id
+    (``groupby(walk_id).map_groups`` — a walk is a few dozen rows);
+    pair counting goes through the packed-int64 ``agg.gated_count``
+    (shuffle = distinct pairs, not pair instances).  Node ids must
+    fit 32 bits (packing gate)."""
+    from aida_ray.stages.agg import gated_count
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(step_col)
+        s = g[step_col].to_numpy()
+        v = g[node_col].to_numpy().astype(np.int64)
+        assert v.max(initial=0) < (1 << 32), "skipgram: node > 32 bits"
+        i, j = np.meshgrid(np.arange(len(s)), np.arange(len(s)),
+                           indexing="ij")
+        m = (i != j) & (np.abs(s[i] - s[j]) <= window)
+        return pd.DataFrame({"pair": (v[i[m]] << np.int64(32))
+                             | v[j[m]]})
+
+    packed = walks.groupby(walk_col).map_groups(pairs,
+                                                batch_format="pandas")
+    counted = gated_count(packed, "pair")
+
+    def unpack(b: pa.Table) -> pa.Table:
+        p = b["pair"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "center": pa.array(p >> np.int64(32), pa.int64()),
+            "context": pa.array(p & np.int64((1 << 32) - 1), pa.int64()),
+            "n": b["n"]})
+
+    return counted.map_batches(unpack, batch_format="pyarrow")
+
+
 def wl_refine(edges: ray.data.Dataset, iters: int = 2,
               src: str = "src", dst: str = "dst",
               symmetrize: bool = True) -> pa.Table:

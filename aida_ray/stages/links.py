@@ -280,3 +280,51 @@ def parse_robots(ds: ray.data.Dataset, host_col: str = "host",
                          "prefix": pa.array(prefixes, pa.string())})
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+def anchor_term_index(pages: ray.data.Dataset, k: int = 3,
+                      html_col: str = "html") -> ray.data.Dataset:
+    """Inbound anchor-term profile per link target — "what the web
+    calls this page" (the anchor-text description signal of classic
+    web IR, e.g. Craswell/Hawking/Robertson SIGIR'01): tokenize every
+    anchor surface pointing at a target, count (target, term), keep
+    each target's top-``k`` terms by (n DESC, term ASC).
+
+    Scale shape: anchor explode streams; (target, term) counting is
+    one groupby-sum over per-block pandas partials (shuffle =
+    distinct profile rows); the top-k cut is a per-target
+    ``map_groups`` (bounded by each target's distinct anchor
+    vocabulary)."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    raw = anchor_surface_pairs(pages, html_col=html_col)
+    tok = _re.compile(r"[a-z0-9]+")
+
+    def explode_terms(b: pa.Table) -> pa.Table:
+        tg, tm = [], []
+        for t, s in zip(b["target"].to_pylist(),
+                        b["surface"].to_pylist()):
+            for w in tok.findall(s):
+                tg.append(t)
+                tm.append(w)
+        df = pd.DataFrame({"target": tg, "term": tm, "n": 1})
+        g = df.groupby(["target", "term"], sort=False)["n"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = raw.map_batches(explode_terms, batch_format="pyarrow") \
+        .groupby(["target", "term"]).aggregate(Sum("n"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sum(n)", "term"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "target": g["target"].to_numpy(),
+            "term": g["term"].to_numpy(),
+            "n": g["sum(n)"].to_numpy().astype("int64"),
+            "rank_idx": np.arange(1, len(g) + 1, dtype="int64")})
+
+    return counts.groupby("target").map_groups(topk,
+                                               batch_format="pandas")

@@ -183,3 +183,73 @@ def textrank_keywords(docs: ray.data.Dataset, k: int = 10,
                             ascending=[False, True]).head(k)
     return pa.Table.from_pandas(top[["term", "rank"]].reset_index(
         drop=True), preserve_index=False)
+
+
+def snapshot_drift(docs: ray.data.Dataset, key_col: str = "url_id",
+                   version_col: str = "version", id_col: str = "doc_id",
+                   text_col: str = "text") -> ray.data.Dataset:
+    """Content drift between two crawl snapshots of the same page:
+    (url_id, n_old, n_new, inter, union_size, sim, changed) per key,
+    comparing DISTINCT token vocabularies of version 0 (old) and
+    version 1 (new).  ``sim`` = Jaccard rounded to 6; ``changed``
+    when 10*inter < 9*union (sim < 0.9, integer rule).
+
+    Scale shape: per-block distinct (key, version, term) partials,
+    one groupby over (key, term) summing version BITS (1=old, 2=new
+    — a re-crawl pair, by contract), then a per-key combine; shuffle
+    volume tracks distinct page vocabularies, never raw tokens.
+    Keys with no tokens in either snapshot emit no row."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b[key_col].to_numpy(zero_copy_only=False)
+        ver = b[version_col].to_numpy(zero_copy_only=False)
+        df = _doc_terms(pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "v": pa.array(ver, pa.int64()),
+            text_col: b[text_col]}).add_column(
+                0, "rid", pa.array(np.arange(len(ids), dtype=np.int64))),
+            "rid", text_col)
+        if not len(df):
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "bit": pa.array([], pa.int64())})
+        # _doc_terms names its id output "doc_id" — here it carries rid
+        rid = df["doc_id"].to_numpy()
+        out = pd.DataFrame({
+            key_col: ids[rid], "term": df["term"].to_numpy(),
+            "bit": np.where(ver[rid] == 0, 1, 2).astype("int64")})
+        out = out.drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    masks = docs.map_batches(partial, batch_format="pyarrow") \
+        .groupby([key_col, "term"]).aggregate(Sum("bit"))
+
+    def key_partial(b: pa.Table) -> pa.Table:
+        m = b["sum(bit)"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            key_col: b[key_col].to_numpy(zero_copy_only=False),
+            "o": (m & 1 > 0).astype("int64"),
+            "w": (m & 2 > 0).astype("int64"),
+            "i": (m == 3).astype("int64")})
+        g = df.groupby(key_col, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = masks.map_batches(key_partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("o"), Sum("w"), Sum("i"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        no = b["sum(o)"].to_numpy(zero_copy_only=False)
+        nw = b["sum(w)"].to_numpy(zero_copy_only=False)
+        it = b["sum(i)"].to_numpy(zero_copy_only=False)
+        un = no + nw - it
+        return pa.table({
+            key_col: b[key_col],
+            "n_old": pa.array(no, pa.int64()),
+            "n_new": pa.array(nw, pa.int64()),
+            "inter": pa.array(it, pa.int64()),
+            "union_size": pa.array(un, pa.int64()),
+            "sim": pa.array(np.round(it / un, 6), pa.float64()),
+            "changed": pa.array(10 * it < 9 * un, pa.bool_())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
