@@ -7510,6 +7510,105 @@ def q_host_rank(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_metapath_counts(sf_dir: str) -> pa.Table:
+    """Length-2 metapath census (kgprofile.metapath_counts) over the
+    shared planted KG — a fact-sized hash-shuffle SELF-join on the
+    entity key; |P|^2-bounded output; generic SQL self-join twin."""
+    from aida_ray.stages.kgprofile import metapath_counts
+    t = _collect(metapath_counts(_rule_triples(sf_dir))).to_pandas() \
+        .sort_values(["pred_a", "pred_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_METAPATH_ORACLE = _RULE_FACTS_CTE + """
+    SELECT a.pred AS pred_a, b.pred AS pred_b, COUNT(*) AS n_paths
+    FROM f a JOIN f b ON a.obj = b.subj
+    GROUP BY 1, 2
+"""
+
+
+def q_pred_cardinality(sf_dir: str) -> pa.Table:
+    """Predicate cardinality profile (kgprofile.pred_cardinality):
+    1:1/1:N/N:1/N:M classes from max in/out fanouts over distinct
+    facts; generic SQL twin over the same planted KG."""
+    from aida_ray.stages.kgprofile import pred_cardinality
+    return pred_cardinality(_rule_triples(sf_dir))
+
+
+_PRED_CARDINALITY_ORACLE = _RULE_FACTS_CTE + """
+    , os AS (SELECT pred, subj, COUNT(*) AS c FROM f GROUP BY 1, 2),
+    a AS (SELECT pred, SUM(c) AS n_facts, COUNT(*) AS n_subj,
+                 MAX(c) AS max_out FROM os GROUP BY pred),
+    ob AS (SELECT pred, obj, COUNT(*) AS c FROM f GROUP BY 1, 2),
+    b AS (SELECT pred, COUNT(*) AS n_obj, MAX(c) AS max_in
+          FROM ob GROUP BY pred)
+    SELECT a.pred, CAST(a.n_facts AS BIGINT) AS n_facts,
+           CAST(a.n_subj AS BIGINT) AS n_subj,
+           CAST(b.n_obj AS BIGINT) AS n_obj,
+           CAST(a.max_out AS BIGINT) AS max_out,
+           CAST(b.max_in AS BIGINT) AS max_in,
+           CASE WHEN a.max_out = 1 AND b.max_in = 1 THEN '1:1'
+                WHEN a.max_out > 1 AND b.max_in = 1 THEN '1:N'
+                WHEN a.max_out = 1 AND b.max_in > 1 THEN 'N:1'
+                ELSE 'N:M' END AS card
+    FROM a JOIN b ON a.pred = b.pred
+"""
+
+
+def q_nil_clusters(sf_dir: str) -> pa.Table:
+    """Cross-document NIL clustering (nil.nil_cluster_ids): planted
+    unlinkable mentions with punctuation/case variants collapse to
+    normalized surfaces; first-appearance dense NIL ids; SQL twin
+    re-derives the normalization with the same RE2 pattern."""
+    from aida_ray.stages.nil import nil_cluster_ids
+
+    def to_mentions(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        doc, men = [], []
+        for i in ids:
+            j = int(i)
+            doc.append(j)
+            men.append(f"Newco-{j % 20} Corp" if j % 2 == 0
+                       else f"newco {j % 20}   CORP")
+            if j % 3 == 0:
+                doc.append(j)
+                men.append("Zorbafex  Quillan!")
+            if j % 7 == 0:
+                doc.append(j)
+                men.append("Tamberlyn")
+        return pa.table({"doc_id": pa.array(doc, pa.int64()),
+                         "mention": pa.array(men, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return nil_cluster_ids(
+        docs.map_batches(to_mentions, batch_format="pyarrow"))
+
+
+_NIL_CLUSTERS_ORACLE = """
+    WITH m AS (
+        SELECT doc_id, CASE WHEN doc_id % 2 = 0
+               THEN 'Newco-' || (doc_id % 20) || ' Corp'
+               ELSE 'newco ' || (doc_id % 20) || '   CORP'
+               END AS mention FROM documents
+        UNION ALL SELECT doc_id, 'Zorbafex  Quillan!' FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL SELECT doc_id, 'Tamberlyn' FROM documents
+        WHERE doc_id % 7 = 0),
+    norm AS (SELECT doc_id, trim(regexp_replace(lower(mention),
+                 '[^a-z0-9]+', ' ', 'g')) AS surface FROM m),
+    g AS (SELECT surface, COUNT(*) AS n_mentions,
+                 COUNT(DISTINCT doc_id) AS n_docs,
+                 MIN(doc_id) AS first_doc
+          FROM norm WHERE surface <> '' GROUP BY surface)
+    SELECT ROW_NUMBER() OVER (ORDER BY first_doc, surface) AS nil_id,
+           surface, CAST(n_mentions AS BIGINT) AS n_mentions,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(first_doc AS BIGINT) AS first_doc
+    FROM g
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -7793,6 +7892,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "content_drift": q_content_drift,
         "anchor_names": q_anchor_names,
         "host_rank": q_host_rank,
+        "metapath_counts": q_metapath_counts,
+        "pred_cardinality": q_pred_cardinality,
+        "nil_clusters": q_nil_clusters,
     }
 
 
@@ -9580,6 +9682,9 @@ def _oracle_sql_dict() -> dict[str, str]:
                       " WHERE (doc_id * 7919) % 23"
                       " <> (doc_id * 104729) % 23",
             node_alias="host_id"),
+        "metapath_counts": _METAPATH_ORACLE,
+        "pred_cardinality": _PRED_CARDINALITY_ORACLE,
+        "nil_clusters": _NIL_CLUSTERS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

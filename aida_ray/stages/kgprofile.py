@@ -1,0 +1,135 @@
+"""KG schema profiling — metapath composition counts and predicate
+cardinality classes.
+
+- :func:`metapath_counts` — length-2 metapath profile: for every
+  ordered predicate pair (p1, p2), the number of path instances
+  x -p1-> y -p2-> z over DISTINCT facts (the schema-level
+  composition census behind path-rule mining and heterogeneous-graph
+  embeddings à la metapath2vec, Dong et al. KDD'17).  Scale shape:
+  one distinct pass over the assertion stream, then a fact-sized
+  HASH SHUFFLE self-join (shuffle_join.hash_join on the shared
+  entity key — both sides are fact-scale, so no broadcast), then a
+  |P|^2-bounded groupby-count.
+
+- :func:`pred_cardinality` — per-predicate functional profile:
+  n_facts, distinct subjects/objects, max out/in fanout, and the
+  1:1 / 1:N / N:1 / N:M class (integer rules only).  The KG QA
+  signal behind kgqa.functional_violations: a predicate classified
+  1:N whose spec says N:1 is a modeling bug.  Per-pred outputs are
+  predicate-vocabulary-bounded.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _distinct_facts(triples: ray.data.Dataset, s: str, p: str,
+                    o: str) -> ray.data.Dataset:
+    """DISTINCT (s, p, o): per-block dedup partials + one groupby."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                           o: b[o].to_pandas()})
+        return pa.Table.from_pandas(df.drop_duplicates(),
+                                    preserve_index=False)
+
+    return triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby([s, p, o]).count().select_columns([s, p, o])
+
+
+def metapath_counts(triples: ray.data.Dataset, s: str = "subj",
+                    p: str = "pred", o: str = "obj",
+                    num_partitions: int | None = None
+                    ) -> ray.data.Dataset:
+    """(pred_a, pred_b, n_paths) rows: x -pred_a-> y -pred_b-> z
+    path-instance counts over distinct facts (y is the join key;
+    x == z paths count too — composition ignores reflexivity)."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    f = _distinct_facts(triples, s, p, o)
+
+    def left(b: pa.Table) -> pa.Table:
+        return pa.table({"pred_a": b[p], "node": b[o]})
+
+    def right(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[s], "pred_b": b[p]})
+
+    j = hash_join(f.map_batches(left, batch_format="pyarrow"),
+                  f.map_batches(right, batch_format="pyarrow"),
+                  on=("node",), num_partitions=num_partitions)
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"pred_a": b["pred_a"].to_pandas(),
+                           "pred_b": b["pred_b"].to_pandas(), "c": 1})
+        g = df.groupby(["pred_a", "pred_b"], sort=False)["c"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = j.map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby(["pred_a", "pred_b"]).aggregate(Sum("c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"pred_a": b["pred_a"], "pred_b": b["pred_b"],
+                         "n_paths": pc.cast(b["sum(c)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pred_cardinality(triples: ray.data.Dataset, s: str = "subj",
+                     p: str = "pred", o: str = "obj") -> pa.Table:
+    """(pred, n_facts, n_subj, n_obj, max_out, max_in, card) per
+    predicate over distinct facts; card ∈ {'1:1','1:N','N:1','N:M'}
+    from the max fanouts (max_out = facts per (pred, subj); a
+    functional predicate has max_out == 1)."""
+    from ray.data.aggregate import Max, Sum
+
+    f = _distinct_facts(triples, s, p, o).materialize()
+
+    def side(key: str):
+        def part(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({p: b[p].to_pandas(),
+                               key: b[key].to_pandas(), "c": 1})
+            g = df.groupby([p, key], sort=False)["c"].sum().reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        per_key = f.map_batches(part, batch_format="pyarrow") \
+            .groupby([p, key]).aggregate(Sum("c"))
+
+        def pp(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({p: b[p].to_pandas(),
+                               "n": b["sum(c)"].to_numpy(
+                                   zero_copy_only=False)})
+            g = df.groupby(p, sort=False).agg(
+                facts=("n", "sum"), k=("n", "size"), mx=("n", "max")) \
+                .reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        return per_key.map_batches(pp, batch_format="pyarrow") \
+            .groupby(p).aggregate(Sum("facts"), Sum("k"), Max("mx")) \
+            .to_pandas()
+
+    a = side(s)   # per-pred: facts, distinct subj, max out-fanout
+    b = side(o)   # per-pred: facts, distinct obj, max in-fanout
+    m = a.merge(b, on=p, suffixes=("_s", "_o")).sort_values(p)
+    mo = m["max(mx)_s"].to_numpy(dtype="int64")
+    mi = m["max(mx)_o"].to_numpy(dtype="int64")
+    card = np.where((mo == 1) & (mi == 1), "1:1",
+            np.where((mo > 1) & (mi == 1), "1:N",
+            np.where((mo == 1) & (mi > 1), "N:1", "N:M")))
+    return pa.table({
+        "pred": pa.array(m[p].to_numpy().astype(str)),
+        "n_facts": pa.array(m["sum(facts)_s"].to_numpy(dtype="int64")),
+        "n_subj": pa.array(m["sum(k)_s"].to_numpy(dtype="int64")),
+        "n_obj": pa.array(m["sum(k)_o"].to_numpy(dtype="int64")),
+        "max_out": pa.array(mo, pa.int64()),
+        "max_in": pa.array(mi, pa.int64()),
+        "card": pa.array(card.astype(str))})
