@@ -7609,6 +7609,173 @@ _NIL_CLUSTERS_ORACLE = """
 """
 
 
+def q_inverse_relations(sf_dir: str) -> pa.Table:
+    """Inverse-rule mining body(x,y) => head(y,x) (rules.
+    mine_inverse_rules): planted parentOf/childOf inverses (childOf
+    complete, parentOf 2/3 covered) plus a symmetric marriedTo
+    (self-inverse); generic reversed-join SQL twin."""
+    from aida_ray.stages.rules import mine_inverse_rules
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        subs, preds, objs = [], [], []
+        for i in ids:
+            j = int(i)
+            k, m = j // 2, j % 2
+            if m == 0:
+                subs.append(f"a{k % 30}"); preds.append("parentOf")
+                objs.append(f"b{k % 30}")
+                subs.append(f"x{k % 10}"); preds.append("marriedTo")
+                objs.append(f"y{k % 10}")
+            else:
+                if k % 3 != 0:
+                    subs.append(f"b{k % 30}"); preds.append("childOf")
+                    objs.append(f"a{k % 30}")
+                subs.append(f"y{k % 10}"); preds.append("marriedTo")
+                objs.append(f"x{k % 10}")
+        return pa.table({"subj": pa.array(subs), "pred": pa.array(preds),
+                         "obj": pa.array(objs)})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return mine_inverse_rules(
+        docs.map_batches(to_triples, batch_format="pyarrow"))
+
+
+_INVERSE_RELATIONS_ORACLE = """
+    WITH d AS (SELECT doc_id // 2 AS k, doc_id % 2 AS m
+               FROM documents),
+    raw AS (
+        SELECT 'a' || (k % 30) AS subj, 'parentOf' AS pred,
+               'b' || (k % 30) AS obj FROM d WHERE m = 0
+        UNION ALL SELECT 'x' || (k % 10), 'marriedTo', 'y' || (k % 10)
+        FROM d WHERE m = 0
+        UNION ALL SELECT 'b' || (k % 30), 'childOf', 'a' || (k % 30)
+        FROM d WHERE m = 1 AND k % 3 <> 0
+        UNION ALL SELECT 'y' || (k % 10), 'marriedTo', 'x' || (k % 10)
+        FROM d WHERE m = 1),
+    f AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM raw),
+    sz AS (SELECT pred, COUNT(*) AS n FROM f GROUP BY pred),
+    co AS (SELECT a.pred AS body_pred, b.pred AS head_pred,
+                  COUNT(*) AS support
+           FROM f a JOIN f b ON a.subj = b.obj AND a.obj = b.subj
+           GROUP BY 1, 2)
+    SELECT co.body_pred, co.head_pred, CAST(co.support AS BIGINT)
+               AS support,
+           CAST(sz.n AS BIGINT) AS body_size,
+           ROUND(co.support / CAST(sz.n AS DOUBLE), 6) AS confidence
+    FROM co JOIN sz ON sz.pred = co.body_pred
+"""
+
+
+def q_microdata_triples(sf_dir: str) -> pa.Table:
+    """Schema.org MICRODATA triple extraction (webtables.
+    microdata_triples — the third markup family next to table/
+    JSON-LD): planted itemscope/itemprop blocks incl. the nameless-
+    scope subject fallback and markup-free pages."""
+    from aida_ray.stages.webtables import microdata_triples
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                h = (f'<div itemscope itemtype="http://schema.org/'
+                     f'Person"><span itemprop="name">Ada {i}</span>'
+                     f'<span itemprop="birthPlace">Town{i % 50}'
+                     f'</span></div>')
+            elif m == 1:
+                h = (f'<div itemscope itemtype="http://schema.org/'
+                     f'Book"><i itemprop="isbn">97{i}</i></div>'
+                     f'<div itemscope itemtype="http://schema.org/'
+                     f'Place"><b itemprop="name">Fort {i}</b></div>')
+            else:
+                h = "<p>plain</p>"
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(microdata_triples(
+        docs.map_batches(to_pages, batch_format="pyarrow"))).to_pandas() \
+        .sort_values(["doc_id", "subj", "pred"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_MICRODATA_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents)
+    SELECT doc_id, 'Ada ' || doc_id AS subj, '@type' AS pred,
+           'Person' AS obj FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'Ada ' || doc_id, 'name',
+                     'Ada ' || doc_id FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'Ada ' || doc_id, 'birthPlace',
+                     'Town' || (doc_id % 50) FROM d WHERE m = 0
+    UNION ALL SELECT doc_id, 'Book#0', '@type', 'Book'
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 'Book#0', 'isbn', '97' || doc_id
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 'Fort ' || doc_id, '@type', 'Place'
+    FROM d WHERE m = 1
+    UNION ALL SELECT doc_id, 'Fort ' || doc_id, 'name',
+                     'Fort ' || doc_id FROM d WHERE m = 1
+"""
+
+
+def q_pagination_chains(sf_dir: str) -> pa.Table:
+    """Pagination-chain assembly: <link rel="next"> pointers parsed
+    from html (links.parse_next_links), reversed, and resolved with
+    urls.resolve_redirects pointer doubling — every page gets its
+    chain ROOT and position; arithmetic oracle (6-page chains)."""
+    from aida_ray.stages.links import parse_next_links
+    from aida_ray.stages.urls import resolve_redirects
+    n = pq_file_rows(os.path.join(sf_dir, "documents.parquet"))
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            nxt = (f'<link rel="next" href="/p{i + 1}">'
+                   if i % 6 != 5 and i + 1 < n else "")
+            htmls.append(
+                f"<html><head>{nxt}</head><body>pg</body></html>"
+                .encode())
+        return pa.table({"url_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    parsed = parse_next_links(docs.map_batches(
+        lambda b: to_pages(b), batch_format="pyarrow"))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        import re as _re
+        nxt = [int(_re.search(r"/p(\d+)$", h).group(1))
+               for h in b["next_href"].to_pylist()]
+        # reversed: resolving next->prev chains lands on the ROOT page
+        return pa.table({
+            "src": pa.array(nxt, pa.int64()),
+            "dst": pa.array(b["url_id"].to_numpy(zero_copy_only=False),
+                            pa.int64())})
+
+    t = _collect(resolve_redirects(
+        parsed.map_batches(to_edges, batch_format="pyarrow"))) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    t = t.rename(columns={"node": "page", "final": "root",
+                          "hops": "pos"})
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_PAGINATION_ORACLE = """
+    SELECT doc_id AS page, doc_id - (doc_id % 6) AS root,
+           doc_id % 6 AS pos
+    FROM documents WHERE doc_id % 6 <> 0
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -7895,6 +8062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metapath_counts": q_metapath_counts,
         "pred_cardinality": q_pred_cardinality,
         "nil_clusters": q_nil_clusters,
+        "inverse_relations": q_inverse_relations,
+        "microdata_triples": q_microdata_triples,
+        "pagination_chains": q_pagination_chains,
     }
 
 
@@ -9685,6 +9855,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "metapath_counts": _METAPATH_ORACLE,
         "pred_cardinality": _PRED_CARDINALITY_ORACLE,
         "nil_clusters": _NIL_CLUSTERS_ORACLE,
+        "inverse_relations": _INVERSE_RELATIONS_ORACLE,
+        "microdata_triples": _MICRODATA_ORACLE,
+        "pagination_chains": _PAGINATION_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

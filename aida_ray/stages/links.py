@@ -328,3 +328,31 @@ def anchor_term_index(pages: ray.data.Dataset, k: int = 3,
 
     return counts.groupby("target").map_groups(topk,
                                                batch_format="pandas")
+
+
+_REL_NEXT_RE = re.compile(
+    r'<link\b[^>]*\brel\s*=\s*["\']next["\'][^>]*'
+    r'href\s*=\s*["\']([^"\']*)["\']', re.I)
+
+
+def parse_next_links(pages: ray.data.Dataset, id_col: str = "url_id",
+                     html_col: str = "html") -> ray.data.Dataset:
+    """(url_id, next_href) per page carrying a <link rel="next">
+    pagination pointer (first match wins — the standard contract).
+    Attribute order follows the package's extract_meta convention
+    (rel before href).  Pages without one emit no row."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        out_id, hrefs = [], []
+        for i, h in zip(ids, b[html_col].to_pylist()):
+            if isinstance(h, bytes):
+                h = h.decode("utf-8", "replace")
+            m = _REL_NEXT_RE.search(h or "")
+            if m:
+                out_id.append(int(i))
+                hrefs.append(m.group(1))
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "next_href": pa.array(hrefs, pa.string())})
+
+    return pages.map_batches(batch, batch_format="pyarrow")

@@ -303,3 +303,83 @@ def relation_jaccard(triples: ray.data.Dataset,
         "size_b": pa.array(np.asarray(size_b, dtype=np.int64)[keep],
                            pa.int64()),
         "jaccard": pa.array(jac[keep], pa.float64())})
+
+
+def mine_inverse_rules(triples: ray.data.Dataset, min_support: int = 1,
+                       s: str = "subj", p: str = "pred",
+                       o: str = "obj") -> pa.Table:
+    """``body_pred(x, y) => head_pred(y, x)`` inverse rules
+    (AMIE's inverse-equivalence pattern; body_pred == head_pred
+    measures predicate SYMMETRY), columns (body_pred, head_pred,
+    support, body_size, confidence).
+
+    Support counts ordered entity pairs (x, y) with body(x, y) AND
+    head(y, x) — self-loops x == y count once, symmetric assertions
+    both ways.  Scale shape: ONE fact-sized hash-shuffle join of the
+    distinct facts against their own REVERSED key (subj·obj vs
+    obj·subj), then a |P|^2-bounded groupby; body sizes are the
+    |P|-row per-pred distinct-fact counts."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+    from aida_ray.state.collect import collect_table
+
+    facts = _distinct_facts(triples, s, p, o).materialize()
+
+    def fwd(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        obj = b[o].to_pandas().astype(str)
+        return pa.table({"k": pa.array((subj + _SEP + obj).tolist()),
+                         "body_pred": b[p]})
+
+    def rev(b: pa.Table) -> pa.Table:
+        subj = b[s].to_pandas().astype(str)
+        obj = b[o].to_pandas().astype(str)
+        return pa.table({"k": pa.array((obj + _SEP + subj).tolist()),
+                         "head_pred": b[p]})
+
+    j = hash_join(facts.map_batches(fwd, batch_format="pyarrow"),
+                  facts.map_batches(rev, batch_format="pyarrow"),
+                  on=("k",))
+
+    def cnt(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"body_pred": b["body_pred"].to_pandas(),
+                           "head_pred": b["head_pred"].to_pandas(),
+                           "one": 1})
+        g = df.groupby(["body_pred", "head_pred"], sort=False)["one"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    co = collect_table(
+        j.map_batches(cnt, batch_format="pyarrow")
+        .groupby(["body_pred", "head_pred"]).aggregate(Sum("one")),
+        schema=pa.schema([("body_pred", pa.string()),
+                          ("head_pred", pa.string()),
+                          ("sum(one)", pa.int64())]))
+
+    def size_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "pred_": b[p],
+            "one": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+
+    sz = collect_table(
+        facts.map_batches(size_rows, batch_format="pyarrow")
+        .groupby("pred_").aggregate(Sum("one")),
+        schema=pa.schema([("pred_", pa.string()),
+                          ("sum(one)", pa.int64())]))
+    sizes = dict(zip(sz["pred_"].to_pylist(),
+                     sz["sum(one)"].to_pylist()))
+
+    df = co.to_pandas().rename(columns={"sum(one)": "support"})
+    df = df[df["support"] >= min_support].copy()
+    df["body_size"] = df["body_pred"].map(sizes).astype("int64")
+    df["confidence"] = (df["support"] / df["body_size"]).round(6)
+    df = df.sort_values(["body_pred", "head_pred"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "body_pred": pa.array(df["body_pred"].astype(str)),
+        "head_pred": pa.array(df["head_pred"].astype(str)),
+        "support": pa.array(df["support"].to_numpy(dtype="int64")),
+        "body_size": pa.array(df["body_size"].to_numpy(dtype="int64")),
+        "confidence": pa.array(df["confidence"].to_numpy(
+            dtype="float64"))})

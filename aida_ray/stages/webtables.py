@@ -138,3 +138,48 @@ def jsonld_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
     return pages.map_batches(_triples_stage(jsonld_triples_of, id_col,
                                             html_col),
                              batch_format="pyarrow")
+
+
+_ITEMSCOPE_RE = re.compile(
+    r"<(\w+)[^>]*\bitemscope\b[^>]*\bitemtype\s*=\s*\"([^\"]*)\"[^>]*>",
+    re.I)
+_ITEMPROP_RE = re.compile(
+    r"<\w+[^>]*\bitemprop\s*=\s*\"([^\"]*)\"[^>]*>(.*?)</\w+\s*>",
+    re.I | re.S)
+
+
+def microdata_triples_of(html: str) -> list[tuple[str, str, str]]:
+    """(subj, pred, obj) per schema.org MICRODATA property — the
+    third markup family next to table_triples/jsonld_triples.
+    Contract: non-nested itemscopes (crawl-lenient: each itemscope
+    owns the itemprops up to the next itemscope or end of document);
+    subject = the scope's ``name`` property (fallback: itemtype tail
+    ``#<ordinal>``); values are tag-stripped, whitespace-normalized
+    inner text."""
+    scopes = list(_ITEMSCOPE_RE.finditer(html))
+    out = []
+    for idx, m in enumerate(scopes):
+        start = m.end()
+        end = scopes[idx + 1].start() if idx + 1 < len(scopes) \
+            else len(html)
+        typ = m.group(2).rsplit("/", 1)[-1]
+        props = []
+        for pm in _ITEMPROP_RE.finditer(html, start, end):
+            val = re.sub(r"\s+", " ", _TAG_RE.sub("", pm.group(2))) \
+                .strip()
+            if pm.group(1) and val:
+                props.append((pm.group(1), val))
+        name = next((v for k, v in props if k == "name"), None)
+        subj = name if name else f"{typ}#{idx}"
+        out.append((subj, "@type", typ))
+        for k, v in props:
+            out.append((subj, k, v))
+    return out
+
+
+def microdata_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
+                      html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, subj, pred, obj) from schema.org microdata markup."""
+    return pages.map_batches(_triples_stage(microdata_triples_of,
+                                            id_col, html_col),
+                             batch_format="pyarrow")
