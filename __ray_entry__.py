@@ -7776,6 +7776,190 @@ _PAGINATION_ORACLE = """
 """
 
 
+def q_geo_mentions(sf_dir: str) -> pa.Table:
+    """Coordinate-mention normalization (geo.extract_coords — one
+    Arrow RE2 extract_regex kernel — composed with geo.nearest_site):
+    planted '<lat>n <lon>e' mentions resolve to the nearest gazetteer
+    site by exact int64 distance."""
+    from aida_ray.stages.geo import extract_coords, nearest_site
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = [(f"base camp at {(i * 13) % 90}n "
+                  f"{(i * 29) % 180}e today")
+                 if i % 2 == 0 else "no location here"
+                 for i in map(int, ids)]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    sites = pa.table({
+        "site": pa.array(np.arange(10), pa.int64()),
+        "x": pa.array((np.arange(10) * 37) % 90, pa.int64()),
+        "y": pa.array((np.arange(10) * 53) % 180, pa.int64())})
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    pts = extract_coords(docs.map_batches(to_text,
+                                          batch_format="pyarrow"))
+    t = _collect(nearest_site(pts, sites)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_GEO_MENTIONS_ORACLE = """
+    WITH pts AS (SELECT doc_id, (doc_id * 13) % 90 AS x,
+                        (doc_id * 29) % 180 AS y
+                 FROM documents WHERE doc_id % 2 = 0),
+    sites AS (SELECT r AS site, (r * 37) % 90 AS sx,
+                     (r * 53) % 180 AS sy
+              FROM range(10) t(r)),
+    d AS (SELECT doc_id, x, y, site,
+                 (x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2
+          FROM pts CROSS JOIN sites),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY d2, site) AS rn FROM d)
+    SELECT doc_id, x, y, site, d2 FROM r WHERE rn = 1
+"""
+
+
+def q_conf_calibration(sf_dir: str) -> pa.Table:
+    """Confidence-calibration reliability table (kgqa.
+    confidence_calibration over fuse.noisy_or_fuse + kgqa.
+    fact_verdicts): three planted sources with fixed confidences
+    (.33/.57/.71, chosen away from bin edges) assert per-doc claims;
+    the trusted KB covers 2/3 of entities; accuracy per decile bin."""
+    from aida_ray.stages.fuse import noisy_or_fuse
+    from aida_ray.stages.kgqa import confidence_calibration, \
+        fact_verdicts
+
+    def to_claims(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        subs, preds, objs, confs = [], [], [], []
+        for i in ids:
+            j = int(i)
+            truth = f"c{j % 8}"
+            subs.append(f"e{j}"); preds.append("bornIn")
+            objs.append(truth); confs.append(0.33)
+            if j % 2 == 0:
+                subs.append(f"e{j}"); preds.append("bornIn")
+                objs.append(truth); confs.append(0.57)
+            else:
+                subs.append(f"e{j}"); preds.append("bornIn")
+                objs.append("c9"); confs.append(0.57)
+            if j % 5 == 0:
+                subs.append(f"e{j}"); preds.append("bornIn")
+                objs.append(truth); confs.append(0.71)
+        return pa.table({"subj": pa.array(subs), "pred": pa.array(preds),
+                         "obj": pa.array(objs),
+                         "conf": pa.array(confs, pa.float64())})
+
+    n = pq_file_rows(os.path.join(sf_dir, "documents.parquet"))
+    kb = pa.table({
+        "subj": pa.array([f"e{j}" for j in range(n) if j % 3 != 0]),
+        "pred": pa.array(["bornIn"] * len(
+            [j for j in range(n) if j % 3 != 0])),
+        "obj": pa.array([f"c{j % 8}" for j in range(n)
+                         if j % 3 != 0])})
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    fused = noisy_or_fuse(
+        docs.map_batches(to_claims, batch_format="pyarrow"))
+    verd = fact_verdicts(fused, kb, functional_preds=["bornIn"])
+    t = _collect(confidence_calibration(verd)).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_CONF_CALIBRATION_ORACLE = """
+    WITH d AS (SELECT doc_id AS j FROM documents),
+    claims AS (
+        SELECT 'e' || j AS subj, 'c' || (j % 8) AS obj, 0.33 AS conf,
+               j FROM d
+        UNION ALL SELECT 'e' || j,
+               CASE WHEN j % 2 = 0 THEN 'c' || (j % 8) ELSE 'c9' END,
+               0.57, j FROM d
+        UNION ALL SELECT 'e' || j, 'c' || (j % 8), 0.71, j FROM d
+        WHERE j % 5 = 0),
+    fused AS (SELECT subj, obj, MIN(j) AS j,
+                     ROUND(1.0 - EXP(SUM(LN(1.0 - conf))), 6) AS f
+              FROM claims GROUP BY subj, obj),
+    verd AS (SELECT f,
+                 CASE WHEN j % 3 = 0 THEN 'novel'
+                      WHEN obj = 'c' || (j % 8) THEN 'supported'
+                      ELSE 'contradicted' END AS v
+             FROM fused),
+    binned AS (SELECT LEAST(CAST(FLOOR(f * 10) AS BIGINT), 9) AS bin,
+                      CASE WHEN v = 'supported' THEN 1 ELSE 0 END AS s
+               FROM verd)
+    SELECT bin, COUNT(*) AS n, CAST(SUM(s) AS BIGINT) AS n_supported,
+           ROUND(SUM(s) / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+    FROM binned GROUP BY bin
+"""
+
+
+def q_quality_ensemble(sf_dir: str) -> pa.Table:
+    """Multi-signal quality filter (webstats.quality_ensemble — spam,
+    min-length, syllable-density bits in ONE text pass): real corpus
+    text interleaved with planted short/stuffed/vowel-dense docs; the
+    oracle re-derives every bit from the same mixed text."""
+    from aida_ray.stages.webstats import quality_ensemble
+
+    def to_text(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        texts = b["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            m = int(i) % 4
+            if m == 0:
+                out.append("tiny doc")
+            elif m == 1:
+                out.append("buy " * 50)
+            elif m == 2:
+                out.append(t)
+            else:
+                out.append("banana oriole papaya")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(quality_ensemble(
+        docs.map_batches(to_text, batch_format="pyarrow"))).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_QUALITY_ENSEMBLE_ORACLE = """
+    WITH src AS (SELECT doc_id, CASE doc_id % 4
+                     WHEN 0 THEN 'tiny doc'
+                     WHEN 1 THEN repeat('buy ', 50)
+                     WHEN 2 THEN text
+                     ELSE 'banana oriole papaya' END AS text
+                 FROM documents),
+    toks AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+')) AS tok FROM src),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c,
+                   len(regexp_extract_all(tok, '[aeiouy]+')) AS syl
+            FROM toks WHERE tok <> '' GROUP BY 1, 2),
+    st AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS k, MAX(c) AS top,
+                  SUM(c * syl) AS syl FROM cnt GROUP BY doc_id),
+    j AS (SELECT d.doc_id,
+                 COALESCE(st.n, 0) AS n, COALESCE(st.k, 0) AS k,
+                 COALESCE(st.top, 0) AS top, COALESCE(st.syl, 0) AS syl
+          FROM documents d LEFT JOIN st USING (doc_id)),
+    bits AS (SELECT doc_id,
+        CASE WHEN n > 0 AND (10 * top > 3 * n OR 5 * k < n)
+             THEN 1 ELSE 0 END
+        + CASE WHEN n < 20 THEN 2 ELSE 0 END
+        + CASE WHEN n > 0 AND 10 * syl > 25 * n THEN 4 ELSE 0 END
+            AS reasons
+        FROM j)
+    SELECT doc_id, CAST(reasons AS BIGINT) AS reasons,
+           reasons = 0 AS keep
+    FROM bits
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8065,6 +8249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverse_relations": q_inverse_relations,
         "microdata_triples": q_microdata_triples,
         "pagination_chains": q_pagination_chains,
+        "geo_mentions": q_geo_mentions,
+        "conf_calibration": q_conf_calibration,
+        "quality_ensemble": q_quality_ensemble,
     }
 
 
@@ -9858,6 +10045,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "inverse_relations": _INVERSE_RELATIONS_ORACLE,
         "microdata_triples": _MICRODATA_ORACLE,
         "pagination_chains": _PAGINATION_ORACLE,
+        "geo_mentions": _GEO_MENTIONS_ORACLE,
+        "conf_calibration": _CONF_CALIBRATION_ORACLE,
+        "quality_ensemble": _QUALITY_ENSEMBLE_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -54,3 +54,33 @@ def nearest_site(points: ray.data.Dataset, sites: pa.Table,
             "d2", pa.array(d2[np.arange(len(px)), j], pa.int64()))
 
     return points.map_batches(batch, batch_format="pyarrow")
+
+
+_COORD_PATTERN = r"(?P<lat>\d{1,2})n (?P<lon>\d{1,3})e"
+
+
+def extract_coords(docs: ray.data.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text") -> ray.data.Dataset:
+    """(doc_id, x, y) for each document whose text carries a grid
+    coordinate mention ("<lat>n <lon>e", first match wins) — the
+    location-normalization front half feeding :func:`nearest_site`.
+    Fully vectorized: ONE Arrow RE2 ``pc.extract_regex`` kernel, no
+    Python per row; coordinate-free docs emit no row."""
+    import pyarrow.compute as pc
+
+    def batch(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b[text_col].combine_chunks(),
+                             pattern=_COORD_PATTERN)
+        keep = pc.is_valid(m)
+        ids = pc.filter(b[id_col].combine_chunks(), keep)
+        hit = pc.filter(m, keep)
+        if len(ids) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        return pa.table({
+            id_col: pc.cast(ids, pa.int64()),
+            "x": pc.cast(hit.field("lat"), pa.int64()),
+            "y": pc.cast(hit.field("lon"), pa.int64())})
+
+    return docs.map_batches(batch, batch_format="pyarrow")

@@ -312,3 +312,48 @@ def fact_verdicts(extractions: ray.data.Dataset, kb: pa.Table,
                                pa.array(verdicts, pa.string()))
 
     return extractions.map_batches(batch, batch_format="pyarrow")
+
+
+def confidence_calibration(verdicted: ray.data.Dataset,
+                           conf_col: str = "fused",
+                           verdict_col: str = "verdict",
+                           bins: int = 10) -> ray.data.Dataset:
+    """Reliability table for fused triple confidences: (bin, n,
+    n_supported, accuracy) with bin = floor(conf * bins) clamped to
+    bins-1 — the calibration check run before thresholding web
+    extractions for KB admission (is a 0.8-confidence triple right
+    ~80% of the time against the trusted core?).
+
+    Scale shape: per-block (bin, verdict) count partials + one
+    bins-bounded groupby-sum; accuracy = supported / n rounded to 6.
+    Callers must keep planted confidences away from bin edges — the
+    floor of a float product is the one place engine ulp differences
+    could diverge."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = b[conf_col].to_numpy(zero_copy_only=False)
+        bn = np.minimum((c * bins).astype("int64"), bins - 1)
+        sup = (np.asarray(b[verdict_col].to_pylist()) == "supported")
+        df = pd.DataFrame({"bin": bn, "n": 1,
+                           "sup": sup.astype("int64")})
+        g = df.groupby("bin", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = verdicted.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n"), Sum("sup"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        s = b["sum(sup)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": b["bin"],
+            "n": pa.array(n, pa.int64()),
+            "n_supported": pa.array(s, pa.int64()),
+            "accuracy": pa.array(np.round(s / n, 6), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -253,3 +253,48 @@ def snapshot_drift(docs: ray.data.Dataset, key_col: str = "url_id",
             "changed": pa.array(10 * it < 9 * un, pa.bool_())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_ensemble(docs: ray.data.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_tokens: int = 20) -> ray.data.Dataset:
+    """Multi-signal document filter in ONE text pass: (doc_id,
+    reasons, keep) where reasons is a bitmask — bit 0 spam
+    (spam_scores' integer rules), bit 1 too short (< min_tokens),
+    bit 2 syllable-dense (10 * syllables > 25 * words, the
+    unreadable-boilerplate proxy).  keep = reasons == 0.  One
+    _doc_terms scan derives all three signals; no shuffle."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        df = _doc_terms(b, id_col, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        if len(df):
+            df = df.assign(syl=df["term"].str.count(r"[aeiouy]+"))
+            cnt = df.groupby([id_col, "term"], sort=False) \
+                .agg(c=("syl", "size"), syl=("syl", "first")) \
+                .reset_index()
+            g = cnt.groupby(id_col, sort=False)
+            stats = g.agg(n=("c", "sum"), k=("c", "size"),
+                          top=("c", "max"))
+            stats["syl"] = (cnt["c"] * cnt["syl"]).groupby(
+                cnt[id_col].to_numpy()).sum()
+            stats = stats.reindex(ids, fill_value=0)
+        else:
+            stats = pd.DataFrame(0, index=ids,
+                                 columns=["n", "k", "top", "syl"])
+        n = stats["n"].to_numpy(dtype="int64")
+        k = stats["k"].to_numpy(dtype="int64")
+        top = stats["top"].to_numpy(dtype="int64")
+        syl = stats["syl"].to_numpy(dtype="int64")
+        spam = (n > 0) & ((10 * top > 3 * n) | (5 * k < n))
+        short = n < min_tokens
+        dense = (n > 0) & (10 * syl > 25 * n)
+        reasons = (spam.astype("int64")
+                   | (short.astype("int64") << 1)
+                   | (dense.astype("int64") << 2))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "reasons": pa.array(reasons, pa.int64()),
+            "keep": pa.array(reasons == 0, pa.bool_())})
+
+    return docs.map_batches(batch, batch_format="pyarrow")

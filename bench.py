@@ -123,7 +123,10 @@ def run_bench() -> dict:
                  "openie_triples", "coref_pronouns", "timex_dates",
                  "quantity_si", "amie_path_rules", "kg_bgp",
                  "boilerplate_lines", "kb_slotfill",
-                 "interval_conflicts", "nearest_site"]:
+                 "interval_conflicts", "nearest_site",
+                 "truth_discovery", "lpa_communities",
+                 "textrank_keywords", "text_tiles", "content_drift",
+                 "metapath_counts", "spam_scores", "microdata_triples"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
