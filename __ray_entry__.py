@@ -7960,6 +7960,146 @@ _QUALITY_ENSEMBLE_ORACLE = """
 """
 
 
+def q_taxonomy_reduction(sf_dir: str) -> pa.Table:
+    """Transitive reduction of a harvested taxonomy DAG (kgprofile.
+    transitive_reduction — bounded-round closure joins, anti-join
+    probe): planted 16-node blocks with skip-level shortcuts; the
+    shortcuts (and only they) must flag redundant; recursive-CTE
+    oracle."""
+    from aida_ray.stages.kgprofile import transitive_reduction
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        s, d = [], []
+        for j in ids:
+            j = int(j)
+            k = j % 16
+            base = j - k
+            if k >= 1:
+                s.append(j); d.append(base + k // 2)
+            if k >= 4 and k % 3 == 0:
+                s.append(j); d.append(base + k // 4)
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    t = _collect(transitive_reduction(
+        docs.map_batches(to_edges, batch_format="pyarrow"),
+        max_depth=4)).to_pandas() \
+        .sort_values(["src", "dst"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_TAXONOMY_REDUCTION_ORACLE = """
+    WITH RECURSIVE e AS (
+        SELECT doc_id AS src,
+               doc_id - (doc_id % 16) + (doc_id % 16) // 2 AS dst
+        FROM documents WHERE doc_id % 16 >= 1
+        UNION
+        SELECT doc_id, doc_id - (doc_id % 16) + (doc_id % 16) // 4
+        FROM documents WHERE doc_id % 16 >= 4 AND doc_id % 16 % 3 = 0),
+    c(src, dst) AS (
+        SELECT src, dst FROM e
+        UNION
+        SELECT c.src, e2.dst FROM c JOIN e e2 ON e2.src = c.dst)
+    SELECT e.src, e.dst,
+           EXISTS (SELECT 1 FROM e x JOIN c
+                   ON c.src = x.dst AND c.dst = e.dst
+                   WHERE x.src = e.src) AS redundant
+    FROM e
+"""
+
+
+def q_source_agreement(sf_dir: str) -> pa.Table:
+    """Pairwise source-agreement matrix (truth.source_agreement) over
+    the truth_discovery claim corpus — the fusion-independence
+    diagnostic; generic self-join SQL twin."""
+    from aida_ray.stages.truth import source_agreement
+
+    def to_claims(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src, ky, vl = [], [], []
+        for i in ids:
+            j = int(i)
+            src.append("s0"); ky.append(f"k{j}"); vl.append(f"T{j}")
+            src.append("s1"); ky.append(f"k{j}")
+            vl.append(f"T{j}" if j % 2 == 0 else f"F{j}")
+            if j % 3 == 0:
+                src.append("s2"); ky.append(f"k{j}"); vl.append(f"F{j}")
+            if j % 5 == 0:
+                src.append("s3"); ky.append(f"k{j}"); vl.append(f"T{j}")
+        return pa.table({"source": pa.array(src), "key": pa.array(ky),
+                         "value": pa.array(vl)})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return source_agreement(
+        docs.map_batches(to_claims, batch_format="pyarrow"))
+
+
+_SOURCE_AGREEMENT_ORACLE = """
+    WITH claims AS (
+        SELECT 's0' AS source, 'k' || doc_id AS key,
+               'T' || doc_id AS value FROM documents
+        UNION ALL
+        SELECT 's1', 'k' || doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'T' ELSE 'F' END
+                   || doc_id FROM documents
+        UNION ALL
+        SELECT 's2', 'k' || doc_id, 'F' || doc_id FROM documents
+        WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT 's3', 'k' || doc_id, 'T' || doc_id FROM documents
+        WHERE doc_id % 5 = 0),
+    sz AS (SELECT source, COUNT(*) AS n FROM claims GROUP BY source),
+    co AS (SELECT a.source AS src_a, b.source AS src_b,
+                  COUNT(*) AS inter
+           FROM claims a JOIN claims b
+                ON a.key = b.key AND a.value = b.value
+               AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT co.src_a, co.src_b, CAST(co.inter AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(sb.n AS BIGINT) AS size_b,
+           ROUND(co.inter / CAST(sa.n + sb.n - co.inter AS DOUBLE), 6)
+               AS jaccard
+    FROM co JOIN sz sa ON sa.source = co.src_a
+    JOIN sz sb ON sb.source = co.src_b
+"""
+
+
+def q_doc_novelty(sf_dir: str) -> pa.Table:
+    """Vocabulary-rarity curation signal (tfidf.doc_novelty): mean
+    token idf per document over the REAL corpus text; the oracle
+    re-derives df/idf with the shared RE2 tokenization."""
+    from aida_ray.stages.tfidf import doc_novelty
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = _collect(doc_novelty(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_DOC_NOVELTY_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+            '[^a-z0-9]+')) AS term FROM documents),
+    tt AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+            FROM tt GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    sc AS (SELECT t.doc_id, COUNT(*) AS nt,
+                  AVG(LN(n.n / CAST(d.df AS DOUBLE))) AS nov
+           FROM tt t JOIN dfs d ON d.term = t.term CROSS JOIN n
+           GROUP BY t.doc_id)
+    SELECT d.doc_id, CAST(COALESCE(sc.nt, 0) AS BIGINT) AS n_tokens,
+           COALESCE(ROUND(sc.nov, 6), 0.0) AS novelty
+    FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8252,6 +8392,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_mentions": q_geo_mentions,
         "conf_calibration": q_conf_calibration,
         "quality_ensemble": q_quality_ensemble,
+        "taxonomy_reduction": q_taxonomy_reduction,
+        "source_agreement": q_source_agreement,
+        "doc_novelty": q_doc_novelty,
     }
 
 
@@ -10048,6 +10191,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "geo_mentions": _GEO_MENTIONS_ORACLE,
         "conf_calibration": _CONF_CALIBRATION_ORACLE,
         "quality_ensemble": _QUALITY_ENSEMBLE_ORACLE,
+        "taxonomy_reduction": _TAXONOMY_REDUCTION_ORACLE,
+        "source_agreement": _SOURCE_AGREEMENT_ORACLE,
+        "doc_novelty": _DOC_NOVELTY_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

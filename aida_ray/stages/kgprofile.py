@@ -133,3 +133,88 @@ def pred_cardinality(triples: ray.data.Dataset, s: str = "subj",
         "max_out": pa.array(mo, pa.int64()),
         "max_in": pa.array(mi, pa.int64()),
         "card": pa.array(card.astype(str))})
+
+
+def transitive_reduction(edges: ray.data.Dataset, max_depth: int = 8,
+                         src: str = "src", dst: str = "dst",
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """Transitive reduction of a DAG edge set — drop every edge
+    (a, b) for which a length >= 2 path a -> ... -> b exists (the
+    taxonomy-cleaning step: harvested subClassOf links are full of
+    shortcuts already implied by the chain; YAGO's type hierarchy is
+    built with exactly this pruning).  Output: (src, dst, redundant).
+
+    ``max_depth`` bounds the DAG's longest path — the closure is
+    built by (max_depth - 1) rounds of C <- distinct(C ∪ C ⋈ E), a
+    hash-shuffle join per round (closure volume tracks reachable
+    pairs, bounded for taxonomy-shaped DAGs; a cyclic input would
+    loop, so the caller asserts acyclicity upstream).  The redundancy
+    probe is one anti-join of E against {(a, b): exists edge a -> x,
+    path x => b} — assembled as E ⋈ C on the midpoint."""
+    import pyarrow.compute as pc
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+        def part(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({src: b[src].to_pandas(),
+                               dst: b[dst].to_pandas()})
+            return pa.Table.from_pandas(df.drop_duplicates(),
+                                        preserve_index=False)
+        return ds.map_batches(part, batch_format="pyarrow") \
+            .groupby([src, dst]).count().select_columns([src, dst])
+
+    e = dedup(edges).materialize()
+
+    # closure C: all (a, b) with a path of length >= 1
+    c = e
+    for _ in range(max_depth - 1):
+        def mid(b: pa.Table) -> pa.Table:
+            return pa.table({src: b[src], "m": b[dst]})
+
+        def frm(b: pa.Table) -> pa.Table:
+            return pa.table({"m": b[src], dst: b[dst]})
+
+        ext = hash_join(c.map_batches(mid, batch_format="pyarrow"),
+                        e.map_batches(frm, batch_format="pyarrow"),
+                        on=("m",), num_partitions=num_partitions) \
+            .select_columns([src, dst])
+        new = dedup(c.union(ext)).materialize()
+        if new.count() == c.count():
+            c = new
+            break
+        c = new
+
+    # redundant(a, b): exists edge a -> x (x != b) and path x => b
+    def e_mid(b: pa.Table) -> pa.Table:
+        return pa.table({src: b[src], "m": b[dst]})
+
+    def c_frm(b: pa.Table) -> pa.Table:
+        return pa.table({"m": b[src], dst: b[dst]})
+
+    two_plus = dedup(hash_join(
+        e.map_batches(e_mid, batch_format="pyarrow"),
+        c.map_batches(c_frm, batch_format="pyarrow"),
+        on=("m",), num_partitions=num_partitions)
+        .select_columns([src, dst])).materialize()
+
+    # flag: E semi-join two_plus (carry a ones payload — Dataset.join
+    # drops the right key columns)
+    def ones(b: pa.Table) -> pa.Table:
+        return b.append_column("red_", pa.array(
+            np.ones(b.num_rows, dtype="int64")))
+
+    flagged = hash_join(e, two_plus.map_batches(
+        ones, batch_format="pyarrow"), on=(src, dst),
+        join_type="left_outer", num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        red = b["red_"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            src: b[src], dst: b[dst],
+            "redundant": pa.array(~np.isnan(red.astype("float64"))
+                                  if red.dtype.kind == "f"
+                                  else red == 1, pa.bool_())})
+
+    return flagged.map_batches(finish, batch_format="pyarrow")

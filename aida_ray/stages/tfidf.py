@@ -262,3 +262,53 @@ def rare_gram_doc_pairs(ds: ray.data.Dataset, n: int = 4,
             "b": pc.bit_wise_and(b["ab"], 0xFFFFFFFF),
             "n_shared": pc.cast(b["n_shared"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def doc_novelty(ds: ray.data.Dataset, id_col: str = "doc_id",
+                text_col: str = "text",
+                broadcast_terms: int = 4_000_000) -> ray.data.Dataset:
+    """(doc_id, n_tokens, novelty) — novelty = mean idf ln(N/df) over
+    the document's TOKENS (repeats weigh): the vocabulary-rarity
+    signal for training-data curation (rare-vocabulary docs add
+    information; boilerplate scores near the df ceiling).
+
+    Scale shape: one term_stats pass builds the df table (vocabulary-
+    bounded, broadcast via ray.put under ``broadcast_terms`` — the
+    same gate as tfidf_top_terms; swap in a hash join beyond it),
+    then a stateless scoring pass; docs with no tokens emit
+    novelty = 0.0."""
+    from aida_ray.stages.dedup import _get_cached
+
+    n_docs = ds.count()
+    st = term_stats(ds, id_col=id_col, text_col=text_col).to_pandas()
+    assert len(st) <= broadcast_terms, \
+        "doc_novelty: vocabulary above broadcast gate — use hash join"
+    terms = st["term"].to_numpy()
+    order = np.argsort(terms, kind="stable")
+    ref = ray.put((terms[order],
+                   st["df"].to_numpy(dtype="float64")[order], n_docs))
+
+    def batch(b: pa.Table) -> pa.Table:
+        t, dfv, nd = _get_cached(ref)
+        dt = _doc_terms(b, id_col, text_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype("int64")
+        if len(dt):
+            ti = np.searchsorted(t, dt["term"].to_numpy())
+            idf = np.log(nd / dfv[ti])
+            g = pd.DataFrame({"d": dt["doc_id"].to_numpy(),
+                              "idf": idf}).groupby("d", sort=False) \
+                .agg(n=("idf", "size"), s=("idf", "sum")) \
+                .reindex(ids, fill_value=0)
+        else:
+            g = pd.DataFrame(0, index=ids, columns=["n", "s"])
+        n = g["n"].to_numpy(dtype="int64")
+        s = g["s"].to_numpy(dtype="float64")
+        nz = np.where(n > 0, n, 1).astype("float64")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "novelty": pa.array(
+                np.where(n > 0, np.round(s / nz, 6), 0.0),
+                pa.float64())})
+
+    return ds.map_batches(batch, batch_format="pyarrow")

@@ -173,3 +173,67 @@ def truthfinder(claims: ray.data.Dataset, source: str = "source",
 
     return conf_ds.groupby(key).map_groups(mark_best,
                                            batch_format="pandas")
+
+
+def source_agreement(claims: ray.data.Dataset, source: str = "source",
+                     key: str = "key", value: str = "value"
+                     ) -> pa.Table:
+    """Pairwise source agreement matrix — (src_a, src_b, inter,
+    size_a, size_b, jaccard) with src_a < src_b: how much two
+    extraction sources' DISTINCT assertion sets overlap (the fusion
+    diagnostic next to truthfinder: near-duplicate sources violate
+    noisy-OR's independence assumption and should be collapsed
+    upstream).
+
+    Scale shape: one claim-keyed shuffle
+    (``groupby(claim).map_groups`` over distinct assertions — the
+    per-claim source set is bounded by |S|), a |S|^2-bounded
+    pair-count groupby, and a |S|-row size table; nothing driver-side
+    exceeds the source vocabulary."""
+    from ray.data.aggregate import Sum
+
+    a = _distinct_assertions(claims, source, key, value)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        k = b[key].to_pandas().astype(str)
+        v = b[value].to_pandas().astype(str)
+        return pa.table({
+            "ck": pa.array((k + "\x1f" + v).tolist(), pa.string()),
+            "src": b[source]})
+
+    def per_claim(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(set(g["src"]))
+        pa_, pb_ = [], []
+        for i in range(len(srcs)):
+            for j in range(i + 1, len(srcs)):
+                pa_.append(srcs[i])
+                pb_.append(srcs[j])
+        return pd.DataFrame({"src_a": pa_, "src_b": pb_,
+                             "one": np.ones(len(pa_), dtype=np.int64)})
+
+    co = a.map_batches(keyed, batch_format="pyarrow") \
+        .groupby("ck").map_groups(per_claim, batch_format="pandas") \
+        .groupby(["src_a", "src_b"]).aggregate(Sum("one")).to_pandas()
+
+    sz = a.groupby(source).count().to_pandas()
+    sizes = dict(zip(sz[source], sz["count()"]))
+
+    if co.empty:
+        return pa.table({"src_a": pa.array([], pa.string()),
+                         "src_b": pa.array([], pa.string()),
+                         "inter": pa.array([], pa.int64()),
+                         "size_a": pa.array([], pa.int64()),
+                         "size_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    co = co.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+    inter = co["sum(one)"].to_numpy(dtype="int64")
+    sa = co["src_a"].map(sizes).to_numpy(dtype="int64")
+    sb = co["src_b"].map(sizes).to_numpy(dtype="int64")
+    return pa.table({
+        "src_a": pa.array(co["src_a"].astype(str)),
+        "src_b": pa.array(co["src_b"].astype(str)),
+        "inter": pa.array(inter, pa.int64()),
+        "size_a": pa.array(sa, pa.int64()),
+        "size_b": pa.array(sb, pa.int64()),
+        "jaccard": pa.array(
+            np.round(inter / (sa + sb - inter), 6), pa.float64())})
