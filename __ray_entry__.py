@@ -8100,6 +8100,124 @@ _DOC_NOVELTY_ORACLE = """
 """
 
 
+def q_numeric_consensus(sf_dir: str) -> pa.Table:
+    """Robust numeric-slot reconciliation (truth.numeric_consensus):
+    median / MAD / MAD-rule outlier count per (subj, pred) over a
+    deterministic claim corpus with planted 500+ outliers every 11th
+    doc; MEDIAN/MAD SQL twin.  Values are integer-valued doubles so
+    median, MAD and the 3*MAD comparison are float-exact in both
+    engines."""
+    from aida_ray.stages.truth import numeric_consensus
+
+    def to_claims(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = np.where(j % 11 == 0, 500.0 + (j % 7), (j % 10) * 1.0)
+        return pa.table({
+            "subj": pa.array([f"e{x}" for x in j % 30]),
+            "pred": pa.array([f"p{x}" for x in j % 3]),
+            "value": pa.array(val, pa.float64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(numeric_consensus(
+        docs.map_batches(to_claims, batch_format="pyarrow")))
+
+
+_NUMERIC_CONSENSUS_ORACLE = """
+    WITH cl AS (
+        SELECT 'e' || (doc_id % 30) AS subj, 'p' || (doc_id % 3) AS pred,
+               CASE WHEN doc_id % 11 = 0
+                    THEN CAST(500 + doc_id % 7 AS DOUBLE)
+                    ELSE CAST(doc_id % 10 AS DOUBLE) END AS value
+        FROM documents),
+    st AS (SELECT subj, pred, COUNT(*) AS n,
+                  MEDIAN(value) AS med, MAD(value) AS mad
+           FROM cl GROUP BY 1, 2)
+    SELECT st.subj, st.pred, CAST(st.n AS BIGINT) AS n,
+           ROUND(st.med, 6) AS med, ROUND(st.mad, 6) AS mad,
+           CAST(SUM(CASE WHEN (st.mad > 0
+                               AND ABS(cl.value - st.med) > 3 * st.mad)
+                          OR (st.mad = 0 AND cl.value <> st.med)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM cl JOIN st USING (subj, pred) GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_entity_timeline(sf_dir: str) -> pa.Table:
+    """Per-entity timeline assembly (temporal.entity_timeline):
+     1-based ordinal + gap-to-previous over each subject's dated
+    events; ROW_NUMBER/LAG SQL twin."""
+    from aida_ray.stages.temporal import entity_timeline
+
+    def to_events(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "subj": pa.array([f"s{x}" for x in j % 50]),
+            "ts": pa.array((j * 37) % 1000, pa.int64()),
+            "event": pa.array([f"ev{x}" for x in j])})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(entity_timeline(
+        docs.map_batches(to_events, batch_format="pyarrow")))
+
+
+_ENTITY_TIMELINE_ORACLE = """
+    WITH ev AS (
+        SELECT 's' || (doc_id % 50) AS subj,
+               (doc_id * 37) % 1000 AS ts,
+               'ev' || doc_id AS event FROM documents)
+    SELECT subj, CAST(ts AS BIGINT) AS ts, event,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           CAST(COALESCE(ts - LAG(ts) OVER w, 0) AS BIGINT) AS gap
+    FROM ev WINDOW w AS (PARTITION BY subj ORDER BY ts, event)
+"""
+
+
+def q_allen_relations(sf_dir: str) -> pa.Table:
+    """Allen interval-algebra relations between consecutive intervals
+    per subject (temporal.allen_relations); LAG + CASE SQL twin.
+    The synthetic interval lengths (1 + (7*j) % 29) exercise all of
+    precedes/meets/overlaps/contains at every sf."""
+    from aida_ray.stages.temporal import allen_relations
+
+    def to_intervals(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = (j * 13) % 90
+        return pa.table({
+            "subj": pa.array([f"i{x}" for x in j % 40]),
+            "obj": pa.array([f"x{x}" for x in j]),
+            "start": pa.array(s, pa.int64()),
+            "end": pa.array(s + 1 + (j * 7) % 29, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(allen_relations(
+        docs.map_batches(to_intervals, batch_format="pyarrow")))
+
+
+_ALLEN_RELATIONS_ORACLE = """
+    WITH iv AS (
+        SELECT 'i' || (doc_id % 40) AS subj, 'x' || doc_id AS obj,
+               (doc_id * 13) % 90 AS s,
+               (doc_id * 13) % 90 + 1 + (doc_id * 7) % 29 AS e
+        FROM documents),
+    lg AS (SELECT subj, obj, s, e,
+                  LAG(obj) OVER w AS obj_p, LAG(s) OVER w AS s_p,
+                  LAG(e) OVER w AS e_p
+           FROM iv WINDOW w AS (PARTITION BY subj ORDER BY s, e, obj))
+    SELECT subj, obj_p AS obj_a, obj AS obj_b,
+           CASE WHEN e_p < s THEN 'precedes'
+                WHEN e_p = s THEN 'meets'
+                WHEN s_p < s AND e_p > s AND e_p < e THEN 'overlaps'
+                WHEN s_p < s AND e_p = e THEN 'finished_by'
+                WHEN s_p < s AND e_p > e THEN 'contains'
+                WHEN s_p = s AND e_p < e THEN 'starts'
+                ELSE 'equals' END AS rel
+    FROM lg WHERE obj_p IS NOT NULL
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8395,6 +8513,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxonomy_reduction": q_taxonomy_reduction,
         "source_agreement": q_source_agreement,
         "doc_novelty": q_doc_novelty,
+        "numeric_consensus": q_numeric_consensus,
+        "entity_timeline": q_entity_timeline,
+        "allen_relations": q_allen_relations,
     }
 
 
@@ -10194,6 +10315,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "taxonomy_reduction": _TAXONOMY_REDUCTION_ORACLE,
         "source_agreement": _SOURCE_AGREEMENT_ORACLE,
         "doc_novelty": _DOC_NOVELTY_ORACLE,
+        "numeric_consensus": _NUMERIC_CONSENSUS_ORACLE,
+        "entity_timeline": _ENTITY_TIMELINE_ORACLE,
+        "allen_relations": _ALLEN_RELATIONS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -237,3 +237,47 @@ def source_agreement(claims: ray.data.Dataset, source: str = "source",
         "size_b": pa.array(sb, pa.int64()),
         "jaccard": pa.array(
             np.round(inter / (sa + sb - inter), 6), pa.float64())})
+
+
+def numeric_consensus(claims: ray.data.Dataset, s: str = "subj",
+                      p: str = "pred", v: str = "value",
+                      k: float = 3.0,
+                      group_size_limit: int = 2_000_000
+                      ) -> ray.data.Dataset:
+    """Robust numeric-slot reconciliation: per (subj, pred) slot with
+    float claims, the median, the median absolute deviation, and the
+    count of MAD-rule outliers (|v - median| > k * MAD; with MAD = 0
+    any v != median is an outlier) — the standard robust-consensus
+    step before publishing a numeric fact (population, height, ...)
+    asserted by many noisy pages.
+
+    Emits (subj, pred, n, med, mad, n_outliers); med/mad rounded to
+    6 decimals for oracle comparison (the outlier test uses the
+    UNROUNDED values).
+
+    Scale shape: one groupby((subj, pred)).map_groups keyed by fact
+    identity — the shuffle is claim-volume for the slot, never the
+    corpus; per-group work is two numpy medians + one vectorized
+    comparison (assertion-bounded, guarded by
+    ``group_size_limit``)."""
+
+    def per_slot(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot slot {g[s].iloc[0]!r}/{g[p].iloc[0]!r}: "
+                f"{len(g)} claims exceed the per-group bound")
+        vals = g[v].to_numpy(dtype=np.float64)
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        if mad > 0.0:
+            n_out = int(np.count_nonzero(np.abs(vals - med) > k * mad))
+        else:
+            n_out = int(np.count_nonzero(vals != med))
+        return pd.DataFrame({
+            s: [g[s].iloc[0]], p: [g[p].iloc[0]],
+            "n": np.array([len(vals)], dtype=np.int64),
+            "med": [round(med, 6)], "mad": [round(mad, 6)],
+            "n_outliers": np.array([n_out], dtype=np.int64)})
+
+    return claims.groupby([s, p]).map_groups(per_slot,
+                                             batch_format="pandas")
