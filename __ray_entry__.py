@@ -8218,6 +8218,131 @@ _ALLEN_RELATIONS_ORACLE = """
 """
 
 
+def q_breadcrumb_edges(sf_dir: str) -> pa.Table:
+    """Site-taxonomy induction from breadcrumb navs
+    (navigation.breadcrumb_edges): aggregated parent→child edges with
+    page-support counts over planted Home > Cat > Item trails."""
+    from aida_ray.stages.navigation import breadcrumb_edges
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            if i % 5 < 3:
+                h = (f'<nav class="breadcrumb"><a href="/">Home</a> '
+                     f'&gt; <a href="/c{i % 7}">Cat {i % 7}</a> &gt; '
+                     f'<span>Item {i}</span></nav>')
+            else:
+                h = "<p>no nav</p>"
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(breadcrumb_edges(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_BREADCRUMB_EDGES_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 < 3),
+    e AS (SELECT 'Home' AS parent, 'Cat ' || (doc_id % 7) AS child
+          FROM d
+          UNION ALL
+          SELECT 'Cat ' || (doc_id % 7), 'Item ' || doc_id FROM d)
+    SELECT parent, child, CAST(COUNT(*) AS BIGINT) AS n_pages
+    FROM e GROUP BY 1, 2
+"""
+
+
+def q_html_lists(sf_dir: str) -> pa.Table:
+    """Headed-list extraction (navigation.headed_lists): every <li>
+    with its in-list position and the nearest preceding heading ('' if
+    none) — the raw table for list-based set expansion."""
+    from aida_ray.stages.navigation import headed_lists
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        htmls = []
+        for i in ids:
+            i = int(i)
+            m = i % 3
+            if m == 0:
+                h = (f'<h2>Group {i % 9}</h2><ul><li>M{i}a</li>'
+                     f'<li>M{i}b</li></ul>')
+            elif m == 1:
+                h = f'<ol><li>N{i}</li></ol>'
+            else:
+                h = "<p>plain</p>"
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(headed_lists(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_HTML_LISTS_ORACLE = """
+    SELECT doc_id, 'Group ' || (doc_id % 9) AS heading,
+           CAST(1 AS BIGINT) AS pos, 'M' || doc_id || 'a' AS item
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'Group ' || (doc_id % 9), CAST(2 AS BIGINT),
+           'M' || doc_id || 'b'
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, '', CAST(1 AS BIGINT), 'N' || doc_id
+    FROM documents WHERE doc_id % 3 = 1
+"""
+
+
+def q_hreflang_clusters(sf_dir: str) -> pa.Table:
+    """Language-version page clustering (navigation.hreflang_edges →
+    alternate_clusters): hreflang alternate links on every 4th page
+    (a PARTIAL crawl — only the canonical page carries markup) are
+    clustered by the distributed CC machinery; rep = min url.  The
+    oracle reconstructs each 3-member group arithmetically."""
+    from aida_ray.stages.navigation import (alternate_clusters,
+                                            hreflang_edges)
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        urls, htmls = [], []
+        for i in ids:
+            i = int(i)
+            urls.append(f"http://doc/{i}")
+            if i % 4 == 0:
+                h = (f'<link rel="alternate" hreflang="en" '
+                     f'href="http://doc/{i}">'
+                     f'<link hreflang="de" rel="alternate" '
+                     f'href="http://doc/{i + 1}">'
+                     f'<link rel="alternate" hreflang="fr" '
+                     f'href="http://doc/{i + 2}">')
+            else:
+                h = "<p>no alternates</p>"
+            htmls.append(h.encode())
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(alternate_clusters(hreflang_edges(
+        docs.map_batches(to_pages, batch_format="pyarrow"))))
+
+
+_HREFLANG_CLUSTERS_ORACLE = """
+    WITH g AS (SELECT doc_id AS base FROM documents
+               WHERE doc_id % 4 = 0),
+    m AS (SELECT base, 'http://doc/' || (base + off) AS url
+          FROM g, (VALUES (0), (1), (2)) o(off)),
+    r AS (SELECT base, MIN(url) AS rep FROM m GROUP BY base)
+    SELECT m.url, r.rep FROM m JOIN r USING (base)
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8516,6 +8641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "numeric_consensus": q_numeric_consensus,
         "entity_timeline": q_entity_timeline,
         "allen_relations": q_allen_relations,
+        "breadcrumb_edges": q_breadcrumb_edges,
+        "html_lists": q_html_lists,
+        "hreflang_clusters": q_hreflang_clusters,
     }
 
 
@@ -10318,6 +10446,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "numeric_consensus": _NUMERIC_CONSENSUS_ORACLE,
         "entity_timeline": _ENTITY_TIMELINE_ORACLE,
         "allen_relations": _ALLEN_RELATIONS_ORACLE,
+        "breadcrumb_edges": _BREADCRUMB_EDGES_ORACLE,
+        "html_lists": _HTML_LISTS_ORACLE,
+        "hreflang_clusters": _HREFLANG_CLUSTERS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -1,0 +1,239 @@
+"""Site-navigation extraction: breadcrumbs, headed lists, hreflang.
+
+Three webtext signals a KG builder mines from page CHROME rather than
+body text (reference parity: the reference's extractors stop at body
+text — these are the crawl-native complements):
+
+- breadcrumb trails (``<nav class="breadcrumb">``) are editor-curated
+  taxonomy paths; aggregated parent→child edges induce a site
+  category tree, the same shape Hearst patterns induce from prose.
+- headed lists (``<h*>`` followed by ``<ul>/<ol>``) are class-member
+  assertions ("Notable alumni" → member entities) — list-based set
+  expansion's raw material.
+- ``hreflang`` alternate links group language versions of one logical
+  page; clustering them yields the canonical-document key that
+  cross-language dedup and per-language NED routing join on.
+
+Scale shape: extraction stages are stateless map_batches over the
+html column (per-page regex walk — HTML is inherently per-document;
+the heavy column dies at this stage, matching links.extract_links);
+``breadcrumb_edges`` pre-aggregates per batch so the shuffle ships
+distinct (parent, child) pairs, never pages; ``alternate_clusters``
+reuses the distributed min-label CC machinery
+(dedup.label_propagation_clusters) over a dense id space built from
+the ALTERNATE-EDGE urls only — markup-bearing pages, a tiny fraction
+of the corpus, gated + documented like every broadcast side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_NAV_RE = re.compile(
+    rb'<nav[^>]*breadcrumb[^>]*>(.*?)</nav>', re.I | re.S)
+_CRUMB_RE = re.compile(rb'<(?:a|span)[^>]*>([^<]*)</(?:a|span)>', re.I)
+_HEAD_OR_LIST_RE = re.compile(
+    rb'<h([1-6])[^>]*>([^<]*)</h\1>|<(ul|ol)[^>]*>(.*?)</\3>',
+    re.I | re.S)
+_LI_RE = re.compile(rb'<li[^>]*>([^<]*)</li>', re.I)
+_LINK_TAG_RE = re.compile(rb'<link\s[^>]*>', re.I)
+_ATTR_RE = {
+    "rel": re.compile(rb'\brel="([^"]*)"', re.I),
+    "hreflang": re.compile(rb'\bhreflang="([^"]*)"', re.I),
+    "href": re.compile(rb'\bhref="([^"]*)"', re.I),
+}
+
+
+def _dec(b: bytes) -> str:
+    return b.decode("utf-8", "replace").strip()
+
+
+def breadcrumb_trails(pages: ray.data.Dataset, id_col: str = "doc_id",
+                      html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, pos, crumb) — the first breadcrumb nav's item texts in
+    document order, 1-based positions; pages without breadcrumb
+    markup emit nothing."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, pos, crumb = [], [], []
+        id_np = b[id_col].to_numpy(zero_copy_only=False)
+        for i, h in zip(id_np, b[html_col].to_pylist()):
+            if h is None:
+                continue
+            m = _NAV_RE.search(h)
+            if not m:
+                continue
+            for k, c in enumerate(_CRUMB_RE.findall(m.group(1)), 1):
+                ids.append(int(i))
+                pos.append(k)
+                crumb.append(_dec(c))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "crumb": pa.array(crumb, pa.string())})
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def breadcrumb_edges(pages: ray.data.Dataset, id_col: str = "doc_id",
+                     html_col: str = "html") -> ray.data.Dataset:
+    """(parent, child, n_pages) — consecutive breadcrumb pairs
+    aggregated over the corpus: the induced site-taxonomy edge list
+    with page-support counts.
+
+    Per-batch partial counts make the shuffle distinct-edge-bounded
+    (taxonomy-sized, never corpus-sized)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, str], int] = {}
+        for h in b[html_col].to_pylist():
+            if h is None:
+                continue
+            m = _NAV_RE.search(h)
+            if not m:
+                continue
+            crumbs = [_dec(c) for c in _CRUMB_RE.findall(m.group(1))]
+            for a, c in zip(crumbs, crumbs[1:]):
+                counts[(a, c)] = counts.get((a, c), 0) + 1
+        ks = list(counts)
+        return pa.table({
+            "parent": pa.array([k[0] for k in ks], pa.string()),
+            "child": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([counts[k] for k in ks], pa.int64())})
+
+    agg = pages.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["parent", "child"]).aggregate(Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({"parent": pa.array([], pa.string()),
+                             "child": pa.array([], pa.string()),
+                             "n_pages": pa.array([], pa.int64())})
+        return pa.table({"parent": b["parent"], "child": b["child"],
+                         "n_pages": b["sum(n)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def headed_lists(pages: ray.data.Dataset, id_col: str = "doc_id",
+                 html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, heading, pos, item) — every ``<li>`` text with its
+    1-based position inside its list and the text of the NEAREST
+    PRECEDING heading (``''`` when the list opens before any
+    heading): the class-member candidate table for list-based set
+    expansion."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, heads, pos, items = [], [], [], []
+        id_np = b[id_col].to_numpy(zero_copy_only=False)
+        for i, h in zip(id_np, b[html_col].to_pylist()):
+            if h is None:
+                continue
+            current = ""
+            for m in _HEAD_OR_LIST_RE.finditer(h):
+                if m.group(2) is not None:      # a heading
+                    current = _dec(m.group(2))
+                else:                           # a list body
+                    for k, li in enumerate(_LI_RE.findall(m.group(4)), 1):
+                        ids.append(int(i))
+                        heads.append(current)
+                        pos.append(k)
+                        items.append(_dec(li))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "heading": pa.array(heads, pa.string()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "item": pa.array(items, pa.string())})
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def hreflang_edges(pages: ray.data.Dataset, url_col: str = "url",
+                   html_col: str = "html") -> ray.data.Dataset:
+    """(url, lang, alt_url) — one row per ``<link rel="alternate"
+    hreflang=...>`` tag; attribute order inside the tag is free."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs, langs, alts = [], [], []
+        urls = b[url_col].to_pylist()
+        for u, h in zip(urls, b[html_col].to_pylist()):
+            if h is None:
+                continue
+            for tag in _LINK_TAG_RE.findall(h):
+                rel = _ATTR_RE["rel"].search(tag)
+                if rel is None or b"alternate" not in rel.group(1).lower():
+                    continue
+                hl = _ATTR_RE["hreflang"].search(tag)
+                href = _ATTR_RE["href"].search(tag)
+                if hl is None or href is None:
+                    continue
+                srcs.append(u)
+                langs.append(_dec(hl.group(1)))
+                alts.append(_dec(href.group(1)))
+        return pa.table({"url": pa.array(srcs, pa.string()),
+                         "lang": pa.array(langs, pa.string()),
+                         "alt_url": pa.array(alts, pa.string())})
+
+    return pages.map_batches(explode, batch_format="pyarrow")
+
+
+def alternate_clusters(edges: ray.data.Dataset,
+                       broadcast_urls: int = 8_000_000) -> ray.data.Dataset:
+    """(url, rep) — language-version clusters over hreflang alternate
+    edges by connected components; rep = lexicographically smallest
+    url in the component (the canonical-document key).
+
+    Scale shape: the url universe here is ALTERNATE-EDGE urls only —
+    markup-bearing pages, a small slice of any crawl.  Distinct urls
+    are collected once (gated by ``broadcast_urls``; beyond the gate
+    substitute a groupby-assigned dense id — the edge list itself
+    already fits the CC operator's distributed path), mapped to dense
+    ids ORDERED BY url so the CC min-id representative IS the min-url
+    representative, then clustered by the shared distributed CC
+    machinery (dedup.label_propagation_clusters)."""
+    from aida_ray.stages.dedup import label_propagation_clusters, _get_cached
+    from aida_ray.state.collect import collect_table
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table({"u": pa.array(np.concatenate(
+            [b["url"].to_numpy(zero_copy_only=False),
+             b["alt_url"].to_numpy(zero_copy_only=False)]), pa.string())})
+
+    ends = collect_table(edges.map_batches(both_ends,
+                                           batch_format="pyarrow"))
+    urls = np.unique(ends["u"].to_numpy(zero_copy_only=False).astype(str)) \
+        if ends.num_rows else np.array([], dtype=str)
+    assert len(urls) <= broadcast_urls, \
+        "alternate_clusters: url universe above broadcast gate"
+    if len(urls) == 0:
+        return ray.data.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "rep": pa.array([], pa.string())}))
+    ref = ray.put(urls)
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        u = _get_cached(ref)
+        return pa.table({
+            "a": pa.array(np.searchsorted(
+                u, b["url"].to_numpy(zero_copy_only=False).astype(str)),
+                pa.int64()),
+            "b": pa.array(np.searchsorted(
+                u, b["alt_url"].to_numpy(zero_copy_only=False).astype(str)),
+                pa.int64())})
+
+    cc = label_propagation_clusters(
+        edges.map_batches(to_ids, batch_format="pyarrow"))
+
+    def back(b: pa.Table) -> pa.Table:
+        u = _get_cached(ref)
+        return pa.table({
+            "url": pa.array(u[b["doc_id"].to_numpy(zero_copy_only=False)]),
+            "rep": pa.array(u[b["cluster"].to_numpy(zero_copy_only=False)])})
+
+    return cc.map_batches(back, batch_format="pyarrow")
