@@ -8343,6 +8343,224 @@ _HREFLANG_CLUSTERS_ORACLE = """
 """
 
 
+def q_selectional_pref(sf_dir: str) -> pa.Table:
+    """Resnik selectional-preference strength per predicate
+    (sparql.selectional_preference): KL(P(type|pred) || P(type)) over
+    object types — planted skewed type assignment so every predicate
+    has nonzero strength; full arithmetic LN SQL twin."""
+    from aida_ray.stages.sparql import selectional_preference
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "subj": pa.array([f"s{x}" for x in j]),
+            "pred": pa.array([f"p{x}" for x in j % 4]),
+            "obj": pa.array([f"o{x}" for x in j % 12])})
+
+    def to_types(b: pa.Table) -> pa.Table:
+        ks = np.arange(12, dtype=np.int64)
+        ty = np.where(ks < 6, "T0", np.where(ks < 10, "T1", "T2"))
+        return pa.table({"entity": pa.array([f"o{k}" for k in ks]),
+                         "type": pa.array(ty.astype(str))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    types = ray.data.from_arrow(to_types(pa.table({"doc_id": []})))
+    return selectional_preference(
+        docs.map_batches(to_triples, batch_format="pyarrow"), types)
+
+
+_SELECTIONAL_PREF_ORACLE = """
+    WITH tr AS (
+        SELECT 'p' || (doc_id % 4) AS pred,
+               CASE WHEN doc_id % 12 < 6 THEN 'T0'
+                    WHEN doc_id % 12 < 10 THEN 'T1'
+                    ELSE 'T2' END AS otype
+        FROM documents),
+    c AS (SELECT pred, otype, COUNT(*) AS n FROM tr GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+    pri AS (SELECT otype, SUM(n) / (SELECT t FROM tot) AS pt
+            FROM c GROUP BY 1),
+    pp AS (SELECT pred, CAST(SUM(n) AS DOUBLE) AS np FROM c GROUP BY 1)
+    SELECT c.pred, CAST(SUM(c.n) AS BIGINT) AS n_typed,
+           ROUND(SUM((c.n / pp.np) * LN((c.n / pp.np) / pri.pt)), 6)
+               AS strength
+    FROM c JOIN pp USING (pred) JOIN pri USING (otype)
+    GROUP BY c.pred
+"""
+
+
+def q_pra_features(sf_dir: str) -> pa.Table:
+    """PRA length-2 path features per entity pair
+    (rules.pra_path_features) over a planted 30-node relation graph;
+    distinct-fact self-join SQL twin."""
+    from aida_ray.stages.rules import pra_path_features
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "subj": pa.array([f"n{x}" for x in j % 30]),
+            "pred": pa.array([f"r{x}" for x in j % 3]),
+            "obj": pa.array([f"n{x}" for x in (j * 7 + 1) % 30])})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(pra_path_features(
+        docs.map_batches(to_triples, batch_format="pyarrow")))
+
+
+_PRA_FEATURES_ORACLE = """
+    WITH f AS (SELECT DISTINCT 'n' || (doc_id % 30) AS s,
+                               'r' || (doc_id % 3) AS p,
+                               'n' || ((doc_id * 7 + 1) % 30) AS o
+               FROM documents)
+    SELECT a.s AS src, b.o AS dst, a.p AS pred_a, b.p AS pred_b,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM f a JOIN f b ON b.s = a.o GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_name_aliases(sf_dir: str) -> pa.Table:
+    """Person-name alias normalization (nil.name_aliases): "Last,
+    First" surfaces fold into "First Last"; planted inverted/plain
+    variant pairs; regexp_extract SQL twin."""
+    from aida_ray.stages.nil import name_aliases
+
+    def to_mentions(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = []
+        for x in j:
+            x = int(x)
+            k = x % 25
+            if x % 3 == 0:
+                out.append(f"P{k}, Q{k}")
+            elif x % 3 == 1:
+                out.append(f"Q{k} P{k}")
+            else:
+                out.append(f"X{x}")
+        return pa.table({"mention": pa.array(out, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(name_aliases(
+        docs.map_batches(to_mentions, batch_format="pyarrow")))
+
+
+_NAME_ALIASES_ORACLE = """
+    WITH men AS (
+        SELECT CASE WHEN doc_id % 3 = 0
+                    THEN 'P' || (doc_id % 25) || ', Q' || (doc_id % 25)
+                    WHEN doc_id % 3 = 1
+                    THEN 'Q' || (doc_id % 25) || ' P' || (doc_id % 25)
+                    ELSE 'X' || doc_id END AS raw
+        FROM documents),
+    canon AS (SELECT raw,
+        CASE WHEN regexp_matches(raw,
+                 '^[A-Za-z0-9]+, [A-Za-z0-9 ]+$')
+             THEN regexp_extract(raw,
+                 '^([A-Za-z0-9]+), ([A-Za-z0-9 ]+)$', 2) || ' ' ||
+                  regexp_extract(raw,
+                 '^([A-Za-z0-9]+), ([A-Za-z0-9 ]+)$', 1)
+             ELSE raw END AS canonical FROM men)
+    SELECT canonical, CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_variants,
+           CAST(COUNT(*) AS BIGINT) AS n_mentions
+    FROM canon GROUP BY 1
+"""
+
+
+def q_set_expansion(sf_dir: str) -> pa.Table:
+    """List-based entity-set expansion (navigation.expand_set):
+    candidates ranked by distinct list contexts shared with the seed;
+    planted membership rows where every 5th doc's list contains the
+    seed; join + distinct SQL twin."""
+    from aida_ray.stages.navigation import expand_set
+
+    def to_lists(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, items = [], []
+        for x in j:
+            x = int(x)
+            ids.extend([x, x])
+            items.append(f"e{x % 15}")
+            items.append(f"e{(x + 1) % 15}")
+            if x % 5 == 0:
+                ids.append(x)
+                items.append("SEED")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "heading": pa.array(["h"] * len(ids), pa.string()),
+            "item": pa.array(items, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(expand_set(
+        docs.map_batches(to_lists, batch_format="pyarrow"), ["SEED"]))
+
+
+_SET_EXPANSION_ORACLE = """
+    WITH mem AS (
+        SELECT doc_id, 'e' || (doc_id % 15) AS item FROM documents
+        UNION ALL
+        SELECT doc_id, 'e' || ((doc_id + 1) % 15) FROM documents),
+    sctx AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 5 = 0),
+    dm AS (SELECT DISTINCT m.doc_id, m.item
+           FROM mem m JOIN sctx USING (doc_id))
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_ctx FROM dm GROUP BY 1
+"""
+
+
+def q_mirror_hosts(sf_dir: str) -> pa.Table:
+    """Mirror-site detection (urls.mirror_hosts): host pairs with
+    content-set Jaccard >= 0.5 — hosts h0/h4 planted as page-for-page
+    mirrors; distinct-claim self-join SQL twin."""
+    from aida_ray.stages.urls import mirror_hosts
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls, texts = [], []
+        for x in j:
+            x = int(x)
+            m = x % 8
+            urls.append(f"http://h{m}.site/p{x}")
+            if m == 0:
+                texts.append(f"c{x}")
+            elif m == 4:
+                texts.append(f"c{x - 4}")
+            else:
+                texts.append(f"u{x}")
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return mirror_hosts(
+        docs.map_batches(to_pages, batch_format="pyarrow"))
+
+
+_MIRROR_HOSTS_ORACLE = """
+    WITH cl AS (
+        SELECT 'h' || (doc_id % 8) || '.site' AS source,
+               CASE WHEN doc_id % 8 = 0 THEN 'c' || doc_id
+                    WHEN doc_id % 8 = 4 THEN 'c' || (doc_id - 4)
+                    ELSE 'u' || doc_id END AS key
+        FROM documents),
+    d AS (SELECT DISTINCT source, key FROM cl),
+    sz AS (SELECT source, COUNT(*) AS n FROM d GROUP BY source),
+    co AS (SELECT a.source AS host_a, b.source AS host_b,
+                  COUNT(*) AS inter
+           FROM d a JOIN d b ON a.key = b.key AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT co.host_a, co.host_b, CAST(co.inter AS BIGINT) AS inter,
+           CAST(sa.n AS BIGINT) AS size_a,
+           CAST(sb.n AS BIGINT) AS size_b,
+           ROUND(co.inter / CAST(sa.n + sb.n - co.inter AS DOUBLE), 6)
+               AS jaccard
+    FROM co JOIN sz sa ON sa.source = co.host_a
+    JOIN sz sb ON sb.source = co.host_b
+    WHERE co.inter / CAST(sa.n + sb.n - co.inter AS DOUBLE) >= 0.5
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8644,6 +8862,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "breadcrumb_edges": q_breadcrumb_edges,
         "html_lists": q_html_lists,
         "hreflang_clusters": q_hreflang_clusters,
+        "selectional_pref": q_selectional_pref,
+        "pra_features": q_pra_features,
+        "name_aliases": q_name_aliases,
+        "set_expansion": q_set_expansion,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -10449,6 +10672,11 @@ def _oracle_sql_dict() -> dict[str, str]:
         "breadcrumb_edges": _BREADCRUMB_EDGES_ORACLE,
         "html_lists": _HTML_LISTS_ORACLE,
         "hreflang_clusters": _HREFLANG_CLUSTERS_ORACLE,
+        "selectional_pref": _SELECTIONAL_PREF_ORACLE,
+        "pra_features": _PRA_FEATURES_ORACLE,
+        "name_aliases": _NAME_ALIASES_ORACLE,
+        "set_expansion": _SET_EXPANSION_ORACLE,
+        "mirror_hosts": _MIRROR_HOSTS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

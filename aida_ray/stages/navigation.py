@@ -237,3 +237,83 @@ def alternate_clusters(edges: ray.data.Dataset,
             "rep": pa.array(u[b["cluster"].to_numpy(zero_copy_only=False)])})
 
     return cc.map_batches(back, batch_format="pyarrow")
+
+
+def expand_set(lists: ray.data.Dataset, seeds: list[str],
+               id_col: str = "doc_id", heading_col: str = "heading",
+               item_col: str = "item",
+               broadcast_contexts: int = 4_000_000
+               ) -> ray.data.Dataset:
+    """SEAL-style entity-set expansion from list co-occurrence: a
+    candidate item's score is the number of DISTINCT list contexts
+    (doc, heading) it shares with at least one seed — items that keep
+    appearing in the same curated lists as the seeds are likely
+    members of the same class.
+
+    Emits (item, n_ctx) for non-seed items with n_ctx >= 1.
+
+    Scale shape: seed-bearing contexts are collected once (bounded by
+    seed popularity — a seed set's list contexts are a sliver of the
+    corpus; gated by ``broadcast_contexts`` with a hash-join as the
+    documented fallback) and broadcast; membership rows filter
+    against the broadcast set per batch, then one distinct
+    (ctx, item) groupby + one per-item count — shuffles ship
+    candidate-vocabulary rows."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.state.collect import collect_table
+
+    seed_set = set(seeds)
+
+    def ctx_key(b: pa.Table) -> np.ndarray:
+        d = b[id_col].to_numpy(zero_copy_only=False).astype(str)
+        h = b[heading_col].to_numpy(zero_copy_only=False).astype(str)
+        return np.char.add(np.char.add(d, "\x1f"), h)
+
+    def seed_ctx(b: pa.Table) -> pa.Table:
+        keep = np.isin(b[item_col].to_numpy(zero_copy_only=False),
+                       list(seed_set))
+        return pa.table({"ctx": pa.array(np.unique(ctx_key(b)[keep]),
+                                         pa.string())})
+
+    ctxs = collect_table(
+        lists.map_batches(seed_ctx, batch_format="pyarrow"))
+    ctx_arr = (np.unique(ctxs["ctx"].to_numpy(zero_copy_only=False)
+                         .astype(str))
+               if ctxs.num_rows else np.array([], dtype=str))
+    assert len(ctx_arr) <= broadcast_contexts, \
+        "expand_set: seed contexts above broadcast gate — hash-join"
+    ref = ray.put(ctx_arr)
+
+    def members(b: pa.Table) -> pa.Table:
+        ca = _get_cached(ref)
+        k = ctx_key(b)
+        items = b[item_col].to_numpy(zero_copy_only=False)
+        keep = np.isin(k, ca) & ~np.isin(items, list(seed_set))
+        df = pd.DataFrame({"ctx": k[keep],
+                           "item": items[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = lists.map_batches(members, batch_format="pyarrow") \
+        .groupby(["ctx", "item"]).count()
+
+    def one(b: pa.Table) -> pa.Table:
+        if "item" not in b.column_names:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        return pa.table({"item": b["item"],
+                         "c": pa.array(np.ones(b.num_rows,
+                                               dtype=np.int64))})
+
+    agg = distinct.map_batches(one, batch_format="pyarrow") \
+        .groupby("item").aggregate(Sum("c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(c)" not in b.column_names:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "n_ctx": pa.array([], pa.int64())})
+        return pa.table({"item": b["item"],
+                         "n_ctx": b["sum(c)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

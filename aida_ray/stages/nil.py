@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -84,3 +85,64 @@ def nil_cluster_ids(mentions: ray.data.Dataset, id_col: str = "doc_id",
         "n_mentions": pa.array(m["sum(n)"].to_numpy(dtype="int64")),
         "n_docs": pa.array(m["sum(nd)"].to_numpy(dtype="int64")),
         "first_doc": pa.array(m["min(first)"].to_numpy(dtype="int64"))})
+
+
+_INVERTED_NAME = r"^(?P<last>[A-Za-z0-9]+),\s(?P<first>[A-Za-z0-9 ]+)$"
+
+
+def name_aliases(mentions: ray.data.Dataset,
+                 mention_col: str = "mention") -> ray.data.Dataset:
+    """Person-name alias table: "Last, First" surfaces fold into the
+    canonical "First Last" form; per canonical name, the number of
+    DISTINCT raw variants and the total mention count — the alias
+    normalization step before NIL clustering / record linkage.
+
+    Emits (canonical, n_variants, n_mentions).
+
+    Scale shape: the inversion is one Arrow RE2 extract per batch (no
+    Python per-row); two vocabulary-bounded groupbys (distinct
+    (canonical, raw) variants, then per-canonical rollup) — the
+    shuffle ships name-vocabulary rows, never mentions."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        raw = b[mention_col].cast(pa.string())
+        m = pc.extract_regex(raw, _INVERTED_NAME)
+        last = pc.struct_field(m, "last")
+        first = pc.struct_field(m, "first")
+        inv = pc.binary_join_element_wise(first, last, " ")
+        canon = pc.if_else(pc.is_valid(inv), inv, raw)
+        df = pd.DataFrame({
+            "canonical": canon.to_numpy(zero_copy_only=False),
+            "raw": raw.to_numpy(zero_copy_only=False)})
+        g = df.groupby(["canonical", "raw"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    variants = mentions.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["canonical", "raw"]).aggregate(Sum("n"))
+
+    def var_partial(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({"canonical": pa.array([], pa.string()),
+                             "v": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        return pa.table({
+            "canonical": b["canonical"],
+            "v": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "m": b["sum(n)"].cast(pa.int64())})
+
+    agg = variants.map_batches(var_partial, batch_format="pyarrow") \
+        .groupby("canonical").aggregate(Sum("v"), Sum("m"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(v)" not in b.column_names:
+            return pa.table({"canonical": pa.array([], pa.string()),
+                             "n_variants": pa.array([], pa.int64()),
+                             "n_mentions": pa.array([], pa.int64())})
+        return pa.table({"canonical": b["canonical"],
+                         "n_variants": b["sum(v)"].cast(pa.int64()),
+                         "n_mentions": b["sum(m)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

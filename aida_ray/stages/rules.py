@@ -383,3 +383,61 @@ def mine_inverse_rules(triples: ray.data.Dataset, min_support: int = 1,
         "body_size": pa.array(df["body_size"].to_numpy(dtype="int64")),
         "confidence": pa.array(df["confidence"].to_numpy(
             dtype="float64"))})
+
+
+def pra_path_features(triples: ray.data.Dataset, s: str = "subj",
+                      p: str = "pred", o: str = "obj",
+                      num_partitions: int | None = None
+                      ) -> ray.data.Dataset:
+    """PRA (Path Ranking Algorithm) length-2 path features: one row
+    per (src, dst, pred_a, pred_b) with the number of distinct
+    intermediate nodes z such that src -pred_a-> z -pred_b-> dst —
+    the feature table a link-prediction scorer trains on (Lao &
+    Cohen's random-walk features restricted to exact path counts).
+
+    Scale shape: one hash join of the distinct-fact table with itself
+    keyed on the INTERMEDIATE node (per-node fanout-bounded, the same
+    plan as kgprofile.metapath_counts), then per-batch partial counts
+    so the groupby ships (src, dst, path)-distinct rows."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    f = _distinct_facts(triples, s, p, o)
+
+    def left(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b[s], "pred_a": b[p], "node": b[o]})
+
+    def right(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b[s], "pred_b": b[p], "dst": b[o]})
+
+    j = hash_join(f.map_batches(left, batch_format="pyarrow"),
+                  f.map_batches(right, batch_format="pyarrow"),
+                  on=("node",), num_partitions=num_partitions)
+
+    def cnt_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"src": b["src"].to_pandas(),
+                           "dst": b["dst"].to_pandas(),
+                           "pred_a": b["pred_a"].to_pandas(),
+                           "pred_b": b["pred_b"].to_pandas(), "c": 1})
+        g = df.groupby(["src", "dst", "pred_a", "pred_b"],
+                       sort=False)["c"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = j.map_batches(cnt_partial, batch_format="pyarrow") \
+        .groupby(["src", "dst", "pred_a", "pred_b"]) \
+        .aggregate(Sum("c"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(c)" not in b.column_names:
+            return pa.table({
+                "src": pa.array([], pa.string()),
+                "dst": pa.array([], pa.string()),
+                "pred_a": pa.array([], pa.string()),
+                "pred_b": pa.array([], pa.string()),
+                "n_paths": pa.array([], pa.int64())})
+        return pa.table({"src": b["src"], "dst": b["dst"],
+                         "pred_a": b["pred_a"], "pred_b": b["pred_b"],
+                         "n_paths": b["sum(c)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

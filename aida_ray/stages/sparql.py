@@ -143,3 +143,72 @@ def bgp_match(triples: ray.data.Dataset,
         bindings = hash_join(bindings, step, on=shared)
         bound = bound + [n for n in names if n not in bound]
     return bindings
+
+
+def selectional_preference(triples: ray.data.Dataset,
+                           types: ray.data.Dataset,
+                           s: str = "subj", p: str = "pred",
+                           o: str = "obj", ent_col: str = "entity",
+                           type_col: str = "type") -> pa.Table:
+    """Resnik selectional-preference strength per predicate:
+    KL(P(type | pred) || P(type)) over OBJECT argument types — a
+    strongly type-selective predicate ("bornIn" → places) scores
+    high, a promiscuous one ("relatedTo") near zero.  The argument-
+    typing quality signal next to predicate_signatures' dominant-
+    signature purity.
+
+    Emits (pred, n_typed, strength) with strength rounded to 6;
+    entities missing from the registry type as 'unknown' (consistent
+    with predicate_signatures).
+
+    Scale shape: the type registry broadcasts once (entity-vocabulary
+    bounded, same as predicate_signatures); per-batch partials
+    pre-count (pred, type) so the one shuffle ships a
+    vocabulary-bounded table; the KL finish runs over that small
+    table (predicates x types rows)."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.dedup import _get_cached
+
+    reg = collect_table(types, schema=pa.schema(
+        [(ent_col, pa.string()), (type_col, pa.string())]))
+    type_ref = ray.put(dict(zip(reg[ent_col].to_pylist(),
+                                reg[type_col].to_pylist())))
+
+    def partial(b: pa.Table) -> pa.Table:
+        tmap = _get_cached(type_ref)
+        df = pd.DataFrame({
+            "pred": b[p].to_pandas(),
+            "otype": [tmap.get(x, "unknown")
+                      for x in b[o].to_pylist()]})
+        g = df.groupby(["pred", "otype"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = collect_table(
+        triples.map_batches(partial, batch_format="pyarrow")
+        .groupby(["pred", "otype"]).aggregate(Sum("n"))).to_pandas()
+    if counts.empty:
+        return pa.table({"pred": pa.array([], pa.string()),
+                         "n_typed": pa.array([], pa.int64()),
+                         "strength": pa.array([], pa.float64())})
+    n = counts["sum(n)"].to_numpy(dtype="float64")
+    total = n.sum()
+    prior = counts.groupby("otype")["sum(n)"].sum() / total
+    pt = counts["otype"].map(prior).to_numpy(dtype="float64")
+    per_pred = counts.groupby("pred")["sum(n)"].sum()
+    np_pred = counts["pred"].map(per_pred).to_numpy(dtype="float64")
+    cond = n / np_pred
+    kl = pd.DataFrame({"pred": counts["pred"],
+                       "term": cond * np.log(cond / pt),
+                       "n": n.astype(np.int64)}) \
+        .groupby("pred", sort=True).agg(
+            n_typed=("n", "sum"), strength=("term", "sum")) \
+        .reset_index()
+    return pa.table({
+        "pred": pa.array(kl["pred"].astype(str)),
+        "n_typed": pa.array(kl["n_typed"].to_numpy(dtype="int64"),
+                            pa.int64()),
+        "strength": pa.array(np.round(
+            kl["strength"].to_numpy(dtype="float64"), 6), pa.float64())})

@@ -294,3 +294,42 @@ def url_path_templates(ds: ray.data.Dataset,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby("template").map_groups(finish, batch_format="pandas")
+
+
+def mirror_hosts(pages: ray.data.Dataset, url_col: str = "url",
+                 text_col: str = "text",
+                 threshold: float = 0.5) -> pa.Table:
+    """Mirror-site detection: host pairs whose DISTINCT content sets
+    overlap with Jaccard >= threshold — crawl dedup's host-level
+    counterpart (a mirror pair should be collapsed before per-page
+    near-dup ever runs).
+
+    Composes truth.source_agreement with source = host and
+    claim = page content (at 100 TB substitute a content hash for the
+    raw text as the claim key — the agreement plan is unchanged);
+    emits (host_a, host_b, inter, size_a, size_b, jaccard) above the
+    threshold.  Scale shape inherits source_agreement's: shuffles are
+    claim-keyed and the pair table is host-vocabulary bounded."""
+    import pyarrow.compute as pc
+
+    from aida_ray.stages.truth import source_agreement
+
+    host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]*)"
+
+    def to_claims(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b[url_col].cast(pa.string()), host_re),
+            "host")
+        return pa.table({"source": pc.utf8_lower(host),
+                         "key": b[text_col].cast(pa.string()),
+                         "value": pa.array([""] * b.num_rows,
+                                           pa.string())})
+
+    agree = source_agreement(
+        pages.map_batches(to_claims, batch_format="pyarrow"))
+    mask = pc.greater_equal(agree["jaccard"], threshold)
+    out = agree.filter(mask)
+    return pa.table({"host_a": out["src_a"], "host_b": out["src_b"],
+                     "inter": out["inter"], "size_a": out["size_a"],
+                     "size_b": out["size_b"],
+                     "jaccard": out["jaccard"]})
