@@ -8561,6 +8561,121 @@ _MIRROR_HOSTS_ORACLE = """
 """
 
 
+def q_wrapper_slots(sf_dir: str) -> pa.Table:
+    """Positional wrapper induction (boilerplate.wrapper_slots):
+    per-domain template/slot split over planted 3-line pages where
+    only line 1 varies; arithmetic SQL twin."""
+    from aida_ray.stages.boilerplate import wrapper_slots
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doms, texts = [], []
+        for x in j:
+            x = int(x)
+            doms.append(f"d{x % 6}.com")
+            texts.append(f"Welcome to d{x % 6}\nItem: I{x}\nFooter")
+        return pa.table({"domain": pa.array(doms, pa.string()),
+                         "doc_id": pa.array(j, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(wrapper_slots(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_WRAPPER_SLOTS_ORACLE = """
+    SELECT 'd' || (doc_id % 6) || '.com' AS domain,
+           CAST(1 AS BIGINT) AS pos, doc_id,
+           'Item: I' || doc_id AS value
+    FROM documents
+"""
+
+
+def q_disambig_pages(sf_dir: str) -> pa.Table:
+    """Disambiguation-page parsing (hearst.disambiguation_pages):
+    "X may refer to:" surfaces with ranked candidate senses over
+    planted pages; arithmetic SQL twin."""
+    from aida_ray.stages.hearst import disambiguation_pages
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = []
+        for x in j:
+            x = int(x)
+            if x % 4 == 0:
+                texts.append(f"S{x % 11} may refer to:\n- C{x}a\n"
+                             f"- C{x}b\nnot an item")
+            else:
+                texts.append("plain text")
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(disambiguation_pages(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_DISAMBIG_PAGES_ORACLE = """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0)
+    SELECT doc_id, 'S' || (doc_id % 11) AS surface,
+           CAST(1 AS BIGINT) AS "rank", 'C' || doc_id || 'a' AS candidate
+    FROM d
+    UNION ALL
+    SELECT doc_id, 'S' || (doc_id % 11), CAST(2 AS BIGINT),
+           'C' || doc_id || 'b'
+    FROM d
+"""
+
+
+def q_table_schemas(sf_dir: str) -> pa.Table:
+    """Web-table schema matching (webtables.table_schema_groups):
+    tables grouped by header signature with stitched row totals;
+    arithmetic SQL twin."""
+    from aida_ray.stages.webtables import table_schema_groups
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        htmls = []
+        for x in j:
+            x = int(x)
+            m = x % 3
+            if m == 0:
+                h = ('<table><tr><td>A</td><td>B</td></tr>'
+                     '<tr><td>1</td><td>2</td></tr>'
+                     '<tr><td>3</td><td>4</td></tr></table>')
+            elif m == 1:
+                h = ('<table><tr><td>A</td><td>B</td></tr>'
+                     '<tr><td>x</td><td>y</td></tr></table>')
+            else:
+                h = ('<table><tr><td>C</td></tr>'
+                     '<tr><td>z</td></tr></table>')
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(table_schema_groups(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_TABLE_SCHEMAS_ORACLE = """
+    WITH n AS (SELECT
+        SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS n0,
+        SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS n2
+        FROM documents)
+    SELECT 'A|B' AS schema_sig, CAST(2 AS BIGINT) AS n_cols,
+           CAST(n0 + n1 AS BIGINT) AS n_tables,
+           CAST(2 * n0 + n1 AS BIGINT) AS n_rows FROM n
+    UNION ALL
+    SELECT 'C', CAST(1 AS BIGINT), CAST(n2 AS BIGINT),
+           CAST(n2 AS BIGINT) FROM n
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8867,6 +8982,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_aliases": q_name_aliases,
         "set_expansion": q_set_expansion,
         "mirror_hosts": q_mirror_hosts,
+        "wrapper_slots": q_wrapper_slots,
+        "disambig_pages": q_disambig_pages,
+        "table_schemas": q_table_schemas,
     }
 
 
@@ -10677,6 +10795,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "name_aliases": _NAME_ALIASES_ORACLE,
         "set_expansion": _SET_EXPANSION_ORACLE,
         "mirror_hosts": _MIRROR_HOSTS_ORACLE,
+        "wrapper_slots": _WRAPPER_SLOTS_ORACLE,
+        "disambig_pages": _DISAMBIG_PAGES_ORACLE,
+        "table_schemas": _TABLE_SCHEMAS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -186,3 +186,44 @@ def quotes(ds: ray.data.Dataset, id_col: str = "doc_id",
                          "frame": pa.array(fr, pa.string())})
 
     return ds.map_batches(batch, batch_format="pyarrow")
+
+
+_DISAMBIG_HEAD = re.compile(r"^(.+?) may refer to:\s*$", re.M)
+_DISAMBIG_ITEM = re.compile(r"^[-*]\s+(.+?)\s*$", re.M)
+
+
+def disambiguation_pages(ds: ray.data.Dataset, id_col: str = "doc_id",
+                         text_col: str = "text") -> ray.data.Dataset:
+    """Disambiguation-page parsing: "X may refer to:" pages map one
+    SURFACE to its ranked candidate senses — the editorial complement
+    of anchor-statistics priors (links.anchor_priors); a KB bootstrap
+    reads these into the mention→candidate dictionary.
+
+    Emits (doc_id, surface, rank, candidate) with 1-based rank in
+    page order; pages without the header emit nothing.
+
+    Scale shape: stateless map_batches, two compiled-regex passes per
+    page; output is list-length bounded."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, surf, rank, cand = [], [], [], []
+        id_np = b[id_col].to_numpy(zero_copy_only=False)
+        for i, t in zip(id_np, b[text_col].to_pylist()):
+            if not t:
+                continue
+            m = _DISAMBIG_HEAD.search(t)
+            if not m:
+                continue
+            s = m.group(1).strip()
+            for k, item in enumerate(
+                    _DISAMBIG_ITEM.findall(t[m.end():]), 1):
+                ids.append(int(i))
+                surf.append(s)
+                rank.append(k)
+                cand.append(item)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "surface": pa.array(surf, pa.string()),
+                         "rank": pa.array(rank, pa.int64()),
+                         "candidate": pa.array(cand, pa.string())})
+
+    return ds.map_batches(explode, batch_format="pyarrow")

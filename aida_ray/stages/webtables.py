@@ -183,3 +183,56 @@ def microdata_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
     return pages.map_batches(_triples_stage(microdata_triples_of,
                                             id_col, html_col),
                              batch_format="pyarrow")
+
+
+def table_schema_groups(pages: ray.data.Dataset, id_col: str = "doc_id",
+                        html_col: str = "html") -> ray.data.Dataset:
+    """Web-table schema matching (the WebTables/Octopus stitching
+    step, public methodology): tables across the corpus group by
+    their HEADER signature (first-row cells joined by '|'); stitching
+    all same-schema tables into one relation is what turns scattered
+    markup into a queryable table corpus.
+
+    Emits (schema_sig, n_cols, n_tables, n_rows) — table and DATA-row
+    (header excluded) totals per signature.
+
+    Scale shape: per-batch partial counts collapse each block to its
+    distinct signatures, so the one groupby ships schema-vocabulary
+    rows, never tables."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts: dict[tuple[str, int], list[int]] = {}
+        for h in b[html_col].to_pylist():
+            if h is None:
+                continue
+            html = h.decode("utf-8", "replace") if isinstance(h, bytes) \
+                else h
+            for rows in extract_table_rows(html):
+                sig = "|".join(rows[0])
+                k = (sig, len(rows[0]))
+                c = counts.setdefault(k, [0, 0])
+                c[0] += 1
+                c[1] += len(rows) - 1
+        ks = list(counts)
+        return pa.table({
+            "schema_sig": pa.array([k[0] for k in ks], pa.string()),
+            "n_cols": pa.array([k[1] for k in ks], pa.int64()),
+            "t": pa.array([counts[k][0] for k in ks], pa.int64()),
+            "r": pa.array([counts[k][1] for k in ks], pa.int64())})
+
+    agg = pages.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["schema_sig", "n_cols"]).aggregate(Sum("t"), Sum("r"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(t)" not in b.column_names:
+            return pa.table({"schema_sig": pa.array([], pa.string()),
+                             "n_cols": pa.array([], pa.int64()),
+                             "n_tables": pa.array([], pa.int64()),
+                             "n_rows": pa.array([], pa.int64())})
+        return pa.table({"schema_sig": b["schema_sig"],
+                         "n_cols": b["n_cols"].cast(pa.int64()),
+                         "n_tables": b["sum(t)"].cast(pa.int64()),
+                         "n_rows": b["sum(r)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
