@@ -8676,6 +8676,72 @@ _TABLE_SCHEMAS_ORACLE = """
 """
 
 
+def q_kg_extract_fuse(sf_dir: str) -> pa.Table:
+    """Composed multi-extractor fusion pipeline: ONE scan runs all
+    three markup extractors (webtables.all_markup_triples), witnesses
+    get per-extractor confidences (table 0.6 / microdata 0.7 /
+    json-ld 0.8), and the targeted slot (bornIn) fuses by noisy-OR
+    (fuse.noisy_or_fuse).  Planted pages assert the same fact through
+    1-3 extractors; the oracle recomputes witness counts and the
+    EXP/LN fusion arithmetically."""
+    from aida_ray.stages.fuse import noisy_or_fuse
+    from aida_ray.stages.webtables import all_markup_triples
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        htmls = []
+        for x in j:
+            x = int(x)
+            k = x % 50
+            h = (f'<table><tr><td>name</td><td>bornIn</td></tr>'
+                 f'<tr><td>E{k}</td><td>City{k % 9}</td></tr></table>')
+            if x % 2 == 0:
+                h += (f'<div itemscope itemtype="http://schema.org/'
+                      f'Person"><span itemprop="name">E{k}</span>'
+                      f'<span itemprop="bornIn">City{k % 9}'
+                      f'</span></div>')
+            if x % 3 == 0:
+                h += (f'<script type="application/ld+json">'
+                      f'{{"name": "E{k}", "bornIn": "City{k % 9}"}}'
+                      f'</script>')
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    conf_by_src = {"table": 0.6, "microdata": 0.7, "jsonld": 0.8}
+
+    def attach_conf(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False)
+        conf = np.array([conf_by_src[s] for s in src], dtype=np.float64)
+        keep = pc.equal(b["pred"], "bornIn")
+        t = b.append_column("conf", pa.array(conf, pa.float64()))
+        return t.filter(keep)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    witnesses = all_markup_triples(
+        docs.map_batches(to_pages, batch_format="pyarrow")) \
+        .map_batches(attach_conf, batch_format="pyarrow")
+    return _collect(noisy_or_fuse(witnesses))
+
+
+_KG_EXTRACT_FUSE_ORACLE = """
+    WITH d AS (SELECT doc_id, doc_id % 50 AS k FROM documents),
+    w AS (SELECT k, COUNT(*) AS nt,
+                 SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS nm,
+                 SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS nj
+          FROM d GROUP BY k)
+    SELECT 'E' || k AS subj, 'bornIn' AS pred,
+           'City' || (k % 9) AS obj,
+           CAST(nt + nm + nj AS BIGINT) AS n_src,
+           CASE WHEN nj > 0 THEN 0.8 WHEN nm > 0 THEN 0.7
+                ELSE 0.6 END AS max_conf,
+           ROUND(1 - EXP(nt * LN(0.4) + nm * LN(0.3) + nj * LN(0.2)),
+                 6) AS fused
+    FROM w
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -8985,6 +9051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wrapper_slots": q_wrapper_slots,
         "disambig_pages": q_disambig_pages,
         "table_schemas": q_table_schemas,
+        "kg_extract_fuse": q_kg_extract_fuse,
     }
 
 
@@ -10798,6 +10865,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "wrapper_slots": _WRAPPER_SLOTS_ORACLE,
         "disambig_pages": _DISAMBIG_PAGES_ORACLE,
         "table_schemas": _TABLE_SCHEMAS_ORACLE,
+        "kg_extract_fuse": _KG_EXTRACT_FUSE_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -236,3 +236,38 @@ def table_schema_groups(pages: ray.data.Dataset, id_col: str = "doc_id",
                          "n_rows": b["sum(r)"].cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def all_markup_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
+                       html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, subj, pred, obj, src) — all three markup families
+    (table / json-ld / microdata) extracted in ONE pass over the html
+    column: the page is scanned once and the heavy column dies here,
+    instead of three separate read+extract branches each re-shipping
+    the corpus.  ``src`` tags the extractor for downstream
+    provenance-weighted fusion (fuse.noisy_or_fuse)."""
+    fams = (("table", table_triples_of), ("jsonld", jsonld_triples_of),
+            ("microdata", microdata_triples_of))
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        did, su, pr, ob, sr = [], [], [], [], []
+        for i, h in zip(ids, b[html_col].to_pylist()):
+            if h is None:
+                continue
+            html = h.decode("utf-8", "replace") if isinstance(h, bytes) \
+                else h
+            for name, fn in fams:
+                for s, p, o in fn(html):
+                    did.append(int(i))
+                    su.append(s)
+                    pr.append(p)
+                    ob.append(o)
+                    sr.append(name)
+        return pa.table({id_col: pa.array(did, pa.int64()),
+                         "subj": pa.array(su, pa.string()),
+                         "pred": pa.array(pr, pa.string()),
+                         "obj": pa.array(ob, pa.string()),
+                         "src": pa.array(sr, pa.string())})
+
+    return pages.map_batches(batch, batch_format="pyarrow")

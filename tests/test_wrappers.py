@@ -65,3 +65,31 @@ def test_table_schema_groups_stitch(ray_session):
     assert got.loc["X|Y", "n_rows"] == 3
     assert got.loc["X|Y", "n_cols"] == 2
     assert got.loc["Z", "n_rows"] == 0   # header-only table
+
+
+def test_all_markup_triples_single_pass(ray_session):
+    from aida_ray.stages.webtables import all_markup_triples
+    h = (b'<table><tr><td>name</td><td>p</td></tr>'
+         b'<tr><td>S</td><td>V</td></tr></table>'
+         b'<script type="application/ld+json">'
+         b'{"name": "S", "p": "V"}</script>'
+         b'<div itemscope itemtype="http://schema.org/Thing">'
+         b'<span itemprop="name">S</span>'
+         b'<span itemprop="p">V</span></div>')
+    t = _ds(pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "html": pa.array([h], pa.binary())}))
+    got = all_markup_triples(t).to_pandas()
+    fact = got[(got.subj == "S") & (got.pred == "p") & (got.obj == "V")]
+    assert sorted(fact["src"]) == ["jsonld", "microdata", "table"]
+
+
+def test_noisy_or_fuse_composition(ray_session):
+    import math
+    from aida_ray.stages.fuse import noisy_or_fuse
+    t = _ds(pa.table({
+        "subj": ["S", "S", "S"], "pred": ["p"] * 3, "obj": ["V"] * 3,
+        "conf": [0.6, 0.7, 0.8]}))
+    got = noisy_or_fuse(t).to_pandas().iloc[0]
+    assert got["n_src"] == 3
+    assert got["max_conf"] == 0.8
+    assert abs(got["fused"] - round(1 - 0.4 * 0.3 * 0.2, 6)) < 1e-9
