@@ -8742,6 +8742,130 @@ _KG_EXTRACT_FUSE_ORACLE = """
 """
 
 
+def _dr_plant(b: pa.Table) -> pa.Table:
+    """Shared plant for domain/range + schema-graph queries: 20
+    entities typed T0-T2, 4 predicates, objects offset by 7."""
+    j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "subj": pa.array([f"e{x}" for x in j % 20]),
+        "pred": pa.array([f"p{x}" for x in j % 4]),
+        "obj": pa.array([f"e{x}" for x in (j + 7) % 20])})
+
+
+def _dr_types() -> pa.Table:
+    ks = np.arange(20, dtype=np.int64)
+    return pa.table({"entity": pa.array([f"e{k}" for k in ks]),
+                     "type": pa.array([f"T{k % 3}" for k in ks])})
+
+
+def q_domain_range(sf_dir: str) -> pa.Table:
+    """RDFS domain/range checking (kgqa.domain_range_violations) over
+    a planted typed graph with a 4-predicate schema; VALUES-join SQL
+    twin."""
+    from aida_ray.stages.kgqa import domain_range_violations
+    schema = {"p0": ("T0", "T1"), "p1": ("T1", "T2"),
+              "p2": ("T2", "T0"), "p3": ("T0", "T0")}
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(domain_range_violations(
+        docs.map_batches(_dr_plant, batch_format="pyarrow"),
+        ray.data.from_arrow(_dr_types()), schema))
+
+
+_DOMAIN_RANGE_ORACLE = """
+    WITH tr AS (SELECT 'e' || (doc_id % 20) AS subj,
+                       'p' || (doc_id % 4) AS pred,
+                       'e' || ((doc_id + 7) % 20) AS obj,
+                       (doc_id % 20) % 3 AS st,
+                       ((doc_id + 7) % 20) % 3 AS ot,
+                       doc_id % 4 AS pi
+                FROM documents),
+    sc AS (SELECT * FROM (VALUES (0, 0, 1), (1, 1, 2), (2, 2, 0),
+                                 (3, 0, 0)) s(pi, dt, rt))
+    SELECT tr.subj, tr.pred, tr.obj,
+           CASE WHEN st <> dt AND ot <> rt THEN 'both'
+                WHEN st <> dt THEN 'domain' ELSE 'range' END AS why
+    FROM tr JOIN sc USING (pi) WHERE st <> dt OR ot <> rt
+"""
+
+
+def q_schema_graph(sf_dir: str) -> pa.Table:
+    """Instance-to-schema quotient graph (kgprofile.schema_graph):
+    full (subj_type, pred, obj_type) signature distribution over the
+    planted typed graph; GROUP BY SQL twin."""
+    from aida_ray.stages.kgprofile import schema_graph
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(schema_graph(
+        docs.map_batches(_dr_plant, batch_format="pyarrow"),
+        ray.data.from_arrow(_dr_types())))
+
+
+_SCHEMA_GRAPH_ORACLE = """
+    WITH tr AS (SELECT 'p' || (doc_id % 4) AS pred,
+                       'T' || ((doc_id % 20) % 3) AS subj_type,
+                       'T' || (((doc_id + 7) % 20) % 3) AS obj_type
+                FROM documents)
+    SELECT subj_type, pred, obj_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tr GROUP BY 1, 2, 3
+"""
+
+
+def q_pred_formats(sf_dir: str) -> pa.Table:
+    """Predicate object-format profiling (kgprofile.
+    pred_value_formats): int/decimal/date/url/name/other lexical
+    classification with a mixed-format predicate planted; CASE +
+    regexp_matches SQL twin over the same RE2 patterns."""
+    from aida_ray.stages.kgprofile import pred_value_formats
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        objs = []
+        for x in j:
+            x = int(x)
+            m = x % 5
+            if m == 0:
+                objs.append("mixed" if x % 50 == 0 else str(x))
+            elif m == 1:
+                objs.append(f"{x}.5")
+            elif m == 2:
+                objs.append(f"2021-07-1{x % 10}")
+            elif m == 3:
+                objs.append(f"http://u/{x}")
+            else:
+                objs.append(f"Name {x}")
+        return pa.table({
+            "pred": pa.array([f"p{x}" for x in j % 5]),
+            "obj": pa.array(objs, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(pred_value_formats(
+        docs.map_batches(to_triples, batch_format="pyarrow")))
+
+
+_PRED_FORMATS_ORACLE = r"""
+    WITH tr AS (SELECT 'p' || (doc_id % 5) AS pred,
+        CASE doc_id % 5
+            WHEN 0 THEN CASE WHEN doc_id % 50 = 0 THEN 'mixed'
+                             ELSE CAST(doc_id AS VARCHAR) END
+            WHEN 1 THEN doc_id || '.5'
+            WHEN 2 THEN '2021-07-1' || (doc_id % 10)
+            WHEN 3 THEN 'http://u/' || doc_id
+            ELSE 'Name ' || doc_id END AS obj
+        FROM documents),
+    f AS (SELECT pred, CASE
+        WHEN regexp_matches(obj, '^[0-9]+$') THEN 'int'
+        WHEN regexp_matches(obj, '^[0-9]+\.[0-9]+$') THEN 'decimal'
+        WHEN regexp_matches(obj, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+            THEN 'date'
+        WHEN regexp_matches(obj, '^https?://') THEN 'url'
+        WHEN regexp_matches(obj, '^[A-Z]') THEN 'name'
+        ELSE 'other' END AS fmt FROM tr)
+    SELECT pred, fmt, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1, 2
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9052,6 +9176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disambig_pages": q_disambig_pages,
         "table_schemas": q_table_schemas,
         "kg_extract_fuse": q_kg_extract_fuse,
+        "domain_range": q_domain_range,
+        "schema_graph": q_schema_graph,
+        "pred_formats": q_pred_formats,
     }
 
 
@@ -10866,6 +10993,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "disambig_pages": _DISAMBIG_PAGES_ORACLE,
         "table_schemas": _TABLE_SCHEMAS_ORACLE,
         "kg_extract_fuse": _KG_EXTRACT_FUSE_ORACLE,
+        "domain_range": _DOMAIN_RANGE_ORACLE,
+        "schema_graph": _SCHEMA_GRAPH_ORACLE,
+        "pred_formats": _PRED_FORMATS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

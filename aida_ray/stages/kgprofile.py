@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -218,3 +219,116 @@ def transitive_reduction(edges: ray.data.Dataset, max_depth: int = 8,
                                   else red == 1, pa.bool_())})
 
     return flagged.map_batches(finish, batch_format="pyarrow")
+
+
+# fixed-precedence lexical formats for object values; each entry is
+# (name, RE2 pattern) — the same patterns a DuckDB oracle runs
+VALUE_FORMATS = (
+    ("int", r"^[0-9]+$"),
+    ("decimal", r"^[0-9]+\.[0-9]+$"),
+    ("date", r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("url", r"^https?://"),
+    ("name", r"^[A-Z]"),
+)
+
+
+def pred_value_formats(triples: ray.data.Dataset, p: str = "pred",
+                       o: str = "obj") -> ray.data.Dataset:
+    """Per-predicate object-format profile: every object value
+    classifies into the first matching lexical format (int, decimal,
+    date, url, name, other) and counts aggregate per (pred, fmt) —
+    the publish-time profiling step that decides whether a predicate
+    column is typed numeric/date/entity-ref before the KG loads into
+    a store.
+
+    Emits (pred, fmt, n).
+
+    Scale shape: classification is Arrow RE2 over the batch (no
+    per-row Python); per-batch partials bound the one shuffle by
+    predicate x format vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[o].cast(pa.string())
+        fmt = np.full(len(vals), "other", dtype=object)
+        undecided = np.ones(len(vals), dtype=bool)
+        for name, pat in VALUE_FORMATS:
+            m = pc.match_substring_regex(vals, pat).to_numpy(
+                zero_copy_only=False)
+            hit = undecided & m
+            fmt[hit] = name
+            undecided &= ~m
+        df = pd.DataFrame({"pred": b[p].to_pandas(), "fmt": fmt})
+        g = df.groupby(["pred", "fmt"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["pred", "fmt"]).aggregate(Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({"pred": pa.array([], pa.string()),
+                             "fmt": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"pred": b["pred"], "fmt": b["fmt"],
+                         "n": b["sum(n)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def schema_graph(triples: ray.data.Dataset, types: ray.data.Dataset,
+                 s: str = "subj", p: str = "pred", o: str = "obj",
+                 ent_col: str = "entity", type_col: str = "type"
+                 ) -> ray.data.Dataset:
+    """Instance-to-schema graph induction (the LODStats-style quotient
+    graph): every instance edge maps to its (subj_type, pred,
+    obj_type) supernode edge with an assertion count — the full
+    signature DISTRIBUTION, where predicate_signatures keeps only the
+    dominant row.
+
+    Emits (subj_type, pred, obj_type, n); entities missing from the
+    registry type as 'unknown'.
+
+    Scale shape: registry broadcast once; per-batch partial counts
+    bound the one shuffle by the schema vocabulary (types x preds x
+    types), never the instance graph."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.state.collect import collect_table
+
+    reg = collect_table(types, schema=pa.schema(
+        [(ent_col, pa.string()), (type_col, pa.string())]))
+    ref = ray.put(dict(zip(reg[ent_col].to_pylist(),
+                           reg[type_col].to_pylist())))
+
+    def partial(b: pa.Table) -> pa.Table:
+        tmap = _get_cached(ref)
+        df = pd.DataFrame({
+            "subj_type": [tmap.get(x, "unknown")
+                          for x in b[s].to_pylist()],
+            "pred": b[p].to_pandas(),
+            "obj_type": [tmap.get(x, "unknown")
+                         for x in b[o].to_pylist()]})
+        g = df.groupby(["subj_type", "pred", "obj_type"],
+                       sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = triples.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["subj_type", "pred", "obj_type"]).aggregate(Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({"subj_type": pa.array([], pa.string()),
+                             "pred": pa.array([], pa.string()),
+                             "obj_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"subj_type": b["subj_type"],
+                         "pred": b["pred"],
+                         "obj_type": b["obj_type"],
+                         "n": b["sum(n)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -357,3 +357,61 @@ def confidence_calibration(verdicted: ray.data.Dataset,
             "accuracy": pa.array(np.round(s / n, 6), pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def domain_range_violations(triples: ray.data.Dataset,
+                            types: ray.data.Dataset,
+                            schema: dict[str, tuple[str, str]],
+                            s: str = "subj", p: str = "pred",
+                            o: str = "obj", ent_col: str = "entity",
+                            type_col: str = "type"
+                            ) -> ray.data.Dataset:
+    """RDFS domain/range checking: triples whose subject type differs
+    from the predicate's declared DOMAIN or whose object type differs
+    from its declared RANGE — the schema-level integrity check next
+    to functional_violations (cardinality) and dangling_objects
+    (referential).
+
+    ``schema`` maps pred -> (domain_type, range_type); predicates
+    absent from the schema are unchecked.  Entities missing from the
+    type registry type as 'unknown' (consistent with
+    predicate_signatures) and DO violate a declared constraint.
+
+    Emits violating rows (subj, pred, obj, why) with
+    why in {'domain', 'range', 'both'}.
+
+    Scale shape: registry + schema broadcast once (entity/predicate
+    vocabulary bounded); the check is one stateless scan — no
+    shuffle at all."""
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.state.collect import collect_table
+
+    reg = collect_table(types, schema=pa.schema(
+        [(ent_col, pa.string()), (type_col, pa.string())]))
+    ref = ray.put((dict(zip(reg[ent_col].to_pylist(),
+                            reg[type_col].to_pylist())), dict(schema)))
+
+    def check(b: pa.Table) -> pa.Table:
+        tmap, sch = _get_cached(ref)
+        sv = b[s].to_pylist()
+        pv = b[p].to_pylist()
+        ov = b[o].to_pylist()
+        rs, rp, ro, why = [], [], [], []
+        for su, pr, ob in zip(sv, pv, ov):
+            decl = sch.get(pr)
+            if decl is None:
+                continue
+            bad_d = tmap.get(su, "unknown") != decl[0]
+            bad_r = tmap.get(ob, "unknown") != decl[1]
+            if bad_d or bad_r:
+                rs.append(su)
+                rp.append(pr)
+                ro.append(ob)
+                why.append("both" if bad_d and bad_r
+                           else ("domain" if bad_d else "range"))
+        return pa.table({s: pa.array(rs, pa.string()),
+                         p: pa.array(rp, pa.string()),
+                         o: pa.array(ro, pa.string()),
+                         "why": pa.array(why, pa.string())})
+
+    return triples.map_batches(check, batch_format="pyarrow")
