@@ -8866,6 +8866,138 @@ _PRED_FORMATS_ORACLE = r"""
 """
 
 
+def q_pred_align(sf_dir: str) -> pa.Table:
+    """Attribute alignment (webtables.predicate_alignment): extracted
+    table headers mapped to KB predicates by distinct (subj, obj)
+    pair overlap; planted full and one-third overlaps; join SQL
+    twin."""
+    from aida_ray.stages.webtables import predicate_alignment
+
+    def to_extracted(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, pr, ob = [], [], []
+        for x in j:
+            x = int(x)
+            k = x % 30
+            su.append(f"s{k}"); pr.append("colBorn"); ob.append(f"v{k}")
+            if x % 3 == 0:
+                su.append(f"s{k}")
+                pr.append("colCity")
+                ob.append(f"w{k}")
+        return pa.table({"subj": pa.array(su), "pred": pa.array(pr),
+                         "obj": pa.array(ob)})
+
+    def to_kb(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        su, pr, ob = [], [], []
+        for x in j:
+            k = int(x) % 30
+            su.append(f"s{k}"); pr.append("bornIn"); ob.append(f"v{k}")
+            su.append(f"s{k}")
+            pr.append("locatedIn")
+            ob.append(f"w{k}")
+        return pa.table({"subj": pa.array(su), "pred": pa.array(pr),
+                         "obj": pa.array(ob)})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(predicate_alignment(
+        docs.map_batches(to_extracted, batch_format="pyarrow"),
+        docs.map_batches(to_kb, batch_format="pyarrow")))
+
+
+_PRED_ALIGN_ORACLE = """
+    WITH e AS (
+        SELECT DISTINCT 's' || (doc_id % 30) AS s, 'colBorn' AS p,
+               'v' || (doc_id % 30) AS o FROM documents
+        UNION
+        SELECT DISTINCT 's' || (doc_id % 30), 'colCity',
+               'w' || (doc_id % 30) FROM documents WHERE doc_id % 3 = 0),
+    k AS (
+        SELECT DISTINCT 's' || (doc_id % 30) AS s, 'bornIn' AS p,
+               'v' || (doc_id % 30) AS o FROM documents
+        UNION
+        SELECT DISTINCT 's' || (doc_id % 30), 'locatedIn',
+               'w' || (doc_id % 30) FROM documents),
+    sz_e AS (SELECT p, COUNT(*) AS n FROM e GROUP BY p),
+    sz_k AS (SELECT p, COUNT(*) AS n FROM k GROUP BY p),
+    co AS (SELECT e.p AS pred_e, k.p AS pred_k, COUNT(*) AS inter
+           FROM e JOIN k ON e.s = k.s AND e.o = k.o GROUP BY 1, 2)
+    SELECT co.pred_e, co.pred_k, CAST(co.inter AS BIGINT) AS inter,
+           CAST(a.n AS BIGINT) AS size_e, CAST(b.n AS BIGINT) AS size_k,
+           ROUND(co.inter / CAST(a.n + b.n - co.inter AS DOUBLE), 6)
+               AS jaccard
+    FROM co JOIN sz_e a ON a.p = co.pred_e
+    JOIN sz_k b ON b.p = co.pred_k
+"""
+
+
+def q_rank_fusion(sf_dir: str) -> pa.Table:
+    """Reciprocal-rank fusion (retrieval.rrf_fusion) of three planted
+    rankers over 25 items; MIN-dedup + SUM(1/(60+rank)) SQL twin."""
+    from aida_ray.stages.retrieval import rrf_fusion
+
+    def to_ranks(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "list_id": pa.array((j % 3).astype(np.int64), pa.int64()),
+            "item": pa.array([f"i{x}" for x in j % 25]),
+            "rank": pa.array(((j % 25) * 7 + (j % 3) * 11) % 25 + 1,
+                             pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(rrf_fusion(
+        docs.map_batches(to_ranks, batch_format="pyarrow")))
+
+
+_RANK_FUSION_ORACLE = """
+    WITH r AS (SELECT DISTINCT doc_id % 3 AS l,
+                      'i' || (doc_id % 25) AS item,
+                      ((doc_id % 25) * 7 + (doc_id % 3) * 11) % 25 + 1
+                          AS rnk
+               FROM documents)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           ROUND(SUM(1.0 / (60 + rnk)), 6) AS score
+    FROM r GROUP BY item
+"""
+
+
+def q_invariant_tokens(sf_dir: str) -> pa.Table:
+    """Cross-lingual anchor tokens (navigation.invariant_tokens):
+    tokens shared by EVERY page of a language-version cluster —
+    planted name tokens survive, per-page tokens drop; count-equals-
+    cluster-size SQL twin."""
+    from aida_ray.stages.navigation import invariant_tokens
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array([f"c{x}" for x in j % 50]),
+            "url": pa.array([f"u{x}" for x in j]),
+            "text": pa.array([f"N{x % 50} x{x}" for x in j])})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(invariant_tokens(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_INVARIANT_TOKENS_ORACLE = """
+    WITH tok AS (
+        SELECT 'c' || (doc_id % 50) AS cluster, doc_id AS u,
+               'N' || (doc_id % 50) AS token FROM documents
+        UNION ALL
+        SELECT 'c' || (doc_id % 50), doc_id, 'x' || doc_id
+        FROM documents),
+    d AS (SELECT DISTINCT cluster, u, token FROM tok),
+    sz AS (SELECT cluster, COUNT(DISTINCT u) AS n FROM d GROUP BY 1),
+    ct AS (SELECT cluster, token, COUNT(*) AS c FROM d GROUP BY 1, 2)
+    SELECT ct.cluster, ct.token FROM ct JOIN sz USING (cluster)
+    WHERE ct.c = sz.n
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9179,6 +9311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_range": q_domain_range,
         "schema_graph": q_schema_graph,
         "pred_formats": q_pred_formats,
+        "pred_align": q_pred_align,
+        "rank_fusion": q_rank_fusion,
+        "invariant_tokens": q_invariant_tokens,
     }
 
 
@@ -10996,6 +11131,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "domain_range": _DOMAIN_RANGE_ORACLE,
         "schema_graph": _SCHEMA_GRAPH_ORACLE,
         "pred_formats": _PRED_FORMATS_ORACLE,
+        "pred_align": _PRED_ALIGN_ORACLE,
+        "rank_fusion": _RANK_FUSION_ORACLE,
+        "invariant_tokens": _INVARIANT_TOKENS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

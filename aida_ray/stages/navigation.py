@@ -317,3 +317,44 @@ def expand_set(lists: ray.data.Dataset, seeds: list[str],
                          "n_ctx": b["sum(c)"].cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_TOKEN_SPLIT_CI = re.compile(r"[^A-Za-z0-9]+")
+
+
+def invariant_tokens(pages: ray.data.Dataset,
+                     cluster_col: str = "cluster",
+                     id_col: str = "url", text_col: str = "text",
+                     group_size_limit: int = 10_000
+                     ) -> ray.data.Dataset:
+    """Cross-lingual anchor tokens: within each language-version
+    cluster (alternate_clusters output joined back onto pages), the
+    tokens present in EVERY member page — names, numbers and codes
+    survive translation, so the invariant set is the cross-lingual
+    entity-alignment seed.
+
+    Emits (cluster, token), case-sensitive alphanumeric tokens.
+
+    Scale shape: one groupby(cluster).map_groups keyed by cluster —
+    a cluster is a language-version set (tens of pages, guarded by
+    ``group_size_limit``); per-group work is len(pages) set
+    intersections over that cluster's text only."""
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot cluster {g[cluster_col].iloc[0]!r}: {len(g)} "
+                "pages exceed the per-group bound")
+        inv: set | None = None
+        for _, grp in g.groupby(id_col, sort=False):
+            toks: set = set()
+            for t in grp[text_col]:
+                toks.update(x for x in _TOKEN_SPLIT_CI.split(t or "")
+                            if x)
+            inv = toks if inv is None else (inv & toks)
+        out = sorted(inv or ())
+        return pd.DataFrame({cluster_col: [g[cluster_col].iloc[0]] *
+                             len(out), "token": out})
+
+    return pages.groupby([cluster_col]).map_groups(
+        per_cluster, batch_format="pandas")

@@ -371,3 +371,53 @@ def pq_read_filtered(files: list[str], terms: list[str]) -> pa.Table:
     dset = pads.dataset(files)
     return dset.to_table(filter=pads.field("term").isin(terms),
                          columns=["term", "df"])
+
+
+def rrf_fusion(rankings: ray.data.Dataset, list_col: str = "list_id",
+               item_col: str = "item", rank_col: str = "rank",
+               k: int = 60) -> ray.data.Dataset:
+    """Reciprocal-rank fusion (Cormack et al., public method): fuse k
+    rankers' lists into one score per item,
+    ``score = sum over lists of 1 / (k + rank)`` — the standard
+    training-free ensemble for hybrid retrieval (BM25 + dense + ...).
+
+    Duplicate (list, item) rows collapse to the item's BEST (minimum)
+    rank in that list before fusing.  Emits (item, n_lists, score)
+    with score rounded to 6.
+
+    Scale shape: one (list, item) min-groupby (candidate-vocabulary
+    bounded), then per-batch partial sums into a per-item groupby —
+    shuffles ship candidate rows, never corpora."""
+    from ray.data.aggregate import Min, Sum
+
+    best = rankings.groupby([list_col, item_col]) \
+        .aggregate(Min(rank_col))
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = f"min({rank_col})"
+        if col not in b.column_names:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "l": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64())})
+        r = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "item": b[item_col],
+            "l": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            "s": pa.array(1.0 / (k + r), pa.float64())})
+
+    agg = best.map_batches(partial, batch_format="pyarrow") \
+        .groupby("item").aggregate(Sum("l"), Sum("s"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(l)" not in b.column_names:
+            return pa.table({"item": pa.array([], pa.string()),
+                             "n_lists": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "item": b["item"],
+            "n_lists": b["sum(l)"].cast(pa.int64()),
+            "score": pa.array(np.round(
+                b["sum(s)"].to_numpy(zero_copy_only=False), 6),
+                pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

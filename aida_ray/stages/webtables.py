@@ -22,11 +22,15 @@ from __future__ import annotations
 import json
 import re
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
 
+from aida_ray.state.collect import collect_table
 from aida_ray.text.extract import _unescape
 
 _TABLE_RE = re.compile(r"<table\b[^>]*>(.*?)</table\s*>", re.S | re.I)
@@ -271,3 +275,93 @@ def all_markup_triples(pages: ray.data.Dataset, id_col: str = "doc_id",
                          "src": pa.array(sr, pa.string())})
 
     return pages.map_batches(batch, batch_format="pyarrow")
+
+
+def predicate_alignment(extracted: ray.data.Dataset,
+                        kb: ray.data.Dataset,
+                        s: str = "subj", p: str = "pred",
+                        o: str = "obj",
+                        num_partitions: int | None = None
+                        ) -> ray.data.Dataset:
+    """Attribute alignment (the Octopus/schema-matching step): map
+    extracted table-header predicates onto KB predicates by DISTINCT
+    (subj, obj) pair-set overlap — a header whose value pairs
+    reproduce a KB relation's pairs IS that relation.
+
+    Emits (pred_e, pred_k, inter, size_e, size_k, jaccard) for pairs
+    with inter >= 1; jaccard rounded to 6.
+
+    Scale shape: both sides collapse to distinct facts, the overlap
+    is one hash join keyed on (subj, obj) (per-pair fanout =
+    predicates asserting that pair — vocabulary-bounded), and sizes
+    are predicate-vocabulary groupbys; nothing driver-side exceeds
+    the predicate vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                           o: b[o].to_pandas()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def dedup(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(distinct_partial,
+                              batch_format="pyarrow") \
+            .groupby([s, p, o]).count() \
+            .select_columns([s, p, o])
+
+    de = dedup(extracted)
+    dk = dedup(kb)
+
+    def keyed(col: str):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "k": pc.binary_join_element_wise(
+                    b[s].cast(pa.string()), b[o].cast(pa.string()),
+                    "\x1f"),
+                col: b[p]})
+        return f
+
+    j = hash_join(de.map_batches(keyed("pred_e"),
+                                 batch_format="pyarrow"),
+                  dk.map_batches(keyed("pred_k"),
+                                 batch_format="pyarrow"),
+                  on=("k",), num_partitions=num_partitions)
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"pred_e": b["pred_e"].to_pandas(),
+                           "pred_k": b["pred_k"].to_pandas(), "c": 1})
+        g = df.groupby(["pred_e", "pred_k"], sort=False)["c"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    co = collect_table(
+        j.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["pred_e", "pred_k"]).aggregate(Sum("c"))).to_pandas()
+
+    def sizes(ds: ray.data.Dataset) -> dict:
+        t = collect_table(ds.groupby(p).count()).to_pandas()
+        return dict(zip(t[p], t["count()"])) if len(t) else {}
+
+    sz_e = sizes(de)
+    sz_k = sizes(dk)
+    if co.empty:
+        return ray.data.from_arrow(pa.table({
+            "pred_e": pa.array([], pa.string()),
+            "pred_k": pa.array([], pa.string()),
+            "inter": pa.array([], pa.int64()),
+            "size_e": pa.array([], pa.int64()),
+            "size_k": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    inter = co["sum(c)"].to_numpy(dtype="int64")
+    se = co["pred_e"].map(sz_e).to_numpy(dtype="int64")
+    sk = co["pred_k"].map(sz_k).to_numpy(dtype="int64")
+    return ray.data.from_arrow(pa.table({
+        "pred_e": pa.array(co["pred_e"].astype(str)),
+        "pred_k": pa.array(co["pred_k"].astype(str)),
+        "inter": pa.array(inter, pa.int64()),
+        "size_e": pa.array(se, pa.int64()),
+        "size_k": pa.array(sk, pa.int64()),
+        "jaccard": pa.array(np.round(inter / (se + sk - inter), 6),
+                            pa.float64())}))
