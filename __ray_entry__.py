@@ -8998,6 +8998,113 @@ _INVARIANT_TOKENS_ORACLE = """
 """
 
 
+def q_evidence_sentences(sf_dir: str) -> pa.Table:
+    """Evidence retrieval for published facts (kb_slots.
+    evidence_sentences): sentences mentioning both subject and object
+    of a broadcast target slot; planted one-hit-per-doc corpus;
+    arithmetic SQL twin."""
+    from aida_ray.stages.kb_slots import evidence_sentences
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [f"E{x % 20}Q knows E{(x + 3) % 20}Q.\nfiller x{x}"
+                 for x in (int(v) for v in j)]
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    ks = np.arange(20, dtype=np.int64)
+    targets = ray.data.from_arrow(pa.table({
+        "subj": pa.array([f"E{k}Q" for k in ks]),
+        "pred": pa.array(["knows"] * 20),
+        "obj": pa.array([f"E{(k + 3) % 20}Q" for k in ks])}))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(evidence_sentences(
+        docs.map_batches(to_docs, batch_format="pyarrow"), targets))
+
+
+_EVIDENCE_SENTENCES_ORACLE = """
+    SELECT 'E' || (doc_id % 20) || 'Q' AS subj, 'knows' AS pred,
+           'E' || ((doc_id + 3) % 20) || 'Q' AS obj, doc_id,
+           CAST(1 AS BIGINT) AS sent_idx
+    FROM documents
+"""
+
+
+def q_kb_diff(sf_dir: str) -> pa.Table:
+    """KG snapshot diff (kb_slots.kb_diff): added/removed triples
+    between two planted versions in one tag-and-groupby shuffle;
+    arithmetic SQL twin."""
+    from aida_ray.stages.kb_slots import kb_diff
+
+    def to_old(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = j % 40
+        keep = k < 35
+        k = k[keep]
+        return pa.table({"subj": pa.array([f"s{x}" for x in k]),
+                         "pred": pa.array(["p"] * len(k)),
+                         "obj": pa.array([f"o{x}" for x in k])})
+
+    def to_new(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = j % 40
+        obj = np.where(k < 10,
+                       np.char.add("o", k.astype(str)),
+                       np.char.add("n", k.astype(str)))
+        return pa.table({"subj": pa.array([f"s{x}" for x in k]),
+                         "pred": pa.array(["p"] * len(k)),
+                         "obj": pa.array(obj.astype(str))})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(kb_diff(
+        docs.map_batches(to_old, batch_format="pyarrow"),
+        docs.map_batches(to_new, batch_format="pyarrow")))
+
+
+_KB_DIFF_ORACLE = """
+    WITH ks AS (SELECT DISTINCT doc_id % 40 AS k FROM documents)
+    SELECT 's' || k AS subj, 'p' AS pred, 'o' || k AS obj,
+           'removed' AS change FROM ks WHERE k >= 10 AND k < 35
+    UNION ALL
+    SELECT 's' || k, 'p', 'n' || k, 'added' FROM ks WHERE k >= 10
+"""
+
+
+def q_canonical_url(sf_dir: str) -> pa.Table:
+    """Canonical-URL election (urls.canonical_url_pick): per cluster
+    prefer https, then shortest, then lexicographic — one min-groupby
+    over an encoded preference key; ROW_NUMBER SQL twin."""
+    from aida_ray.stages.urls import canonical_url_pick
+
+    def to_members(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [("https" if int(x) % 2 == 0 else "http") +
+                f"://site/p{x}" for x in j]
+        return pa.table({
+            "cluster": pa.array([f"c{x}" for x in j % 60]),
+            "url": pa.array(urls, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(canonical_url_pick(
+        docs.map_batches(to_members, batch_format="pyarrow")))
+
+
+_CANONICAL_URL_ORACLE = """
+    WITH u AS (SELECT 'c' || (doc_id % 60) AS cluster,
+        CASE WHEN doc_id % 2 = 0 THEN 'https://site/p' || doc_id
+             ELSE 'http://site/p' || doc_id END AS url
+        FROM documents),
+    r AS (SELECT cluster, url, ROW_NUMBER() OVER (PARTITION BY cluster
+              ORDER BY CASE WHEN url LIKE 'https://%' THEN 0 ELSE 1
+                       END, LENGTH(url), url) AS rn
+          FROM u)
+    SELECT cluster, url AS canonical_url FROM r WHERE rn = 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9314,6 +9421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pred_align": q_pred_align,
         "rank_fusion": q_rank_fusion,
         "invariant_tokens": q_invariant_tokens,
+        "evidence_sentences": q_evidence_sentences,
+        "kb_diff": q_kb_diff,
+        "canonical_url": q_canonical_url,
     }
 
 
@@ -11134,6 +11244,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "pred_align": _PRED_ALIGN_ORACLE,
         "rank_fusion": _RANK_FUSION_ORACLE,
         "invariant_tokens": _INVARIANT_TOKENS_ORACLE,
+        "evidence_sentences": _EVIDENCE_SENTENCES_ORACLE,
+        "kb_diff": _KB_DIFF_ORACLE,
+        "canonical_url": _CANONICAL_URL_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -145,3 +145,105 @@ def entity_cards(triples: ray.data.Dataset, top_k: int = 2,
             "rank": np.arange(1, len(df) + 1, dtype=np.int64)})
 
     return votes.groupby(s).map_groups(top, batch_format="pandas")
+
+
+def evidence_sentences(docs: ray.data.Dataset, triples: ray.data.Dataset,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       s: str = "subj", p: str = "pred", o: str = "obj",
+                       broadcast_triples: int = 2_000_000
+                       ) -> ray.data.Dataset:
+    """Evidence retrieval for published facts: for each target triple,
+    the sentences (newline-delimited here; swap in the tokenizer's
+    ssplit upstream for prose) that mention BOTH the subject and the
+    object — the provenance snippet a KG browser shows next to a
+    fact, and the distant-supervision positive for relation-extractor
+    training.
+
+    Emits (subj, pred, obj, doc_id, sent_idx) with 1-based sentence
+    index.
+
+    Scale shape: the TARGET slots broadcast once (publish-bounded,
+    gated by ``broadcast_triples``); the corpus streams through one
+    stateless scan — per sentence the subj index is consulted, no
+    shuffle at all.  Per-batch cost is sentences x targets
+    substring checks vectorized per target pair."""
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.state.collect import collect_table
+
+    tt = collect_table(triples, schema=pa.schema(
+        [(s, pa.string()), (p, pa.string()), (o, pa.string())]))
+    assert tt.num_rows <= broadcast_triples, \
+        "evidence_sentences: target slots above broadcast gate"
+    ref = ray.put((tt[s].to_pylist(), tt[p].to_pylist(),
+                   tt[o].to_pylist()))
+
+    def scan(b: pa.Table) -> pa.Table:
+        subs, preds, objs = _get_cached(ref)
+        rs, rp, ro, rd, ri = [], [], [], [], []
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        for d, t in zip(ids, b[text_col].to_pylist()):
+            if not t:
+                continue
+            for k, sent in enumerate(t.split("\n"), 1):
+                for su, pr, ob in zip(subs, preds, objs):
+                    if su in sent and ob in sent:
+                        rs.append(su)
+                        rp.append(pr)
+                        ro.append(ob)
+                        rd.append(int(d))
+                        ri.append(k)
+        return pa.table({s: pa.array(rs, pa.string()),
+                         p: pa.array(rp, pa.string()),
+                         o: pa.array(ro, pa.string()),
+                         id_col: pa.array(rd, pa.int64()),
+                         "sent_idx": pa.array(ri, pa.int64())})
+
+    return docs.map_batches(scan, batch_format="pyarrow")
+
+
+def kb_diff(old: ray.data.Dataset, new: ray.data.Dataset,
+            s: str = "subj", p: str = "pred", o: str = "obj"
+            ) -> ray.data.Dataset:
+    """Snapshot diff between two KG versions at triple granularity:
+    rows only one side asserts — 'removed' (old only) and 'added'
+    (new only) — the publish-time changelog for incremental
+    downstream consumers.
+
+    Emits (subj, pred, obj, change).
+
+    Scale shape: both sides collapse to distinct triples per batch
+    with a side tag; ONE groupby((s, p, o)) sums the tags and the
+    finish pass keeps one-sided rows — a single shuffle bounded by
+    distinct triples, no join operator at all."""
+    from ray.data.aggregate import Max
+
+    def tag(side: int):
+        def f(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                               o: b[o].to_pandas()}).drop_duplicates()
+            df["in_old"] = np.int64(1 if side == 0 else 0)
+            df["in_new"] = np.int64(1 if side == 1 else 0)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return f
+
+    tagged = old.map_batches(tag(0), batch_format="pyarrow") \
+        .union(new.map_batches(tag(1), batch_format="pyarrow"))
+    agg = tagged.groupby([s, p, o]).aggregate(Max("in_old"),
+                                              Max("in_new"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "max(in_old)" not in b.column_names:
+            return pa.table({s: pa.array([], pa.string()),
+                             p: pa.array([], pa.string()),
+                             o: pa.array([], pa.string()),
+                             "change": pa.array([], pa.string())})
+        io = b["max(in_old)"].to_numpy(zero_copy_only=False)
+        inw = b["max(in_new)"].to_numpy(zero_copy_only=False)
+        keep = io != inw
+        t = pa.table({s: b[s], p: b[p], o: b[o],
+                      "change": pa.array(
+                          np.where(inw == 1, "added", "removed")
+                          .astype(object), pa.string())})
+        return t.filter(pa.array(keep))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

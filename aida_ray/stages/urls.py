@@ -21,6 +21,7 @@ for .com/.org/.net-style suffixes).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -333,3 +334,44 @@ def mirror_hosts(pages: ray.data.Dataset, url_col: str = "url",
                      "inter": out["inter"], "size_a": out["size_a"],
                      "size_b": out["size_b"],
                      "jaccard": out["jaccard"]})
+
+
+def canonical_url_pick(members: ray.data.Dataset,
+                       cluster_col: str = "cluster",
+                       url_col: str = "url") -> ray.data.Dataset:
+    """Canonical-URL election inside a duplicate cluster: prefer
+    https over http, then the SHORTEST url, then lexicographic — the
+    deterministic representative the crawl publishes for a content
+    cluster (alternate_clusters / near-dup output).
+
+    Emits (cluster, canonical_url).
+
+    Scale shape: the preference tuple encodes into ONE sortable
+    string key (scheme rank + zero-padded length + url), so election
+    is a plain distributed min-groupby with per-batch partials —
+    no per-group materialization, no window function."""
+    from ray.data.aggregate import Min
+
+    def key_of(b: pa.Table) -> pa.Table:
+        urls = b[url_col].to_numpy(zero_copy_only=False).astype(str)
+        rank = np.where(np.char.startswith(urls, "https://"), "0", "1")
+        lens = np.char.zfill(
+            np.char.mod("%d", np.char.str_len(urls)), 6)
+        key = np.char.add(np.char.add(rank, lens), urls)
+        return pa.table({cluster_col: b[cluster_col],
+                         "k": pa.array(key, pa.string())})
+
+    agg = members.map_batches(key_of, batch_format="pyarrow") \
+        .groupby(cluster_col).aggregate(Min("k"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "min(k)" not in b.column_names:
+            return pa.table({cluster_col: pa.array([], pa.string()),
+                             "canonical_url": pa.array([], pa.string())})
+        ks = b["min(k)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            cluster_col: b[cluster_col],
+            "canonical_url": pa.array([k[7:] for k in ks],
+                                      pa.string())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
