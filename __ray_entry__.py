@@ -9105,6 +9105,123 @@ _CANONICAL_URL_ORACLE = """
 """
 
 
+def q_sameas_rewrite(sf_dir: str) -> pa.Table:
+    """owl:sameAs canonicalization (kgqa.sameas_rewrite): triples
+    rewritten through the sameAs components' min-string reps and
+    collapsed with merged source counts; planted 3-entity alias
+    stars; GROUP BY SQL twin."""
+    from aida_ray.stages.kgqa import sameas_rewrite
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "subj": pa.array([f"x{v}" for v in j % 30]),
+            "pred": pa.array(["p"] * len(j)),
+            "obj": pa.array([f"x{v}" for v in (j + 1) % 30])})
+
+    def to_sameas(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = j % 30
+        k = k[k % 3 != 0]
+        return pa.table({
+            "a": pa.array([f"x{v}" for v in k]),
+            "b": pa.array([f"x{v}" for v in k - k % 3])})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(sameas_rewrite(
+        docs.map_batches(to_triples, batch_format="pyarrow"),
+        docs.map_batches(to_sameas, batch_format="pyarrow")))
+
+
+_SAMEAS_REWRITE_ORACLE = """
+    WITH t AS (SELECT DISTINCT doc_id % 30 AS a, (doc_id + 1) % 30 AS b
+               FROM documents),
+    r AS (SELECT g, LEAST('x' || g, 'x' || (g + 1), 'x' || (g + 2))
+                 AS rep
+          FROM (SELECT DISTINCT (doc_id % 30) - (doc_id % 30) % 3 AS g
+                FROM documents))
+    SELECT ra.rep AS subj, 'p' AS pred, rb.rep AS obj,
+           CAST(COUNT(*) AS BIGINT) AS n_src
+    FROM t JOIN r ra ON ra.g = a - a % 3
+    JOIN r rb ON rb.g = b - b % 3
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_latest_slot(sf_dir: str) -> pa.Table:
+    """Most-recent-wins slot resolution (temporal.latest_slot) with
+    min-object tie-break; MAX + MIN SQL twin (ties planted at
+    doc_id deltas of 200)."""
+    from aida_ray.stages.temporal import latest_slot
+
+    def to_obs(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "subj": pa.array([f"s{v}" for v in j % 25]),
+            "pred": pa.array(["p"] * len(j)),
+            "obj": pa.array([f"o{v}" for v in j]),
+            "ts": pa.array((j * 13) % 200, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(latest_slot(
+        docs.map_batches(to_obs, batch_format="pyarrow")))
+
+
+_LATEST_SLOT_ORACLE = """
+    WITH obs AS (SELECT 's' || (doc_id % 25) AS subj, 'p' AS pred,
+                        'o' || doc_id AS obj,
+                        (doc_id * 13) % 200 AS ts FROM documents),
+    mx AS (SELECT subj, pred, MAX(ts) AS ts FROM obs GROUP BY 1, 2)
+    SELECT obs.subj, obs.pred, MIN(obs.obj) AS obj,
+           CAST(mx.ts AS BIGINT) AS ts
+    FROM obs JOIN mx ON obs.subj = mx.subj AND obs.pred = mx.pred
+                    AND obs.ts = mx.ts
+    GROUP BY 1, 2, 4
+"""
+
+
+def q_form_endpoints(sf_dir: str) -> pa.Table:
+    """HTML form extraction (navigation.form_endpoints): action /
+    method (html 'get' default) / input count over planted forms;
+    arithmetic SQL twin."""
+    from aida_ray.stages.navigation import form_endpoints
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        htmls = []
+        for x in j:
+            x = int(x)
+            m = x % 3
+            if m == 0:
+                h = (f'<form action="/s{x % 7}" method="POST">'
+                     f'<input name="q"><input name="x"></form>')
+            elif m == 1:
+                h = (f'<form action="/go{x % 5}">'
+                     f'<input name="a"></form>')
+            else:
+                h = "<p>no form</p>"
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(form_endpoints(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_FORM_ENDPOINTS_ORACLE = """
+    SELECT doc_id, '/s' || (doc_id % 7) AS action, 'post' AS method,
+           CAST(2 AS BIGINT) AS n_inputs
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, '/go' || (doc_id % 5), 'get', CAST(1 AS BIGINT)
+    FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9424,6 +9541,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "evidence_sentences": q_evidence_sentences,
         "kb_diff": q_kb_diff,
         "canonical_url": q_canonical_url,
+        "sameas_rewrite": q_sameas_rewrite,
+        "latest_slot": q_latest_slot,
+        "form_endpoints": q_form_endpoints,
     }
 
 
@@ -11247,6 +11367,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "evidence_sentences": _EVIDENCE_SENTENCES_ORACLE,
         "kb_diff": _KB_DIFF_ORACLE,
         "canonical_url": _CANONICAL_URL_ORACLE,
+        "sameas_rewrite": _SAMEAS_REWRITE_ORACLE,
+        "latest_slot": _LATEST_SLOT_ORACLE,
+        "form_endpoints": _FORM_ENDPOINTS_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

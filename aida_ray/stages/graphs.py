@@ -978,3 +978,64 @@ def adamic_adar(edges: ray.data.Dataset, a: str = "a", b: str = "b",
             "score": pc.cast(t["sum(w)"], pa.float64())})
 
     return summed.map_batches(unpack, batch_format="pyarrow")
+
+
+def string_components(edges: ray.data.Dataset, a_col: str = "a",
+                      b_col: str = "b",
+                      broadcast_nodes: int = 8_000_000
+                      ) -> ray.data.Dataset:
+    """Connected components over STRING-keyed edges: (node, rep) with
+    rep = lexicographically smallest member — the shared front-end
+    for every string-id clustering (hreflang alternates, owl:sameAs,
+    alias graphs) over the int64 CC machinery
+    (dedup.label_propagation_clusters).
+
+    Scale shape: the node universe is EDGE-BEARING strings only,
+    collected once and gated by ``broadcast_nodes`` (beyond the gate
+    substitute a groupby-assigned dense id); ids are assigned ORDERED
+    BY string so the CC min-id representative IS the min-string
+    representative."""
+    from aida_ray.stages.dedup import (_get_cached,
+                                       label_propagation_clusters)
+    from aida_ray.state.collect import collect_table
+
+    def both_ends(b: pa.Table) -> pa.Table:
+        return pa.table({"u": pa.array(np.concatenate(
+            [b[a_col].to_numpy(zero_copy_only=False),
+             b[b_col].to_numpy(zero_copy_only=False)]), pa.string())})
+
+    ends = collect_table(edges.map_batches(both_ends,
+                                           batch_format="pyarrow"))
+    nodes = (np.unique(ends["u"].to_numpy(zero_copy_only=False)
+                       .astype(str))
+             if ends.num_rows else np.array([], dtype=str))
+    assert len(nodes) <= broadcast_nodes, \
+        "string_components: node universe above broadcast gate"
+    if len(nodes) == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "rep": pa.array([], pa.string())}))
+    ref = ray.put(nodes)
+
+    def to_ids(b: pa.Table) -> pa.Table:
+        u = _get_cached(ref)
+        return pa.table({
+            "a": pa.array(np.searchsorted(
+                u, b[a_col].to_numpy(zero_copy_only=False).astype(str)),
+                pa.int64()),
+            "b": pa.array(np.searchsorted(
+                u, b[b_col].to_numpy(zero_copy_only=False).astype(str)),
+                pa.int64())})
+
+    cc = label_propagation_clusters(
+        edges.map_batches(to_ids, batch_format="pyarrow"))
+
+    def back(b: pa.Table) -> pa.Table:
+        u = _get_cached(ref)
+        return pa.table({
+            "node": pa.array(
+                u[b["doc_id"].to_numpy(zero_copy_only=False)]),
+            "rep": pa.array(
+                u[b["cluster"].to_numpy(zero_copy_only=False)])})
+
+    return cc.map_batches(back, batch_format="pyarrow")

@@ -415,3 +415,89 @@ def domain_range_violations(triples: ray.data.Dataset,
                          "why": pa.array(why, pa.string())})
 
     return triples.map_batches(check, batch_format="pyarrow")
+
+
+def sameas_rewrite(triples: ray.data.Dataset, sameas: ray.data.Dataset,
+                   s: str = "subj", p: str = "pred", o: str = "obj",
+                   a_col: str = "a", b_col: str = "b",
+                   broadcast_nodes: int = 8_000_000
+                   ) -> ray.data.Dataset:
+    """owl:sameAs canonicalization: cluster the sameAs graph
+    (graphs.string_components — rep = min string), rewrite every
+    triple's subject and object to its cluster representative
+    (identity for entities outside the graph), and collapse to
+    distinct rewritten triples with the merged source count — THE
+    entity-merge step that turns per-source ids into one canonical
+    KG.
+
+    Emits (subj, pred, obj, n_src) where n_src counts DISTINCT
+    source triples that collapsed into the row.
+
+    Scale shape: the rep map is sameAs-graph bounded (alias
+    vocabulary, broadcast under ``broadcast_nodes`` — the same gate
+    as the CC front-end); rewriting is one stateless scan with two
+    sorted-array lookups; the final distinct+count is one groupby
+    bounded by distinct rewritten triples."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.stages.graphs import string_components
+
+    cc = collect_table(string_components(
+        sameas, a_col=a_col, b_col=b_col,
+        broadcast_nodes=broadcast_nodes),
+        schema=pa.schema([("node", pa.string()),
+                          ("rep", pa.string())]))
+    nodes = cc["node"].to_numpy(zero_copy_only=False).astype(str)
+    reps = cc["rep"].to_numpy(zero_copy_only=False).astype(str)
+    order = np.argsort(nodes, kind="stable")
+    ref = ray.put((nodes[order], reps[order]))
+
+    # global distinct of SOURCE triples first (a source triple may
+    # repeat across blocks; per-batch dedup alone would double-count)
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(), p: b[p].to_pandas(),
+                           o: b[o].to_pandas()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = triples.map_batches(distinct_partial,
+                                   batch_format="pyarrow") \
+        .groupby([s, p, o]).count().select_columns([s, p, o])
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        ns, rs = _get_cached(ref)
+        if s not in b.column_names:
+            return pa.table({s: pa.array([], pa.string()),
+                             p: pa.array([], pa.string()),
+                             o: pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+
+        def to_rep(col: np.ndarray) -> np.ndarray:
+            if len(ns) == 0:
+                return col
+            idx = np.clip(np.searchsorted(ns, col), 0, len(ns) - 1)
+            hit = ns[idx] == col
+            return np.where(hit, rs[idx], col)
+
+        df = pd.DataFrame({
+            s: to_rep(b[s].to_numpy(zero_copy_only=False).astype(str)),
+            p: b[p].to_pandas(),
+            o: to_rep(b[o].to_numpy(zero_copy_only=False).astype(str))})
+        g = df.groupby([s, p, o], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = distinct.map_batches(rewrite, batch_format="pyarrow") \
+        .groupby([s, p, o]).aggregate(Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({s: pa.array([], pa.string()),
+                             p: pa.array([], pa.string()),
+                             o: pa.array([], pa.string()),
+                             "n_src": pa.array([], pa.int64())})
+        return pa.table({s: b[s], p: b[p], o: b[o],
+                         "n_src": b["sum(n)"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

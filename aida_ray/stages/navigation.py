@@ -187,56 +187,20 @@ def alternate_clusters(edges: ray.data.Dataset,
                        broadcast_urls: int = 8_000_000) -> ray.data.Dataset:
     """(url, rep) — language-version clusters over hreflang alternate
     edges by connected components; rep = lexicographically smallest
-    url in the component (the canonical-document key).
+    url in the component (the canonical-document key).  Thin wrapper
+    over graphs.string_components (the shared string-keyed CC
+    front-end); the url universe is ALTERNATE-EDGE urls only —
+    markup-bearing pages, a small slice of any crawl."""
+    from aida_ray.stages.graphs import string_components
 
-    Scale shape: the url universe here is ALTERNATE-EDGE urls only —
-    markup-bearing pages, a small slice of any crawl.  Distinct urls
-    are collected once (gated by ``broadcast_urls``; beyond the gate
-    substitute a groupby-assigned dense id — the edge list itself
-    already fits the CC operator's distributed path), mapped to dense
-    ids ORDERED BY url so the CC min-id representative IS the min-url
-    representative, then clustered by the shared distributed CC
-    machinery (dedup.label_propagation_clusters)."""
-    from aida_ray.stages.dedup import label_propagation_clusters, _get_cached
-    from aida_ray.state.collect import collect_table
-
-    def both_ends(b: pa.Table) -> pa.Table:
-        return pa.table({"u": pa.array(np.concatenate(
-            [b["url"].to_numpy(zero_copy_only=False),
-             b["alt_url"].to_numpy(zero_copy_only=False)]), pa.string())})
-
-    ends = collect_table(edges.map_batches(both_ends,
-                                           batch_format="pyarrow"))
-    urls = np.unique(ends["u"].to_numpy(zero_copy_only=False).astype(str)) \
-        if ends.num_rows else np.array([], dtype=str)
-    assert len(urls) <= broadcast_urls, \
-        "alternate_clusters: url universe above broadcast gate"
-    if len(urls) == 0:
-        return ray.data.from_arrow(pa.table({
-            "url": pa.array([], pa.string()),
-            "rep": pa.array([], pa.string())}))
-    ref = ray.put(urls)
-
-    def to_ids(b: pa.Table) -> pa.Table:
-        u = _get_cached(ref)
-        return pa.table({
-            "a": pa.array(np.searchsorted(
-                u, b["url"].to_numpy(zero_copy_only=False).astype(str)),
-                pa.int64()),
-            "b": pa.array(np.searchsorted(
-                u, b["alt_url"].to_numpy(zero_copy_only=False).astype(str)),
-                pa.int64())})
-
-    cc = label_propagation_clusters(
-        edges.map_batches(to_ids, batch_format="pyarrow"))
-
-    def back(b: pa.Table) -> pa.Table:
-        u = _get_cached(ref)
-        return pa.table({
-            "url": pa.array(u[b["doc_id"].to_numpy(zero_copy_only=False)]),
-            "rep": pa.array(u[b["cluster"].to_numpy(zero_copy_only=False)])})
-
-    return cc.map_batches(back, batch_format="pyarrow")
+    out = string_components(edges, a_col="url", b_col="alt_url",
+                            broadcast_nodes=broadcast_urls)
+    return out.map_batches(
+        lambda b: pa.table({"url": b["node"], "rep": b["rep"]})
+        if "node" in b.column_names else
+        pa.table({"url": pa.array([], pa.string()),
+                  "rep": pa.array([], pa.string())}),
+        batch_format="pyarrow")
 
 
 def expand_set(lists: ray.data.Dataset, seeds: list[str],
@@ -358,3 +322,44 @@ def invariant_tokens(pages: ray.data.Dataset,
 
     return pages.groupby([cluster_col]).map_groups(
         per_cluster, batch_format="pandas")
+
+
+_FORM_RE = re.compile(rb'<form\b([^>]*)>(.*?)</form>', re.I | re.S)
+_ACTION_RE = re.compile(rb'\baction="([^"]*)"', re.I)
+_METHOD_RE = re.compile(rb'\bmethod="([^"]*)"', re.I)
+_INPUT_RE = re.compile(rb'<input\b', re.I)
+
+
+def form_endpoints(pages: ray.data.Dataset, id_col: str = "doc_id",
+                   html_col: str = "html") -> ray.data.Dataset:
+    """HTML form extraction: each form's action endpoint, method
+    (lower-cased, 'get' when unspecified — the HTML default) and
+    input count — the crawl's map of interactive surface (search
+    boxes, logins, APIs behind POST).
+
+    Emits (doc_id, action, method, n_inputs); forms without an
+    action attribute emit action ''.
+
+    Scale shape: stateless map_batches regex walk; the html column
+    dies here."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, act, meth, nin = [], [], [], []
+        id_np = b[id_col].to_numpy(zero_copy_only=False)
+        for i, h in zip(id_np, b[html_col].to_pylist()):
+            if h is None:
+                continue
+            for m in _FORM_RE.finditer(h):
+                attrs, body = m.group(1), m.group(2)
+                a = _ACTION_RE.search(attrs)
+                me = _METHOD_RE.search(attrs)
+                ids.append(int(i))
+                act.append(_dec(a.group(1)) if a else "")
+                meth.append(_dec(me.group(1)).lower() if me else "get")
+                nin.append(len(_INPUT_RE.findall(body)))
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "action": pa.array(act, pa.string()),
+                         "method": pa.array(meth, pa.string()),
+                         "n_inputs": pa.array(nin, pa.int64())})
+
+    return pages.map_batches(explode, batch_format="pyarrow")

@@ -188,3 +188,37 @@ def allen_relations(ds: ray.data.Dataset, s: str = "subj",
             "obj_a": ov[:-1], "obj_b": ov[1:], "rel": rel})
 
     return ds.groupby([s]).map_groups(per_subj, batch_format="pandas")
+
+
+def latest_slot(ds: ray.data.Dataset, s: str = "subj",
+                p: str = "pred", o: str = "obj", ts: str = "ts",
+                group_size_limit: int = 2_000_000
+                ) -> ray.data.Dataset:
+    """Most-recent-wins slot resolution: per (subj, pred) the object
+    observed at the LATEST timestamp (ties break to the smallest
+    object string) — the freshness-based counterpart of slot_fill's
+    majority vote, the right rule for volatile slots (price, title,
+    employer).
+
+    Emits (subj, pred, obj, ts).
+
+    Scale shape: one groupby((subj, pred)).map_groups keyed by fact
+    identity; per-group work is one vectorized argmax over that
+    slot's observation history (assertion-bounded, guarded by
+    ``group_size_limit``)."""
+
+    def per_slot(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot slot {g[s].iloc[0]!r}/{g[p].iloc[0]!r}: "
+                f"{len(g)} observations exceed the per-group bound")
+        t = g[ts].to_numpy(dtype=np.int64)
+        mx = t.max()
+        cand = g[g[ts] == mx]
+        obj = cand[o].astype(str).min()
+        return pd.DataFrame({s: [g[s].iloc[0]], p: [g[p].iloc[0]],
+                             o: [obj],
+                             ts: np.array([mx], dtype=np.int64)})
+
+    return ds.groupby([s, p]).map_groups(per_slot,
+                                         batch_format="pandas")
