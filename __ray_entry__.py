@@ -9222,6 +9222,123 @@ _FORM_ENDPOINTS_ORACLE = """
 """
 
 
+def q_fill_rates(sf_dir: str) -> pa.Table:
+    """Class-level slot completeness (kgprofile.fill_rates): fraction
+    of each type's registered entities asserting each predicate;
+    planted sparse fill pattern (only doc_id % 7 < 3 asserts);
+    distinct-join SQL twin."""
+    from aida_ray.stages.kgprofile import fill_rates
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = j[j % 7 < 3]
+        return pa.table({
+            "subj": pa.array([f"e{v}" for v in j % 40]),
+            "pred": pa.array([f"p{v}" for v in j % 3]),
+            "obj": pa.array([f"v{v}" for v in j])})
+
+    ks = np.arange(40, dtype=np.int64)
+    types = ray.data.from_arrow(pa.table({
+        "entity": pa.array([f"e{k}" for k in ks]),
+        "type": pa.array([f"T{k % 4}" for k in ks])}))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return fill_rates(
+        docs.map_batches(to_triples, batch_format="pyarrow"), types)
+
+
+_FILL_RATES_ORACLE = """
+    WITH tr AS (SELECT DISTINCT doc_id % 40 AS k, doc_id % 3 AS p
+                FROM documents WHERE doc_id % 7 < 3),
+    fl AS (SELECT k % 4 AS t, 'p' || p AS pred, COUNT(*) AS n_filled
+           FROM tr GROUP BY 1, 2)
+    SELECT 'T' || fl.t AS type, fl.pred,
+           CAST(fl.n_filled AS BIGINT) AS n_filled,
+           CAST(10 AS BIGINT) AS n_type,
+           ROUND(fl.n_filled / 10.0, 6) AS rate
+    FROM fl
+"""
+
+
+def q_rule_inference(sf_dir: str) -> pa.Table:
+    """Horn-rule forward chaining (rules.apply_rules): inferred-only
+    heads for two rules over a planted marriage graph where the first
+    5 spouseOf heads already exist; arithmetic SQL twin."""
+    from aida_ray.stages.rules import apply_rules
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = j % 20
+        su = [f"a{v}" for v in k]
+        pr = ["marriedTo"] * len(k)
+        ob = [f"b{v}" for v in k]
+        ke = k[k < 5]
+        su += [f"a{v}" for v in ke]
+        pr += ["spouseOf"] * len(ke)
+        ob += [f"b{v}" for v in ke]
+        return pa.table({"subj": pa.array(su), "pred": pa.array(pr),
+                         "obj": pa.array(ob)})
+
+    rules = [("R1", "marriedTo", "spouseOf"),
+             ("R2", "marriedTo", "knows")]
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(apply_rules(
+        docs.map_batches(to_triples, batch_format="pyarrow"), rules))
+
+
+_RULE_INFERENCE_ORACLE = """
+    WITH ks AS (SELECT DISTINCT doc_id % 20 AS k FROM documents)
+    SELECT 'a' || k AS subj, 'spouseOf' AS pred, 'b' || k AS obj,
+           'R1' AS rule_id FROM ks WHERE k >= 5
+    UNION ALL
+    SELECT 'a' || k, 'knows', 'b' || k, 'R2' FROM ks
+"""
+
+
+def q_jsonld_nested(sf_dir: str) -> pa.Table:
+    """Nested JSON-LD expansion (webtables.jsonld_nested_triples):
+    Person -> birthPlace -> Place one-level nesting emits the edge
+    plus the nested node's own triples; arithmetic SQL twin."""
+    from aida_ray.stages.webtables import jsonld_nested_triples
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        htmls = []
+        for x in j:
+            x = int(x)
+            h = (f'<script type="application/ld+json">'
+                 f'{{"name": "P{x % 30}", "@type": "Person", '
+                 f'"birthPlace": {{"name": "C{x % 9}", '
+                 f'"country": "X{x % 3}"}}}}</script>')
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(jsonld_nested_triples(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_JSONLD_NESTED_ORACLE = """
+    SELECT doc_id, 'P' || (doc_id % 30) AS subj, 'name' AS pred,
+           'P' || (doc_id % 30) AS obj FROM documents
+    UNION ALL
+    SELECT doc_id, 'P' || (doc_id % 30), '@type', 'Person'
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'P' || (doc_id % 30), 'birthPlace',
+           'C' || (doc_id % 9) FROM documents
+    UNION ALL
+    SELECT doc_id, 'C' || (doc_id % 9), 'name', 'C' || (doc_id % 9)
+    FROM documents
+    UNION ALL
+    SELECT doc_id, 'C' || (doc_id % 9), 'country', 'X' || (doc_id % 3)
+    FROM documents
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9544,6 +9661,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sameas_rewrite": q_sameas_rewrite,
         "latest_slot": q_latest_slot,
         "form_endpoints": q_form_endpoints,
+        "fill_rates": q_fill_rates,
+        "rule_inference": q_rule_inference,
+        "jsonld_nested": q_jsonld_nested,
     }
 
 
@@ -11370,6 +11490,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "sameas_rewrite": _SAMEAS_REWRITE_ORACLE,
         "latest_slot": _LATEST_SLOT_ORACLE,
         "form_endpoints": _FORM_ENDPOINTS_ORACLE,
+        "fill_rates": _FILL_RATES_ORACLE,
+        "rule_inference": _RULE_INFERENCE_ORACLE,
+        "jsonld_nested": _JSONLD_NESTED_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

@@ -332,3 +332,72 @@ def schema_graph(triples: ray.data.Dataset, types: ray.data.Dataset,
                          "n": b["sum(n)"].cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def fill_rates(triples: ray.data.Dataset, types: ray.data.Dataset,
+               s: str = "subj", p: str = "pred",
+               ent_col: str = "entity", type_col: str = "type"
+               ) -> pa.Table:
+    """Class-level completeness profile: per (type, pred) the
+    fraction of the class's REGISTERED entities that assert the slot
+    — the recall-style KG quality metric ("how many Countries have a
+    population?").  Emits (type, pred, n_filled, n_type, rate) for
+    slots with at least one filler; entities with no triples still
+    count in the denominator.
+
+    Scale shape: one distinct-(subj, pred) shuffle (fact-identity
+    bounded), type mapping via the broadcast registry, and a
+    (type, pred)-vocabulary rollup; class sizes come straight off
+    the registry table."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.state.collect import collect_table
+
+    reg = collect_table(types, schema=pa.schema(
+        [(ent_col, pa.string()), (type_col, pa.string())]))
+    tmap = dict(zip(reg[ent_col].to_pylist(), reg[type_col].to_pylist()))
+    ref = ray.put(tmap)
+
+    def distinct_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({s: b[s].to_pandas(),
+                           p: b[p].to_pandas()}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    distinct = triples.map_batches(distinct_partial,
+                                   batch_format="pyarrow") \
+        .groupby([s, p]).count().select_columns([s, p])
+
+    def typed_partial(b: pa.Table) -> pa.Table:
+        if s not in b.column_names:
+            return pa.table({"type": pa.array([], pa.string()),
+                             "pred": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        tm = _get_cached(ref)
+        df = pd.DataFrame({
+            "type": [tm.get(x, "unknown") for x in b[s].to_pylist()],
+            "pred": b[p].to_pandas()})
+        g = df.groupby(["type", "pred"], sort=False).size() \
+            .rename("n").reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    filled = collect_table(
+        distinct.map_batches(typed_partial, batch_format="pyarrow")
+        .groupby(["type", "pred"]).aggregate(Sum("n"))).to_pandas()
+    if filled.empty:
+        return pa.table({"type": pa.array([], pa.string()),
+                         "pred": pa.array([], pa.string()),
+                         "n_filled": pa.array([], pa.int64()),
+                         "n_type": pa.array([], pa.int64()),
+                         "rate": pa.array([], pa.float64())})
+    sizes = pd.Series(list(tmap.values())).value_counts()
+    nf = filled["sum(n)"].to_numpy(dtype="int64")
+    nt = filled["type"].map(sizes).fillna(0).to_numpy(dtype="int64")
+    return pa.table({
+        "type": pa.array(filled["type"].astype(str)),
+        "pred": pa.array(filled["pred"].astype(str)),
+        "n_filled": pa.array(nf, pa.int64()),
+        "n_type": pa.array(nt, pa.int64()),
+        "rate": pa.array(
+            np.round(nf / np.where(nt > 0, nt, 1), 6), pa.float64())})

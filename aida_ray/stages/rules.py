@@ -441,3 +441,53 @@ def pra_path_features(triples: ray.data.Dataset, s: str = "subj",
                          "n_paths": b["sum(c)"].cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def apply_rules(triples: ray.data.Dataset,
+                rules: list[tuple[str, str, str]],
+                s: str = "subj", p: str = "pred", o: str = "obj"
+                ) -> ray.data.Dataset:
+    """KG completion by Horn-rule application: for each rule
+    (rule_id, p_body, p_head) and distinct fact (x, p_body, y),
+    infer (x, p_head, y) UNLESS the KG already asserts it — the
+    forward-chaining step that consumes mine_pair_rules' output.
+
+    Emits (subj, pred, obj, rule_id) for inferred-only facts.
+
+    Scale shape: rules broadcast (tiny); candidates generate
+    per batch off the distinct-fact stream; the exists-check is the
+    tag-and-groupby anti-join (one shuffle keyed by candidate
+    identity — no join operator), with per-group work bounded by
+    rules-per-fact."""
+
+    rl = list(rules)
+    f = _distinct_facts(triples, s, p, o)
+
+    def gen(b: pa.Table) -> pa.Table:
+        sv = b[s].to_pylist()
+        pv = b[p].to_pylist()
+        ov = b[o].to_pylist()
+        rs_, rp_, ro_, rid, isf = [], [], [], [], []
+        for su, pr, ob in zip(sv, pv, ov):
+            # the fact itself (blocks inference of existing heads)
+            rs_.append(su); rp_.append(pr); ro_.append(ob)
+            rid.append(""); isf.append(np.int64(1))
+            for rule_id, body, head in rl:
+                if pr == body:
+                    rs_.append(su); rp_.append(head); ro_.append(ob)
+                    rid.append(rule_id); isf.append(np.int64(0))
+        return pa.table({s: pa.array(rs_, pa.string()),
+                         p: pa.array(rp_, pa.string()),
+                         o: pa.array(ro_, pa.string()),
+                         "rule_id": pa.array(rid, pa.string()),
+                         "is_fact": pa.array(isf, pa.int64())})
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        if g["is_fact"].max() == 1:
+            return pd.DataFrame({s: [], p: [], o: [], "rule_id": []})
+        cand = g[g["is_fact"] == 0].drop_duplicates(
+            subset=["rule_id"]).sort_values("rule_id")
+        return cand[[s, p, o, "rule_id"]]
+
+    return f.map_batches(gen, batch_format="pyarrow") \
+        .groupby([s, p, o]).map_groups(per_key, batch_format="pandas")

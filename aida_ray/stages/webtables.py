@@ -365,3 +365,56 @@ def predicate_alignment(extracted: ray.data.Dataset,
         "size_k": pa.array(sk, pa.int64()),
         "jaccard": pa.array(np.round(inter / (se + sk - inter), 6),
                             pa.float64())}))
+
+
+def _jsonld_block_triples(blk: dict, out: list) -> str | None:
+    """Triples for one (possibly nested) JSON-LD node; returns the
+    node's subject (for edge emission) or None if subject-less."""
+    subj = blk.get("@id") or blk.get("name")
+    if not isinstance(subj, str) or not subj:
+        return None
+    for k, v in blk.items():
+        if k == "@id":
+            continue
+        if k == "@type" and isinstance(v, str):
+            out.append((subj, "@type", v))
+        elif not k.startswith("@"):
+            if isinstance(v, dict):
+                nested = _jsonld_block_triples(v, out)
+                if nested is not None:
+                    out.append((subj, k, nested))
+            elif isinstance(v, (str, int, float)) and \
+                    not isinstance(v, bool):
+                out.append((subj, k, str(v)))
+    return subj
+
+
+def jsonld_nested_triples_of(html: str) -> list[tuple[str, str, str]]:
+    """(subj, pred, obj) per JSON-LD property INCLUDING nested
+    objects: a dict value with its own name/@id becomes an edge to
+    that nested subject plus the nested node's own triples — one
+    level short of full expansion (lists still skipped), the depth
+    real schema.org markup uses (Person -> birthPlace -> Place).
+    The flat :func:`jsonld_triples_of` is unchanged (its contract —
+    nested skipped — is pinned by existing oracles)."""
+    out: list[tuple[str, str, str]] = []
+    for m in _JSONLD_RE.finditer(html):
+        try:
+            data = json.loads(m.group(1))
+        except ValueError:
+            continue
+        blocks = data if isinstance(data, list) else [data]
+        for blk in blocks:
+            if isinstance(blk, dict):
+                _jsonld_block_triples(blk, out)
+    return out
+
+
+def jsonld_nested_triples(pages: ray.data.Dataset,
+                          id_col: str = "doc_id",
+                          html_col: str = "html") -> ray.data.Dataset:
+    """(doc_id, subj, pred, obj) from JSON-LD with nested-object
+    expansion."""
+    return pages.map_batches(
+        _triples_stage(jsonld_nested_triples_of, id_col, html_col),
+        batch_format="pyarrow")
