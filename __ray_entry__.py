@@ -9339,6 +9339,100 @@ _JSONLD_NESTED_ORACLE = """
 """
 
 
+def _bootstrap_docs(sf_dir: str):
+    """Shared planted corpus for the DIPRE queries: every doc carries
+    'A{a}Q works at B{a+1}Q.'; every 5th adds an unrelated founded
+    sentence."""
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = []
+        for x in j:
+            x = int(x)
+            a = x % 12
+            t = f"A{a}Q works at B{(a + 1) % 12}Q."
+            if x % 5 == 0:
+                t += f" A{a}Q founded C{x % 7}Q."
+            texts.append(t)
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return docs.map_batches(to_docs, batch_format="pyarrow")
+
+
+_BOOTSTRAP_SEEDS = [("A0Q", "B1Q"), ("A3Q", "B4Q")]
+
+
+def q_bootstrap_patterns(sf_dir: str) -> pa.Table:
+    """DIPRE pattern induction (bootstrap.mine_patterns): the middle
+    string between seed-pair mentions with occurrence support; the
+    unrelated founded-sentence never pairs a seed; arithmetic SQL
+    twin."""
+    from aida_ray.stages.bootstrap import mine_patterns
+    return _collect(mine_patterns(_bootstrap_docs(sf_dir),
+                                  _BOOTSTRAP_SEEDS))
+
+
+_BOOTSTRAP_PATTERNS_ORACLE = """
+    SELECT 'works at' AS pattern, CAST(COUNT(*) AS BIGINT) AS n_support
+    FROM documents WHERE doc_id % 12 IN (0, 3)
+"""
+
+
+def q_bootstrap_extract(sf_dir: str) -> pa.Table:
+    """DIPRE pattern application (bootstrap.apply_patterns): new
+    entity pairs matched by the mined pattern, seeds excluded;
+    arithmetic SQL twin."""
+    from aida_ray.stages.bootstrap import apply_patterns
+    return _collect(apply_patterns(_bootstrap_docs(sf_dir),
+                                   ["works at"],
+                                   seeds=_BOOTSTRAP_SEEDS))
+
+
+_BOOTSTRAP_EXTRACT_ORACLE = """
+    WITH d AS (SELECT doc_id % 12 AS a, COUNT(*) AS n FROM documents
+               GROUP BY 1)
+    SELECT 'A' || a || 'Q' AS x, 'works at' AS pattern,
+           'B' || ((a + 1) % 12) || 'Q' AS y, CAST(n AS BIGINT) AS n
+    FROM d WHERE a NOT IN (0, 3)
+"""
+
+
+def q_bloom_frontier(sf_dir: str) -> pa.Table:
+    """Bloom-prefiltered frontier dedup (sketches.bloom_new_urls):
+    candidate urls not yet visited — bloom misses skip the exact
+    check (no false negatives), hits go through the tag-and-groupby
+    anti-join, output is EXACT; EXCEPT-style SQL twin."""
+    from aida_ray.stages.sketches import bloom_new_urls
+
+    def to_visited(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = j[j % 3 != 0]
+        return pa.table({"url": pa.array([f"u{x}" for x in j])})
+
+    def to_cands(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = [f"u{x}" for x in j]
+        urls += [f"v{x}" for x in j if x % 10 == 0]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(bloom_new_urls(
+        docs.map_batches(to_visited, batch_format="pyarrow"),
+        docs.map_batches(to_cands, batch_format="pyarrow")))
+
+
+_BLOOM_FRONTIER_ORACLE = """
+    SELECT DISTINCT 'u' || doc_id AS url FROM documents
+    WHERE doc_id % 3 = 0
+    UNION
+    SELECT DISTINCT 'v' || doc_id FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9664,6 +9758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fill_rates": q_fill_rates,
         "rule_inference": q_rule_inference,
         "jsonld_nested": q_jsonld_nested,
+        "bootstrap_patterns": q_bootstrap_patterns,
+        "bootstrap_extract": q_bootstrap_extract,
+        "bloom_frontier": q_bloom_frontier,
     }
 
 
@@ -11493,6 +11590,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "fill_rates": _FILL_RATES_ORACLE,
         "rule_inference": _RULE_INFERENCE_ORACLE,
         "jsonld_nested": _JSONLD_NESTED_ORACLE,
+        "bootstrap_patterns": _BOOTSTRAP_PATTERNS_ORACLE,
+        "bootstrap_extract": _BOOTSTRAP_EXTRACT_ORACLE,
+        "bloom_frontier": _BLOOM_FRONTIER_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

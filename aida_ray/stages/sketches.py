@@ -37,6 +37,7 @@ import math
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -344,3 +345,112 @@ def quantile_sketch(ds: ray.data.Dataset, col: str,
         out.append(vs[min(pos, len(vs) - 1)] if len(vs) else float("nan"))
     return pa.table({"q": pa.array(list(qs), pa.float64()),
                      "value": pa.array(out, pa.float64())})
+
+
+def _bloom_hashes(arr, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions by double hashing h1 + i*h2 mod m over the
+    two independent 31-bit polynomial lanes (no Python per string)."""
+    from aida_ray.stages.dedup import _string_hashes_vec
+
+    h1, h2 = _string_hashes_vec(arr)
+    i = np.arange(k, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * (h2[:, None] | 1)) % m_bits
+
+
+def bloom_new_urls(visited: ray.data.Dataset,
+                   candidates: ray.data.Dataset,
+                   url_col: str = "url", m_bits: int = 1 << 20,
+                   k: int = 4,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Frontier dedup with a Bloom prefilter: candidate urls NOT in
+    the visited set.  The Bloom filter has no false negatives, so a
+    candidate missing any bit is DEFINITELY new and skips the
+    expensive check; only bloom HITS (true members + false positives)
+    go through the exact tag-and-groupby anti-join.  Output is exact
+    — the filter prunes work, never recall.
+
+    Emits distinct (url) rows for truly-new candidates.
+
+    Scale shape: the filter builds as per-batch m-bit partials OR-ed
+    once (blocks x m/8 bytes through the driver — m is a fixed small
+    budget, e.g. 2^30 bits = 128 MB for ~10^8 urls at 1% fp) and
+    broadcasts; candidates stream through one stateless scan; the
+    residual exact anti-join shuffles only the bloom-HIT slice, which
+    at crawl scale is |visited ∩ candidates| + fp-rate x new."""
+    import ray as _ray
+
+    from ray.data.aggregate import Max
+
+    from aida_ray.stages.dedup import _get_cached
+    from aida_ray.state.collect import collect_table
+
+    def partial_bits(b: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        col = b[url_col]
+        if len(col):
+            pos = _bloom_hashes(col.combine_chunks(), m_bits, k).ravel()
+            np.bitwise_or.at(bits, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()],
+                                          pa.binary())})
+
+    parts = collect_table(visited.map_batches(
+        partial_bits, batch_format="pyarrow"))
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    for chunk in parts["bits"].to_pylist():
+        bloom |= np.frombuffer(chunk, dtype=np.uint8)
+    ref = _ray.put(bloom)
+
+    def classify(b: pa.Table) -> pa.Table:
+        bl = _get_cached(ref)
+        col = b[url_col].combine_chunks()
+        if len(col) == 0:
+            return pa.table({url_col: pa.array([], pa.string()),
+                             "hit": pa.array([], pa.int64())})
+        pos = _bloom_hashes(col, m_bits, k)
+        member = np.all(
+            (bl[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1,
+            axis=1)
+        urls = col.to_numpy(zero_copy_only=False).astype(str)
+        df = pd.DataFrame({url_col: urls,
+                           "hit": member.astype(np.int64)}) \
+            .drop_duplicates(subset=[url_col])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cls = candidates.map_batches(classify, batch_format="pyarrow") \
+        .materialize()
+    misses = cls.filter(expr="hit == 0").select_columns([url_col])
+
+    # exact anti-join for the bloom-HIT slice only: tag hit-candidates
+    # and visited rows, one groupby(url) with two Max flags, keep
+    # candidate-and-not-visited
+    def tag_cand(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["hit"], 1))
+        return pa.table({
+            url_col: t[url_col],
+            "is_cand": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "is_visited": pa.array(np.zeros(t.num_rows,
+                                            dtype=np.int64))})
+
+    def tag_vis(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            url_col: b[url_col].to_numpy(zero_copy_only=False)
+            .astype(str)}).drop_duplicates()
+        return pa.table({
+            url_col: pa.array(df[url_col], pa.string()),
+            "is_cand": pa.array(np.zeros(len(df), dtype=np.int64)),
+            "is_visited": pa.array(np.ones(len(df), dtype=np.int64))})
+
+    agg = cls.map_batches(tag_cand, batch_format="pyarrow") \
+        .union(visited.map_batches(tag_vis, batch_format="pyarrow")) \
+        .groupby(url_col).aggregate(Max("is_cand"), Max("is_visited"))
+
+    def keep_new(b: pa.Table) -> pa.Table:
+        if "max(is_cand)" not in b.column_names:
+            return pa.table({url_col: pa.array([], pa.string())})
+        keep = pc.and_(pc.equal(b["max(is_cand)"], 1),
+                       pc.equal(b["max(is_visited)"], 0))
+        return pa.table({url_col: b.filter(keep)[url_col]})
+
+    verified = agg.map_batches(keep_new, batch_format="pyarrow")
+    return misses.union(verified)
