@@ -9433,6 +9433,127 @@ _BLOOM_FRONTIER_ORACLE = """
 """
 
 
+def q_robots_compliance(sf_dir: str) -> pa.Table:
+    """Per-host robots-compliance report (links.robots_compliance):
+    blocked fraction of crawled urls under /private/ disallow rules
+    on half the hosts; arithmetic SQL twin."""
+    from aida_ray.stages.links import robots_compliance
+
+    def to_urls(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        urls = []
+        for x in j:
+            x = int(x)
+            path = f"/private/p{x}" if x % 4 == 0 else f"/pub/p{x}"
+            urls.append(f"http://h{x % 6}.com{path}")
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    rules = [(f"h{k}.com", "/private/") for k in range(3)]
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(robots_compliance(
+        docs.map_batches(to_urls, batch_format="pyarrow"), rules))
+
+
+_ROBOTS_COMPLIANCE_ORACLE = """
+    WITH u AS (SELECT 'h' || (doc_id % 6) || '.com' AS host,
+                      doc_id % 6 AS hk,
+                      CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS blk
+               FROM documents)
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_crawled,
+           CAST(SUM(CASE WHEN hk < 3 THEN blk ELSE 0 END) AS BIGINT)
+               AS n_blocked,
+           ROUND(SUM(CASE WHEN hk < 3 THEN blk ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS rate
+    FROM u GROUP BY 1
+"""
+
+
+def q_mime_sniff(sf_dir: str) -> pa.Table:
+    """Magic-byte content sniffing (multimodal.sniff_mime) over
+    planted pdf/png/jpeg/gif/html/unknown payloads; CASE SQL twin."""
+    from aida_ray.stages.multimodal import sniff_mime
+
+    sigs = [b"%PDF-", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
+            b"GIF89a", b"<html>", b"\x00\x01"]
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = [sigs[int(x) % 6] + b"x" * (int(x) % 5) for x in j]
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(sniff_mime(
+        docs.map_batches(to_pages, batch_format="pyarrow")))
+
+
+_MIME_SNIFF_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 6
+               WHEN 0 THEN 'application/pdf'
+               WHEN 1 THEN 'image/png'
+               WHEN 2 THEN 'image/jpeg'
+               WHEN 3 THEN 'image/gif'
+               WHEN 4 THEN 'text/html'
+               ELSE 'application/octet-stream' END AS mime,
+           CAST(CASE doc_id % 6
+               WHEN 0 THEN 5 WHEN 1 THEN 8 WHEN 2 THEN 3
+               WHEN 3 THEN 6 WHEN 4 THEN 6 ELSE 2 END
+               + doc_id % 5 AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+def q_entity_sentiment(sf_dir: str) -> pa.Table:
+    """Entity-level sentiment rollup (webstats.entity_sentiment):
+    doc lexicon scores attributed to mentioned entities through one
+    doc-keyed hash join (in-doc duplicate mentions count once);
+    join + GROUP BY SQL twin."""
+    from aida_ray.stages.webstats import entity_sentiment
+
+    def to_docs(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = np.where(j % 3 == 0, "good great",
+                         np.where(j % 3 == 1, "bad", "the and"))
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "text": pa.array(texts.astype(str))})
+
+    def to_mentions(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids, ents = [], []
+        for x in j:
+            x = int(x)
+            ids.extend([x, x, x])   # first mention duplicated
+            ents.extend([f"M{x % 8}", f"M{x % 8}",
+                         f"M{(x + 1) % 8}"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "entity": pa.array(ents, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(entity_sentiment(
+        docs.map_batches(to_docs, batch_format="pyarrow"),
+        docs.map_batches(to_mentions, batch_format="pyarrow")))
+
+
+_ENTITY_SENTIMENT_ORACLE = """
+    WITH sc AS (SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN 6
+                            WHEN doc_id % 3 = 1 THEN -3
+                            ELSE 0 END AS s FROM documents),
+    m AS (SELECT doc_id, 'M' || (doc_id % 8) AS entity FROM documents
+          UNION
+          SELECT doc_id, 'M' || ((doc_id + 1) % 8) FROM documents)
+    SELECT m.entity, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sc.s) AS BIGINT) AS score_sum,
+           ROUND(SUM(sc.s) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS score_mean
+    FROM m JOIN sc USING (doc_id) GROUP BY 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9761,6 +9882,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_patterns": q_bootstrap_patterns,
         "bootstrap_extract": q_bootstrap_extract,
         "bloom_frontier": q_bloom_frontier,
+        "robots_compliance": q_robots_compliance,
+        "mime_sniff": q_mime_sniff,
+        "entity_sentiment": q_entity_sentiment,
     }
 
 
@@ -11593,6 +11717,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "bootstrap_patterns": _BOOTSTRAP_PATTERNS_ORACLE,
         "bootstrap_extract": _BOOTSTRAP_EXTRACT_ORACLE,
         "bloom_frontier": _BLOOM_FRONTIER_ORACLE,
+        "robots_compliance": _ROBOTS_COMPLIANCE_ORACLE,
+        "mime_sniff": _MIME_SNIFF_ORACLE,
+        "entity_sentiment": _ENTITY_SENTIMENT_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

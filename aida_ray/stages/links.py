@@ -356,3 +356,54 @@ def parse_next_links(pages: ray.data.Dataset, id_col: str = "url_id",
                          "next_href": pa.array(hrefs, pa.string())})
 
     return pages.map_batches(batch, batch_format="pyarrow")
+
+
+def robots_compliance(urls: ray.data.Dataset,
+                      rules: list[tuple[str, str]],
+                      url_col: str = "url") -> ray.data.Dataset:
+    """Per-host crawl-compliance report: how many crawled urls a
+    host's disallow rules would have blocked — the crawl-QA metric
+    that catches a fetcher ignoring robots.txt.
+
+    Emits (host, n_crawled, n_blocked, rate) with rate rounded to 6.
+
+    Scale shape: rules broadcast via robots_filter's length-grouped
+    closure; per-batch partial (host, crawled, blocked) counts bound
+    the one shuffle by the HOST vocabulary."""
+    from ray.data.aggregate import Sum
+
+    tagged = robots_filter(urls, rules, url_col=url_col)
+    host_re = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/?#]*)"
+
+    def partial(b: pa.Table) -> pa.Table:
+        host = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(b[url_col], host_re), "host"))
+        df = pd.DataFrame({
+            "host": host.to_numpy(zero_copy_only=False),
+            "blocked": b["blocked"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        df = df[pd.notna(df["host"])]
+        g = df.groupby("host", sort=False).agg(
+            n=("blocked", "size"), nb=("blocked", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["nb"] = g["nb"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = tagged.map_batches(partial, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n"), Sum("nb"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "n_crawled": pa.array([], pa.int64()),
+                             "n_blocked": pa.array([], pa.int64()),
+                             "rate": pa.array([], pa.float64())})
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        nb = b["sum(nb)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "host": b["host"],
+            "n_crawled": pa.array(n.astype(np.int64)),
+            "n_blocked": pa.array(nb.astype(np.int64)),
+            "rate": pa.array(np.round(nb / n, 6), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")

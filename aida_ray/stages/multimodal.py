@@ -279,3 +279,50 @@ def make_media_table(n: int, seed: int = 42) -> pa.Table:
         "meta": pa.array([{"width": 0, "height": 0, "duration_ms": 0}] * n,
                          MEDIA_SCHEMA.field("meta").type),
     })
+
+
+# magic-byte signatures, first match wins (prefix, mime)
+MAGIC_SIGNATURES = (
+    (b"%PDF-", "application/pdf"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"RIFF", "audio/wav"),
+    (b"<html", "text/html"),
+    (b"<!DOCTYPE html", "text/html"),
+)
+
+
+def sniff_mime(pages: ray.data.Dataset, id_col: str = "doc_id",
+               payload_col: str = "payload") -> ray.data.Dataset:
+    """Content-type sniffing from magic bytes: classify opaque binary
+    payloads by their leading signature (first match in
+    MAGIC_SIGNATURES; 'application/octet-stream' otherwise) — the
+    crawl-ingest step that routes fetched bodies to the right decode
+    pool BEFORE trusting Content-Type headers.
+
+    Emits (doc_id, mime, n_bytes).
+
+    Scale shape: stateless map_batches; only the payload PREFIX is
+    touched (prefix compare over the buffer), the column dies here."""
+
+    def batch(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        mimes, sizes = [], []
+        for h in b[payload_col].to_pylist():
+            h = h or b""
+            mime = "application/octet-stream"
+            for sig, m in MAGIC_SIGNATURES:
+                if h[:len(sig)] == sig:
+                    mime = m
+                    break
+            mimes.append(mime)
+            sizes.append(len(h))
+        return pa.table({id_col: pa.array(ids.astype(np.int64),
+                                          pa.int64()),
+                         "mime": pa.array(mimes, pa.string()),
+                         "n_bytes": pa.array(sizes, pa.int64())})
+
+    return pages.map_batches(batch, batch_format="pyarrow")

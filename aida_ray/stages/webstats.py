@@ -298,3 +298,72 @@ def quality_ensemble(docs: ray.data.Dataset, id_col: str = "doc_id",
             "keep": pa.array(reasons == 0, pa.bool_())})
 
     return docs.map_batches(batch, batch_format="pyarrow")
+
+
+def entity_sentiment(docs: ray.data.Dataset, mentions: ray.data.Dataset,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     entity_col: str = "entity",
+                     num_partitions: int | None = None
+                     ) -> ray.data.Dataset:
+    """Entity-level sentiment rollup: each document's lexicon score
+    attributes to every entity mentioned in it; per entity the doc
+    count, score sum, and mean — the reputation signal a KG publishes
+    next to an entity card.
+
+    Emits (entity, n_docs, score_sum, score_mean) with mean rounded
+    to 6; multiple mentions of an entity in one doc count once.
+
+    Scale shape: doc sentiment is the existing stateless scan; the
+    attribution is ONE hash join keyed on doc_id (per-doc fanout =
+    mentioned entities); per-batch partials bound the final groupby
+    by the entity vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.shuffle_join import hash_join
+
+    scored = sentiment_scores(docs, id_col=id_col, text_col=text_col) \
+        .select_columns([id_col, "score"])
+
+    def dedup_mentions(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            id_col: b[id_col].to_numpy(zero_copy_only=False),
+            entity_col: b[entity_col].to_numpy(zero_copy_only=False)
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    dm = mentions.map_batches(dedup_mentions, batch_format="pyarrow") \
+        .groupby([id_col, entity_col]).count() \
+        .select_columns([id_col, entity_col])
+
+    j = hash_join(dm, scored, on=(id_col,),
+                  num_partitions=num_partitions)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            entity_col: b[entity_col].to_numpy(zero_copy_only=False),
+            "s": b["score"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+        g = df.groupby(entity_col, sort=False).agg(
+            n=("s", "size"), ss=("s", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["ss"] = g["ss"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby(entity_col).aggregate(Sum("n"), Sum("ss"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        if "sum(n)" not in b.column_names:
+            return pa.table({entity_col: pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "score_sum": pa.array([], pa.int64()),
+                             "score_mean": pa.array([], pa.float64())})
+        n = b["sum(n)"].to_numpy(zero_copy_only=False)
+        ss = b["sum(ss)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            entity_col: b[entity_col],
+            "n_docs": pa.array(n.astype(np.int64)),
+            "score_sum": pa.array(ss.astype(np.int64)),
+            "score_mean": pa.array(np.round(ss / n, 6), pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
