@@ -9554,6 +9554,71 @@ _ENTITY_SENTIMENT_ORACLE = """
 """
 
 
+def q_kg_publish(sf_dir: str) -> pa.Table:
+    """Composed publish chain: ONE markup scan
+    (webtables.all_markup_triples, table + microdata witnesses) →
+    owl:sameAs canonicalization (kgqa.sameas_rewrite, alias subjects
+    fold into the short form) → support-weighted slot resolution
+    (fuse.best_assertion).  The table value carries two merged
+    sources and beats the conflicting single-source microdata value;
+    the oracle re-derives candidate supports and the argmax in SQL."""
+    from aida_ray.stages.fuse import best_assertion
+    from aida_ray.stages.kgqa import sameas_rewrite
+    from aida_ray.stages.webtables import all_markup_triples
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        htmls = []
+        for x in j:
+            x = int(x)
+            k = x % 40
+            subj = f"E{k}" if (x // 40) % 2 == 0 else f"E{k}a"
+            h = (f'<table><tr><td>name</td><td>bornIn</td></tr>'
+                 f'<tr><td>{subj}</td><td>C{k % 9}</td></tr></table>')
+            if x % 3 == 0:
+                h += (f'<div itemscope itemtype="http://schema.org/'
+                      f'Person"><span itemprop="name">E{k}</span>'
+                      f'<span itemprop="bornIn">C{(k + 1) % 9}'
+                      f'</span></div>')
+            htmls.append(h.encode())
+        return pa.table({"doc_id": pa.array(j, pa.int64()),
+                         "html": pa.array(htmls, pa.binary())})
+
+    def to_sameas(b: pa.Table) -> pa.Table:
+        j = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.unique(j % 40)
+        return pa.table({
+            "a": pa.array([f"E{v}a" for v in k]),
+            "b": pa.array([f"E{v}" for v in k])})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    witnesses = all_markup_triples(
+        docs.map_batches(to_pages, batch_format="pyarrow")) \
+        .filter(expr="pred == 'bornIn'")
+    merged = sameas_rewrite(
+        witnesses,
+        docs.map_batches(to_sameas, batch_format="pyarrow"))
+    return _collect(best_assertion(merged))
+
+
+_KG_PUBLISH_ORACLE = """
+    WITH d AS (SELECT doc_id % 40 AS k, (doc_id // 40) % 2 AS par,
+                      doc_id % 3 AS tri FROM documents),
+    cand AS (
+        SELECT k, 'C' || (k % 9) AS obj,
+               COUNT(DISTINCT par) AS nsrc FROM d GROUP BY 1, 2
+        UNION ALL
+        SELECT DISTINCT k, 'C' || ((k + 1) % 9), 1 FROM d
+        WHERE tri = 0),
+    r AS (SELECT k, obj, nsrc, ROW_NUMBER() OVER (PARTITION BY k
+              ORDER BY nsrc DESC, obj) AS rn FROM cand)
+    SELECT 'E' || k AS subj, 'bornIn' AS pred, obj,
+           CAST(nsrc AS BIGINT) AS n_src
+    FROM r WHERE rn = 1
+"""
+
+
 # -------------------------------------------------------------------- driver
 
 def entry() -> Any:
@@ -9885,6 +9950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_compliance": q_robots_compliance,
         "mime_sniff": q_mime_sniff,
         "entity_sentiment": q_entity_sentiment,
+        "kg_publish": q_kg_publish,
     }
 
 
@@ -11720,6 +11786,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "robots_compliance": _ROBOTS_COMPLIANCE_ORACLE,
         "mime_sniff": _MIME_SNIFF_ORACLE,
         "entity_sentiment": _ENTITY_SENTIMENT_ORACLE,
+        "kg_publish": _KG_PUBLISH_ORACLE,
         "kcore": _kcore_oracle_sql(),
         "fuzzy_join": _FUZZY_JOIN_ORACLE,
         "pagerank_star": """

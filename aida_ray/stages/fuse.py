@@ -66,3 +66,35 @@ def noisy_or_fuse(triples: ray.data.Dataset, s: str = "subj",
             "fused": pa.array(fused, pa.float64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def best_assertion(triples: ray.data.Dataset, s: str = "subj",
+                   p: str = "pred", o: str = "obj",
+                   weight: str = "n_src",
+                   group_size_limit: int = 2_000_000
+                   ) -> ray.data.Dataset:
+    """Support-weighted slot resolution: per (subj, pred) keep the
+    object with the highest ``weight`` (ties break to the smallest
+    object string) — the publish-time argmax consuming
+    sameas_rewrite's merged counts or noisy_or_fuse's fused scores.
+
+    Emits (subj, pred, obj, <weight>).
+
+    Scale shape: one groupby((subj, pred)).map_groups keyed by fact
+    identity; per-group work is one vectorized argmax
+    (candidate-bounded, guarded by ``group_size_limit``)."""
+
+    def per_slot(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot slot {g[s].iloc[0]!r}/{g[p].iloc[0]!r}: "
+                f"{len(g)} candidates exceed the per-group bound")
+        w = g[weight].to_numpy()
+        mx = w.max()
+        cand = g[w == mx]
+        obj = cand[o].astype(str).min()
+        return pd.DataFrame({s: [g[s].iloc[0]], p: [g[p].iloc[0]],
+                             o: [obj], weight: [mx]})
+
+    return triples.groupby([s, p]).map_groups(per_slot,
+                                              batch_format="pandas")

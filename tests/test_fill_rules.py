@@ -65,3 +65,16 @@ def test_jsonld_nested_subjectless_inner(ray_session):
     got = set(jsonld_nested_triples_of(h))
     # nested block without name/@id: no edge, no nested triples
     assert got == {("Ada", "name", "Ada")}
+
+
+def test_best_assertion_argmax_tiebreak(ray_session):
+    from aida_ray.stages.fuse import best_assertion
+    t = _ds(pa.table({
+        "subj": ["s", "s", "s", "t"],
+        "pred": ["p"] * 4,
+        "obj": ["zz", "aa", "bb", "only"],
+        "n_src": pa.array([2, 2, 1, 5], pa.int64())}))
+    got = best_assertion(t).to_pandas().set_index("subj")
+    assert got.loc["s", "obj"] == "aa"       # max weight 2, min obj
+    assert got.loc["s", "n_src"] == 2
+    assert got.loc["t", "obj"] == "only"
