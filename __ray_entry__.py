@@ -5695,6 +5695,104 @@ _BIGRAM_PMI_ORACLE = """
 """
 
 
+def q_bigram_llr(sf_dir: str) -> pa.Table:
+    """Top-20 collocations by Dunning's G^2 log-likelihood ratio
+    (lm.bigram_llr, min_count 5) — the significance-aware complement
+    to bigram_pmi; oracle recomputes the 2x2 contingency G^2 with
+    0*ln(0)=0 guards over the identical RE2 token stream."""
+    from aida_ray.stages.lm import bigram_llr
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return bigram_llr(docs, min_count=5, k=20)
+
+
+_BIGRAM_LLR_ORACLE = """
+    WITH raw AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9]+')) AS term,
+               generate_subscripts(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9]+'), 1) AS pos
+        FROM documents),
+    toks AS MATERIALIZED (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM raw WHERE term <> ''),
+    bg AS MATERIALIZED (
+        SELECT a.doc_id, a.term AS t1, b.term AS t2
+        FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.rn = a.rn + 1),
+    cb AS MATERIALIZED (
+        SELECT t1, t2, COUNT(*) AS nab FROM bg GROUP BY t1, t2),
+    rowm AS MATERIALIZED (
+        SELECT t1, CAST(SUM(nab) AS DOUBLE) AS n1 FROM cb GROUP BY t1),
+    colm AS MATERIALIZED (
+        SELECT t2, CAST(SUM(nab) AS DOUBLE) AS n2 FROM cb GROUP BY t2),
+    tot AS MATERIALIZED (
+        SELECT CAST(SUM(nab) AS DOUBLE) AS nn FROM cb),
+    kk AS MATERIALIZED (
+        SELECT cb.t1, cb.t2, cb.nab,
+               CAST(cb.nab AS DOUBLE) AS k11,
+               rowm.n1 - cb.nab AS k12,
+               colm.n2 - cb.nab AS k21,
+               tot.nn - rowm.n1 - colm.n2 + cb.nab AS k22,
+               rowm.n1 AS n1, colm.n2 AS n2, tot.nn AS nn
+        FROM cb JOIN rowm USING (t1) JOIN colm USING (t2)
+        CROSS JOIN tot
+        WHERE cb.nab >= 5)
+    SELECT t1, t2, nab,
+           ROUND(2 * (
+             CASE WHEN k11 > 0
+                  THEN k11 * LN(k11 / (n1 * n2 / nn)) ELSE 0 END
+           + CASE WHEN k12 > 0
+                  THEN k12 * LN(k12 / (n1 * (nn - n2) / nn)) ELSE 0 END
+           + CASE WHEN k21 > 0
+                  THEN k21 * LN(k21 / ((nn - n1) * n2 / nn)) ELSE 0 END
+           + CASE WHEN k22 > 0
+                  THEN k22 * LN(k22 / ((nn - n1) * (nn - n2) / nn))
+                  ELSE 0 END), 6) AS llr
+    FROM kk
+    ORDER BY llr DESC, t1, t2 LIMIT 20
+"""
+
+
+def q_yules_k(sf_dir: str) -> pa.Table:
+    """Per-document lexical diversity (textstats.yules_k_batch):
+    token count, type count, Yule's characteristic K — map-only over
+    the documents table; oracle = the per-doc type histogram in SQL."""
+    from aida_ray.stages.textstats import yules_k_batch
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return _collect(docs.map_batches(yules_k_batch,
+                                     batch_format="pyarrow"))
+
+
+_YULES_K_ORACLE = """
+    WITH raw AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text),
+                                            '[^a-z0-9]+')) AS term
+        FROM documents),
+    t AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS c
+        FROM raw WHERE term <> '' GROUP BY doc_id, term),
+    d AS MATERIALIZED (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS v, CAST(SUM(c * c) AS DOUBLE) AS s2
+        FROM t GROUP BY doc_id)
+    SELECT documents.doc_id,
+           COALESCE(d.n, 0) AS n_tokens,
+           COALESCE(d.v, 0) AS n_types,
+           ROUND(CASE WHEN COALESCE(d.n, 0) > 0
+                      THEN 1e4 * (d.s2 - d.n)
+                           / (CAST(d.n AS DOUBLE) * d.n)
+                      ELSE 0 END, 6) AS yules_k
+    FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+"""
+
+
 def q_quotes(sf_dir: str) -> pa.Table:
     """Quotation attribution (hearst.quotes): even docs use the
     trailing frame ('"...," said Name Surname'), odd docs the leading
@@ -9807,6 +9905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": q_kg_negatives,
         "quotes": q_quotes,
         "bigram_pmi": q_bigram_pmi,
+        "bigram_llr": q_bigram_llr,
+        "yules_k": q_yules_k,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
@@ -11434,6 +11534,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "kg_negatives": _KG_NEG_ORACLE,
         "quotes": _QUOTES_ORACLE,
         "bigram_pmi": _BIGRAM_PMI_ORACLE,
+        "bigram_llr": _BIGRAM_LLR_ORACLE,
+        "yules_k": _YULES_K_ORACLE,
         "mixture_sample": _MIXTURE_ORACLE,
         "main_content": """
             SELECT doc_id,

@@ -186,3 +186,94 @@ def bigram_pmi(ds: ray.data.Dataset, min_count: int = 5, k: int = 20,
                               ascending=[False, True, True]).head(k) \
         .reset_index(drop=True)
     return pa.Table.from_pandas(parts, preserve_index=False)
+
+
+def bigram_llr(ds: ray.data.Dataset, min_count: int = 5, k: int = 20,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> pa.Table:
+    """Top-k collocations by Dunning's log-likelihood ratio (G^2,
+    Dunning 1993 "Accurate Methods for the Statistics of Surprise and
+    Coincidence") over adjacent-token bigrams with ``n_ab >=
+    min_count`` — the classic significance-aware alternative to PMI
+    (PMI over-ranks rare pairs; G^2 does not).
+
+    Contingency table per bigram (t1, t2) over BIGRAM positions:
+    k11 = n_ab, k12 = n1 - n_ab, k21 = n2 - n_ab,
+    k22 = N - n1 - n2 + n_ab, with n1/n2 the left/right marginals and
+    N the total bigram count; G^2 = 2 * sum kij * ln(kij / eij) with
+    eij the independence expectation and 0·ln(0) = 0.
+
+    Scale shape: ONE vocabulary-bounded counting aggregation (bigram
+    partials per block, groupby-sum — shuffle tracks bigram
+    vocabulary, never the corpus); both marginals derive from the
+    bigram table itself (two tiny aggregations over the bigram vocab)
+    and broadcast once via ``ray.put``; the bigram-count stream then
+    scores itself map-side with per-block local top-k and the driver
+    merges blocks x k rows.  Ranking is (round(llr, 6) DESC, t1, t2).
+    """
+    from ray.data.aggregate import Sum
+
+    from aida_ray.state.collect import collect_table
+
+    def bi_partial(b: pa.Table) -> pa.Table:
+        bg = _doc_bigrams(b, id_col, text_col)
+        g = bg.groupby(["t1", "t2"], sort=False).size().rename("n") \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    empty = pa.table({"t1": pa.array([], pa.string()),
+                      "t2": pa.array([], pa.string()),
+                      "nab": pa.array([], pa.int64()),
+                      "llr": pa.array([], pa.float64())})
+    bi = ds.map_batches(bi_partial, batch_format="pyarrow") \
+        .groupby(["t1", "t2"]).aggregate(Sum("n")).materialize()
+    n_total = float(bi.sum("sum(n)") or 0)
+    if n_total == 0:
+        return empty
+    left = collect_table(bi.groupby("t1").aggregate(Sum("sum(n)"))) \
+        .to_pandas()
+    right = collect_table(bi.groupby("t2").aggregate(Sum("sum(n)"))) \
+        .to_pandas()
+    mref = ray.put((dict(zip(left.t1, left["sum(sum(n))"].astype(float))),
+                    dict(zip(right.t2,
+                             right["sum(sum(n))"].astype(float)))))
+
+    def _xlx(kij: np.ndarray, eij: np.ndarray) -> np.ndarray:
+        out = np.zeros_like(eij)
+        pos = kij > 0
+        out[pos] = kij[pos] * np.log(kij[pos] / eij[pos])
+        return out
+
+    def score(b: pa.Table) -> pa.Table:
+        lm_, rm_ = _get_cached(mref)
+        df = pd.DataFrame({"t1": b["t1"].to_pandas(),
+                           "t2": b["t2"].to_pandas(),
+                           "nab": b["sum(n)"].to_numpy(
+                               zero_copy_only=False).astype(np.int64)})
+        df = df[df.nab >= min_count]
+        if not len(df):
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "nab": pa.array([], pa.int64()),
+                             "llr": pa.array([], pa.float64())})
+        n1 = df.t1.map(lm_).to_numpy(dtype=np.float64)
+        n2 = df.t2.map(rm_).to_numpy(dtype=np.float64)
+        k11 = df.nab.to_numpy(dtype=np.float64)
+        k12, k21 = n1 - k11, n2 - k11
+        k22 = n_total - n1 - n2 + k11
+        nn = n_total
+        g2 = 2.0 * (_xlx(k11, n1 * n2 / nn)
+                    + _xlx(k12, n1 * (nn - n2) / nn)
+                    + _xlx(k21, (nn - n1) * n2 / nn)
+                    + _xlx(k22, (nn - n1) * (nn - n2) / nn))
+        df["llr"] = np.round(g2, 6)
+        df = df.sort_values(["llr", "t1", "t2"],
+                            ascending=[False, True, True]).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = collect_table(
+        bi.map_batches(score, batch_format="pyarrow")).to_pandas()
+    parts = parts.sort_values(["llr", "t1", "t2"],
+                              ascending=[False, True, True]).head(k) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(parts, preserve_index=False)

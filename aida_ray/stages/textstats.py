@@ -13,6 +13,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -312,3 +313,46 @@ def build_word_ids(docs: ray.data.Dataset,
     return pa.table({
         "word": pa.array(list(words), pa.string()),
         "word_id": pa.array(np.arange(1, len(words) + 1), pa.int64())})
+
+
+def yules_k_batch(batch: pa.Table, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Per-document lexical-diversity statistics: token count, type
+    count, and Yule's characteristic K = 1e4 * (sum_t c_t^2 - N) / N^2
+    (equivalently 1e4 * (sum_m m^2 V_m - N) / N^2) — the classic
+    repetitiveness signal for webtext quality filtering (template/spam
+    pages score high, natural prose low).
+
+    Map-only, zero shuffle: every document lives in exactly one row so
+    the per-doc type histogram is block-local.  Tokenization is the
+    oracle-shared RE2 family (lower -> split on [^a-z0-9]+); empty
+    docs emit (0, 0, 0.0).  K is rounded to 6 decimals to match the
+    DuckDB twin.
+    """
+    from aida_ray.stages.tfidf import _doc_terms
+
+    all_ids = batch[id_col].to_numpy(zero_copy_only=False).astype("int64")
+    dt = _doc_terms(batch, id_col, text_col)
+    if len(dt):
+        c = dt.groupby(["doc_id", "term"], sort=False).size() \
+            .rename("c").reset_index()
+        c2 = c.c.to_numpy("int64")
+        g = pd.DataFrame({"doc_id": c.doc_id, "c": c2, "c2": c2 * c2}) \
+            .groupby("doc_id", sort=False) \
+            .agg(n_tokens=("c", "sum"), n_types=("c", "count"),
+                 s2=("c2", "sum")).reset_index()
+    else:
+        g = pd.DataFrame({"doc_id": [], "n_tokens": [], "n_types": [],
+                          "s2": []})
+    out = pd.DataFrame({"doc_id": all_ids}).merge(g, on="doc_id",
+                                                  how="left")
+    n = out.n_tokens.fillna(0).to_numpy("float64")
+    s2 = out.s2.fillna(0).to_numpy("float64")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = np.where(n > 0, 1e4 * (s2 - n) / (n * n), 0.0)
+    return pa.table({
+        "doc_id": pa.array(out.doc_id.to_numpy("int64")),
+        "n_tokens": pa.array(out.n_tokens.fillna(0).to_numpy("int64")),
+        "n_types": pa.array(out.n_types.fillna(0).to_numpy("int64")),
+        "yules_k": pa.array(np.round(k, 6), pa.float64()),
+    })
