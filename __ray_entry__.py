@@ -5793,6 +5793,68 @@ _YULES_K_ORACLE = """
 """
 
 
+def q_cms_heavy(sf_dir: str) -> pa.Table:
+    """Count-min sketch made SELF-CHECKING (the sketch_stats pattern):
+    build a d=4 x w=2048 CMS over lineitem part keys, point-query it
+    for the exact top-20 heavy hitters, and emit the EXACT count plus
+    a within-tolerance flag (est >= exact always; est <= exact +
+    (e/w)*N is the Cormode-Muthukrishnan bound, measured far inside
+    it here).  The SQL oracle pins exact + TRUE, so sketch drift flips
+    the named row red instead of hiding behind rows-only."""
+    import math as _m
+
+    from aida_ray.stages.sketches import cms_counts, cms_estimate
+    d, w = 4, 2048
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_partkey"])
+    mat = cms_counts(li, "l_partkey", d=d, w=w)
+    n_total = int(mat[0].sum())
+    top = _collect(li.groupby("l_partkey").count()).to_pandas() \
+        .sort_values(["count()", "l_partkey"],
+                     ascending=[False, True]).head(20)
+    keys = pa.array(top.l_partkey.to_numpy("int64"), pa.int64())
+    est = cms_estimate(mat, keys, d, w)
+    exact = top["count()"].to_numpy("int64")
+    bound = _m.e / w * n_total
+    ok = (est >= exact) & (est <= exact + bound)
+    return pa.table({
+        "l_partkey": keys,
+        "exact_n": pa.array(exact, pa.int64()),
+        "within_tol": pa.array([bool(x) for x in ok], pa.bool_()),
+    })
+
+
+_CMS_HEAVY_ORACLE = """
+    SELECT l_partkey, COUNT(*) AS exact_n, TRUE AS within_tol
+    FROM lineitem GROUP BY l_partkey
+    ORDER BY exact_n DESC, l_partkey LIMIT 20
+"""
+
+
+def q_decayed_scores(sf_dir: str) -> pa.Table:
+    """Per-user exponentially time-decayed activity score
+    (timeseries.decayed_counts, 7-day half-life anchored at the global
+    max event timestamp) — the crawl-revisit freshness signal; oracle
+    recomputes sum(exp(-lambda*(T - t))) with epoch_us."""
+    from aida_ray.stages.timeseries import decayed_counts
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return _collect(decayed_counts(ev, key="user_id", ts_col="ts",
+                                   half_life_days=7.0))
+
+
+_DECAYED_ORACLE = """
+    WITH tot AS MATERIALIZED (
+        SELECT CAST(MAX(epoch_us(ts)) AS DOUBLE) AS tmax FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(EXP(-(LN(2) / (7.0 * 86400000000.0))
+                         * (tot.tmax - epoch_us(ts)))), 6)
+               AS decayed_score
+    FROM events CROSS JOIN tot
+    GROUP BY user_id, tot.tmax
+"""
+
+
 def q_quotes(sf_dir: str) -> pa.Table:
     """Quotation attribution (hearst.quotes): even docs use the
     trailing frame ('"...," said Name Surname'), odd docs the leading
@@ -9907,6 +9969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,
         "bigram_llr": q_bigram_llr,
         "yules_k": q_yules_k,
+        "cms_heavy": q_cms_heavy,
+        "decayed_scores": q_decayed_scores,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
@@ -11536,6 +11600,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "bigram_pmi": _BIGRAM_PMI_ORACLE,
         "bigram_llr": _BIGRAM_LLR_ORACLE,
         "yules_k": _YULES_K_ORACLE,
+        "cms_heavy": _CMS_HEAVY_ORACLE,
+        "decayed_scores": _DECAYED_ORACLE,
         "mixture_sample": _MIXTURE_ORACLE,
         "main_content": """
             SELECT doc_id,

@@ -454,3 +454,47 @@ def bloom_new_urls(visited: ray.data.Dataset,
 
     verified = agg.map_batches(keep_new, batch_format="pyarrow")
     return misses.union(verified)
+
+
+# ------------------------------------------------- count-min sketch
+
+def _cms_rows(hashes: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(n, d) column indices: d pairwise-independent-ish lanes derived
+    from one 64-bit hash by odd-multiplier mixing (deterministic, no
+    RNG state — resumable)."""
+    mults = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)[:d]
+    mixed = hashes[:, None] * mults[None, :]
+    return ((mixed >> np.uint64(33)) % np.uint64(w)).astype(np.int64)
+
+
+def cms_counts(ds: ray.data.Dataset, col: str, d: int = 4,
+               w: int = 2048) -> np.ndarray:
+    """Distributed count-min sketch build: each block emits its own
+    d x w count matrix (one flat row, O(d*w) ints regardless of block
+    size), merged by elementwise sum on the driver — O(blocks * d * w)
+    bytes total, zero shuffle of the corpus."""
+    def per_block(b: pa.Table) -> pa.Table:
+        idx = _cms_rows(_hash64(b[col].combine_chunks()), d, w)
+        mat = np.zeros((d, w), dtype=np.int64)
+        for r in range(d):
+            np.add.at(mat[r], idx[:, r], 1)
+        return pa.table({"mat": pa.array([mat.tobytes()], pa.binary())})
+
+    rows = ds.select_columns([col]) \
+        .map_batches(per_block, batch_format="pyarrow").take_all()
+    mat = np.zeros((d, w), dtype=np.int64)
+    for r in rows:
+        mat += np.frombuffer(r["mat"], dtype=np.int64).reshape(d, w)
+    return mat
+
+
+def cms_estimate(mat: np.ndarray, keys: pa.Array, d: int,
+                 w: int) -> np.ndarray:
+    """Point-query the sketch for each key: min over the d lanes.
+    Guarantees est >= exact always and est <= exact + (e/w) * N with
+    probability 1 - e^-d (Cormode & Muthukrishnan 2005)."""
+    idx = _cms_rows(_hash64(keys), d, w)
+    ests = np.stack([mat[r, idx[:, r]] for r in range(d)], axis=1)
+    return ests.min(axis=1)

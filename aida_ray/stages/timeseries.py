@@ -19,6 +19,8 @@ sessionization; pre-split hot keys by coarse time bucket otherwise).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -200,3 +202,52 @@ def burst_windows(events: ray.data.Dataset, key: str = "event_type",
                              "n": n, "prev": prev, "burst": burst})
 
     return counts.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def decayed_counts(events: ray.data.Dataset, key: str = "user_id",
+                   ts_col: str = "ts",
+                   half_life_days: float = 7.0) -> ray.data.Dataset:
+    """Per-key exponentially time-decayed activity score — the
+    freshness/recency signal used for crawl re-visit prioritization
+    and host reputation: ``score = sum_i exp(-lambda * (T - t_i))``
+    with ``lambda = ln(2) / half_life`` and T the global max event
+    timestamp (so the newest event contributes exactly 1.0).
+
+    Scale shape: one tiny max-timestamp pass, then map-side partial
+    sums per (key) within each block — the groupby-sum shuffle ships
+    one (key, partial_score, partial_n) row per key per block, volume
+    tracks the KEY SPACE, never the event count.  Scores round to 6
+    decimals (sum-order float drift is ~1e-10 at any realistic group
+    size, far inside the rounding).
+    """
+    from ray.data.aggregate import Sum
+
+    t_max = events.max(ts_col)
+    t_max_us = int(pa.scalar(t_max, pa.timestamp("us")).cast(
+        pa.int64()).as_py())
+    lam = math.log(2.0) / (half_life_days * float(DAY_US))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pc.cast(b[ts_col].combine_chunks(), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        wts = np.exp(-lam * (float(t_max_us) - t))
+        g = pd.DataFrame({key: b[key].to_numpy(zero_copy_only=False),
+                          "s": wts}) \
+            .groupby(key, sort=False) \
+            .agg(s=("s", "sum"), n=("s", "size")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = events.select_columns([key, ts_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(key).aggregate(Sum("s"), Sum("n"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            key: b[key],
+            "n_events": pc.cast(b["sum(n)"], pa.int64()),
+            "decayed_score": pa.array(
+                np.round(b["sum(s)"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
