@@ -5855,6 +5855,122 @@ _DECAYED_ORACLE = """
 """
 
 
+def q_ktruss(sf_dir: str) -> pa.Table:
+    """4-truss of the co-purchase graph (graphs.ktruss): every
+    surviving edge participates in >= 2 triangles within the truss —
+    the cohesion filter a notch stronger than kcore; oracle = unrolled
+    support-peel twin (an unconverged unroll self-flags)."""
+    from aida_ray.stages.graphs import cooccurrence_edges, ktruss
+    li = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_item=2000).materialize()
+    return ktruss(edges, k=4)
+
+
+def _ktruss_oracle_sql(rounds: int = 20, max_item: int = 2000,
+                       k: int = 4) -> str:
+    """Unrolled support-peel twin of q_ktruss: each round recomputes
+    per-edge triangle support within the previous alive edge set and
+    keeps edges with support >= k-2."""
+    ctes = [f"""
+        WITH e0 AS MATERIALIZED (
+            SELECT DISTINCT la.l_partkey AS a, lb.l_partkey AS b
+            FROM lineitem la JOIN lineitem lb
+            ON la.l_orderkey = lb.l_orderkey
+               AND la.l_partkey < lb.l_partkey
+            WHERE la.l_partkey < {max_item}
+              AND lb.l_partkey < {max_item})"""]
+    prev = "e0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        u{r} AS MATERIALIZED (
+            SELECT a AS x, b AS y FROM {prev}
+            UNION ALL SELECT b, a FROM {prev}),
+        s{r} AS MATERIALIZED (
+            SELECT e.a, e.b, COUNT(*) AS s
+            FROM {prev} e
+            JOIN u{r} u1 ON u1.x = e.a
+            JOIN u{r} u2 ON u2.x = e.b AND u2.y = u1.y
+            GROUP BY e.a, e.b),
+        e{r} AS MATERIALIZED (
+            SELECT a, b FROM s{r} WHERE s >= {k - 2})""")
+        prev = f"e{r}"
+    return ",".join(ctes) + f"""
+        SELECT a, b, s AS support FROM s{rounds} WHERE s >= {k - 2}"""
+
+
+def q_simrank(sf_dir: str) -> pa.Table:
+    """SimRank structural similarity (graphs.simrank, 4 iterations,
+    c=0.8) over a planted functional digraph on doc-id residues
+    (i -> (2i+1)%40 and i -> (3i+2)%40); oracle = unrolled
+    dense-matrix CTE twin over the identical edge set."""
+    from aida_ray.stages.graphs import simrank
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = ids % 40
+        s = np.concatenate([v, v])
+        d = np.concatenate([(2 * v + 1) % 40, (3 * v + 2) % 40])
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    edges = docs.map_batches(to_edges, batch_format="pyarrow") \
+        .groupby(["src", "dst"]).count() \
+        .select_columns(["src", "dst"])
+    return simrank(edges, iterations=4, c=0.8)
+
+
+def _simrank_oracle_sql(rounds: int = 4, c: float = 0.8) -> str:
+    ctes = ["""
+        WITH nodes AS MATERIALIZED (
+            SELECT DISTINCT doc_id % 40 AS v FROM documents
+            UNION SELECT DISTINCT (2 * (doc_id % 40) + 1) % 40
+            FROM documents
+            UNION SELECT DISTINCT (3 * (doc_id % 40) + 2) % 40
+            FROM documents),
+        ed AS MATERIALIZED (
+            SELECT DISTINCT doc_id % 40 AS x,
+                   (2 * (doc_id % 40) + 1) % 40 AS y FROM documents
+            WHERE doc_id % 40 <> (2 * (doc_id % 40) + 1) % 40
+            UNION
+            SELECT DISTINCT doc_id % 40, (3 * (doc_id % 40) + 2) % 40
+            FROM documents
+            WHERE doc_id % 40 <> (3 * (doc_id % 40) + 2) % 40),
+        ind AS MATERIALIZED (
+            SELECT y AS node, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM ed GROUP BY y),
+        s0 AS MATERIALIZED (
+            SELECT n1.v AS a, n2.v AS b,
+                   CASE WHEN n1.v = n2.v THEN 1.0 ELSE 0.0 END AS s
+            FROM nodes n1 CROSS JOIN nodes n2)"""]
+    prev = "s0"
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+        raw{r} AS MATERIALIZED (
+            SELECT e1.y AS a, e2.y AS b, SUM(p.s) AS ss
+            FROM {prev} p
+            JOIN ed e1 ON e1.x = p.a
+            JOIN ed e2 ON e2.x = p.b
+            GROUP BY e1.y, e2.y),
+        s{r} AS MATERIALIZED (
+            SELECT n1.v AS a, n2.v AS b,
+                   CASE WHEN n1.v = n2.v THEN 1.0
+                        ELSE COALESCE({c} * raw.ss / (ia.d * ib.d), 0.0)
+                   END AS s
+            FROM nodes n1 CROSS JOIN nodes n2
+            LEFT JOIN raw{r} raw ON raw.a = n1.v AND raw.b = n2.v
+            LEFT JOIN ind ia ON ia.node = n1.v
+            LEFT JOIN ind ib ON ib.node = n2.v)""")
+        prev = f"s{r}"
+    return ",".join(ctes) + f"""
+        SELECT a, b, ROUND(s, 6) AS sim FROM {prev}
+        WHERE a < b AND ROUND(s, 6) > 0"""
+
+
 def q_quotes(sf_dir: str) -> pa.Table:
     """Quotation attribution (hearst.quotes): even docs use the
     trailing frame ('"...," said Name Surname'), odd docs the leading
@@ -9971,6 +10087,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yules_k": q_yules_k,
         "cms_heavy": q_cms_heavy,
         "decayed_scores": q_decayed_scores,
+        "ktruss": q_ktruss,
+        "simrank": q_simrank,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
@@ -11602,6 +11720,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "yules_k": _YULES_K_ORACLE,
         "cms_heavy": _CMS_HEAVY_ORACLE,
         "decayed_scores": _DECAYED_ORACLE,
+        "ktruss": _ktruss_oracle_sql(),
+        "simrank": _simrank_oracle_sql(),
         "mixture_sample": _MIXTURE_ORACLE,
         "main_content": """
             SELECT doc_id,

@@ -1039,3 +1039,260 @@ def string_components(edges: ray.data.Dataset, a_col: str = "a",
                 u[b["cluster"].to_numpy(zero_copy_only=False)])})
 
     return cc.map_batches(back, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- k-truss
+
+def ktruss(edges: ray.data.Dataset, k: int, a: str = "a", b: str = "b",
+           max_rounds: int = 100) -> pa.Table:
+    """k-truss of an undirected distinct edge set: the maximal
+    subgraph in which every edge participates in >= k-2 triangles
+    *within the subgraph* — the cohesion filter a notch stronger than
+    k-core (used to mine tightly-linked host/entity communities out of
+    web graphs).  Iterative support-peel to the fixpoint.
+
+    Each round broadcasts the alive adjacency once (CSR arrays + the
+    packed sorted edge set — the same edge-bounded-state assumption
+    :func:`triangle_count` makes for its probe set) and every edge
+    batch computes its own supports MAP-ONLY: edge (a, b) expands by
+    the smaller-degree endpoint's neighbor list (fan-out
+    sum(min(deg_a, deg_b)), the optimal intersection side) and probes
+    the packed set with one vectorized ``searchsorted`` — no
+    per-round shuffle at all; edges below k-2 are dropped in the same
+    pass.  Swap the broadcast for a hash semi-join on the packed key
+    when the edge set outgrows a broadcast blob.  Returns (a, b,
+    support) of surviving edges; deterministic, blocking-invariant.
+    """
+    from aida_ray.stages.ml import _compact
+    from aida_ray.state.collect import collect_table
+
+    if k < 3:
+        raise ValueError("ktruss requires k >= 3 (zero-support edges "
+                         "never enter the support pass)")
+
+    def canon(t: pa.Table) -> pa.Table:
+        av = t[a].to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = t[b].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.minimum(av, bv)
+        hi = np.maximum(av, bv)
+        keep = lo != hi
+        return pa.table({"lo": pa.array(lo[keep], pa.int64()),
+                         "hi": pa.array(hi[keep], pa.int64())})
+
+    cur = _compact(edges.map_batches(canon, batch_format="pyarrow"),
+                   rows_per_block=65536)
+    need = k - 2
+    empty = pa.table({a: pa.array([], pa.int64()),
+                      b: pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    n_alive = None
+    for _ in range(max_rounds):
+        cp = collect_table(cur).to_pandas()
+        if cp.empty:
+            return empty
+        lo = cp.lo.to_numpy(np.int64)
+        hi = cp.hi.to_numpy(np.int64)
+        packed = np.sort((lo << 32) | hi)
+        # CSR over the symmetrized adjacency, node ids remapped dense
+        nodes = np.unique(np.concatenate([lo, hi]))
+        si = np.searchsorted(nodes, np.concatenate([lo, hi]))
+        di = np.concatenate([hi, lo])        # ORIGINAL ids (probe keys)
+        order = np.argsort(si, kind="stable")
+        so, do = si[order], di[order]
+        starts = np.searchsorted(so, np.arange(len(nodes)))
+        ends = np.searchsorted(so, np.arange(len(nodes)), side="right")
+        deg = ends - starts
+        bc = ray.put((nodes, do, starts, deg, packed))
+
+        def support_filter(t: pa.Table) -> pa.Table:
+            nd, adj, st, dg, es = _get_cached(bc)
+            lo_ = t["lo"].to_numpy(zero_copy_only=False)
+            hi_ = t["hi"].to_numpy(zero_copy_only=False)
+            il = np.searchsorted(nd, lo_)
+            ih = np.searchsorted(nd, hi_)
+            # expand each edge by its smaller-degree endpoint
+            use_lo = dg[il] <= dg[ih]
+            src_i = np.where(use_lo, il, ih)       # expanded side
+            oth = np.where(use_lo, hi_, lo_)        # probe partner
+            fan = dg[src_i]
+            rep = np.repeat(np.arange(len(lo_)), fan)
+            off = np.arange(len(rep)) - np.repeat(
+                np.concatenate([[0], np.cumsum(fan)[:-1]]), fan)
+            w = adj[st[src_i][rep] + off]
+            o = oth[rep]
+            probe = (np.minimum(w, o) << 32) | np.maximum(w, o)
+            idx = np.searchsorted(es, probe)
+            hit = (idx < len(es)) & (es[np.minimum(idx, len(es) - 1)]
+                                     == probe)
+            # exclude the trivial w == partner closure (w == o means
+            # probing the edge itself via lo==hi, impossible; w can
+            # equal the expanded edge's other endpoint though)
+            hit &= w != o
+            sup = np.bincount(rep[hit], minlength=len(lo_)) \
+                .astype(np.int64)
+            keep = sup >= need
+            return pa.table({
+                "lo": pa.array(lo_[keep], pa.int64()),
+                "hi": pa.array(hi_[keep], pa.int64()),
+                "support": pa.array(sup[keep], pa.int64())})
+
+        nxt = _compact(cur.map_batches(support_filter,
+                                       batch_format="pyarrow"),
+                       rows_per_block=65536).materialize()
+        cnt = nxt.count()
+        if cnt == 0:
+            return empty
+        if n_alive is not None and cnt == n_alive:
+            out = collect_table(nxt).to_pandas() \
+                .sort_values(["lo", "hi"]).reset_index(drop=True)
+            return pa.table({
+                a: pa.array(out.lo.to_numpy(np.int64), pa.int64()),
+                b: pa.array(out.hi.to_numpy(np.int64), pa.int64()),
+                "support": pa.array(out.support.to_numpy(np.int64),
+                                    pa.int64())})
+        n_alive = cnt
+        cur = nxt.select_columns(["lo", "hi"])
+    raise RuntimeError("ktruss: no fixpoint within max_rounds")
+
+
+# ----------------------------------------------------------- SimRank
+
+def simrank(edges: ray.data.Dataset, iterations: int = 4,
+            c: float = 0.8, src: str = "src", dst: str = "dst",
+            gate_nodes: int = 4000) -> pa.Table:
+    """SimRank (Jeh & Widom 2002) over a directed graph:
+    ``s(a, b) = c / (|I(a)||I(b)|) * sum_{i in I(a), j in I(b)}
+    s(i, j)`` with ``s(a, a) = 1`` and 0 when either side has no
+    in-neighbors.  Returns all pairs a < b with nonzero similarity,
+    rounded to 6 decimals.
+
+    Two routes, equality-tested: under ``gate_nodes`` the whole
+    iteration runs as ONE bounded remote numpy task (S <- c * norm *
+    (E^T S E), diagonal reset — n^2 floats must fit one worker);
+    above it the pair table (i, j, s) streams as a Dataset and each
+    iteration expands pairs through the BROADCAST out-edge lists
+    (fan-out outdeg_i x outdeg_j per pair, vectorized) followed by one
+    (a, b) groupby-sum — shuffle volume tracks the nonzero pair space.
+    The broadcast assumes the edge list is node-bounded (swap the
+    expansion for two hash joins on i and j when it is not).
+    """
+    from ray.data.aggregate import Sum
+
+    from aida_ray.state.collect import collect_table
+
+    ep = collect_table(edges.select_columns([src, dst])).to_pandas() \
+        .drop_duplicates()
+    sv = ep[src].to_numpy(np.int64)
+    dv = ep[dst].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([sv, dv]))
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    si = np.searchsorted(nodes, sv)
+    di = np.searchsorted(nodes, dv)
+    indeg = np.bincount(di, minlength=n).astype(np.float64)
+
+    if n <= gate_nodes:
+        @ray.remote(num_cpus=1)
+        def _dense(si, di, indeg, n):
+            S = np.eye(n)
+            E = np.zeros((n, n))
+            E[si, di] = 1.0
+            dnz = np.where(indeg > 0, indeg, 1.0)
+            for _ in range(iterations):
+                raw = E.T @ S @ E
+                S = c * raw / np.outer(dnz, dnz)
+                S[indeg == 0, :] = 0.0
+                S[:, indeg == 0] = 0.0
+                np.fill_diagonal(S, 1.0)
+            return S
+
+        S = ray.get(_dense.remote(si, di, indeg, n))
+        iu, ju = np.triu_indices(n, k=1)
+        s = np.round(S[iu, ju], 6)
+        nz = s > 0
+        return pa.table({
+            "a": pa.array(nodes[iu[nz]], pa.int64()),
+            "b": pa.array(nodes[ju[nz]], pa.int64()),
+            "sim": pa.array(s[nz], pa.float64())})
+
+    # streaming route: pair table through broadcast out-edge lists
+    order = np.argsort(si, kind="stable")
+    so, do = si[order], di[order]
+    starts = np.searchsorted(so, np.arange(n))
+    ends = np.searchsorted(so, np.arange(n), side="right")
+    bc = ray.put((so, do, starts, ends, indeg))
+
+    pairs = ray.data.from_arrow(pa.table({
+        "i": pa.array(np.arange(n), pa.int64()),
+        "j": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array(np.ones(n), pa.float64())}))
+
+    from aida_ray.stages.ml import _compact
+    for _ in range(iterations):
+        def expand(t: pa.Table) -> pa.Table:
+            so_, do_, st_, en_, ind_ = _get_cached(bc)
+            ii = t["i"].to_numpy(zero_copy_only=False)
+            jj = t["j"].to_numpy(zero_copy_only=False)
+            ss = t["s"].to_numpy(zero_copy_only=False)
+            oi = en_[ii] - st_[ii]
+            oj = en_[jj] - st_[jj]
+            fan = oi * oj
+            keep = fan > 0
+            ii, jj, ss, oi, oj = (ii[keep], jj[keep], ss[keep],
+                                  oi[keep], oj[keep])
+            fan = fan[keep]
+            if not len(ii):
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.float64())})
+            rep = np.repeat(np.arange(len(ii)), fan)
+            # enumerate the oi x oj out-neighbor cross product per pair
+            off = np.arange(len(rep)) - np.repeat(
+                np.concatenate([[0], np.cumsum(fan)[:-1]]), fan)
+            ai = do_[st_[ii][rep] + off // oj[rep]]
+            bj = do_[st_[jj][rep] + off % oj[rep]]
+            return pa.table({"a": pa.array(ai, pa.int64()),
+                             "b": pa.array(bj, pa.int64()),
+                             "v": pa.array(ss[rep], pa.float64())})
+
+        agg = pairs.map_batches(expand, batch_format="pyarrow") \
+            .groupby(["a", "b"]).aggregate(Sum("v"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            so_, do_, st_, en_, ind_ = _get_cached(bc)
+            av = t["a"].to_numpy(zero_copy_only=False)
+            bv = t["b"].to_numpy(zero_copy_only=False)
+            vv = t["v" if "v" in t.column_names else "sum(v)"] \
+                .to_numpy(zero_copy_only=False)
+            dnz = np.where(ind_ > 0, ind_, 1.0)
+            s = c * vv / (dnz[av] * dnz[bv])
+            s = np.where(av == bv, 1.0, s)
+            return pa.table({"i": pa.array(av, pa.int64()),
+                             "j": pa.array(bv, pa.int64()),
+                             "s": pa.array(s, pa.float64())})
+
+        diag = ray.data.from_arrow(pa.table({
+            "a": pa.array(np.arange(n), pa.int64()),
+            "b": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(np.zeros(n), pa.float64())}))
+        merged = agg.map_batches(
+            lambda t: t.rename_columns(["a", "b", "v"]),
+            batch_format="pyarrow").union(diag) \
+            .groupby(["a", "b"]).aggregate(Sum("v")) \
+            .map_batches(lambda t: t.rename_columns(["a", "b", "v"]),
+                         batch_format="pyarrow")
+        pairs = _compact(merged.map_batches(finish,
+                                            batch_format="pyarrow"),
+                         rows_per_block=65536)
+
+    out = collect_table(pairs).to_pandas()
+    out = out[out.i < out.j]
+    out["sim"] = np.round(out.s.to_numpy(), 6)
+    out = out[out.sim > 0]
+    return pa.table({
+        "a": pa.array(nodes[out.i.to_numpy(np.int64)], pa.int64()),
+        "b": pa.array(nodes[out.j.to_numpy(np.int64)], pa.int64()),
+        "sim": pa.array(out.sim.to_numpy(), pa.float64())})
