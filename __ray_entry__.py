@@ -5971,6 +5971,117 @@ def _simrank_oracle_sql(rounds: int = 4, c: float = 0.8) -> str:
         WHERE a < b AND ROUND(s, 6) > 0"""
 
 
+def q_ntriples_roundtrip(sf_dir: str) -> pa.Table:
+    """RDF N-Triples serialize → parse round-trip (stages/ntriples):
+    planted triples alternate IRI objects and literals stuffed with
+    every ECHAR (quote, backslash, newline, tab); the oracle
+    regenerates the source triples, so any escaping asymmetry flips
+    the row red."""
+    from aida_ray.stages.ntriples import from_ntriples, to_ntriples
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        lit = ids % 2 == 1
+        objs = [f'va"l\\{i}\n\tend' if i % 2 == 1
+                else f"http://kg.test/o{i}" for i in ids]
+        return pa.table({
+            "subj": pa.array([f"http://kg.test/e{i}" for i in ids]),
+            "pred": pa.array([f"http://kg.test/p{i % 3}" for i in ids]),
+            "obj": pa.array(objs, pa.string()),
+            "is_literal": pa.array(lit, pa.bool_())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    triples = docs.map_batches(to_triples, batch_format="pyarrow")
+    return _collect(from_ntriples(to_ntriples(triples)))
+
+
+_NTRIPLES_ORACLE = """
+    SELECT 'http://kg.test/e' || doc_id AS subj,
+           'http://kg.test/p' || (doc_id % 3) AS pred,
+           CASE WHEN doc_id % 2 = 1
+                THEN 'va"l\\' || doc_id || chr(10) || chr(9) || 'end'
+                ELSE 'http://kg.test/o' || doc_id END AS obj,
+           doc_id % 2 = 1 AS is_literal
+    FROM documents
+"""
+
+
+def q_shacl_shapes(sf_dir: str) -> pa.Table:
+    """SHACL-lite shape validation (stages/shacl.validate_shapes):
+    planted entities of three classes with per-class (min_count,
+    max_count, datatype, pattern) shapes and modular-arithmetic
+    violations of every kind; oracle = the violation enumeration in
+    SQL."""
+    from aida_ray.stages.shacl import validate_shapes
+
+    shapes = pa.table({
+        "cls": pa.array(["c0", "c1", "c2"]),
+        "prop": pa.array(["name", "age", "link"]),
+        "min_count": pa.array([1, 1, 1], pa.int64()),
+        "max_count": pa.array([2, 1, None], pa.int64()),
+        "datatype": pa.array(["string", "integer", "iri"]),
+        "pattern": pa.array(["^Name[0-9]+$", None, None]),
+    })
+
+    def to_types(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "entity": pa.array([f"e{i}" for i in ids]),
+            "cls": pa.array([f"c{i % 3}" for i in ids])})
+
+    def to_triples(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        s, p, o, lit = [], [], [], []
+        for i in ids:
+            i = int(i)
+            for j in range(i % 4):
+                s.append(f"e{i}")
+                p.append("name")
+                o.append((f"Name{i + j}" if i % 5 else f"name{i + j}"))
+                lit.append(True)
+            for j in range(i % 4):
+                s.append(f"e{i}")
+                p.append("age")
+                o.append(str(i) if i % 7 else f"x{i}")
+                lit.append(True)
+            for j in range(i % 2):
+                s.append(f"e{i}")
+                p.append("link")
+                o.append(f"http://ex.test/{i}")
+                lit.append(i % 11 == 0)
+        return pa.table({"subj": pa.array(s), "pred": pa.array(p),
+                         "obj": pa.array(o),
+                         "is_literal": pa.array(lit, pa.bool_())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    types = docs.map_batches(to_types, batch_format="pyarrow")
+    triples = docs.map_batches(to_triples, batch_format="pyarrow")
+    return _collect(validate_shapes(types, triples, shapes))
+
+
+_SHACL_ORACLE = """
+    WITH d AS (SELECT doc_id AS i FROM documents)
+    SELECT 'e' || i AS entity, 'name' AS prop, 'min_count' AS kind
+    FROM d WHERE i % 3 = 0 AND i % 4 = 0
+    UNION ALL SELECT 'e' || i, 'name', 'max_count'
+    FROM d WHERE i % 3 = 0 AND i % 4 = 3
+    UNION ALL SELECT 'e' || i, 'name', 'pattern'
+    FROM d WHERE i % 3 = 0 AND i % 5 = 0 AND i % 4 >= 1
+    UNION ALL SELECT 'e' || i, 'age', 'min_count'
+    FROM d WHERE i % 3 = 1 AND i % 4 = 0
+    UNION ALL SELECT 'e' || i, 'age', 'max_count'
+    FROM d WHERE i % 3 = 1 AND i % 4 >= 2
+    UNION ALL SELECT 'e' || i, 'age', 'datatype'
+    FROM d WHERE i % 3 = 1 AND i % 7 = 0 AND i % 4 >= 1
+    UNION ALL SELECT 'e' || i, 'link', 'min_count'
+    FROM d WHERE i % 3 = 2 AND i % 2 = 0
+    UNION ALL SELECT 'e' || i, 'link', 'datatype'
+    FROM d WHERE i % 3 = 2 AND i % 11 = 0 AND i % 2 = 1
+"""
+
+
 def q_quotes(sf_dir: str) -> pa.Table:
     """Quotation attribution (hearst.quotes): even docs use the
     trailing frame ('"...," said Name Surname'), odd docs the leading
@@ -10089,6 +10200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_scores": q_decayed_scores,
         "ktruss": q_ktruss,
         "simrank": q_simrank,
+        "ntriples_roundtrip": q_ntriples_roundtrip,
+        "shacl_shapes": q_shacl_shapes,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
@@ -11722,6 +11835,8 @@ def _oracle_sql_dict() -> dict[str, str]:
         "decayed_scores": _DECAYED_ORACLE,
         "ktruss": _ktruss_oracle_sql(),
         "simrank": _simrank_oracle_sql(),
+        "ntriples_roundtrip": _NTRIPLES_ORACLE,
+        "shacl_shapes": _SHACL_ORACLE,
         "mixture_sample": _MIXTURE_ORACLE,
         "main_content": """
             SELECT doc_id,
