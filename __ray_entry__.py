@@ -6082,6 +6082,160 @@ _SHACL_ORACLE = """
 """
 
 
+def q_politeness(sf_dir: str) -> pa.Table:
+    """Per-host crawl-slot assignment (urls.politeness_schedule,
+    2 s/host token bucket): fetches ordered (priority DESC, url)
+    within each host, i-th slot at i*2 s; oracle = ROW_NUMBER
+    window twin."""
+    from aida_ray.stages.urls import politeness_schedule
+
+    def to_frontier(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "host": pa.array([f"h{i % 7}.test" for i in ids]),
+            "url": pa.array(
+                [f"http://h{i % 7}.test/page{i}" for i in ids]),
+            "priority": pa.array(ids % 5, pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(politeness_schedule(
+        docs.map_batches(to_frontier, batch_format="pyarrow"),
+        delay_s=2))
+
+
+_POLITENESS_ORACLE = """
+    SELECT 'h' || (doc_id % 7) || '.test' AS host,
+           'http://h' || (doc_id % 7) || '.test/page' || doc_id AS url,
+           doc_id % 5 AS priority,
+           2 * (ROW_NUMBER() OVER (
+               PARTITION BY doc_id % 7
+               ORDER BY doc_id % 5 DESC,
+                        'http://h' || (doc_id % 7) || '.test/page'
+                        || doc_id) - 1) AS fetch_at_s
+    FROM documents
+"""
+
+
+def q_charset_sniff(sf_dir: str) -> pa.Table:
+    """WHATWG-order charset sniffing (extract.sniff_charset): BOM →
+    meta charset → http-equiv content-type → utf-8 default, over
+    planted payloads cycling all five routes; CASE SQL twin."""
+    from aida_ray.text.extract import sniff_charset
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        payloads = []
+        for i in ids:
+            i = int(i) % 5
+            if i == 0:
+                payloads.append(b"\xef\xbb\xbf<html>x</html>")
+            elif i == 1:
+                payloads.append(
+                    b'<html><head><meta charset="ISO-8859-1">')
+            elif i == 2:
+                payloads.append(
+                    b'<head><meta http-equiv="content-type" '
+                    b'content="text/html; charset=windows-1251">')
+            elif i == 3:
+                payloads.append(b"\xff\xfe<\x00h\x00t\x00m\x00l\x00>")
+            else:
+                payloads.append(b"<html><body>plain</body></html>")
+        return pa.table({"doc_id": b["doc_id"],
+                         "html": pa.array(payloads, pa.binary())})
+
+    def sniff(b: pa.Table) -> pa.Table:
+        outs = [sniff_charset(h.as_py()) for h in b["html"]]
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "charset": pa.array([o[0] for o in outs]),
+            "how": pa.array([o[1] for o in outs])})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(docs.map_batches(to_pages, batch_format="pyarrow")
+                    .map_batches(sniff, batch_format="pyarrow"))
+
+
+_CHARSET_ORACLE = """
+    SELECT doc_id,
+           CASE doc_id % 5
+               WHEN 0 THEN 'utf-8-bom'
+               WHEN 1 THEN 'iso-8859-1'
+               WHEN 2 THEN 'windows-1251'
+               WHEN 3 THEN 'utf-16-le'
+               ELSE 'utf-8' END AS charset,
+           CASE doc_id % 5
+               WHEN 0 THEN 'bom'
+               WHEN 1 THEN 'meta'
+               WHEN 2 THEN 'http-equiv'
+               WHEN 3 THEN 'bom'
+               ELSE 'default' END AS how
+    FROM documents
+"""
+
+
+def q_tag_fingerprint(sf_dir: str) -> pa.Table:
+    """DOM-shape template grouping (extract.tag_fingerprint): pages
+    rendered from the same template collide on the md5 of their
+    ordered opening-tag sequence regardless of text; three planted
+    templates; oracle = md5 over the same tag strings in SQL."""
+    from aida_ray.text.extract import tag_fingerprint
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        htmls = []
+        for i in ids:
+            i = int(i)
+            if i % 3 == 0:
+                htmls.append(
+                    f'<html><head><title>T{i}</title></head><body>'
+                    f'<div class="c"><p>text {i} <a href="u{i}">l</a>'
+                    f"</p></div></body></html>")
+            elif i % 3 == 1:
+                htmls.append(
+                    f"<html><body><ul><li>a{i}<li>b{i}</ul>"
+                    f"</body></html>")
+            else:
+                htmls.append(
+                    f"<html><body><table><tr><td>v{i}</td></tr>"
+                    f"</table></body></html>")
+        return pa.table({"html": pa.array(htmls, pa.string())})
+
+    def fp(b: pa.Table) -> pa.Table:
+        outs = [tag_fingerprint(h.as_py()) for h in b["html"]]
+        return pa.table({
+            "fp": pa.array([o["fp"] for o in outs]),
+            "n_tags": pa.array([o["n_tags"] for o in outs], pa.int64()),
+            "n_distinct_tags": pa.array(
+                [o["n_distinct_tags"] for o in outs], pa.int64())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return _collect(
+        docs.map_batches(to_pages, batch_format="pyarrow")
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby(["fp", "n_tags", "n_distinct_tags"]).count()) \
+        .rename_columns(["fp", "n_tags", "n_distinct_tags", "n_docs"])
+
+
+_TAG_FP_ORACLE = """
+    WITH t AS (
+        SELECT CASE doc_id % 3
+            WHEN 0 THEN 'html>head>title>body>div>p>a'
+            WHEN 1 THEN 'html>body>ul>li>li'
+            ELSE 'html>body>table>tr>td' END AS tags,
+            CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 5 ELSE 5
+            END AS n_tags,
+            CASE doc_id % 3 WHEN 0 THEN 7 WHEN 1 THEN 4 ELSE 5
+            END AS n_distinct_tags
+        FROM documents)
+    SELECT md5(tags) AS fp, n_tags, n_distinct_tags,
+           COUNT(*) AS n_docs
+    FROM t GROUP BY tags, n_tags, n_distinct_tags
+"""
+
+
 def q_quotes(sf_dir: str) -> pa.Table:
     """Quotation attribution (hearst.quotes): even docs use the
     trailing frame ('"...," said Name Surname'), odd docs the leading
@@ -10202,6 +10356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simrank": q_simrank,
         "ntriples_roundtrip": q_ntriples_roundtrip,
         "shacl_shapes": q_shacl_shapes,
+        "politeness_schedule": q_politeness,
+        "charset_sniff": q_charset_sniff,
+        "tag_fingerprint": q_tag_fingerprint,
         "mixture_sample": q_mixture_sample,
         "weighted_sample": q_weighted_sample,
         "month_growth": q_month_growth,
@@ -11837,6 +11994,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "simrank": _simrank_oracle_sql(),
         "ntriples_roundtrip": _NTRIPLES_ORACLE,
         "shacl_shapes": _SHACL_ORACLE,
+        "politeness_schedule": _POLITENESS_ORACLE,
+        "charset_sniff": _CHARSET_ORACLE,
+        "tag_fingerprint": _TAG_FP_ORACLE,
         "mixture_sample": _MIXTURE_ORACLE,
         "main_content": """
             SELECT doc_id,

@@ -375,3 +375,39 @@ def canonical_url_pick(members: ray.data.Dataset,
                                       pa.string())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def politeness_schedule(ds: "ray.data.Dataset", host_col: str = "host",
+                        url_col: str = "url",
+                        priority_col: str = "priority",
+                        delay_s: int = 2,
+                        group_size_limit: int = 50_000_000
+                        ) -> "ray.data.Dataset":
+    """Per-host crawl-slot assignment under a politeness delay: each
+    host's pending fetches are ordered (priority DESC, url) and the
+    i-th one is scheduled at ``fetch_at_s = i * delay_s`` — the
+    classic per-host token-bucket discipline (one request per host per
+    delay window), so the emitted schedule can be executed by any
+    number of fetchers without coordinating beyond the host key.
+
+    Same shape as :func:`frontier_rank`: ONE ``groupby(host)``
+    shuffle, vectorized numpy per group, per-host batch sizes
+    politeness-bounded with the ``group_size_limit`` guard.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > group_size_limit:
+            raise ValueError(
+                f"hot host {g[host_col].iloc[0]!r}: {len(g)} rows "
+                "exceed the per-group bound — pre-split by url bucket")
+        g = g.sort_values([priority_col, url_col],
+                          ascending=[False, True]).reset_index(drop=True)
+        return pd.DataFrame({
+            host_col: g[host_col], url_col: g[url_col],
+            priority_col: g[priority_col],
+            "fetch_at_s": np.arange(len(g), dtype="int64") * delay_s})
+
+    return ds.groupby(host_col).map_groups(per_host,
+                                           batch_format="pandas")

@@ -14,6 +14,7 @@ exactly ``extract_text(html)``, and the invariant is tested per url.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
@@ -150,3 +151,51 @@ def extract_headings(html: bytes | str) -> list[dict]:
         out.append({"idx": len(out), "level": level,
                     "heading": text, "parent_idx": parent})
     return out
+
+
+_BOMS = [(b"\xef\xbb\xbf", "utf-8-bom"),
+         (b"\xff\xfe", "utf-16-le"),
+         (b"\xfe\xff", "utf-16-be")]
+_CHARSET_RE = re.compile(
+    r'<meta\s+charset=["\']?([A-Za-z0-9_.:-]+)', re.I)
+_CONTENT_CHARSET_RE = re.compile(
+    r'<meta\s+http-equiv=["\']?content-type["\']?\s+'
+    r'content=["\'][^"\']*charset=([A-Za-z0-9_.:-]+)', re.I)
+
+
+def sniff_charset(html: bytes, probe_bytes: int = 1024) -> tuple[str, str]:
+    """(charset, how) for a raw html payload — the decode-routing step
+    a crawl pipeline runs before text extraction.  Detection order
+    matches the WHATWG encoding sniff: byte-order mark first, then the
+    first <meta charset=...> / http-equiv content-type charset within
+    the first ``probe_bytes`` bytes, else the utf-8 default.
+    Deterministic; never decodes the full payload."""
+    for bom, name in _BOMS:
+        if html.startswith(bom):
+            return name, "bom"
+    head = html[:probe_bytes].decode("latin-1", errors="replace")
+    m = _CHARSET_RE.search(head)
+    if m:
+        return m.group(1).lower(), "meta"
+    m = _CONTENT_CHARSET_RE.search(head)
+    if m:
+        return m.group(1).lower(), "http-equiv"
+    return "utf-8", "default"
+
+
+_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+
+
+def tag_fingerprint(html: bytes | str) -> dict:
+    """Structural DOM-shape fingerprint: the ordered opening-tag
+    sequence hashed with md5 (matching DuckDB's ``md5`` for SQL
+    twins) plus tag counts — pages rendered from the same template
+    collide on ``fp`` regardless of their text, the standard
+    signal for per-template boilerplate/wrapper grouping."""
+    if isinstance(html, bytes):
+        html = html.decode("utf-8", errors="replace")
+    tags = [t.lower() for t in _TAG_RE.findall(html)]
+    joined = ">".join(tags)
+    return {"fp": hashlib.md5(joined.encode()).hexdigest(),
+            "n_tags": len(tags),
+            "n_distinct_tags": len(set(tags))}
