@@ -42,11 +42,39 @@ def extract_text(html: bytes | str) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
+def _inline_wrap(esc_para: str) -> str:
+    """Deterministically wrap words of an escaped paragraph in INLINE
+    tags (anchor/bold/span/nested) so the synthetic corpus exercises
+    the full tag grammar, not just block tags — extract_text strips
+    inline tags without inserting whitespace, so the round-trip stays
+    byte-identical.  Keyed by crc32 of the paragraph (no RNG)."""
+    import zlib
+    words = esc_para.split(" ")
+    if len(words) < 4:
+        return esc_para
+    h = zlib.crc32(esc_para.encode("utf-8"))
+    i = h % (len(words) - 1)          # never the last word
+    j = (i + 1 + (h >> 8) % (len(words) - 1 - i)) if i + 1 < len(words) else i
+    styles = [
+        lambda w: f'<a href="/w/{h & 0xffff}">{w}</a>',
+        lambda w: f"<b>{w}</b>",
+        lambda w: f'<span class="kw">{w}</span>',
+        lambda w: f"<b><i>{w}</i></b>",
+    ]
+    words[i] = styles[(h >> 16) & 3](words[i])
+    if j != i:
+        words[j] = styles[(h >> 18) & 3](words[j])
+    return " ".join(words)
+
+
 def wrap_text_as_html(text: str, title: str = "") -> bytes:
     """Inverse generator used by the synthetic corpus: produces html whose
-    extract_text() is exactly ``text`` (given text has no blank/edge whitespace)."""
+    extract_text() is exactly ``text`` (given text has no blank/edge
+    whitespace).  Paragraphs carry deterministic inline tags
+    (:func:`_inline_wrap`) so extraction regressions on inline-tagged
+    HTML flip the round-trip oracles red."""
     esc = text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    paras = "".join(f"<p>{p}</p>\n" for p in esc.split("\n"))
+    paras = "".join(f"<p>{_inline_wrap(p)}</p>\n" for p in esc.split("\n"))
     doc = (
         "<html><head><title>" + title + "</title>"
         "<script>var x = 1 < 2;</script><style>.a{color:red}</style></head>\n"
@@ -183,7 +211,7 @@ def sniff_charset(html: bytes, probe_bytes: int = 1024) -> tuple[str, str]:
     return "utf-8", "default"
 
 
-_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+_OPEN_TAG_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
 
 
 def tag_fingerprint(html: bytes | str) -> dict:
@@ -194,7 +222,7 @@ def tag_fingerprint(html: bytes | str) -> dict:
     signal for per-template boilerplate/wrapper grouping."""
     if isinstance(html, bytes):
         html = html.decode("utf-8", errors="replace")
-    tags = [t.lower() for t in _TAG_RE.findall(html)]
+    tags = [t.lower() for t in _OPEN_TAG_RE.findall(html)]
     joined = ">".join(tags)
     return {"fp": hashlib.md5(joined.encode()).hexdigest(),
             "n_tags": len(tags),

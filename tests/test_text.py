@@ -51,6 +51,58 @@ def test_extract_roundtrip_byte_identical():
     assert extract_text(html) == text
 
 
+def test_extract_strips_inline_tags():
+    # inline tags strip without inserting whitespace (the r3 _TAG_RE
+    # shadowing regression broke exactly this)
+    assert extract_text(b'<p>hello <a href="/x">link</a></p>') == "hello link"
+    assert extract_text(b"<p>a <b><i>nest</i></b>ed</p>") == "a nested"
+    assert extract_text(b'<p><span class="k">w</span>ord</p>') == "word"
+
+
+def test_wrap_text_emits_inline_tags_and_roundtrips():
+    """The synthetic corpus must exercise the full tag grammar: long
+    paragraphs get deterministic inline tags AND still round-trip
+    byte-identically — the fixture blind spot that hid the r3
+    regression from the extract_text/pages oracles."""
+    texts = [
+        "EU rejects German call to boycott British lamb today.",
+        "The story of Ada Lovelace involves engines and notes.",
+        "alpha beta gamma delta epsilon zeta eta theta",
+    ]
+    saw_inline = False
+    for t in texts:
+        h = wrap_text_as_html(t)
+        assert extract_text(h) == t
+        if any(m in h for m in (b"<a href", b"<b>", b"<span")):
+            saw_inline = True
+    assert saw_inline
+
+
+def test_broken_tag_strip_is_caught_by_fixture():
+    """Negative control: re-introducing the r3 bug (whole-tag strip
+    regex replaced by an opening-tag-name scan) must break the
+    round-trip on generator output."""
+    import re as _re
+
+    from aida_ray.text import extract as ex
+    good = ex._TAG_RE
+    try:
+        ex._TAG_RE = _re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+        broken = any(
+            ex.extract_text(wrap_text_as_html(t)) != t
+            for t in ["The story of Ada Lovelace involves engines and notes.",
+                      "alpha beta gamma delta epsilon zeta eta theta"])
+    finally:
+        ex._TAG_RE = good
+    assert broken
+
+
+def test_tag_fingerprint_counts_inline_tags():
+    from aida_ray.text.extract import tag_fingerprint
+    fp = tag_fingerprint(b'<p>hello <a href="/x">link</a></p>')
+    assert fp["n_tags"] == 2 and fp["n_distinct_tags"] == 2
+
+
 def test_extract_strips_script_and_entities():
     html = b"<html><body><script>if (a<b) {}</script><p>x &amp; y</p></body></html>"
     assert extract_text(html) == "x & y"
