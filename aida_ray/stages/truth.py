@@ -69,7 +69,7 @@ def _distinct_assertions(claims: ray.data.Dataset, source: str,
 def truthfinder(claims: ray.data.Dataset, source: str = "source",
                 key: str = "key", value: str = "value",
                 iters: int = 3, tau0: float = 0.8, damp: float = 0.8,
-                claim_broadcast_rows: int = 2_000_000) -> ray.data.Dataset:
+                claim_broadcast_rows: int = 100_000) -> ray.data.Dataset:
     """(key, value, n_src, conf, best) per distinct claim.
 
     ``best`` marks, per key, the claim with the highest final
@@ -77,29 +77,46 @@ def truthfinder(claims: ray.data.Dataset, source: str = "source",
     over float equality).  ``conf`` is rounded to 6 decimals; the
     iteration itself runs full float64.
 
-    ``claim_broadcast_rows``: above this many distinct claims the
-    trust pass switches from a broadcast claim→conf map to a hash
-    join (claims scale with the corpus; sources never do).
+    ``claim_broadcast_rows``: the scale gate, on DISTINCT-assertion
+    count (free — the distinct table is materialized).  At or below
+    it the whole fixpoint runs as one vectorized numpy solve over the
+    gathered assertion table (the bounded-input fast path, same
+    pattern as the gated connected-components solve in dedup.py —
+    synchronous iteration over a tiny table through 6+ distributed
+    shuffles is pure fixed cost).  Above it, each iteration is fully
+    distributed: conf partials + groupby-sum, conf hash-joined back
+    onto the assertion stream, groupby-mean trust with ONE
+    |sources|-row driver pull per iteration — no driver gather of
+    claim-scale data anywhere on that route.
     """
     from ray.data.aggregate import Mean, Sum
 
     a = _compact(_distinct_assertions(claims, source, key, value),
                  rows_per_block=65536)
-
-    # source universe + per-source claim counts: bounded, one pass
-    src_tbl = a.groupby(source).count().to_pandas()
-    if src_tbl.empty:
+    n_assert = a.count()                    # materialized — metadata
+    if n_assert == 0:
         return ray.data.from_arrow(pa.table({
             key: pa.array([], pa.string()),
             value: pa.array([], pa.string()),
             "n_src": pa.array([], pa.int64()),
             "conf": pa.array([], pa.float64()),
             "best": pa.array([], pa.bool_())}))
+
+    if n_assert <= claim_broadcast_rows:
+        at = _concat_blocks(ray.get(a.to_arrow_refs()),
+                            pa.schema([(source, pa.string()),
+                                       (key, pa.string()),
+                                       (value, pa.string())]))
+        return ray.data.from_arrow(_truthfinder_local(
+            at, source, key, value, iters, tau0, damp))
+
+    # ---------------- distributed route (assertions > gate) --------
+    src_tbl = a.groupby(source).count().to_pandas()
     sources = np.sort(src_tbl[source].to_numpy())
     trust = np.full(len(sources), float(tau0))
 
     conf_ds = None
-    for _ in range(iters):
+    for it in range(iters):
         tref = ray.put((sources, trust))
 
         # ---- conf pass: per-claim noisy-OR of damp*trust ----------
@@ -118,45 +135,23 @@ def truthfinder(claims: ray.data.Dataset, source: str = "source",
             return pa.Table.from_pandas(g, preserve_index=False)
 
         conf_ds = a.map_batches(logq_partial, batch_format="pyarrow") \
-            .groupby([key, value]).aggregate(Sum("logq"), Sum("n")) \
-            .materialize()
+            .groupby([key, value]).aggregate(Sum("logq"), Sum("n"))
+        if it == iters - 1:
+            # last round: conf_ds is consumed twice (trust pass +
+            # mark_best) — materialize to avoid recompute
+            conf_ds = conf_ds.materialize()
 
-        # ---- trust pass: per-source mean of its claims' conf ------
-        n_claims = conf_ds.count()
-        if n_claims <= claim_broadcast_rows:
-            ct = _concat_blocks(
-                ray.get(conf_ds.to_arrow_refs()),
-                pa.schema([(key, pa.string()), (value, pa.string()),
-                           ("sum(logq)", pa.float64()),
-                           ("sum(n)", pa.int64())]))
-            cmap = dict(zip(
-                zip(ct[key].to_pylist(), ct[value].to_pylist()),
-                (1.0 - np.exp(
-                    ct["sum(logq)"].to_numpy(zero_copy_only=False)))))
-            cref = ray.put(cmap)
+        # ---- trust pass: conf hash-joined onto the assertions -----
+        def finish_conf(b: pa.Table) -> pa.Table:
+            cf = 1.0 - np.exp(
+                b["sum(logq)"].to_numpy(zero_copy_only=False))
+            return pa.table({key: b[key], value: b[value],
+                             "conf": pa.array(cf)})
 
-            def trust_partial(b: pa.Table, _cref=cref) -> pa.Table:
-                cm = _get_cached(_cref)
-                ks = b[key].to_pylist()
-                vs = b[value].to_pylist()
-                cf = np.fromiter((cm[(k, v)] for k, v in zip(ks, vs)),
-                                 dtype=np.float64, count=len(ks))
-                return pa.table({source: b[source], "conf": pa.array(cf)})
-
-            tt = a.map_batches(trust_partial, batch_format="pyarrow") \
-                .groupby(source).aggregate(Mean("conf")).to_pandas()
-        else:
-            # hash-join fallback: ship conf to the assertion stream
-            def finish_conf(b: pa.Table) -> pa.Table:
-                cf = 1.0 - np.exp(
-                    b["sum(logq)"].to_numpy(zero_copy_only=False))
-                return pa.table({key: b[key], value: b[value],
-                                 "conf": pa.array(cf)})
-
-            from aida_ray.stages.shuffle_join import hash_join
-            cj = conf_ds.map_batches(finish_conf, batch_format="pyarrow")
-            tt = hash_join(a, cj, on=(key, value)) \
-                .groupby(source).aggregate(Mean("conf")).to_pandas()
+        from aida_ray.stages.shuffle_join import hash_join
+        cj = conf_ds.map_batches(finish_conf, batch_format="pyarrow")
+        tt = hash_join(a, cj, on=(key, value)) \
+            .groupby(source).aggregate(Mean("conf")).to_pandas()
         tmap = dict(zip(tt[source], tt["mean(conf)"]))
         trust = np.array([tmap[s] for s in sources])
 
@@ -173,6 +168,45 @@ def truthfinder(claims: ray.data.Dataset, source: str = "source",
 
     return conf_ds.groupby(key).map_groups(mark_best,
                                            batch_format="pandas")
+
+
+def _truthfinder_local(at: pa.Table, source: str, key: str, value: str,
+                       iters: int, tau0: float, damp: float) -> pa.Table:
+    """Vectorized single-table TruthFinder solve for gated inputs —
+    identical math to the distributed route (np.log(1-x) per
+    assertion, per-claim sum, per-source mean), so both routes agree
+    to float tolerance (tests pin this with claim_broadcast_rows=0)."""
+    df = pd.DataFrame({source: at[source].to_pandas(),
+                       key: at[key].to_pandas(),
+                       value: at[value].to_pandas()})
+    s_codes, _ = pd.factorize(df[source], sort=True)
+    c_codes = df.groupby([key, value], sort=False).ngroup().to_numpy()
+    n_s, n_c = int(s_codes.max()) + 1, int(c_codes.max()) + 1
+    s_cnt = np.bincount(s_codes, minlength=n_s).astype(np.float64)
+    trust = np.full(n_s, float(tau0))
+    conf = np.zeros(n_c)
+    for _ in range(iters):
+        lq = np.log(1.0 - damp * trust[s_codes])
+        slq = np.zeros(n_c)
+        np.add.at(slq, c_codes, lq)
+        conf = 1.0 - np.exp(slq)
+        tsum = np.zeros(n_s)
+        np.add.at(tsum, s_codes, conf[c_codes])
+        trust = tsum / s_cnt
+    # claim attrs by code via the first-occurrence map
+    first = np.unique(c_codes, return_index=True)[1]
+    order = np.empty(n_c, dtype=np.int64)
+    order[c_codes[first]] = first
+    out = pd.DataFrame({
+        key: df[key].to_numpy()[order],
+        value: df[value].to_numpy()[order],
+        "n_src": np.bincount(c_codes, minlength=n_c).astype(np.int64),
+        "conf": np.round(conf, 6)})
+    out = out.sort_values(["conf", value], ascending=[False, True],
+                          kind="stable")
+    out["best"] = ~out.duplicated(subset=[key])
+    return pa.Table.from_pandas(
+        out[[key, value, "n_src", "conf", "best"]], preserve_index=False)
 
 
 def source_agreement(claims: ray.data.Dataset, source: str = "source",
