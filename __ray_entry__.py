@@ -1775,7 +1775,7 @@ def q_multilang_ned(sf_dir: str) -> pa.Table:
     def to_pages(b: pa.Table) -> pa.Table:
         ids = b["doc_id"].to_pylist()
         langs = b["lang"].to_pylist()
-        texts, urls = [], []
+        texts, urls, out_langs = [], [], []
         for i, lang in zip(ids, langs):
             if lang == "de":
                 texts.append("Knebworth ist z.B. besser als Kashmir .")
@@ -1784,14 +1784,27 @@ def q_multilang_ned(sf_dir: str) -> pa.Table:
             else:
                 texts.append("Knebworth vs Kashmir")
             urls.append(f"http://ml/{lang}/{i}")
+            out_langs.append(lang)
+            if lang == "es":
+                # companion Arabic page: both surfaces hide behind
+                # proclitics (و+ / ب+ال), so its two mentionedIn + one
+                # coOccursWith exist ONLY under ar clitic segmentation
+                texts.append("وكنبورث أفضل من بالكشمير ؟")
+                urls.append(f"http://ml/ar/{i}")
+                out_langs.append("ar")
         return pa.table({"url": pa.array(urls, pa.string()),
                          "text": pa.array(texts, pa.string()),
-                         "lang": pa.array(langs, pa.string())})
+                         "lang": pa.array(out_langs, pa.string())})
 
+    kb = build_fixture_kb()
+    # Arabic alias surfaces for the fixture entities (conflation is
+    # identity for Arabic — no case); priors mirror the English rows
+    kb.dictionary["كنبورث"] = list(kb.dictionary["KNEBWORTH"])
+    kb.dictionary["الكشمير"] = list(kb.dictionary["KASHMIR"])
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id", "lang"])
     pages = docs.map_batches(to_pages, batch_format="pyarrow")
-    triples = link_pages(pages, put_kb(build_fixture_kb()),
+    triples = link_pages(pages, put_kb(kb),
                          settings=DisambiguationSettings(technique="prior"),
                          concurrency=min(4, _pool()), batch_size=256)
 
@@ -12554,6 +12567,11 @@ def _oracle_sql_dict() -> dict[str, str]:
                    CAST(2 * COUNT(*) AS BIGINT) AS n_mentioned_in,
                    CAST(COUNT(*) AS BIGINT) AS n_cooccur
             FROM documents GROUP BY lang
+            UNION ALL
+            SELECT 'ar',
+                   CAST(2 * COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT)
+            FROM documents WHERE lang = 'es'
         """,
         "sketch_stats": """
             SELECT 'custkeys_distinct' AS stat,

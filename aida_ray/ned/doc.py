@@ -103,8 +103,14 @@ def align_mentions_to_tokens(mentions: list[Mention], tokens: list[Token]) -> li
 
 
 def _looks_like_name(tok: Token) -> bool:
+    # upper/digit initial, or a CASELESS script (Arabic/CJK — no
+    # capitalization signal exists, so the dictionary decides alone)
     t = tok.text
-    return len(t) > 1 and (t[0].isupper() or t[0].isdigit())
+    if len(t) <= 1:
+        return False
+    c = t[0]
+    return c.isupper() or c.isdigit() or \
+        (c.isalpha() and not c.islower() and not c.isupper())
 
 
 def dictionary_tag(text: str, tokens: list[Token], kb: KB) -> list[Mention]:

@@ -72,30 +72,79 @@ def tokenize_de(text: str) -> list[Token]:
     return tokens
 
 
+# Word-run class: \w plus the Arabic letter/diacritic/digit ranges but
+# NOT the block's punctuation (؟ ؛ ، ۔ ٪ …, U+0600-060F/061B-061F/
+# 066A-066D/06D4) — attached terminators must tokenize standalone so
+# the sentence split sees them.
+_AR_WORD = r"\wؐ-ؚؠ-٩ٮ-ۓە-ۿݐ-ݿ"
 _AR_TOKEN_RE = re.compile(
-    r"[\w؀-ۿݐ-ݿ]+"      # Arabic + Latin/digit word runs
-    r"|[^\s\w؀-ۿݐ-ݿ]"   # standalone symbol
+    rf"[{_AR_WORD}]+"      # Arabic + Latin/digit word runs
+    rf"|[^\s{_AR_WORD}]"   # standalone symbol
 )
 _AR_SENT_END = frozenset({".", "!", "?", "؟", "۔", "؛"})
+
+_AR_LETTERS_RE = re.compile(r"[ء-ي]+$")
+# Common genuine و/ف-initial lemmas that must NOT lose their first
+# letter to the conjunction rule (the deterministic analogue of a
+# statistical segmenter's lexicon veto; GERMAN_ABBREVIATIONS style).
+AR_CONJ_EXCEPTIONS = frozenset({
+    "ولاية", "وزير", "وزارة", "وقت", "والد", "واحد", "وسط",
+    "فريق", "فرنسا", "فندق", "فكرة", "فترة",
+})
+
+
+def segment_ar_clitics(word: str) -> list[tuple[str, int]]:
+    """Deterministic Arabic proclitic segmentation — (piece,
+    relative_begin) list.  Rule-based stand-in for the reference's
+    Stanford/ATB segmenter (``ArabicAnalyzer`` route):
+
+    * conjunction ``و``/``ف`` splits off a ≥3-letter Arabic remainder
+      (unless the whole word is a known genuine و/ف-initial lemma);
+    * preposition ``ب``/``ل``/``ك`` splits when followed by the
+      definite article ``ال`` (the ``بال/لل/كال``-pattern) — bare
+      ``ب+noun`` stays whole (too many genuine ب-initial lemmas for a
+      rule without a lexicon).
+
+    Offsets are relative to the word start, so tokenizer offsets keep
+    pointing into the original text (``text[t.begin:t.end] ==
+    t.text`` still holds for every emitted piece)."""
+    if not _AR_LETTERS_RE.fullmatch(word):
+        return [(word, 0)]
+    pieces: list[tuple[str, int]] = []
+    rest, pos = word, 0
+    if rest[0] in "وف" and len(rest) >= 4 and word not in AR_CONJ_EXCEPTIONS:
+        pieces.append((rest[0], pos))
+        pos += 1
+        rest = rest[1:]
+    if rest[0] in "بلك" and len(rest) >= 5 and rest[1:3] == "ال":
+        pieces.append((rest[0], pos))
+        pos += 1
+        rest = rest[1:]
+    pieces.append((rest, pos))
+    return pieces
 
 
 def tokenize_ar(text: str) -> list[Token]:
     """Arabic tokenizer (ARABIC_TOKENS route): word runs over the
-    Arabic blocks + Latin/digits, sentence split on Latin AND Arabic
+    Arabic blocks + Latin/digits, proclitic segmentation
+    (:func:`segment_ar_clitics` — ``و+``/``ف+`` conjunctions,
+    ``ب/ل/ك+ال`` prepositions), sentence split on Latin AND Arabic
     terminators (``؟ ۔ ؛``).  Rule-based stand-in for the reference's
-    Stanford Arabic pipeline — no clitic segmentation (documented
-    seam), but mentions/offsets/sentences behave identically to the
-    other routes."""
+    Stanford Arabic pipeline; mentions/offsets/sentences behave
+    identically to the other routes."""
     tokens: list[Token] = []
     sentence = 0
     pending_break = False
-    for i, m in enumerate(_AR_TOKEN_RE.finditer(text)):
+    i = 0
+    for m in _AR_TOKEN_RE.finditer(text):
         if pending_break:
             sentence += 1
             pending_break = False
-        tok = Token(m.group(), m.start(), m.end(), i, sentence)
-        tokens.append(tok)
-        if tok.text in _AR_SENT_END:
+        for piece, rel in segment_ar_clitics(m.group()):
+            tokens.append(Token(piece, m.start() + rel,
+                                m.start() + rel + len(piece), i, sentence))
+            i += 1
+        if m.group() in _AR_SENT_END:
             pending_break = True
     return tokens
 

@@ -103,3 +103,56 @@ def test_ned_actor_routes_instead_of_dropping(ray_session):
     out3 = unrouted(pages).to_pandas()
     de = out3[out3["url"] == "http://x/de"]
     assert (de["pred"] == "coOccursWith").sum() == 0
+
+
+def test_arabic_clitic_segmentation():
+    from aida_ray.text.multilingual import segment_ar_clitics, tokenize_ar
+
+    # conjunction و splits off a >=3-letter remainder
+    assert segment_ar_clitics("وباريس") == [("و", 0), ("باريس", 1)]
+    # preposition ب/ل/ك splits only before the definite article ال
+    assert segment_ar_clitics("بالقطار") == [("ب", 0), ("القطار", 1)]
+    assert segment_ar_clitics("كالكتاب") == [("ك", 0), ("الكتاب", 1)]
+    # bare ب+noun stays whole (no lexicon, so no split)
+    assert segment_ar_clitics("برلين") == [("برلين", 0)]
+    # genuine و-initial lemma is vetoed by the exception list
+    assert segment_ar_clitics("ولاية") == [("ولاية", 0)]
+    # short words never split
+    assert segment_ar_clitics("ولد") == [("ولد", 0)]
+    # chain: conjunction then preposition+article
+    assert segment_ar_clitics("وبالقطار") == [
+        ("و", 0), ("ب", 1), ("القطار", 2)]
+    # mixed-script words are untouched
+    assert segment_ar_clitics("وKnebworth") == [("وKnebworth", 0)]
+
+    # tokenizer emits the segmented pieces with true offsets
+    text = "وباريس جميلة"
+    toks = tokenize_ar(text)
+    assert [t.text for t in toks] == ["و", "باريس", "جميلة"]
+    for t in toks:
+        assert text[t.begin:t.end] == t.text
+
+
+def test_arabic_attached_terminator_splits_sentence():
+    from aida_ray.text.multilingual import tokenize_ar
+    # terminator ATTACHED to the word must still end the sentence
+    toks = tokenize_ar("ذهب إلى لندن؟ ثم عاد")
+    by_text = {t.text: t.sentence for t in toks}
+    assert by_text["لندن"] == 0 and by_text["؟"] == 0
+    assert by_text["ثم"] == 1
+
+
+def test_arabic_clitic_mention_detection(ray_session):
+    """A dictionary surface hidden behind a proclitic is found only
+    under clitic segmentation (the multilang_ned ar criterion)."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import prepare_document
+    from aida_ray.ned.settings import DisambiguationSettings
+    kb = build_fixture_kb()
+    kb.dictionary["كنبورث"] = list(kb.dictionary["KNEBWORTH"])
+    kb.dictionary["الكشمير"] = list(kb.dictionary["KASHMIR"])
+    doc = prepare_document(
+        "u", "وكنبورث أفضل من بالكشمير ؟", kb,
+        DisambiguationSettings(technique="prior", language="ar"))
+    surfaces = sorted(m.mention for m in doc.mentions)
+    assert surfaces == ["الكشمير", "كنبورث"]
