@@ -2314,6 +2314,61 @@ def q_image_real(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_png_decode(sf_dir: str) -> pa.Table:
+    """REAL PNG decode (stdlib zlib inflate + full five-filter
+    scanline reconstruction, stages/multimodal.py) through an
+    actor-pool stage.  Pixels follow a closed-form pattern
+    ``(7*id + 3*y + 5*x + 11*c) % 256`` and rows are encoded cycling
+    ALL PNG filter types, so the decode is only correct if every
+    reconstruction branch is; the oracle recomputes pixel sums from
+    the same formula with generate_series — no Python in the twin."""
+    from aida_ray.stages.multimodal import StdlibDecodeBackend, encode_png
+    H, W = 24, 16
+    ids = list(range(6))
+    yy, xx, cc = np.meshgrid(np.arange(H), np.arange(W), np.arange(3),
+                             indexing="ij")
+
+    def pattern(i: int) -> np.ndarray:
+        return ((7 * i + 3 * yy + 5 * xx + 11 * cc) % 256).astype(np.uint8)
+
+    media = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(
+            [encode_png(pattern(i), filters=[0, 1, 2, 3, 4]) for i in ids],
+            pa.binary())})
+
+    class PngStats:
+        def __init__(self):
+            self.backend = StdlibDecodeBackend()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mids, ws, hs, sums, wsums = [], [], [], [], []
+            for mid, payload in zip(b["media_id"].to_pylist(),
+                                    b["payload"].to_pylist()):
+                img = self.backend.decode_image(payload).astype(np.int64)
+                h, w = img.shape[:2]
+                pos = (np.arange(h)[:, None, None] * w
+                       + np.arange(w)[None, :, None])
+                mids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(img.sum()))
+                wsums.append(int((img * pos).sum() % 1_000_000_007))
+            return pa.table({
+                "media_id": pa.array(mids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
+                "weighted_sum": pa.array(wsums, pa.int64())})
+
+    ds = ray.data.from_arrow(media).map_batches(
+        PngStats, batch_format="pyarrow", batch_size=3,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_audio_real(sf_dir: str) -> pa.Table:
     """REAL WAV decode (stdlib wave module) through the AudioFeatures
     actor stage; deterministic sine payloads → exact VALUES oracle."""
@@ -10310,6 +10365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": q_audio_features,
         "xml_formats": q_xml_formats,
         "image_real": q_image_real,
+        "png_decode": q_png_decode,
         "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
@@ -11554,6 +11610,22 @@ def _oracle_sql_dict() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "png_decode": """
+            WITH px AS (
+                SELECT i.i AS media_id,
+                       (7*i.i + 3*y.y + 5*x.x + 11*c.c) % 256 AS v,
+                       y.y * 16 + x.x AS pos
+                FROM range(6) i(i), range(24) y(y), range(16) x(x),
+                     range(3) c(c)
+            )
+            SELECT media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(24 AS BIGINT) AS height,
+                   CAST(SUM(v) AS BIGINT) AS pix_sum,
+                   CAST(SUM(v * pos) % 1000000007 AS BIGINT)
+                       AS weighted_sum
+            FROM px GROUP BY media_id
         """,
         "image_real": """
             SELECT * FROM (VALUES

@@ -3,13 +3,14 @@
 Image/audio/video payloads are ``binary`` columns with a metadata struct
 (mime, width/height or sample rate, duration).  Decode / resize /
 frame-sample / feature-extract run as actor-pool ``map_batches`` stages
-with SMALL batch sizes (payload bytes dominate memory).  The decode
-kernels themselves are STUBBED — the image/audio libraries are not in
-this container — behind ``DecodeBackend``: the default deterministic
-fake derives stable pseudo-features from the payload bytes so the
-Ray-side plumbing (schema, batching, actor signature, output layout) is
-real and tested; swap in a real backend (PIL/torchaudio) per actor in
-production.
+with SMALL batch sizes (payload bytes dominate memory).  Decode routes
+through ``DecodeBackend``: :class:`StdlibDecodeBackend` REALLY decodes
+PNG (zlib inflate + five-filter scanline reconstruction), BMP, binary
+PPM/PGM and PCM16 WAV with nothing beyond the stdlib + numpy; the
+deterministic fake backend remains for shape-contract tests, and
+JPEG/MP3/MP4 (patent-era entropy codecs with no stdlib decoder) stay
+stubbed — plug PIL/soundfile/torchaudio into ``DecodeBackend`` per
+actor in production.
 """
 
 from __future__ import annotations
@@ -70,19 +71,100 @@ class FakeDecodeBackend(DecodeBackend):
 
 
 class StdlibDecodeBackend(DecodeBackend):
-    """REAL decoders for codec-free containers, pure stdlib + numpy:
-    BMP (24-bit uncompressed BI_RGB) and binary PPM/PGM images, and WAV
-    (PCM16) audio via the ``wave`` module.  Compressed formats
-    (JPEG/PNG/MP3/MP4) still need an external codec — plug PIL/
-    soundfile into :class:`DecodeBackend` in production; video has no
-    stdlib container and stays stubbed."""
+    """REAL decoders, pure stdlib + numpy: PNG (zlib inflate + full
+    None/Sub/Up/Average/Paeth scanline reconstruction; 8-bit gray/RGB/
+    palette/alpha, verified against third-party-encoded files), BMP
+    (24-bit uncompressed BI_RGB), binary PPM/PGM, and WAV (PCM16) via
+    the ``wave`` module.  JPEG/MP3/MP4 still need an external codec —
+    plug PIL/soundfile into :class:`DecodeBackend` in production;
+    video has no stdlib container and stays stubbed."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return self._decode_png(payload)
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
         if payload[:2] in (b"P6", b"P5"):
             return self._decode_pnm(payload)
-        raise ValueError("unsupported image container (BMP/PPM/PGM only)")
+        raise ValueError("unsupported image container (PNG/BMP/PPM/PGM only)")
+
+    @staticmethod
+    def _decode_png(payload: bytes) -> np.ndarray:
+        """REAL PNG decode, stdlib-only: chunk walk → zlib inflate →
+        per-scanline reconstruction of all five PNG filters (None/
+        Sub/Up/Average/Paeth, RFC 2083 §6).  8-bit depth, color types
+        0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), no
+        interlace.  Alpha is dropped; gray/palette expand to RGB."""
+        import struct
+        import zlib
+        pos, idat, plte = 8, [], None
+        w = h = depth = ctype = interlace = None
+        while pos + 8 <= len(payload):
+            ln, typ = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8:pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+            elif typ == b"PLTE":
+                plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif typ == b"IDAT":
+                idat.append(data)
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if w is None or depth != 8 or interlace != 0:
+            raise ValueError("only 8-bit non-interlaced PNG supported")
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        out = np.empty((h, stride), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        p = 0
+        for y in range(h):
+            f = raw[p]
+            row = np.frombuffer(raw, np.uint8, stride, p + 1) \
+                .astype(np.int32)
+            p += 1 + stride
+            if f == 0:
+                recon = row
+            elif f == 2:                      # Up
+                recon = (row + prev) & 0xFF
+            elif f == 1:                      # Sub (sequential in x)
+                recon = row
+                for x in range(ch, stride):
+                    recon[x] = (recon[x] + recon[x - ch]) & 0xFF
+            elif f == 3:                      # Average
+                recon = row
+                for x in range(stride):
+                    a = recon[x - ch] if x >= ch else 0
+                    recon[x] = (recon[x] + ((a + prev[x]) >> 1)) & 0xFF
+            elif f == 4:                      # Paeth
+                recon = row
+                for x in range(stride):
+                    a = recon[x - ch] if x >= ch else 0
+                    c = prev[x - ch] if x >= ch else 0
+                    b_ = prev[x]
+                    pp = a + b_ - c
+                    pa_, pb_, pc_ = abs(pp - a), abs(pp - b_), abs(pp - c)
+                    pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                        (b_ if pb_ <= pc_ else c)
+                    recon[x] = (recon[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"bad PNG filter {f}")
+            out[y] = recon
+            prev = recon
+        img = out.reshape(h, w, ch)
+        if ctype == 3:
+            if plte is None:
+                raise ValueError("palette PNG without PLTE")
+            return plte[img[..., 0]].copy()
+        if ch == 1:
+            return np.repeat(img, 3, axis=2).copy()
+        if ch == 2:                           # gray+alpha → gray RGB
+            return np.repeat(img[..., :1], 3, axis=2).copy()
+        return img[..., :3].copy()
 
     @staticmethod
     def _decode_bmp(payload: bytes) -> np.ndarray:
@@ -146,6 +228,52 @@ def encode_ppm(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → binary PPM bytes (test/fixture helper)."""
     h, w = img.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(H, W, 3) uint8 → PNG bytes (test/fixture helper).  ``filters``
+    picks the per-row filter type (cycling); defaults to cycling
+    through all five so a decode round-trip exercises every
+    reconstruction branch, not just filter 0."""
+    import struct
+    import zlib
+    h, w = img.shape[:2]
+    img = img.astype(np.uint8)
+    filters = filters or [0, 1, 2, 3, 4]
+    stride = w * 3
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        up = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+        ul = np.concatenate([np.zeros(3, np.int32), up[:-3]])
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - up
+        elif f == 3:
+            filt = cur - ((left + up) >> 1)
+        else:
+            pp = left + up - ul
+            pa_, pb_, pc_ = (np.abs(pp - left), np.abs(pp - up),
+                             np.abs(pp - ul))
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, up, ul))
+            filt = cur - pred
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + \
+            struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
 
 
 def encode_wav(wave_i16: np.ndarray, sr: int = 16000) -> bytes:

@@ -545,3 +545,39 @@ def test_gap_fill_ffill(ray_session):
     out5 = gap_fill_ffill(rd.from_arrow(ev).repartition(5), step_us=100) \
         .to_pandas().sort_values(["user_id", "gt"]).reset_index(drop=True)
     assert out5.value.tolist() == out.value.tolist()
+
+
+def test_png_decode_roundtrip_all_filters():
+    """Stdlib PNG decoder reconstructs every filter type exactly; two
+    different filtered encodings of the same pixels decode equal."""
+    import numpy as np
+
+    from aida_ray.stages.multimodal import StdlibDecodeBackend, encode_png
+    be = StdlibDecodeBackend()
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(17, 31, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        assert np.array_equal(be.decode_image(encode_png(img, filters)), img)
+    a = be.decode_image(encode_png(img, [0]))
+    b = be.decode_image(encode_png(img, [4]))
+    assert np.array_equal(a, b)
+
+
+def test_png_decode_third_party_golden():
+    """Decode a PNG written by a REAL third-party encoder (not our own
+    inverse) when one exists on the host — guards against a decoder
+    that only understands its own encoder's quirks."""
+    import os
+
+    import pytest
+
+    from aida_ray.stages.multimodal import StdlibDecodeBackend
+    candidates = ["/usr/share/doc/python3/_static/file.png",
+                  "/usr/share/gitweb/static/git-logo.png"]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip("no third-party PNG on this host")
+    with open(path, "rb") as f:
+        img = StdlibDecodeBackend().decode_image(f.read())
+    assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0
+    assert img.dtype.name == "uint8"
