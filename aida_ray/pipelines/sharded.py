@@ -6,17 +6,19 @@ shard and compute raw keyphrase scores only for candidates they own;
 a final stateless stage assembles the full score table and runs the
 graph solver with the (small) keyphrase-free core KB.
 
-    pages ─ map_batches(route: prepare ONCE, pack doc+index) ─▶
-      ─ ChainScorer pool (shard 0) ─▶ ... ─▶ ChainScorer pool (shard R-1)
-        each appends its (mention_idx, eid, raw score) to accumulator
-        list-columns and passes the batch on
-      ─ map_batches(solve, core KB) ─▶ triples
+    pages ─▶ ChainScorer pool (route + shard group 0) ─▶ ...
+         ─▶ ChainScorer pool (shard group G-1 + solve) ─▶ triples
 
 Topology: a CHAIN of actor pools — no shuffle, no union, no merge
-groupby.  The streaming executor pipelines all R+2 stages; each batch
-visits each shard's pool exactly once.  (An earlier fan-out/union/
-groupby(url) topology spent more wall time in the 5-way union's
-tiny-block sort than in scoring.)
+groupby.  The streaming executor pipelines all stages; each batch
+visits each shard group's pool exactly once.  The router (prepare
+once, build the inverted index) is FOLDED into the first pool and the
+graph solve into the last (``fold_endpoints``), so the prepared
+payload ships G-1 times rather than G+1 and is pickled/unpickled once
+rather than G+1 times; with one grouped pool it never leaves the
+actor at all.  (An earlier fan-out/union/groupby(url) topology spent
+more wall time in the 5-way union's tiny-block sort than in scoring;
+the earlier unfolded chain spent ~40% of wall in endpoint hops.)
 
 Exactness: raw scores per (mention, candidate) are computed by exactly
 one shard with the same matcher semantics as the unsharded path, and
@@ -107,49 +109,90 @@ class ChainScorer:
     """One link of the scorer chain: pins ONE keyphrase shard, appends
     raw scores for the (mention, candidate) pairs it owns to the batch's
     accumulator list-columns, passes the batch on.  No shuffle, no
-    union — the batch streams through R pools then a stateless solve."""
+    union — the batch streams through R pools then a stateless solve.
+
+    ``do_route`` folds the router into this (first) pool: raw pages in,
+    documents prepared in-process — objects are scored directly and
+    pickled ONLY if the batch must ship to a next pool.  ``do_solve``
+    folds the graph solve into this (last) pool: triples out, no solve
+    hop, no extra unpickle.  With both set (one pool) the payload never
+    touches the object store between stages at all.  The fold removes
+    two chained operators and two pickle round-trips per document vs
+    the unfolded route→scorers→solve topology while computing the
+    same rows (equality pinned in tests/test_sharded.py)."""
 
     def __init__(self, shard_ref, settings: DisambiguationSettings,
-                 shard: int | tuple | frozenset, n_shards: int):
+                 shard: int | tuple | frozenset, n_shards: int,
+                 do_route: bool = False, do_solve: bool = False,
+                 core_ref=None):
         self.kb = resolve(shard_ref)
+        self.core = resolve(core_ref) if core_ref is not None else self.kb
         self.settings = settings
         self.shards = {shard} if isinstance(shard, int) else set(shard)
         self.n_shards = n_shards
+        self.do_route = do_route
+        self.do_solve = do_solve
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mi_col, eid_col, rmi_col, ridf_col = [], [], [], []
-        prev_mi = batch["acc_mention_idx"].to_pylist()
-        prev_eid = batch["acc_eid"].to_pylist()
-        prev_rmi = batch["acc_raw_mi"].to_pylist()
-        prev_ridf = batch["acc_raw_idf"].to_pylist()
+        from aida_ray.ned.context import InvertedIndex
+        n = batch.num_rows
+        urls = batch["url"].to_pylist()
+        if self.do_route:
+            tss = batch["warc_ts"].to_pylist() \
+                if "warc_ts" in batch.column_names else [None] * n
+            docs = []
+            for url, text in zip(urls, batch["text"].to_pylist()):
+                doc = prepare_document(url, text, self.kb, self.settings)
+                docs.append((doc, InvertedIndex(doc.token_ids,
+                                                self.kb.stop_ids)))
+            acc = ([[] for _ in range(n)], [[] for _ in range(n)],
+                   [[] for _ in range(n)], [[] for _ in range(n)])
+        else:
+            tss = batch["warc_ts"].to_pylist()
+            docs = [pickle.loads(p) for p in batch["prep"].to_pylist()]
+            acc = ([list(x) for x in batch["acc_mention_idx"].to_pylist()],
+                   [list(x) for x in batch["acc_eid"].to_pylist()],
+                   [list(x) for x in batch["acc_raw_mi"].to_pylist()],
+                   [list(x) for x in batch["acc_raw_idf"].to_pylist()])
+        mi_col, eid_col, rmi_col, ridf_col = acc
         sim = self.settings.similarity
-        for row_i, payload in enumerate(batch["prep"].to_pylist()):
-            doc, index = pickle.loads(payload)
+        for row_i, (doc, index) in enumerate(docs):
             # carry the Fast-settings keyphrase pruning — the sharded
             # path must score exactly like the single-KB matcher
             matcher = DocMatcher(self.kb, doc, index=index,
                                  max_kp=sim.max_entity_keyphrase_count,
                                  min_kp_weight=sim.min_entity_keyphrase_weight)
-            mis = list(prev_mi[row_i])
-            eids = list(prev_eid[row_i])
-            rmis = list(prev_rmi[row_i])
-            ridfs = list(prev_ridf[row_i])
             for mi_, m in enumerate(doc.mentions):
                 for eid, _ in m.candidates:
                     if eid % self.n_shards not in self.shards:
                         continue
                     matches = matcher.matches(mi_, m, eid)
-                    mis.append(mi_)
-                    eids.append(eid)
-                    rmis.append(score_matches(self.kb, eid, matches, "mi"))
-                    ridfs.append(score_matches(self.kb, eid, matches, "idf"))
-            mi_col.append(mis)
-            eid_col.append(eids)
-            rmi_col.append(rmis)
-            ridf_col.append(ridfs)
+                    mi_col[row_i].append(mi_)
+                    eid_col[row_i].append(eid)
+                    rmi_col[row_i].append(
+                        score_matches(self.kb, eid, matches, "mi"))
+                    ridf_col[row_i].append(
+                        score_matches(self.kb, eid, matches, "idf"))
+        if self.do_solve:
+            return _solve_rows(urls, tss, [d for d, _ in docs],
+                               mi_col, eid_col, rmi_col, ridf_col,
+                               self.core, self.settings)
+        if "prep" in batch.column_names:
+            preps = batch["prep"]
+        else:
+            # ship the SLIM form (token ids + mentions + index), never
+            # raw text/Token objects — same payload the router packs
+            preps = pa.array(
+                [pickle.dumps(
+                    (PreparedDoc(doc_id=d.doc_id, text="", tokens=[],
+                                 token_ids=d.token_ids,
+                                 mentions=d.mentions), idx),
+                    protocol=pickle.HIGHEST_PROTOCOL)
+                 for d, idx in docs], pa.binary())
         return pa.table({
-            "url": batch["url"], "warc_ts": batch["warc_ts"],
-            "prep": batch["prep"],
+            "url": batch["url"],
+            "warc_ts": pa.array(tss, pa.timestamp("ms")),
+            "prep": preps,
             "acc_mention_idx": pa.array(mi_col, pa.list_(pa.int32())),
             "acc_eid": pa.array(eid_col, pa.list_(pa.int64())),
             "acc_raw_mi": pa.array(rmi_col, pa.list_(pa.float64())),
@@ -165,27 +208,26 @@ class DiskChainScorer(ChainScorer):
 
     def __init__(self, core_ref, kb_dir: str,
                  settings: DisambiguationSettings,
-                 shard: int | tuple | frozenset, n_shards: int):
+                 shard: int | tuple | frozenset, n_shards: int,
+                 do_route: bool = False, do_solve: bool = False):
         from aida_ray.kb.diskkb import load_kb_shard
         group = (shard,) if isinstance(shard, int) else tuple(shard)
         kb = load_kb_shard(resolve(core_ref), kb_dir, group)
-        super().__init__(kb, settings, shard, n_shards)
+        super().__init__(kb, settings, shard, n_shards,
+                         do_route=do_route, do_solve=do_solve)
 
 
-def _solve_batch(batch: pa.Table, core_ref, settings) -> pa.Table:
-    """Final stateless stage: all shards have appended their scores —
-    assemble the raw-score dict per doc and run the graph solver."""
-    core = resolve(core_ref)
+def _solve_rows(urls, tss, docs, mi_col, eid_col, rmi_col, ridf_col,
+                core, settings) -> pa.Table:
+    """Graph solve over per-doc accumulated raw scores → triple rows
+    (shared by the folded last-pool path and the standalone stage)."""
     rows = {"subj": [], "pred": [], "obj": [], "url": [],
             "warc_ts": [], "score": []}
-    for row_i in range(batch.num_rows):
-        url = batch["url"][row_i].as_py()
-        ts = batch["warc_ts"][row_i].as_py()
-        doc, _index = pickle.loads(batch["prep"][row_i].as_py())
-        keys = list(zip(batch["acc_mention_idx"][row_i].as_py(),
-                        batch["acc_eid"][row_i].as_py()))
-        raw = {"mi": dict(zip(keys, batch["acc_raw_mi"][row_i].as_py())),
-               "idf": dict(zip(keys, batch["acc_raw_idf"][row_i].as_py()))}
+    for row_i, doc in enumerate(docs):
+        url, ts = urls[row_i], tss[row_i]
+        keys = list(zip(mi_col[row_i], eid_col[row_i]))
+        raw = {"mi": dict(zip(keys, rmi_col[row_i])),
+               "idf": dict(zip(keys, ridf_col[row_i]))}
         results = solve_prepared(doc, core, settings,
                                  settings.hill_climbing_seed, raw_scores=raw)
         linked = [r for r in results if r.entity != OOKBE]
@@ -225,6 +267,21 @@ def _solve_batch(batch: pa.Table, core_ref, settings) -> pa.Table:
     })
 
 
+def _solve_batch(batch: pa.Table, core_ref, settings) -> pa.Table:
+    """Final stateless stage (unfolded topology): all shards have
+    appended their scores — unpickle and run the graph solver."""
+    core = resolve(core_ref)
+    pairs = [pickle.loads(p) for p in batch["prep"].to_pylist()]
+    return _solve_rows(batch["url"].to_pylist(),
+                       batch["warc_ts"].to_pylist(),
+                       [d for d, _ in pairs],
+                       batch["acc_mention_idx"].to_pylist(),
+                       batch["acc_eid"].to_pylist(),
+                       batch["acc_raw_mi"].to_pylist(),
+                       batch["acc_raw_idf"].to_pylist(),
+                       core, settings)
+
+
 def build_shard_refs(kb: KB, n_shards: int,
                      shards_per_pool: int = 1):
     """Serialize the core KB and each shard group into the object store
@@ -244,7 +301,8 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
                        batch_size: int = 32,
                        shards_per_pool: int = 1,
                        prebuilt_refs=None,
-                       kb_dir: str | None = None) -> ray.data.Dataset:
+                       kb_dir: str | None = None,
+                       fold_endpoints: bool = True) -> ray.data.Dataset:
     """Sharded-KB NED: returns the same triple rows as ``link_pages``.
 
     Topology: a CHAIN of actor pools — prepare once (router), then the
@@ -305,15 +363,21 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
             "acc_raw_idf": empty_f,
         })
 
-    ds = pages.map_batches(route, batch_format="pyarrow",
-                           batch_size=batch_size)
-    for group, shard_ref in group_refs:
-        # scorers are per-batch LIGHT (the owned-candidate scoring is
-        # ~0.1 ms/doc; route+solve carry ~90% of the compute) — at a
-        # full CPU each, R pools of mostly-idle actors statically hold
-        # R*concurrency scheduler slots and STARVE the route/solve task
-        # pools (measured 2.3x wall at 50k pages).  Half a CPU per
-        # scorer restores the ratio to ~1.25x single-KB.
+    ds = pages
+    if not fold_endpoints:
+        ds = ds.map_batches(route, batch_format="pyarrow",
+                            batch_size=batch_size)
+    n_pools = len(group_refs)
+    for gi, (group, shard_ref) in enumerate(group_refs):
+        do_route = fold_endpoints and gi == 0
+        do_solve = fold_endpoints and gi == n_pools - 1
+        # endpoint pools carry the heavy compute (prepare / graph
+        # solve) — full CPU each.  Pure middle scorers are per-batch
+        # LIGHT (~0.1 ms/doc owned-candidate scoring): at a full CPU
+        # each, pools of mostly-idle actors statically hold scheduler
+        # slots and STARVE the busy pools (measured 2.3x wall at 50k
+        # pages) — half a CPU keeps the ratio healthy.
+        cpus = 1.0 if (do_route or do_solve) else 0.5
         if kb_dir is not None:
             ds = ds.map_batches(
                 DiskChainScorer, batch_format="pyarrow",
@@ -322,15 +386,22 @@ def link_pages_sharded(pages: ray.data.Dataset, kb: KB,
                                        "kb_dir": kb_dir,
                                        "settings": settings,
                                        "shard": group,
-                                       "n_shards": n_shards},
-                concurrency=concurrency, num_cpus=0.5)
+                                       "n_shards": n_shards,
+                                       "do_route": do_route,
+                                       "do_solve": do_solve},
+                concurrency=concurrency, num_cpus=cpus)
         else:
             ds = ds.map_batches(
                 ChainScorer, batch_format="pyarrow", batch_size=batch_size,
                 fn_constructor_kwargs={"shard_ref": shard_ref,
                                        "settings": settings,
-                                       "shard": group, "n_shards": n_shards},
-                concurrency=concurrency, num_cpus=0.5)
+                                       "shard": group, "n_shards": n_shards,
+                                       "do_route": do_route,
+                                       "do_solve": do_solve,
+                                       "core_ref": core_ref},
+                concurrency=concurrency, num_cpus=cpus)
+    if fold_endpoints:
+        return ds
     return ds.map_batches(_solve_batch, batch_format="pyarrow",
                           batch_size=batch_size,
                           fn_kwargs={"core_ref": core_ref,

@@ -57,3 +57,9 @@ def test_sharded_equals_unsharded(ray_session, small_corpus):
                                          n_shards=3, concurrency=1,
                                          batch_size=16, shards_per_pool=2))
     assert base.equals(grouped)
+    # unfolded topology (separate route/solve stages) — same rows
+    unfolded = collect(link_pages_sharded(read_pages(dirs["pages"]), kb,
+                                          n_shards=3, concurrency=1,
+                                          batch_size=16,
+                                          fold_endpoints=False))
+    assert base.equals(unfolded)
