@@ -1854,6 +1854,59 @@ def q_multilang_ned(sf_dir: str) -> pa.Table:
             t.get("coOccursWith", 0).astype("int64").tolist(), pa.int64())})
 
 
+def q_german_compound_ned(sf_dir: str) -> pa.Table:
+    """German compound depth (M2/de seam): every de document becomes a
+    page whose first fixture surface hides INSIDE a noun compound —
+    plain (``Knebworthfestival``), with a linking element
+    (``Knebworthsfestival``), or hyphenated (``Knebworth-gelaende``),
+    cycled by doc_id.  The co-occurrence triple with the bare
+    ``Kashmir`` mention exists ONLY under compound-aware dictionary
+    lookup on the de route (the en tokenizer path finds one mention
+    and emits no pair), so each form's counts pin the probe."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.settings import DisambiguationSettings
+    from aida_ray.pipelines.kg import link_pages
+    from aida_ray.state.broadcast import put_kb
+    forms = ["Das Knebworthfestival begeisterte , Kashmir auch .",
+             "Das Knebworthsfestival begeisterte , Kashmir auch .",
+             "Das Knebworth-gelaende begeisterte , Kashmir auch ."]
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        rows = [(f"http://de/{int(i)}", forms[int(i) % 3], "de")
+                for i, lg in zip(b["doc_id"].to_pylist(),
+                                 b["lang"].to_pylist()) if lg == "de"]
+        return pa.table({
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string())})
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "lang"])
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    triples = link_pages(pages, put_kb(build_fixture_kb()),
+                         settings=DisambiguationSettings(technique="prior"),
+                         concurrency=min(4, _pool()), batch_size=256)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        form = [int(u.rsplit("/", 1)[1]) % 3 for u in b["url"].to_pylist()]
+        df = pd.DataFrame({"form": form, "pred": b["pred"].to_pylist()})
+        g = df.groupby(["form", "pred"]).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _coalesce(triples.map_batches(partial, batch_format="pyarrow")) \
+        .groupby(["form", "pred"]).sum(["n"])
+    t = _collect(agg).to_pandas().rename(columns={"sum(n)": "n"}) \
+        .pivot(index="form", columns="pred", values="n") \
+        .fillna(0).reset_index()
+    return pa.table({
+        "form": pa.array(t["form"].astype("int64"), pa.int64()),
+        "n_mentioned_in": pa.array(
+            t.get("mentionedIn", 0).astype("int64").tolist(), pa.int64()),
+        "n_cooccur": pa.array(
+            t.get("coOccursWith", 0).astype("int64").tolist(), pa.int64())})
+
+
 def q_trace_decisions(sf_dir: str) -> pa.Table:
     """GraphTracer-analogue per-decision trace (reference
     src/mpi/experiment/trace/): one row per (mention, candidate) with
@@ -10349,6 +10402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_pagerank": q_kg_pagerank,
         "multilang_ned": q_multilang_ned,
+        "german_compound_ned": q_german_compound_ned,
         "trace_decisions": q_trace_decisions,
         "fuzzy_join": q_fuzzy_join,
         "json_props": q_json_props,
@@ -12666,6 +12720,13 @@ def _oracle_sql_dict() -> dict[str, str]:
                 ('Kashmir', 17, 'Kashmir_(song)', 100000, FALSE),
                 ('Knebworth', 28, 'Knebworth_Festival', 1000000, TRUE)
             ) AS t(mention, begin, candidate, prior_1e6, chosen)
+        """,
+        "german_compound_ned": """
+            SELECT doc_id % 3 AS form,
+                   CAST(2 * COUNT(*) AS BIGINT) AS n_mentioned_in,
+                   CAST(COUNT(*) AS BIGINT) AS n_cooccur
+            FROM documents WHERE lang = 'de'
+            GROUP BY doc_id % 3
         """,
         "multilang_ned": """
             SELECT lang,

@@ -113,13 +113,45 @@ def _looks_like_name(tok: Token) -> bool:
         (c.isalpha() and not c.islower() and not c.isupper())
 
 
-def dictionary_tag(text: str, tokens: list[Token], kb: KB) -> list[Mention]:
+def _german_compound_head(word: str, kb: KB) -> str | None:
+    """German compound-aware dictionary probe: a capitalized compound
+    like ``Knebworthfestival`` carries the entity as its MODIFIER with
+    a lowercase head noun (optionally behind a linking element
+    ``-s/-es/-n/-en/-e`` or hyphen).  Returns the longest leading
+    segment that is a dictionary surface when the remainder looks like
+    a compound head (≥4 lowercase letters); None otherwise.
+    Deterministic stand-in for the reference's Stanford German
+    pipeline's compound handling (TokenizerManager GERMAN_TOKENS
+    route)."""
+    if len(word) < 8 or not word[0].isupper():
+        return None
+    if "-" in word:                      # hyphenated compound: X-kopf
+        left, _, rest = word.partition("-")
+        if len(left) >= 4 and left.isalpha() and rest[:1].islower() \
+                and conflate_token(left) in kb.dictionary:
+            return left
+        return None
+    if not word.isalpha():
+        return None
+    for i in range(len(word) - 4, 3, -1):
+        left, rest = word[:i], word[i:]
+        if rest.islower() and conflate_token(left) in kb.dictionary:
+            return left
+    return None
+
+
+def dictionary_tag(text: str, tokens: list[Token], kb: KB,
+                   language: str = "en") -> list[Mention]:
     """Greedy longest-match dictionary tagging over conflated surfaces.
 
     Tags token spans (up to the longest dictionary surface) whose
     conflated surface text is a dictionary key and whose first token is
     name-like.  Deterministic; replaces Stanford NER.  Single-character
-    names are dropped (NERManager.java:103-160).
+    names are dropped (NERManager.java:103-160).  On the ``de`` route
+    an unmatched capitalized token additionally gets the compound
+    probe (:func:`_german_compound_head`) — the emitted mention covers
+    only the matched modifier segment, so downstream candidate lookup
+    by surface works unchanged.
     """
     max_len = kb.mention_max_tokens
     found: list[Mention] = []
@@ -139,6 +171,17 @@ def dictionary_tag(text: str, tokens: list[Token], kb: KB) -> list[Mention]:
                 match = (L, surface)
                 break
         if match is None:
+            if language == "de":
+                head = _german_compound_head(tokens[i].text, kb)
+                if head is not None:
+                    found.append(Mention(
+                        mention=head,
+                        char_offset=tokens[i].begin,
+                        char_length=len(head),
+                        start_token=tokens[i].token_id,
+                        end_token=tokens[i].token_id,
+                        sentence=tokens[i].sentence,
+                    ))
             i += 1
             continue
         L, surface = match
@@ -243,7 +286,7 @@ def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
     if detection == "manual":
         mentions = manual
     else:
-        automatic = dictionary_tag(cleaned, tokens, kb)
+        automatic = dictionary_tag(cleaned, tokens, kb, language=language)
         if detection == "automatic":
             mentions = automatic
         else:

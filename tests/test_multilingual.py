@@ -156,3 +156,41 @@ def test_arabic_clitic_mention_detection(ray_session):
         DisambiguationSettings(technique="prior", language="ar"))
     surfaces = sorted(m.mention for m in doc.mentions)
     assert surfaces == ["الكشمير", "كنبورث"]
+
+
+def test_german_compound_head():
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.doc import _german_compound_head
+    kb = build_fixture_kb()
+    # plain compound, linking element, hyphenated
+    assert _german_compound_head("Knebworthfestival", kb) == "Knebworth"
+    assert _german_compound_head("Knebworthsfestival", kb) == "Knebworth"
+    assert _german_compound_head("Knebworth-gelaende", kb) == "Knebworth"
+    # no dictionary modifier / lowercase / short -> no probe
+    assert _german_compound_head("Donaudampfschiff", kb) is None
+    assert _german_compound_head("knebworthfest", kb) is None
+    assert _german_compound_head("Knebwort", kb) is None
+    # head must be lowercase (two capitalized names joined is not a
+    # compound in this rule set)
+    assert _german_compound_head("KnebworthFestival", kb) is None
+
+
+def test_german_compound_route_gated(ray_session):
+    """Compound lookup fires on the de route only; the en route over
+    the same text finds no pair (the german_compound_ned criterion)."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.disambiguator import prepare_document
+    from aida_ray.ned.settings import DisambiguationSettings
+    kb = build_fixture_kb()
+    text = "Das Knebworthfestival begeisterte , Kashmir auch ."
+    de = prepare_document("u", text, kb,
+                          DisambiguationSettings(language="de"))
+    en = prepare_document("u", text, kb,
+                          DisambiguationSettings(language="en"))
+    assert sorted(m.mention for m in de.mentions) == \
+        ["Kashmir", "Knebworth"]
+    assert [m.mention for m in en.mentions] == ["Kashmir"]
+    # the compound mention's span points at the modifier segment
+    kn = next(m for m in de.mentions if m.mention == "Knebworth")
+    assert text[kn.char_offset:kn.char_offset + kn.char_length] == \
+        "Knebworth"
