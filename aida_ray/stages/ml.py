@@ -129,9 +129,10 @@ def kmeans(ds: ray.data.Dataset, col: str, id_col: str, k: int,
                                batch_format="pyarrow").to_pandas()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids))
-        for _, r in parts.iterrows():
-            sums[r.cluster] += np.asarray(r.vec_sum)
-            counts[r.cluster] += r.n
+        if len(parts):
+            cl = parts["cluster"].to_numpy()
+            np.add.at(sums, cl, np.stack(parts["vec_sum"].to_numpy()))
+            np.add.at(counts, cl, parts["n"].to_numpy())
         nz = counts > 0
         centroids = centroids.copy()
         centroids[nz] = sums[nz] / counts[nz, None]

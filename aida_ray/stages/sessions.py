@@ -20,6 +20,7 @@ runtime instead (group_size_limit).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray.data
@@ -121,13 +122,12 @@ def peak_concurrency(events: ray.data.Dataset, duration_s: int,
         .map_batches(points, batch_format="pyarrow") \
         .groupby("pid").map_groups(sweep, batch_format="pandas") \
         .to_pandas().sort_values("pid").reset_index(drop=True)
-    offset, best, best_t = 0, None, None
-    for _, r in per.iterrows():
-        v = offset + int(r.local_max)
-        if best is None or v > best:
-            best, best_t = v, int(r.t_at)
-        offset += int(r.total)
-    return int(best), int(best_t)
+    # vectorized prefix-sum merge of per-partition maxima (partition
+    # count is bounded, but no reason to loop rows)
+    offsets = np.concatenate([[0], per["total"].to_numpy()[:-1].cumsum()])
+    vals = offsets + per["local_max"].to_numpy()
+    i = int(vals.argmax())
+    return int(vals[i]), int(per["t_at"].iloc[i])
 
 
 def watermark_late(events: ray.data.Dataset,
