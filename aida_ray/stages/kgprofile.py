@@ -50,26 +50,48 @@ def metapath_counts(triples: ray.data.Dataset, s: str = "subj",
                     ) -> ray.data.Dataset:
     """(pred_a, pred_b, n_paths) rows: x -pred_a-> y -pred_b-> z
     path-instance counts over distinct facts (y is the join key;
-    x == z paths count too — composition ignores reflexivity)."""
+    x == z paths count too — composition ignores reflexivity).
+
+    Scale shape — the count-product identity, NOT a path-instance
+    join:  n_paths(a, b) = Σ_y in_cnt(y, a) · out_cnt(y, b).  Joining
+    raw facts emits one row PER PATH INSTANCE, which is quadratic in a
+    hub node's degree (a single 1M-degree entity yields 10^12 join
+    rows); joining the per-(node, pred) degree aggregates instead
+    bounds both the shuffle and the join output by |nodes| × |preds|,
+    independent of skew."""
     from ray.data.aggregate import Sum
 
     from aida_ray.stages.shuffle_join import hash_join
 
     f = _distinct_facts(triples, s, p, o)
 
-    def left(b: pa.Table) -> pa.Table:
-        return pa.table({"pred_a": b[p], "node": b[o]})
+    def in_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"node": b[o].to_pandas(),
+                           "pred_a": b[p].to_pandas(), "ca": 1})
+        g = df.groupby(["node", "pred_a"], sort=False)["ca"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def right(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b[s], "pred_b": b[p]})
+    def out_partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"node": b[s].to_pandas(),
+                           "pred_b": b[p].to_pandas(), "cb": 1})
+        g = df.groupby(["node", "pred_b"], sort=False)["cb"].sum() \
+            .reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    j = hash_join(f.map_batches(left, batch_format="pyarrow"),
-                  f.map_batches(right, batch_format="pyarrow"),
-                  on=("node",), num_partitions=num_partitions)
+    ins = f.map_batches(in_partial, batch_format="pyarrow") \
+        .groupby(["node", "pred_a"]).aggregate(Sum("ca"))
+    outs = f.map_batches(out_partial, batch_format="pyarrow") \
+        .groupby(["node", "pred_b"]).aggregate(Sum("cb"))
+    j = hash_join(ins, outs, on=("node",),
+                  num_partitions=num_partitions)
 
     def cnt_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"pred_a": b["pred_a"].to_pandas(),
-                           "pred_b": b["pred_b"].to_pandas(), "c": 1})
+        df = pd.DataFrame({
+            "pred_a": b["pred_a"].to_pandas(),
+            "pred_b": b["pred_b"].to_pandas(),
+            "c": (b["sum(ca)"].to_numpy(zero_copy_only=False)
+                  * b["sum(cb)"].to_numpy(zero_copy_only=False))})
         g = df.groupby(["pred_a", "pred_b"], sort=False)["c"].sum() \
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)

@@ -64,3 +64,21 @@ def test_nil_cluster_ids(ray_session):
     assert bolt["n_mentions"] == 2 and bolt["n_docs"] == 2
     # both first appear in doc 1: tie broken by surface asc
     assert acme["nil_id"] == 1 and bolt["nil_id"] == 2
+
+
+def test_metapath_counts_hub_product(ray_session):
+    """Hub node with 40 in-edges (A) and 50 out-edges (B) must yield
+    exactly 40*50 paths — the count-product identity the distributed
+    shape relies on (no path-instance materialization)."""
+    import pyarrow as pa
+    import ray
+
+    from aida_ray.stages.kgprofile import metapath_counts
+    subj = [f"x{i}" for i in range(40)] + ["hub"] * 50
+    pred = ["A"] * 40 + ["B"] * 50
+    obj = ["hub"] * 40 + [f"z{i}" for i in range(50)]
+    t = pa.table({"subj": subj, "pred": pred, "obj": obj})
+    got = metapath_counts(ray.data.from_arrow(t)).to_pandas()
+    row = got[(got.pred_a == "A") & (got.pred_b == "B")]
+    assert int(row.n_paths.iloc[0]) == 2000
+    assert len(got) == 1
