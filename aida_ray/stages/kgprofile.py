@@ -65,24 +65,35 @@ def metapath_counts(triples: ray.data.Dataset, s: str = "subj",
 
     f = _distinct_facts(triples, s, p, o)
 
-    def in_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"node": b[o].to_pandas(),
-                           "pred_a": b[p].to_pandas(), "ca": 1})
-        g = df.groupby(["node", "pred_a"], sort=False)["ca"].sum() \
+    def deg_partial(b: pa.Table) -> pa.Table:
+        # both directions in ONE pass/shuffle: side 0 = edge INTO the
+        # node (pred_a candidates), side 1 = edge OUT (pred_b)
+        df = pd.DataFrame({
+            "node": np.concatenate([
+                b[o].to_numpy(zero_copy_only=False),
+                b[s].to_numpy(zero_copy_only=False)]),
+            "side": np.repeat(np.array([0, 1], np.int64), len(b)),
+            "pred": np.concatenate([
+                b[p].to_numpy(zero_copy_only=False)] * 2),
+            "c": 1})
+        g = df.groupby(["node", "side", "pred"], sort=False)["c"].sum() \
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def out_partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"node": b[s].to_pandas(),
-                           "pred_b": b[p].to_pandas(), "cb": 1})
-        g = df.groupby(["node", "pred_b"], sort=False)["cb"].sum() \
-            .reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    deg = f.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby(["node", "side", "pred"]).aggregate(Sum("c")) \
+        .materialize()                    # consumed by both join sides
 
-    ins = f.map_batches(in_partial, batch_format="pyarrow") \
-        .groupby(["node", "pred_a"]).aggregate(Sum("ca"))
-    outs = f.map_batches(out_partial, batch_format="pyarrow") \
-        .groupby(["node", "pred_b"]).aggregate(Sum("cb"))
+    def pick(side: int, pred_name: str, cnt_name: str):
+        def fn(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = b.filter(pc.equal(b["side"], side))
+            return pa.table({"node": m["node"], pred_name: m["pred"],
+                             cnt_name: m["sum(c)"]})
+        return fn
+
+    ins = deg.map_batches(pick(0, "pred_a", "ca"), batch_format="pyarrow")
+    outs = deg.map_batches(pick(1, "pred_b", "cb"), batch_format="pyarrow")
     j = hash_join(ins, outs, on=("node",),
                   num_partitions=num_partitions)
 
@@ -90,8 +101,8 @@ def metapath_counts(triples: ray.data.Dataset, s: str = "subj",
         df = pd.DataFrame({
             "pred_a": b["pred_a"].to_pandas(),
             "pred_b": b["pred_b"].to_pandas(),
-            "c": (b["sum(ca)"].to_numpy(zero_copy_only=False)
-                  * b["sum(cb)"].to_numpy(zero_copy_only=False))})
+            "c": (b["ca"].to_numpy(zero_copy_only=False)
+                  * b["cb"].to_numpy(zero_copy_only=False))})
         g = df.groupby(["pred_a", "pred_b"], sort=False)["c"].sum() \
             .reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
