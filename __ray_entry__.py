@@ -1854,6 +1854,69 @@ def q_multilang_ned(sf_dir: str) -> pa.Table:
             t.get("coOccursWith", 0).astype("int64").tolist(), pa.int64())})
 
 
+def q_service_requests(sf_dir: str) -> pa.Table:
+    """Request-processing surface (reference RequestProcessor.java —
+    the /service/disambiguate endpoint semantics as a Ray actor-pool
+    stage, aida_ray/service.py).  One JSON request per documents row
+    cycling five technique configurations over the golden fixture
+    sentence; responses reduce to (technique, n_requests,
+    mention→best-entity signature).  Signatures are VALUES-pinned —
+    any drift in the parameter dispatch, preset mapping, or the
+    underlying disambiguation flips its row."""
+    import json as _json
+
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.service import serve_requests
+    from aida_ray.state.broadcast import put_kb
+    text = ("When [[Page]] played Kashmir at Knebworth, his Les Paul "
+            "was uniquely tuned.")
+    techs = [
+        {"technique": "GRAPH", "algorithm": "cpsc", "tagMode": "manual"},
+        {"technique": "PRIOR"},
+        {"technique": "LOCAL"},
+        {"technique": "GRAPH-KORE"},
+        {"technique": "GRAPH-JACCARD"},
+    ]
+
+    def to_requests(b: pa.Table) -> pa.Table:
+        ids = [int(i) for i in b["doc_id"].to_pylist()]
+        reqs = [_json.dumps({**techs[i % 5], "text": text,
+                             "docId": f"d{i}"}) for i in ids]
+        return pa.table({"request_id": pa.array(ids, pa.int64()),
+                         "request": pa.array(reqs, pa.string())})
+
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id"])
+    resp = serve_requests(docs.map_batches(to_requests,
+                                           batch_format="pyarrow"),
+                          put_kb(build_fixture_kb()),
+                          concurrency=min(2, _pool()), batch_size=256)
+
+    def summarize(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        techs_out, sigs = [], []
+        for rid, rj in zip(b["request_id"].to_pylist(),
+                           b["response"].to_pylist()):
+            r = _json.loads(rj)
+            techs_out.append(techs[int(rid) % 5]["technique"])
+            sigs.append(";".join(
+                f'{m["name"]}={(m.get("bestEntity") or {}).get("kbIdentifier", "-")}'
+                for m in r.get("mentions", [])))
+        df = pd.DataFrame({"technique": techs_out, "signature": sigs,
+                           "n": 1})
+        g = df.groupby(["technique", "signature"], sort=False)["n"] \
+            .sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _coalesce(resp.map_batches(summarize, batch_format="pyarrow")) \
+        .groupby(["technique", "signature"]).sum(["n"])
+    t = _collect(agg).to_pandas().rename(columns={"sum(n)": "n_requests"})
+    t = t.sort_values("technique").reset_index(drop=True)
+    t["n_requests"] = t["n_requests"].astype("int64")
+    return pa.Table.from_pandas(
+        t[["technique", "n_requests", "signature"]], preserve_index=False)
+
+
 def q_german_compound_ned(sf_dir: str) -> pa.Table:
     """German compound depth (M2/de seam): every de document becomes a
     page whose first fixture surface hides INSIDE a noun compound —
@@ -10403,6 +10466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": q_kg_pagerank,
         "multilang_ned": q_multilang_ned,
         "german_compound_ned": q_german_compound_ned,
+        "service_requests": q_service_requests,
         "trace_decisions": q_trace_decisions,
         "fuzzy_join": q_fuzzy_join,
         "json_props": q_json_props,
@@ -12720,6 +12784,20 @@ def _oracle_sql_dict() -> dict[str, str]:
                 ('Kashmir', 17, 'Kashmir_(song)', 100000, FALSE),
                 ('Knebworth', 28, 'Knebworth_Festival', 1000000, TRUE)
             ) AS t(mention, begin, candidate, prior_1e6, chosen)
+        """,
+        "service_requests": """
+            WITH m(i, technique, signature) AS (VALUES
+                (0, 'GRAPH', 'Page=YAGO:Jimmy_Page'),
+                (1, 'PRIOR', 'Page=YAGO:Larry_Page;Kashmir=YAGO:Kashmir;Knebworth=YAGO:Knebworth_Festival;Les Paul=-'),
+                (2, 'LOCAL', 'Page=YAGO:Jimmy_Page;Kashmir=YAGO:Kashmir_(song);Knebworth=YAGO:Knebworth_Festival;Les Paul=-'),
+                (3, 'GRAPH-KORE', 'Page=YAGO:Jimmy_Page;Kashmir=YAGO:Kashmir_(song);Knebworth=YAGO:Knebworth_Festival;Les Paul=-'),
+                (4, 'GRAPH-JACCARD', 'Page=YAGO:Jimmy_Page;Kashmir=YAGO:Kashmir_(song);Knebworth=YAGO:Knebworth_Festival;Les Paul=-')
+            )
+            SELECT m.technique,
+                   CAST(COUNT(*) AS BIGINT) AS n_requests,
+                   m.signature
+            FROM documents d JOIN m ON d.doc_id % 5 = m.i
+            GROUP BY m.technique, m.signature
         """,
         "german_compound_ned": """
             SELECT doc_id % 3 AS form,

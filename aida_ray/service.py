@@ -1,0 +1,226 @@
+"""Request-processing surface — the reference's /service/disambiguate
+endpoint semantics, Ray-native.
+
+The reference's primary user entry point is a JAX-RS endpoint
+(src/mpi/aida/service/web/RequestProcessor.java:463-517 form surface,
+:230-404 JSON surface, :760-1010 the dispatch).  This module
+re-implements the REQUEST SEMANTICS — parameter parsing, the
+technique/algorithm/coherence dispatch onto the 17-preset registry,
+per-request setting overrides, external entity context, result-JSON
+shaping — as a pure function plus a Ray actor-pool stage, without an
+HTTP server (none belongs in a data-plane library; any web framework
+can wrap ``process_request`` in a dozen lines).
+
+Parameter → behavior parity (RequestProcessor.java line refs):
+
+* ``technique``: PRIOR | LOCAL | LOCAL-IDF | GRAPH | GRAPH-IDF |
+  GRAPH-KORE | GRAPH-JACCARD, default CocktailPartyWithHeuristics-
+  DisambiguationWithNullSettings (:850-889); unknown → the
+  reference's exact ERROR payload (:884-888).
+* ``fastMode`` picks the Fast presets for LOCAL/GRAPH (:855-866).
+* ``algorithm`` "cpsc" upgrades GRAPH to the size-constrained
+  algorithm (:868-874).
+* ``coherenceMeasure`` MilneWitten | Jaccard | KORE replaces the
+  EE-similarity list with one measure at weight 1.0 (:892-912;
+  Jaccard maps to InlinkOverlap exactly as the reference does).
+* ``alpha``/``entitiesPerMention``/``coherenceTreshold``/
+  ``exhaustiveSearch``/``nullMappingThreshold`` override graph/null
+  settings (:915-965).
+* ``ppWeight`` rescales the with-prior ME weights by
+  ``(1-new)/(1-old)`` for GRAPH, as adjustSimSettingsForNewPriorWeight
+  does (:677-692, :944-948).
+* ``tagMode`` "manual" switches to [[...]]-driven mention detection.
+* ``filteringTypes`` "KB:type,KB:type" → candidate type filter (J4).
+* ``mentionDictionary``/``entityKeyphrases`` → external entity
+  context merged as a KB view (:331-378; ned/external.py).
+* ``maxResults`` caps candidates per mention in the response JSON
+  (default 15, :995-998).
+* ``docId`` defaults to a DETERMINISTIC text-hash id (the reference
+  appends System.currentTimeMillis(), :976-978 — dropped here so
+  replays and Ray task retries are reproducible; documented
+  deviation).
+
+``jsonType`` accepts DEFAULT/COMPACT (WEB's HTML weave is the demo
+UI's concern, out of scope with the rest of the webapp)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import replace
+
+import pyarrow as pa
+
+from aida_ray.kb.kb import KB, OOKBE
+from aida_ray.ned.settings import DisambiguationSettings, preset
+
+_COH_MEASURES = {
+    # reference switch (RequestProcessor.java:895-908); default falls
+    # back to MilneWitten exactly like the reference's default branch
+    "MilneWitten": "milnewitten",
+    "Jaccard": "inlink_overlap",
+    "KORE": "kore",
+}
+
+_TECHNIQUE_ERROR = ("Please specify a valid technique. Valid technuques "
+                    "are: LOCAL, LOCAL-IDF, GRAPH, GRAPH-IDF, GRAPH-KORE, "
+                    "GRAPH-KORELSH, GRAPH-JACCARD.")
+
+
+def _settings_for_request(params: dict) -> DisambiguationSettings | dict:
+    """Technique dispatch + per-request overrides; an error dict on an
+    unknown technique (the reference's ERROR JSON, :884-888)."""
+    technique = params.get("technique")
+    fast = bool(params.get("fastMode"))
+    if technique is None:
+        s = preset("CocktailPartyWithHeuristicsDisambiguationWithNullSettings")
+    elif technique == "PRIOR":
+        s = preset("PriorOnlyDisambiguationSettings")
+    elif technique == "LOCAL":
+        s = preset("FastLocalKeyphraseBasedDisambiguationSettings" if fast
+                   else "LocalKeyphraseBasedDisambiguationSettings")
+    elif technique == "LOCAL-IDF":
+        s = preset("LocalKeyphraseIDFBasedDisambiguationSettings")
+    elif technique == "GRAPH":
+        s = preset("FastCocktailPartyDisambiguationSettings" if fast
+                   else "CocktailPartyDisambiguationSettings")
+        algo = params.get("algorithm")
+        if algo is not None and algo.lower() == "cpsc":
+            s = replace(s, algorithm="cocktail_party_size_constrained")
+    elif technique == "GRAPH-IDF":
+        s = preset("CocktailPartyKOREIDFDisambiguationSettings")
+    elif technique == "GRAPH-KORE":
+        s = preset("CocktailPartyKOREDisambiguationSettings")
+    elif technique == "GRAPH-JACCARD":
+        s = preset("CocktailPartyJaccardDisambiguationSettings")
+    else:
+        return {"ERROR": _TECHNIQUE_ERROR}
+
+    coh = params.get("coherenceMeasure")
+    if coh is not None:
+        kind = _COH_MEASURES.get(coh, "milnewitten")
+        s = replace(s, similarity=replace(
+            s.similarity, ee_sims=((kind, 1.0),)))
+
+    g = s.graph
+    if params.get("alpha") is not None:
+        g = replace(g, alpha=float(params["alpha"]))
+    if params.get("entitiesPerMention") is not None:
+        g = replace(g, entities_per_mention_constraint=int(
+            params["entitiesPerMention"]))
+    if params.get("coherenceTreshold") is not None:
+        g = replace(g, coh_robustness_threshold=float(
+            params["coherenceTreshold"]))
+    if params.get("exhaustiveSearch") is not None:
+        g = replace(g, use_exhaustive_search=bool(
+            params["exhaustiveSearch"]))
+    s = replace(s, graph=g)
+
+    pp = params.get("ppWeight")
+    if pp is not None and s.technique == "graph":
+        # adjustSimSettingsForNewPriorWeight (:677-692)
+        old = s.similarity.prior_weight
+        if old != 1:
+            scale = (1.0 - float(pp)) / (1.0 - old)
+            s = replace(s, similarity=replace(
+                s.similarity,
+                mes_with_prior=tuple(
+                    (k, w * scale) for k, w in s.similarity.mes_with_prior),
+                prior_weight=float(pp)))
+
+    if params.get("nullMappingThreshold") is not None:
+        s = replace(s, null_mapping_threshold=float(
+            params["nullMappingThreshold"]))
+    if params.get("tagMode") == "manual":
+        s = replace(s, mention_detection="manual")
+    ft = params.get("filteringTypes")
+    if ft:
+        s = replace(s, type_filter=tuple(
+            t.strip() for t in ft.split(",") if t.strip()))
+    return s
+
+
+def process_request(params: dict, kb: KB) -> dict:
+    """One /service/disambiguate request → the result-JSON dict.
+
+    ``params`` uses the JSON endpoint's field names (:247-330).
+    Deterministic for a given (params, kb)."""
+    from aida_ray.io.result_json import to_result_json
+    from aida_ray.ned.disambiguator import disambiguate_document
+    from aida_ray.ned.doc import manual_filter
+
+    text = params.get("text")
+    if not text:
+        return {"ERROR": "missing required field 'text'"}
+    settings = _settings_for_request(params)
+    if isinstance(settings, dict):
+        return settings
+
+    doc_id = params.get("docId") or \
+        "req_" + hashlib.md5(text.encode("utf-8")).hexdigest()[:12]
+
+    external = None
+    md = params.get("mentionDictionary")
+    ekp = params.get("entityKeyphrases")
+    if md and ekp:                       # both required, like the eec
+        external = (dict(md), dict(ekp))  # guard at :375-377
+
+    results = disambiguate_document(doc_id, text, kb, settings,
+                                    external=external)
+    cleaned, _ = manual_filter(text)
+    out = json.loads(to_result_json(doc_id, cleaned, results, kb))
+
+    max_results = int(params.get("maxResults") or 15)
+    for m in out.get("mentions", []):
+        m["allEntities"] = m["allEntities"][:max_results]
+
+    if params.get("jsonType") == "COMPACT":
+        out = {"docId": doc_id,
+               "mentions": [{"name": m["name"], "offset": m["offset"],
+                             "length": m["length"],
+                             "bestEntity": (m["bestEntity"] or {}).get(
+                                 "kbIdentifier")}
+                            for m in out.get("mentions", [])]}
+    else:
+        out["docId"] = doc_id
+    return out
+
+
+class RequestStage:
+    """Actor-pool stage: a batch of requests in, responses out —
+    the service surface at corpus scale (pin the KB once per actor,
+    one JSON request per row)."""
+
+    def __init__(self, kb_ref):
+        from aida_ray.state.broadcast import resolve
+        self.kb = resolve(kb_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, resps = [], []
+        for rid, req in zip(batch["request_id"].to_pylist(),
+                            batch["request"].to_pylist()):
+            try:
+                params = json.loads(req)
+            except json.JSONDecodeError as e:
+                resp = {"ERROR": f"bad request JSON: {e}"}
+            else:
+                resp = process_request(params, self.kb)
+            ids.append(rid)
+            resps.append(json.dumps(resp, sort_keys=True))
+        return pa.table({
+            "request_id": pa.array(ids, pa.int64()),
+            "response": pa.array(resps, pa.string())})
+
+
+def serve_requests(requests, kb, concurrency: int = 2,
+                   batch_size: int = 64):
+    """(request_id, request JSON string) Dataset → (request_id,
+    response JSON string): the endpoint as a streaming Ray stage."""
+    import ray
+
+    from aida_ray.state.broadcast import put_kb
+    ref = kb if not isinstance(kb, KB) else put_kb(kb)
+    return requests.map_batches(
+        RequestStage, batch_format="pyarrow", batch_size=batch_size,
+        fn_constructor_kwargs={"kb_ref": ref},
+        concurrency=concurrency, num_cpus=1)

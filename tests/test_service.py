@@ -1,0 +1,132 @@
+"""Request-processing surface (aida_ray/service.py) — parity with
+RequestProcessor.java's /service/disambiguate dispatch."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from aida_ray.kb.fixture import build_fixture_kb
+from aida_ray.service import _settings_for_request, process_request
+
+TEXT = ("When [[Page]] played Kashmir at Knebworth, his Les Paul was "
+        "uniquely tuned.")
+
+
+@pytest.fixture(scope="module")
+def kb():
+    return build_fixture_kb()
+
+
+def test_technique_dispatch_presets():
+    s = _settings_for_request({})
+    assert s.technique == "graph" and s.null_mapping_threshold >= 0
+    assert _settings_for_request({"technique": "PRIOR"}).technique == "prior"
+    loc = _settings_for_request({"technique": "LOCAL"})
+    assert loc.technique == "local"
+    fast = _settings_for_request({"technique": "LOCAL", "fastMode": True})
+    assert fast.similarity.max_entity_keyphrase_count > 0  # Fast pruning
+    g = _settings_for_request({"technique": "GRAPH"})
+    assert g.technique == "graph"
+    cpsc = _settings_for_request({"technique": "GRAPH",
+                                  "algorithm": "CPSC"})
+    assert cpsc.algorithm == "cocktail_party_size_constrained"
+    err = _settings_for_request({"technique": "NOPE"})
+    assert "ERROR" in err and "valid technique" in err["ERROR"]
+
+
+def test_coherence_measure_override():
+    for name, kind in [("MilneWitten", "milnewitten"),
+                       ("Jaccard", "inlink_overlap"), ("KORE", "kore"),
+                       ("bogus", "milnewitten")]:  # default branch
+        s = _settings_for_request({"technique": "GRAPH",
+                                   "coherenceMeasure": name})
+        assert s.similarity.ee_sims == ((kind, 1.0),)
+
+
+def test_graph_overrides_and_ppweight():
+    s = _settings_for_request({
+        "technique": "GRAPH", "alpha": 0.3, "entitiesPerMention": 7,
+        "coherenceTreshold": 1.2, "exhaustiveSearch": False,
+        "nullMappingThreshold": 0.1})
+    assert s.graph.alpha == 0.3
+    assert s.graph.entities_per_mention_constraint == 7
+    assert s.graph.coh_robustness_threshold == 1.2
+    assert s.graph.use_exhaustive_search is False
+    assert s.null_mapping_threshold == 0.1
+    # ppWeight rescales with-prior ME weights by (1-new)/(1-old)
+    base = _settings_for_request({"technique": "GRAPH"})
+    old = base.similarity.prior_weight
+    s2 = _settings_for_request({"technique": "GRAPH", "ppWeight": 0.2})
+    scale = (1 - 0.2) / (1 - old)
+    assert s2.similarity.prior_weight == 0.2
+    for (k0, w0), (k2, w2) in zip(base.similarity.mes_with_prior,
+                                  s2.similarity.mes_with_prior):
+        assert k0 == k2 and w2 == pytest.approx(w0 * scale)
+
+
+def test_process_request_golden(kb):
+    r = process_request({"text": TEXT, "technique": "GRAPH",
+                         "algorithm": "cpsc", "tagMode": "manual"}, kb)
+    assert [m["name"] for m in r["mentions"]] == ["Page"]
+    assert r["mentions"][0]["bestEntity"]["kbIdentifier"] == \
+        "YAGO:Jimmy_Page"
+    r2 = process_request({"text": TEXT, "technique": "PRIOR"}, kb)
+    best = {m["name"]: (m.get("bestEntity") or {}).get("kbIdentifier")
+            for m in r2["mentions"]}
+    assert best["Page"] == "YAGO:Larry_Page"     # prior-only decision
+    assert best["Kashmir"] == "YAGO:Kashmir"
+
+
+def test_process_request_errors_and_compact(kb):
+    assert "ERROR" in process_request({"technique": "GRAPH"}, kb)
+    assert "ERROR" in process_request({"text": "x",
+                                       "technique": "NOPE"}, kb)
+    c = process_request({"text": TEXT, "technique": "PRIOR",
+                         "jsonType": "COMPACT"}, kb)
+    assert set(c.keys()) == {"docId", "mentions"}
+    assert all(set(m) == {"name", "offset", "length", "bestEntity"}
+               for m in c["mentions"])
+
+
+def test_max_results_caps_candidates(kb):
+    full = process_request({"text": TEXT, "technique": "PRIOR"}, kb)
+    one = process_request({"text": TEXT, "technique": "PRIOR",
+                           "maxResults": 1}, kb)
+    for m in one["mentions"]:
+        assert len(m["allEntities"]) <= 1
+    assert len(full["mentions"]) == len(one["mentions"])
+
+
+def test_external_entities_context(kb):
+    """mentionDictionary + entityKeyphrases resolve an otherwise-OOKBE
+    surface (the ExternalEntitiesContext path, :331-378)."""
+    r = process_request({
+        "text": "The band Zyzzyva played loudly.",
+        "technique": "PRIOR",
+        "mentionDictionary": {"Zyzzyva": ["Zyzzyva_(band)"]},
+        "entityKeyphrases": {"Zyzzyva_(band)": ["band", "loudly"]}}, kb)
+    best = {m["name"]: (m.get("bestEntity") or {}).get("kbIdentifier")
+            for m in r["mentions"]}
+    assert best.get("Zyzzyva") == "YAGO:Zyzzyva_(band)"
+
+
+def test_serve_requests_stage(ray_session, kb):
+    import ray
+
+    from aida_ray.service import serve_requests
+    reqs = pa.table({
+        "request_id": pa.array([0, 1, 2], pa.int64()),
+        "request": pa.array([
+            json.dumps({"text": TEXT, "technique": "PRIOR"}),
+            json.dumps({"text": TEXT, "technique": "BOGUS"}),
+            "not json",
+        ], pa.string())})
+    out = serve_requests(ray.data.from_arrow(reqs), kb,
+                         concurrency=1).to_pandas() \
+        .sort_values("request_id").reset_index(drop=True)
+    r0 = json.loads(out.response[0])
+    assert [m["name"] for m in r0["mentions"]] == \
+        ["Page", "Kashmir", "Knebworth", "Les Paul"]
+    assert "ERROR" in json.loads(out.response[1])
+    assert "bad request JSON" in json.loads(out.response[2])["ERROR"]
