@@ -1854,6 +1854,30 @@ def q_multilang_ned(sf_dir: str) -> pa.Table:
             t.get("coOccursWith", 0).astype("int64").tolist(), pa.int64())})
 
 
+def q_nel_accuracy(sf_dir: str) -> pa.Table:
+    """ACE-style NEL eval client parity (reference getAidaNEL.py:42-102
+    — pipelines/nel_eval.py reproduces its sentence streaming,
+    word-index span arithmetic, wiki-url-tail comparison and NIL
+    accounting verbatim) over the deterministic fixture: 3/5 right.
+    The in-query assert pins the distributed fan-out route equal to
+    the in-process client."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.pipelines.nel_eval import (evaluate_nel,
+                                             evaluate_nel_distributed,
+                                             fixture_eval_inputs)
+    kb = build_fixture_kb()
+    tt, si, gt = fixture_eval_inputs()
+    a = evaluate_nel(tt, si, gt, kb)
+    b = evaluate_nel_distributed(tt, si, gt, kb,
+                                 concurrency=min(2, _pool()))
+    assert a == b, (a, b)
+    return pa.table({
+        "right": pa.array([a["right"]], pa.int64()),
+        "total": pa.array([a["total"]], pa.int64()),
+        "accuracy_1e6": pa.array([round(a["accuracy"] * 1e6)],
+                                 pa.int64())})
+
+
 def q_service_requests(sf_dir: str) -> pa.Table:
     """Request-processing surface (reference RequestProcessor.java —
     the /service/disambiguate endpoint semantics as a Ray actor-pool
@@ -10467,6 +10491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multilang_ned": q_multilang_ned,
         "german_compound_ned": q_german_compound_ned,
         "service_requests": q_service_requests,
+        "nel_accuracy": q_nel_accuracy,
         "trace_decisions": q_trace_decisions,
         "fuzzy_join": q_fuzzy_join,
         "json_props": q_json_props,
@@ -12784,6 +12809,10 @@ def _oracle_sql_dict() -> dict[str, str]:
                 ('Kashmir', 17, 'Kashmir_(song)', 100000, FALSE),
                 ('Knebworth', 28, 'Knebworth_Festival', 1000000, TRUE)
             ) AS t(mention, begin, candidate, prior_1e6, chosen)
+        """,
+        "nel_accuracy": """
+            SELECT * FROM (VALUES (3, 5, 600000))
+                AS t("right", "total", accuracy_1e6)
         """,
         "service_requests": """
             WITH m(i, technique, signature) AS (VALUES

@@ -130,3 +130,27 @@ def test_serve_requests_stage(ray_session, kb):
         ["Page", "Kashmir", "Knebworth", "Les Paul"]
     assert "ERROR" in json.loads(out.response[1])
     assert "bad request JSON" in json.loads(out.response[2])["ERROR"]
+
+
+# ------------------------------------------------------- NEL eval client
+
+def test_nel_client_parsers():
+    from aida_ray.pipelines.nel_eval import (client_word_span, parse_gold,
+                                             parse_token_file)
+    assert parse_token_file("a\nb\n\nc\n") == ["a b", "c"]
+    g = parse_gold("Page\tJimmy Page\ta0s0\t1\t2\n")
+    assert g == {"a0s0\t1\t2": "Jimmy Page"}
+    # the client's exact span arithmetic (-1 rides the leading space)
+    s = "When Page played"
+    assert client_word_span(s, 5, 4) == (1, 2)
+
+
+def test_nel_eval_routes_agree(ray_session):
+    from aida_ray.pipelines.nel_eval import (evaluate_nel,
+                                             evaluate_nel_distributed,
+                                             fixture_eval_inputs)
+    kb = build_fixture_kb()
+    tt, si, gt = fixture_eval_inputs()
+    a = evaluate_nel(tt, si, gt, kb)
+    assert a == {"right": 3, "total": 5, "accuracy": 0.6}
+    assert evaluate_nel_distributed(tt, si, gt, kb, concurrency=1) == a
