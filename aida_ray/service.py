@@ -186,6 +186,70 @@ def process_request(params: dict, kb: KB) -> dict:
     return out
 
 
+def load_entity_metadata(entity: str, kb: KB) -> dict:
+    """/service/loadEntityMetaData (:534-552): metadata + importance
+    for one entity, by NAME (this engine's public identifier — the
+    reference's integer ids are a Postgres artifact).  Depiction /
+    description fields are None like a KB without those tables."""
+    from aida_ray.io.result_json import _entity_metadata
+    m = _entity_metadata(kb, entity)
+    return {"readableForm": m["readableRepr"], "url": m["url"],
+            "importance": m["importance"],
+            "knowledgebase": m["knowledgebase"],
+            "depictionurl": None, "description": None,
+            "depictionthumbnailurl": None}
+
+
+def load_keyphrases(entity: str, kb: KB) -> list[dict]:
+    """/service/loadKeyphrases (:556-563): the entity's keyphrases
+    with their MI weights, heaviest first (EntityDetailsLoader
+    semantics over our keyphrase index)."""
+    eid = kb.entity2id.get(entity)
+    if eid is None:
+        return []
+    out = []
+    for kp in kb.entity_kps.get(eid, []):
+        words = [kb.id2word.get(t, "?") for t in kb.kp_tokens.get(kp, ())]
+        weight = max((kb.kw_mi.get(eid, {}).get(t, 0.0)
+                      for t in kb.kp_tokens.get(kp, ())), default=0.0)
+        out.append({"keyphrase": " ".join(words), "weight": weight})
+    out.sort(key=lambda d: (-d["weight"], d["keyphrase"]))
+    return out
+
+
+def load_types(entity: str, kb: KB) -> list[str]:
+    """/service/loadTypes (:588-594)."""
+    eid = kb.entity2id.get(entity)
+    return sorted(kb.entity_types.get(eid, ())) if eid is not None else []
+
+
+def extract_keyphrases(text: str) -> list[str]:
+    """/service/extractKeyphrases (:570-585): noun-phrase keyphrases
+    from free text via the POS-regex extractor (M18)."""
+    from aida_ray.ned.keyphrases import extract_keyphrases_pos
+    return extract_keyphrases_pos(text)
+
+
+def compute_milne_witten_relatedness(sources: list[str],
+                                     targets: list[str],
+                                     kb: KB) -> dict:
+    """/service/computeMilneWittenRelatedness (:609-675): nested
+    {source: {target: score}} over the cross product, the endpoint's
+    exact result shape."""
+    from aida_ray.ned.coherence import milne_witten
+    out: dict = {}
+    for s in sources:
+        sid = kb.entity2id.get(s)
+        row: dict = {}
+        for t in targets:
+            tid = kb.entity2id.get(t)
+            if sid is None or tid is None:
+                return {"Error": "Error creating EE-Similarity processor."}
+            row[t] = milne_witten(kb, sid, tid)
+        out[s] = row
+    return out
+
+
 class RequestStage:
     """Actor-pool stage: a batch of requests in, responses out —
     the service surface at corpus scale (pin the KB once per actor,

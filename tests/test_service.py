@@ -154,3 +154,38 @@ def test_nel_eval_routes_agree(ray_session):
     a = evaluate_nel(tt, si, gt, kb)
     assert a == {"right": 3, "total": 5, "accuracy": 0.6}
     assert evaluate_nel_distributed(tt, si, gt, kb, concurrency=1) == a
+
+
+# ------------------------------------------------ auxiliary endpoints
+
+def test_load_entity_metadata_and_types(kb):
+    from aida_ray.service import load_entity_metadata, load_types
+    m = load_entity_metadata("Jimmy_Page", kb)
+    assert m["readableForm"] == "Jimmy Page"
+    assert m["knowledgebase"] == "YAGO"
+    assert m["url"].endswith("/Jimmy%20Page")
+    assert m["importance"] > 0
+    assert load_types("Jimmy_Page", kb) == ["PERSON"]
+    assert load_types("Nope", kb) == []
+
+
+def test_load_keyphrases_ordered(kb):
+    from aida_ray.service import load_keyphrases
+    kps = load_keyphrases("Jimmy_Page", kb)
+    texts = [k["keyphrase"] for k in kps]
+    assert "Robert Plant" in texts and "Led Zeppelin" in texts
+    weights = [k["weight"] for k in kps]
+    assert weights == sorted(weights, reverse=True)
+    assert load_keyphrases("Nope", kb) == []
+
+
+def test_milne_witten_endpoint_shape(kb):
+    from aida_ray.ned.coherence import milne_witten
+    from aida_ray.service import compute_milne_witten_relatedness
+    r = compute_milne_witten_relatedness(
+        ["Jimmy_Page"], ["Kashmir_(song)"], kb)
+    want = milne_witten(kb, kb.entity2id["Jimmy_Page"],
+                        kb.entity2id["Kashmir_(song)"])
+    assert r == {"Jimmy_Page": {"Kashmir_(song)": want}}
+    assert "Error" in compute_milne_witten_relatedness(
+        ["Nope"], ["Kashmir"], kb)
