@@ -173,16 +173,24 @@ def process_request(params: dict, kb: KB) -> dict:
     max_results = int(params.get("maxResults") or 15)
     for m in out.get("mentions", []):
         m["allEntities"] = m["allEntities"][:max_results]
+    out["docId"] = doc_id
 
-    if params.get("jsonType") == "COMPACT":
-        out = {"docId": doc_id,
-               "mentions": [{"name": m["name"], "offset": m["offset"],
-                             "length": m["length"],
-                             "bestEntity": (m["bestEntity"] or {}).get(
-                                 "kbIdentifier")}
-                            for m in out.get("mentions", [])]}
-    else:
-        out["docId"] = doc_id
+    # jsonType shaping — ResultProcessor.process (ResultProcessor.java
+    # :89-240): ANNOTATED_TEXT stops after the weave; COMPACT drops
+    # the weave and the metadata/type tables; DEFAULT is the full
+    # payload; WEB = DEFAULT + the demo-UI tracer HTML (served as the
+    # S7 annotated-HTML rendering — the Java GraphTracer HTML is the
+    # webapp's concern, out of scope with the rest of the UI).
+    jt = params.get("jsonType") or "DEFAULT"
+    if jt == "ANNOTATED_TEXT":
+        out = {k: out[k] for k in ("docId", "formatVersion",
+                                   "annotatedText", "originalText")}
+    elif jt == "COMPACT":
+        for k in ("annotatedText", "entityMetadata", "allTypes"):
+            out.pop(k, None)
+    elif jt == "WEB":
+        from aida_ray.io.result_json import to_html
+        out["tracerHtml"] = to_html(doc_id, cleaned, results, kb)
     return out
 
 
@@ -228,6 +236,14 @@ def extract_keyphrases(text: str) -> list[str]:
     from free text via the POS-regex extractor (M18)."""
     from aida_ray.ned.keyphrases import extract_keyphrases_pos
     return extract_keyphrases_pos(text)
+
+
+def entity_kbid_to_id(kb_id: str, kb: KB) -> int:
+    """/service/entityKbId2Id (:598-606): ``KB:Entity_Name`` → the
+    engine's internal integer entity id (-1 when unknown, the
+    reference's out-of-KB id convention)."""
+    name = kb_id.split(":", 1)[1] if ":" in kb_id else kb_id
+    return kb.entity2id.get(name, -1)
 
 
 def compute_milne_witten_relatedness(sources: list[str],

@@ -82,11 +82,18 @@ def test_process_request_errors_and_compact(kb):
     assert "ERROR" in process_request({"technique": "GRAPH"}, kb)
     assert "ERROR" in process_request({"text": "x",
                                        "technique": "NOPE"}, kb)
+    # ResultProcessor jsonType shaping (:89-240)
     c = process_request({"text": TEXT, "technique": "PRIOR",
                          "jsonType": "COMPACT"}, kb)
-    assert set(c.keys()) == {"docId", "mentions"}
-    assert all(set(m) == {"name", "offset", "length", "bestEntity"}
-               for m in c["mentions"])
+    assert "entityMetadata" not in c and "annotatedText" not in c
+    assert "mentions" in c and "allEntities" in c
+    at = process_request({"text": TEXT, "technique": "PRIOR",
+                          "jsonType": "ANNOTATED_TEXT"}, kb)
+    assert set(at.keys()) == {"docId", "formatVersion",
+                              "annotatedText", "originalText"}
+    w = process_request({"text": TEXT, "technique": "PRIOR",
+                         "jsonType": "WEB"}, kb)
+    assert "entityMetadata" in w and w["tracerHtml"].startswith("<!DOCTYPE")
 
 
 def test_max_results_caps_candidates(kb):
@@ -189,3 +196,12 @@ def test_milne_witten_endpoint_shape(kb):
     assert r == {"Jimmy_Page": {"Kashmir_(song)": want}}
     assert "Error" in compute_milne_witten_relatedness(
         ["Nope"], ["Kashmir"], kb)
+
+
+def test_entity_kbid_to_id(kb):
+    from aida_ray.service import entity_kbid_to_id
+    assert entity_kbid_to_id("YAGO:Jimmy_Page", kb) == \
+        kb.entity2id["Jimmy_Page"]
+    assert entity_kbid_to_id("Jimmy_Page", kb) == \
+        kb.entity2id["Jimmy_Page"]
+    assert entity_kbid_to_id("YAGO:Nope", kb) == -1
