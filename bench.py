@@ -135,7 +135,10 @@ def run_bench() -> dict:
                  "interval_conflicts", "nearest_site",
                  "truth_discovery", "lpa_communities",
                  "textrank_keywords", "text_tiles", "content_drift",
-                 "metapath_counts", "spam_scores", "microdata_triples"]:
+                 "metapath_counts", "spam_scores", "microdata_triples",
+                 "png_decode", "ner_pr", "multilang_ned",
+                 "german_compound_ned", "service_requests",
+                 "nel_accuracy"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
