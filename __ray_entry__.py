@@ -4925,6 +4925,47 @@ def q_bm25(sf_dir: str) -> pa.Table:
                                     (2, ["merge"])], k=10)
 
 
+def q_ir_eval(sf_dir: str) -> pa.Table:
+    """IR evaluation over the REAL BM25 run (stages/ir_eval.ir_metrics):
+    nDCG@10 / MRR@10 / AP@10 per query against graded qrels derived
+    deterministically from the corpus (rel = min(3, total tf of the
+    query's terms)); the run is broadcast, the qrels side streams once
+    with |Q|-bounded partials.  The oracle rebuilds the run with the
+    bm25 SQL twin and computes the same three metrics with window
+    functions."""
+    from aida_ray.stages.ir_eval import ir_metrics
+    from aida_ray.stages.retrieval import bm25_topk
+    from aida_ray.stages.tfidf import _doc_terms
+    queries = [(0, ["hash", "join"]), (1, ["window", "sort"]),
+               (2, ["merge"])]
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    run = bm25_topk(docs, queries=queries, k=10)
+
+    qterms = {qid: set(ts) for qid, ts in queries}
+
+    def to_qrels(b: pa.Table) -> pa.Table:
+        dt = _doc_terms(b, "doc_id", "text")
+        out_q, out_d, out_r = [], [], []
+        for qid, ts in qterms.items():
+            sub = dt[dt.term.isin(ts)]
+            if not len(sub):
+                continue
+            tf = sub.groupby("doc_id", sort=False).size()
+            out_q += [qid] * len(tf)
+            out_d += [int(d) for d in tf.index]
+            out_r += [int(min(3, v)) for v in tf.to_numpy()]
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "rel": pa.array(out_r, pa.int64())})
+
+    qrels = docs.map_batches(to_qrels, batch_format="pyarrow")
+    t = ir_metrics(run, qrels, k=10).to_pandas() \
+        .sort_values("query_id").reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_robots_rules(sf_dir: str) -> pa.Table:
     """robots.txt parsing (links.parse_robots): per-host synthetic REP
     bodies with a non-matching agent group, comments, empty Disallow
@@ -7220,6 +7261,100 @@ _BM25_ORACLE = """
         FROM scored
     )
     SELECT query_id, "rank", doc_id, score FROM ranked WHERE "rank" <= 10
+"""
+
+
+_IR_EVAL_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), toks2 AS MATERIALIZED (
+        SELECT * FROM toks WHERE term <> ''
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+    ), st AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM dl)
+                   / (SELECT COUNT(*) FROM documents) AS avgdl
+    ), q(query_id, term) AS (
+        VALUES (0, 'hash'), (0, 'join'), (1, 'window'), (1, 'sort'),
+               (2, 'merge')
+    ), df AS MATERIALIZED (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), tf AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+    ), scored AS MATERIALIZED (
+        SELECT q.query_id, tf.doc_id,
+               SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                                     + 0.75 * dl.dl / st.avgdl))) AS s
+        FROM q JOIN df USING (term)
+        JOIN tf ON tf.term = q.term
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st
+        GROUP BY q.query_id, tf.doc_id
+    ), ranked AS MATERIALIZED (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(s, 6) DESC, doc_id)
+                   AS "rank"
+        FROM scored
+    ), qrels AS MATERIALIZED (
+        SELECT q.query_id, tf.doc_id, LEAST(3, SUM(tf.tf)) AS rel
+        FROM q JOIN tf ON tf.term = q.term
+        GROUP BY q.query_id, tf.doc_id
+    ), hits AS MATERIALIZED (
+        SELECT r.query_id, r."rank", COALESCE(qr.rel, 0) AS rel
+        FROM ranked r LEFT JOIN qrels qr
+          ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+        WHERE r."rank" <= 10
+    ), dcg AS (
+        SELECT query_id,
+               SUM((POWER(2.0, rel) - 1.0)
+                   / (ln("rank" + 1.0) / ln(2.0))) AS dcg
+        FROM hits GROUP BY 1
+    ), ideal AS (
+        SELECT query_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM qrels
+    ), idcg AS (
+        SELECT query_id,
+               SUM((POWER(2.0, rel) - 1.0)
+                   / (ln(rn + 1.0) / ln(2.0))) AS idcg
+        FROM ideal WHERE rn <= 10 GROUP BY 1
+    ), rcnt AS (
+        SELECT query_id, COUNT(*) AS n_rel FROM qrels
+        WHERE rel > 0 GROUP BY 1
+    ), mrr AS (
+        SELECT query_id, 1.0 / MIN("rank") AS mrr FROM hits
+        WHERE rel > 0 GROUP BY 1
+    ), prec AS (
+        SELECT query_id, "rank", rel,
+               SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY query_id ORDER BY "rank") AS cum
+        FROM hits
+    ), ap AS (
+        SELECT p.query_id,
+               SUM(p.cum * 1.0 / p."rank") / r.n_rel AS ap
+        FROM prec p JOIN rcnt r USING (query_id)
+        WHERE p.rel > 0 GROUP BY p.query_id, r.n_rel
+    )
+    SELECT d.query_id,
+           COALESCE(r.n_rel, 0) AS n_rel,
+           CAST(ROUND(COALESCE(d.dcg / NULLIF(i.idcg, 0), 0) * 1e6)
+                AS BIGINT) AS ndcg_1e6,
+           CAST(ROUND(COALESCE(m.mrr, 0) * 1e6) AS BIGINT) AS mrr_1e6,
+           CAST(ROUND(COALESCE(a.ap, 0) * 1e6) AS BIGINT) AS ap_1e6
+    FROM dcg d
+    LEFT JOIN idcg i USING (query_id)
+    LEFT JOIN rcnt r USING (query_id)
+    LEFT JOIN mrr m USING (query_id)
+    LEFT JOIN ap a USING (query_id)
 """
 
 
@@ -10543,6 +10678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "main_content": q_main_content,
         "crawl_frontier": q_crawl_frontier,
         "bm25": q_bm25,
+        "ir_eval": q_ir_eval,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12203,6 +12339,7 @@ def _oracle_sql_dict() -> dict[str, str]:
             FROM t
         """,
         "bm25": _BM25_ORACLE,
+        "ir_eval": _IR_EVAL_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),
