@@ -7264,6 +7264,105 @@ _BM25_ORACLE = """
 """
 
 
+def q_rm3_expand(sf_dir: str) -> pa.Table:
+    """RM3 pseudo-relevance-feedback expansion
+    (retrieval.rm3_expansion) for the bm25 query set: relevance-model
+    term mass from the BM25 top-10 (normalized rounded scores as
+    P(d|q)), interpolated 0.5/0.5 with the uniform original query;
+    top-8 terms per query ranked by the ROUNDED weight so the SQL twin
+    (same CTE stack as the bm25 oracle) breaks ties identically."""
+    from aida_ray.stages.retrieval import rm3_expansion
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = rm3_expansion(docs, queries=[(0, ["hash", "join"]),
+                                     (1, ["window", "sort"]),
+                                     (2, ["merge"])],
+                      k_docs=10, k_terms=8, mix=0.5).to_pandas()
+    t = t.sort_values(["query_id", "weight_1e6", "term"],
+                      ascending=[True, False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_RM3_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), toks2 AS MATERIALIZED (
+        SELECT * FROM toks WHERE term <> ''
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+    ), st AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM dl)
+                   / (SELECT COUNT(*) FROM documents) AS avgdl
+    ), q(query_id, term) AS (
+        VALUES (0, 'hash'), (0, 'join'), (1, 'window'), (1, 'sort'),
+               (2, 'merge')
+    ), df AS MATERIALIZED (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), tfq AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+    ), scored AS MATERIALIZED (
+        SELECT q.query_id, tfq.doc_id,
+               SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                   * tfq.tf * (1.2 + 1.0)
+                   / (tfq.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / st.avgdl))) AS s
+        FROM q JOIN df USING (term)
+        JOIN tfq ON tfq.term = q.term
+        JOIN dl ON dl.doc_id = tfq.doc_id
+        CROSS JOIN st
+        GROUP BY q.query_id, tfq.doc_id
+    ), ranked AS MATERIALIZED (
+        SELECT query_id, doc_id, ROUND(s, 6) AS score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(s, 6) DESC, doc_id)
+                   AS "rank"
+        FROM scored
+    ), fb AS MATERIALIZED (
+        SELECT query_id, doc_id, score FROM ranked WHERE "rank" <= 10
+    ), ps AS (
+        SELECT query_id, SUM(score) AS tot FROM fb GROUP BY 1
+    ), tfall AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE doc_id IN (SELECT DISTINCT doc_id FROM fb)
+        GROUP BY doc_id, term
+    ), rmm AS MATERIALIZED (
+        SELECT f.query_id, t.term,
+               SUM((t.tf * 1.0 / dl.dl) * (f.score / ps.tot)) AS m
+        FROM fb f
+        JOIN tfall t ON t.doc_id = f.doc_id
+        JOIN dl ON dl.doc_id = t.doc_id
+        JOIN ps ON ps.query_id = f.query_id
+        GROUP BY 1, 2
+    ), qn AS (
+        SELECT query_id, COUNT(*) AS nt FROM q GROUP BY 1
+    ), orig AS (
+        SELECT q.query_id, q.term, 1.0 / qn.nt AS p
+        FROM q JOIN qn USING (query_id)
+    ), wmix AS (
+        SELECT COALESCE(rm.query_id, o.query_id) AS query_id,
+               COALESCE(rm.term, o.term) AS term,
+               COALESCE(0.5 * rm.m, 0) + COALESCE(0.5 * o.p, 0) AS w,
+               (o.term IS NULL) AS is_new
+        FROM rmm rm FULL OUTER JOIN orig o
+          ON rm.query_id = o.query_id AND rm.term = o.term
+    ), sel AS (
+        SELECT query_id, term,
+               CAST(ROUND(w * 1e6) AS BIGINT) AS weight_1e6, is_new,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(w * 1e6) DESC, term)
+                   AS rn
+        FROM wmix
+    )
+    SELECT query_id, term, weight_1e6, is_new FROM sel WHERE rn <= 8
+"""
+
+
 _IR_EVAL_ORACLE = """
     WITH toks AS MATERIALIZED (
         SELECT doc_id,
@@ -10679,6 +10778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_frontier": q_crawl_frontier,
         "bm25": q_bm25,
         "ir_eval": q_ir_eval,
+        "rm3_expand": q_rm3_expand,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12340,6 +12440,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         """,
         "bm25": _BM25_ORACLE,
         "ir_eval": _IR_EVAL_ORACLE,
+        "rm3_expand": _RM3_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),

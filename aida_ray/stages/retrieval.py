@@ -152,6 +152,104 @@ def bm25_topk(ds: ray.data.Dataset, queries: list[tuple[int, list[str]]],
                      "score": pa.array(out["score"], pa.float64())})
 
 
+def rm3_expansion(ds: ray.data.Dataset,
+                  queries: list[tuple[int, list[str]]],
+                  k_docs: int = 10, k_terms: int = 8,
+                  mix: float = 0.5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """RM3 pseudo-relevance-feedback query expansion (Lavrenko &
+    Croft relevance models; the Abdul-Jaleel et al. RM3 interpolation)
+    over the BM25 top-``k_docs``:
+
+        P(w|R) = Σ_{d ∈ top-k}  (tf(w,d) / |d|) · (s(q,d) / Σ_d s)
+        P'(w)  = mix · P_orig(w) + (1 - mix) · P(w|R)
+
+    with ``P_orig`` uniform over the original query terms.  Returns
+    (query_id, term, weight_1e6, is_new) — the top-``k_terms`` terms
+    by (weight DESC, term ASC), ``is_new`` marking terms outside the
+    original query.
+
+    Scale shape: the feedback doc-id set (|Q| × k_docs) broadcasts;
+    ONE pass over the corpus emits per-(query, term) partial
+    relevance mass only for feedback docs (bounded by feedback-doc
+    lengths per block); the driver merges query-vocabulary-bounded
+    partials.  Nothing corpus-sized leaves the workers.
+    """
+    run = bm25_topk(ds, queries, k=k_docs, id_col=id_col,
+                    text_col=text_col).to_pandas()
+    # P(d|q): normalized scores over the feedback set
+    pdq: dict[tuple[int, int], float] = {}
+    for qid, sub in run.groupby("query_id"):
+        tot = float(sub.score.sum())
+        if tot <= 0:
+            continue
+        for d, s in zip(sub.doc_id, sub.score):
+            pdq[(int(qid), int(d))] = float(s) / tot
+    fb_docs: dict[int, list[int]] = {}
+    for (qid, d) in pdq:
+        fb_docs.setdefault(d, []).append(qid)
+    ref = ray.put((fb_docs, pdq))
+
+    def partial(b: pa.Table) -> pa.Table:
+        fdocs, pd_q = ray.get(ref)
+        dt = _doc_terms(b, id_col, text_col)
+        dt = dt[dt.doc_id.isin(fdocs)]
+        if not len(dt):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "mass": pa.array([], pa.float64())})
+        dl = dt.groupby("doc_id", sort=False).size()
+        tf = dt.groupby(["doc_id", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        tf["pwd"] = tf.tf / dl.loc[tf.doc_id].to_numpy()
+        rows = {"query_id": [], "term": [], "mass": []}
+        for d, sub in tf.groupby("doc_id", sort=False):
+            for qid in fdocs[int(d)]:
+                w = pd_q[(qid, int(d))]
+                rows["query_id"] += [qid] * len(sub)
+                rows["term"] += list(sub.term)
+                rows["mass"] += list(sub.pwd * w)
+        df = pd.DataFrame(rows).groupby(
+            ["query_id", "term"], sort=False)["mass"].sum().reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = collect_table(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.schema([("query_id", pa.int64()), ("term", pa.string()),
+                   ("mass", pa.float64())])).to_pandas()
+    rm = parts.groupby(["query_id", "term"])["mass"].sum() \
+        if len(parts) else pd.Series(dtype=float)
+
+    out = {"query_id": [], "term": [], "weight_1e6": [], "is_new": []}
+    for qid, terms in [(int(q), sorted(ts)) for q, ts in queries]:
+        orig = 1.0 / len(terms) if terms else 0.0
+        weights: dict[str, float] = {}
+        if len(parts):
+            for (q, t), m in rm.items():
+                if q == qid:
+                    weights[t] = (1.0 - mix) * float(m)
+        for t in terms:
+            weights[t] = weights.get(t, 0.0) + mix * orig
+        # rank by the ROUNDED weight so both this and the SQL twin
+        # break near-ties identically (full-precision float sums are
+        # order-dependent across partition counts)
+        top = sorted(weights.items(),
+                     key=lambda kv: (-round(kv[1] * 1e6), kv[0]))
+        top = top[:k_terms]
+        for t, w in top:
+            out["query_id"].append(qid)
+            out["term"].append(t)
+            out["weight_1e6"].append(round(w * 1e6))
+            out["is_new"].append(t not in terms)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "term": pa.array(out["term"], pa.string()),
+        "weight_1e6": pa.array(out["weight_1e6"], pa.int64()),
+        "is_new": pa.array(out["is_new"], pa.bool_()),
+    })
+
+
 # ------------------------------------------------------------------
 # Persisted inverted index — the 100-TB query path.  A full-corpus
 # scan per query wave (bm25_topk) is the right shape for ad-hoc

@@ -58,3 +58,33 @@ def test_ir_metrics_k_truncation(ray_session):
     assert g3.mrr_1e6[0] == round(1e6 / 3)
     assert g2.mrr_1e6[0] == 0 and g2.ndcg_1e6[0] == 0
     assert g2.n_rel[0] == 1     # R counts misses below k
+
+
+def test_rm3_expansion_properties(ray_session):
+    """RM3 over a tiny corpus: original terms keep >= mix*uniform
+    weight; co-occurring terms surface as new expansion terms with
+    positive relevance mass."""
+    import ray
+
+    from aida_ray.stages.retrieval import rm3_expansion
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "hash join hash partition shuffle",
+            "hash join broadcast lookup",
+            "merge sort external run",
+            "totally unrelated text here"], pa.string())})
+    t = rm3_expansion(ray.data.from_arrow(docs),
+                      queries=[(0, ["hash", "join"])],
+                      k_docs=2, k_terms=6, mix=0.5).to_pandas()
+    w = dict(zip(t.term, t.weight_1e6))
+    new = dict(zip(t.term, t.is_new))
+    # originals present, weight >= 0.5 * 1/2 = 250000
+    assert w["hash"] >= 250_000 and w["join"] >= 250_000
+    assert not new["hash"] and not new["join"]
+    # feedback-doc co-occurring terms expand with positive mass
+    assert any(new[x] and w[x] > 0
+               for x in ("partition", "shuffle", "broadcast", "lookup")
+               if x in w)
+    # a term only in non-feedback docs never appears
+    assert "external" not in w and "unrelated" not in w
