@@ -7363,6 +7363,113 @@ _RM3_ORACLE = """
 """
 
 
+def q_snippets(sf_dir: str) -> pa.Table:
+    """Query-biased snippet extraction (retrieval.best_snippets) for
+    the bm25 query set's top-5 docs: best 12-token window by (distinct
+    query terms DESC, total hits DESC, start ASC).  The SQL twin
+    rebuilds the run, explodes token positions laterally, scores every
+    window and picks the same argmax."""
+    from aida_ray.stages.retrieval import best_snippets
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    t = best_snippets(docs, queries=[(0, ["hash", "join"]),
+                                     (1, ["window", "sort"]),
+                                     (2, ["merge"])],
+                      window=12, k_docs=5).to_pandas()
+    t = t.sort_values(["query_id", "doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+_SNIPPETS_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), toks2 AS MATERIALIZED (
+        SELECT * FROM toks WHERE term <> ''
+    ), dl AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+    ), st AS MATERIALIZED (
+        SELECT (SELECT COUNT(*) FROM documents) AS n,
+               (SELECT SUM(dl) FROM dl)
+                   / (SELECT COUNT(*) FROM documents) AS avgdl
+    ), q(query_id, term) AS (
+        VALUES (0, 'hash'), (0, 'join'), (1, 'window'), (1, 'sort'),
+               (2, 'merge')
+    ), df AS MATERIALIZED (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ), tfq AS MATERIALIZED (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks2
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+    ), scored AS MATERIALIZED (
+        SELECT q.query_id, tfq.doc_id,
+               SUM(ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                   * tfq.tf * (1.2 + 1.0)
+                   / (tfq.tf + 1.2 * (1.0 - 0.75
+                                      + 0.75 * dl.dl / st.avgdl))) AS s
+        FROM q JOIN df USING (term)
+        JOIN tfq ON tfq.term = q.term
+        JOIN dl ON dl.doc_id = tfq.doc_id
+        CROSS JOIN st
+        GROUP BY q.query_id, tfq.doc_id
+    ), fb AS MATERIALIZED (
+        SELECT query_id, doc_id FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY ROUND(s, 6) DESC, doc_id)
+                       AS "rank"
+            FROM scored) WHERE "rank" <= 5
+    ), docs_t AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text),
+                                                 '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM fb)
+    ), meta AS MATERIALIZED (
+        SELECT doc_id, toks, len(toks) AS n,
+               LEAST(12, len(toks)) AS w
+        FROM docs_t
+    ), pos AS MATERIALIZED (
+        SELECT m.doc_id, t.i - 1 AS pos, m.toks[t.i] AS term
+        FROM meta m, UNNEST(range(1, m.n + 1)) AS t(i)
+    ), hits AS MATERIALIZED (
+        SELECT f.query_id, p.doc_id, p.pos, p.term
+        FROM fb f
+        JOIN pos p ON p.doc_id = f.doc_id
+        JOIN q ON q.query_id = f.query_id AND q.term = p.term
+    ), windows AS MATERIALIZED (
+        SELECT m.doc_id, w.s, m.w, m.n
+        FROM meta m, UNNEST(range(0, m.n - m.w + 2)) AS w(s)
+        WHERE w.s <= m.n - m.w OR w.s = 0
+    ), wscore AS MATERIALIZED (
+        SELECT f.query_id, wd.doc_id, wd.s, wd.w,
+               COUNT(DISTINCT h.term) AS nd, COUNT(h.pos) AS nh
+        FROM fb f
+        JOIN windows wd ON wd.doc_id = f.doc_id
+        LEFT JOIN hits h ON h.query_id = f.query_id
+                        AND h.doc_id = wd.doc_id
+                        AND h.pos >= wd.s AND h.pos < wd.s + wd.w
+        GROUP BY 1, 2, 3, 4
+    ), best AS (
+        SELECT query_id, doc_id, s, w, nd, nh,
+               ROW_NUMBER() OVER (PARTITION BY query_id, doc_id
+                                  ORDER BY nd DESC, nh DESC, s ASC)
+                   AS rn
+        FROM wscore
+    )
+    SELECT b.query_id, b.doc_id,
+           CAST(b.s AS BIGINT) AS start_tok,
+           CAST(b.nd AS BIGINT) AS n_distinct,
+           CAST(b.nh AS BIGINT) AS n_hits,
+           array_to_string(m.toks[b.s + 1 : b.s + b.w], ' ') AS snippet
+    FROM best b JOIN meta m USING (doc_id)
+    WHERE b.rn = 1
+"""
+
+
 _IR_EVAL_ORACLE = """
     WITH toks AS MATERIALIZED (
         SELECT doc_id,
@@ -10779,6 +10886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q_bm25,
         "ir_eval": q_ir_eval,
         "rm3_expand": q_rm3_expand,
+        "snippets": q_snippets,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12441,6 +12549,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "bm25": _BM25_ORACLE,
         "ir_eval": _IR_EVAL_ORACLE,
         "rm3_expand": _RM3_ORACLE,
+        "snippets": _SNIPPETS_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),

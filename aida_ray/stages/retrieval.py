@@ -37,8 +37,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+import re
+
 from aida_ray.stages.tfidf import TOKEN_SPLIT, _doc_terms
 from aida_ray.state.collect import collect_table
+
+_SNIP_RE = re.compile(TOKEN_SPLIT)
 
 # sentinel term for the (doc_count, token_count) partial row; real
 # tokens never contain a NUL byte (the tokenizer splits on [^a-z0-9]+)
@@ -248,6 +252,87 @@ def rm3_expansion(ds: ray.data.Dataset,
         "weight_1e6": pa.array(out["weight_1e6"], pa.int64()),
         "is_new": pa.array(out["is_new"], pa.bool_()),
     })
+
+
+def best_snippets(ds: ray.data.Dataset,
+                  queries: list[tuple[int, list[str]]],
+                  run: pa.Table | None = None,
+                  window: int = 12, k_docs: int = 5,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """Query-biased snippet extraction for the BM25 top-``k_docs``:
+    per (query, doc), the best ``window``-token window by
+
+        (distinct query terms in window DESC,
+         total query-term hits DESC, start position ASC)
+
+    — the deterministic core of a search-result snippeter.  Returns
+    (query_id, doc_id, start_tok, n_distinct, n_hits, snippet).
+
+    Scale shape: the (query, doc) feedback set is |Q| × k_docs and
+    broadcasts; each corpus block snippets only its own feedback docs
+    (a sliding-window count over the doc's term-hit positions —
+    O(tokens) via prefix sums), emitting one row per (query, doc).
+    """
+    if run is None:
+        run = bm25_topk(ds, queries, k=k_docs, id_col=id_col,
+                        text_col=text_col)
+    rdf = run.to_pandas()
+    rdf = rdf[rdf["rank"] <= k_docs]
+    want: dict[int, list[int]] = {}
+    for qid, d in zip(rdf.query_id, rdf.doc_id):
+        want.setdefault(int(d), []).append(int(qid))
+    qterms = {int(q): sorted(set(ts)) for q, ts in queries}
+    ref = ray.put((want, qterms))
+
+    def partial(b: pa.Table) -> pa.Table:
+        wnt, qts = ray.get(ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        texts = b[text_col].to_pylist()
+        rows = {"query_id": [], "doc_id": [], "start_tok": [],
+                "n_distinct": [], "n_hits": [], "snippet": []}
+        for did, text in zip(ids, texts):
+            did = int(did)
+            if did not in wnt:
+                continue
+            toks = [t for t in _SNIP_RE.split(text.lower()) if t]
+            n = len(toks)
+            for qid in wnt[did]:
+                terms = qts[qid]
+                # hit matrix per term -> prefix sums per window
+                best = (-1, -1, 0)  # (n_distinct, n_hits, -start)
+                best_start = 0
+                hits = [np.fromiter((t == qt for t in toks), dtype=np.int64,
+                                    count=n) for qt in terms]
+                pre = [np.concatenate([[0], h.cumsum()]) for h in hits]
+                w = min(window, n) if n else 0
+                for s in range(0, max(1, n - w + 1)):
+                    cnts = [p[s + w] - p[s] for p in pre]
+                    nd = sum(1 for c in cnts if c > 0)
+                    nh = int(sum(cnts))
+                    key = (nd, nh, -s)
+                    if key > best:
+                        best, best_start = key, s
+                rows["query_id"].append(qid)
+                rows["doc_id"].append(did)
+                rows["start_tok"].append(best_start)
+                rows["n_distinct"].append(max(best[0], 0))
+                rows["n_hits"].append(max(best[1], 0))
+                rows["snippet"].append(
+                    " ".join(toks[best_start:best_start + w]))
+        return pa.table({
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "start_tok": pa.array(rows["start_tok"], pa.int64()),
+            "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+            "n_hits": pa.array(rows["n_hits"], pa.int64()),
+            "snippet": pa.array(rows["snippet"], pa.string())})
+
+    return collect_table(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        pa.schema([("query_id", pa.int64()), ("doc_id", pa.int64()),
+                   ("start_tok", pa.int64()), ("n_distinct", pa.int64()),
+                   ("n_hits", pa.int64()), ("snippet", pa.string())]))
 
 
 # ------------------------------------------------------------------

@@ -88,3 +88,47 @@ def test_rm3_expansion_properties(ray_session):
                if x in w)
     # a term only in non-feedback docs never appears
     assert "external" not in w and "unrelated" not in w
+
+
+def test_best_snippets_window_selection(ray_session):
+    """The chosen window maximizes (distinct terms, hits) and sits at
+    the earliest tying start; snippet text matches the window."""
+    import ray
+
+    from aida_ray.stages.retrieval import best_snippets
+    text = ("filler one two three hash alone here filler filler "
+            "hash join hash together end bit")
+    docs = pa.table({"doc_id": pa.array([7], pa.int64()),
+                     "text": pa.array([text], pa.string())})
+    run = pa.table({"query_id": pa.array([0], pa.int64()),
+                    "rank": pa.array([1], pa.int64()),
+                    "doc_id": pa.array([7], pa.int64()),
+                    "score": pa.array([1.0], pa.float64())})
+    t = best_snippets(ray.data.from_arrow(docs),
+                      queries=[(0, ["hash", "join"])], run=run,
+                      window=5, k_docs=5).to_pandas()
+    assert len(t) == 1
+    row = t.iloc[0]
+    # the 5-token window covering 'hash join hash' (2 distinct, 3 hits)
+    assert row.n_distinct == 2 and row.n_hits == 3
+    toks = [x for x in text.lower().split(" ") if x]
+    window = toks[row.start_tok:row.start_tok + 5]
+    assert row.snippet == " ".join(window)
+    assert "join" in window and window.count("hash") == 2
+
+
+def test_best_snippets_short_doc(ray_session):
+    import ray
+
+    from aida_ray.stages.retrieval import best_snippets
+    docs = pa.table({"doc_id": pa.array([1], pa.int64()),
+                     "text": pa.array(["tiny hash doc"], pa.string())})
+    run = pa.table({"query_id": pa.array([0], pa.int64()),
+                    "rank": pa.array([1], pa.int64()),
+                    "doc_id": pa.array([1], pa.int64()),
+                    "score": pa.array([1.0], pa.float64())})
+    t = best_snippets(ray.data.from_arrow(docs),
+                      queries=[(0, ["hash"])], run=run,
+                      window=12).to_pandas()
+    assert t.iloc[0].snippet == "tiny hash doc"
+    assert t.iloc[0].start_tok == 0 and t.iloc[0].n_hits == 1
