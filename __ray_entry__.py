@@ -7363,6 +7363,83 @@ _RM3_ORACLE = """
 """
 
 
+def q_cluster_eval(sf_dir: str) -> pa.Table:
+    """Clustering evaluation (stages/cluster_eval.cluster_metrics):
+    B-cubed, pairwise P/R/F1 and ARI for a deliberately-imperfect
+    system clustering (doc_id % 40 buckets) against gold exact-text
+    classes — every metric lands strictly inside (0, 1) so the math
+    is exercised, not saturated.  The oracle recomputes the same
+    contingency/marginal/C(n,2) arithmetic in SQL."""
+    from aida_ray.stages.cluster_eval import cluster_metrics
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def to_assign(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "item": pa.array(ids.astype(str).tolist(), pa.string()),
+            "cluster": pa.array((ids % 40).astype(str).tolist(),
+                                pa.string())})
+
+    def to_gold(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gold = [str(len(t) % 97) for t in b["text"].to_pylist()]
+        return pa.table({
+            "item": pa.array(ids.astype(str).tolist(), pa.string()),
+            "gold": pa.array(gold, pa.string())})
+
+    assign = docs.map_batches(to_assign, batch_format="pyarrow")
+    gold = docs.map_batches(to_gold, batch_format="pyarrow")
+    return cluster_metrics(assign, gold)
+
+
+_CLUSTER_EVAL_ORACLE = """
+    WITH pairs AS MATERIALIZED (
+        SELECT CAST(doc_id % 40 AS VARCHAR) AS c,
+               CAST(length(text) % 97 AS VARCHAR) AS g
+        FROM documents
+    ), cont AS MATERIALIZED (
+        SELECT c, g, COUNT(*) AS n FROM pairs GROUP BY c, g
+    ), cs AS (SELECT c, SUM(n) AS nc FROM cont GROUP BY c),
+    gs AS (SELECT g, SUM(n) AS ng FROM cont GROUP BY g),
+    tot AS (SELECT SUM(n) AS n_items FROM cont),
+    b3 AS (
+        SELECT SUM(cont.n * cont.n * 1.0 / cs.nc) AS sp,
+               SUM(cont.n * cont.n * 1.0 / gs.ng) AS sr
+        FROM cont JOIN cs USING (c) JOIN gs USING (g)
+    ), pc AS (
+        SELECT (SELECT SUM(n * (n - 1) / 2) FROM cont) AS tp,
+               (SELECT SUM(nc * (nc - 1) / 2) FROM cs) AS sys_pairs,
+               (SELECT SUM(ng * (ng - 1) / 2) FROM gs) AS gold_pairs,
+               (SELECT n_items * (n_items - 1) / 2 FROM tot)
+                   AS total_pairs
+    ), m AS (
+        SELECT t.n_items,
+               b3.sp / t.n_items AS b3p, b3.sr / t.n_items AS b3r,
+               pc.tp * 1.0 / pc.sys_pairs AS pp,
+               pc.tp * 1.0 / pc.gold_pairs AS pr,
+               (pc.tp - pc.sys_pairs * 1.0 * pc.gold_pairs
+                    / pc.total_pairs)
+               / ((pc.sys_pairs + pc.gold_pairs) / 2.0
+                  - pc.sys_pairs * 1.0 * pc.gold_pairs
+                        / pc.total_pairs) AS ari
+        FROM tot t, b3, pc
+    )
+    SELECT CAST(n_items AS BIGINT) AS n_items,
+           CAST(ROUND(b3p * 1e6) AS BIGINT) AS bcubed_p_1e6,
+           CAST(ROUND(b3r * 1e6) AS BIGINT) AS bcubed_r_1e6,
+           CAST(ROUND(2 * b3p * b3r / (b3p + b3r) * 1e6) AS BIGINT)
+               AS bcubed_f1_1e6,
+           CAST(ROUND(pp * 1e6) AS BIGINT) AS pair_p_1e6,
+           CAST(ROUND(pr * 1e6) AS BIGINT) AS pair_r_1e6,
+           CAST(ROUND(2 * pp * pr / (pp + pr) * 1e6) AS BIGINT)
+               AS pair_f1_1e6,
+           CAST(ROUND(ari * 1e6) AS BIGINT) AS ari_1e6
+    FROM m
+"""
+
+
 def q_snippets(sf_dir: str) -> pa.Table:
     """Query-biased snippet extraction (retrieval.best_snippets) for
     the bm25 query set's top-5 docs: best 12-token window by (distinct
@@ -10887,6 +10964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ir_eval": q_ir_eval,
         "rm3_expand": q_rm3_expand,
         "snippets": q_snippets,
+        "cluster_eval": q_cluster_eval,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12550,6 +12628,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "ir_eval": _IR_EVAL_ORACLE,
         "rm3_expand": _RM3_ORACLE,
         "snippets": _SNIPPETS_ORACLE,
+        "cluster_eval": _CLUSTER_EVAL_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),

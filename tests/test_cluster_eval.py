@@ -1,0 +1,52 @@
+"""Clustering metrics (stages/cluster_eval.py) — hand-computed goldens."""
+
+import pyarrow as pa
+
+
+def _ds(items, vals, col):
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "item": pa.array([str(i) for i in items], pa.string()),
+        col: pa.array([str(v) for v in vals], pa.string())}))
+
+
+def test_perfect_clustering(ray_session):
+    from aida_ray.stages.cluster_eval import cluster_metrics
+    items = list(range(6))
+    labels = [0, 0, 1, 1, 2, 2]
+    t = cluster_metrics(_ds(items, labels, "cluster"),
+                        _ds(items, labels, "gold")).to_pandas()
+    for c in ("bcubed_p_1e6", "bcubed_r_1e6", "bcubed_f1_1e6",
+              "pair_p_1e6", "pair_r_1e6", "pair_f1_1e6", "ari_1e6"):
+        assert t[c][0] == 1_000_000, c
+    assert t.n_items[0] == 6
+
+
+def test_hand_computed_mixed(ray_session):
+    """gold = {a,b,c} + {d}; system = {a,b} + {c,d}.
+    B3 P = (1+1+.5+.5)/4 = .75 ; B3 R = (2/3+2/3+1/3+1)/4 = 2/3.
+    pairs: tp=1, sys=2, gold=3 -> P=.5, R=1/3, F1=.4.
+    ARI = (1 - 2*3/6) / ((2+3)/2 - 2*3/6) = 0."""
+    from aida_ray.stages.cluster_eval import cluster_metrics
+    items = ["a", "b", "c", "d"]
+    sysc = [0, 0, 1, 1]
+    gold = [0, 0, 0, 1]
+    t = cluster_metrics(_ds(items, sysc, "cluster"),
+                        _ds(items, gold, "gold")).to_pandas()
+    assert t.bcubed_p_1e6[0] == 750_000
+    assert t.bcubed_r_1e6[0] == 666_667
+    assert t.pair_p_1e6[0] == 500_000
+    assert t.pair_r_1e6[0] == 333_333
+    assert t.pair_f1_1e6[0] == 400_000
+    assert t.ari_1e6[0] == 0
+
+
+def test_singleton_gold_no_crash(ray_session):
+    """All-singleton gold: pairwise recall undefined -> 0 by
+    convention, no NaNs anywhere."""
+    from aida_ray.stages.cluster_eval import cluster_metrics
+    items = ["a", "b", "c"]
+    t = cluster_metrics(_ds(items, [0, 0, 0], "cluster"),
+                        _ds(items, [0, 1, 2], "gold")).to_pandas()
+    assert t.pair_r_1e6[0] == 0 and t.pair_f1_1e6[0] == 0
+    assert t.bcubed_r_1e6[0] == 1_000_000   # singletons fully recalled
