@@ -138,7 +138,8 @@ def run_bench() -> dict:
                  "metapath_counts", "spam_scores", "microdata_triples",
                  "png_decode", "ner_pr", "multilang_ned",
                  "german_compound_ned", "service_requests",
-                 "nel_accuracy"]:
+                 "nel_accuracy", "ir_eval", "rm3_expand", "snippets",
+                 "cluster_eval"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)
