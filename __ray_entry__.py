@@ -7363,6 +7363,64 @@ _RM3_ORACLE = """
 """
 
 
+def q_vocab_divergence(sf_dir: str) -> pa.Table:
+    """Corpus-partition vocabulary divergence
+    (textstats.vocab_js_divergence): per-term Jensen-Shannon
+    contributions between the doc_id-parity halves of the corpus —
+    the distribution-level domain-shift detector (content_drift's
+    per-document sibling).  Top-20 terms by ROUNDED contribution;
+    exact SQL twin over the shared RE2 tokenization."""
+    from aida_ray.stages.textstats import vocab_js_divergence
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"side": pa.array(i % 2, pa.int64()),
+                         "text": b["text"]})
+
+    return vocab_js_divergence(
+        docs.map_batches(keyed, batch_format="pyarrow"), "side",
+        top_k=20)
+
+
+_VOCAB_DIVERGENCE_ORACLE = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id % 2 AS side,
+               unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents
+    ), toks2 AS MATERIALIZED (
+        SELECT * FROM toks WHERE term <> ''
+    ), cnt AS MATERIALIZED (
+        SELECT side, term, COUNT(*) AS n FROM toks2 GROUP BY side, term
+    ), tot AS (
+        SELECT side, SUM(n) AS t FROM cnt GROUP BY side
+    ), piv AS MATERIALIZED (
+        SELECT term,
+               COALESCE(SUM(CASE WHEN side = 0 THEN n END), 0)
+                   * 1.0 / (SELECT t FROM tot WHERE side = 0) AS p,
+               COALESCE(SUM(CASE WHEN side = 1 THEN n END), 0)
+                   * 1.0 / (SELECT t FROM tot WHERE side = 1) AS q
+        FROM cnt GROUP BY term
+    ), contrib AS (
+        SELECT term, p, q,
+               0.5 * CASE WHEN p > 0
+                          THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+             + 0.5 * CASE WHEN q > 0
+                          THEN q * ln(q / ((p + q) / 2)) ELSE 0 END AS c
+        FROM piv
+    )
+    SELECT term,
+           CAST(ROUND(p * 1e9) AS BIGINT) AS p_1e9,
+           CAST(ROUND(q * 1e9) AS BIGINT) AS q_1e9,
+           CAST(ROUND(c * 1e9) AS BIGINT) AS contrib_1e9
+    FROM contrib
+    ORDER BY ROUND(c * 1e9) DESC, term
+    LIMIT 20
+"""
+
+
 def q_cluster_eval(sf_dir: str) -> pa.Table:
     """Clustering evaluation (stages/cluster_eval.cluster_metrics):
     B-cubed, pairwise P/R/F1 and ARI for a deliberately-imperfect
@@ -10965,6 +11023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rm3_expand": q_rm3_expand,
         "snippets": q_snippets,
         "cluster_eval": q_cluster_eval,
+        "vocab_divergence": q_vocab_divergence,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12629,6 +12688,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "rm3_expand": _RM3_ORACLE,
         "snippets": _SNIPPETS_ORACLE,
         "cluster_eval": _CLUSTER_EVAL_ORACLE,
+        "vocab_divergence": _VOCAB_DIVERGENCE_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),

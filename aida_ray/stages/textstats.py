@@ -356,3 +356,65 @@ def yules_k_batch(batch: pa.Table, id_col: str = "doc_id",
         "n_types": pa.array(out.n_types.fillna(0).to_numpy("int64")),
         "yules_k": pa.array(np.round(k, 6), pa.float64()),
     })
+
+
+def vocab_js_divergence(ds: ray.data.Dataset, side_col: str,
+                        text_col: str = "text",
+                        top_k: int = 20) -> pa.Table:
+    """Corpus-level vocabulary divergence between two partitions of a
+    stream — the domain-shift / re-crawl-drift detector at
+    DISTRIBUTION level (content_drift is its per-document sibling).
+
+    Unigram distributions P (side 0) and Q (side 1) over the shared
+    RE2 tokenization; per-term Jensen-Shannon contribution
+
+        c(t) = 0.5·p·ln(p/m) + 0.5·q·ln(q/m),  m = (p+q)/2
+
+    (natural log; a side's missing term contributes only through the
+    other side — JS needs no smoothing).  Returns the ``top_k`` terms
+    by contribution (ties broken on the ROUNDED value then term, so a
+    SQL twin orders identically) with (term, p_1e9, q_1e9,
+    contrib_1e9).
+
+    Scale shape: one groupby over (side, term) with per-block pandas
+    partials — vocabulary-bounded, never corpus-bounded; totals ride
+    the same table; the driver sees only the merged vocabulary."""
+    from ray.data.aggregate import Sum
+
+    from aida_ray.stages.tfidf import _doc_terms
+    from aida_ray.state.collect import collect_table
+
+    def partial(b: pa.Table) -> pa.Table:
+        dt = _doc_terms(b, side_col, text_col)   # (doc_id=side, term)
+        dt = dt.rename(columns={"doc_id": "side"})
+        g = dt.groupby(["side", "term"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cnt = collect_table(
+        ds.select_columns([side_col, text_col])
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["side", "term"]).aggregate(Sum("n")),
+        pa.schema([("side", pa.int64()), ("term", pa.string()),
+                   ("sum(n)", pa.int64())])).to_pandas() \
+        .rename(columns={"sum(n)": "n"})
+    piv = cnt.pivot_table(index="term", columns="side", values="n",
+                          fill_value=0, aggfunc="sum")
+    a = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    b_ = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(np.float64)
+    p = a / a.sum() if a.sum() else a
+    q = b_ / b_.sum() if b_.sum() else b_
+    m = (p + q) / 2.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        c = (0.5 * np.where(p > 0, p * np.log(p / m), 0.0)
+             + 0.5 * np.where(q > 0, q * np.log(q / m), 0.0))
+    df = pd.DataFrame({"term": piv.index, "p": p, "q": q, "c": c})
+    df["c_r"] = np.round(df.c * 1e9)
+    df = df.sort_values(["c_r", "term"],
+                        ascending=[False, True]).head(top_k)
+    return pa.table({
+        "term": pa.array(df.term.tolist(), pa.string()),
+        "p_1e9": pa.array(np.round(df.p * 1e9).astype(np.int64)),
+        "q_1e9": pa.array(np.round(df.q * 1e9).astype(np.int64)),
+        "contrib_1e9": pa.array(df.c_r.astype(np.int64)),
+    })

@@ -50,3 +50,34 @@ def test_singleton_gold_no_crash(ray_session):
                         _ds(items, [0, 1, 2], "gold")).to_pandas()
     assert t.pair_r_1e6[0] == 0 and t.pair_f1_1e6[0] == 0
     assert t.bcubed_r_1e6[0] == 1_000_000   # singletons fully recalled
+
+
+def test_vocab_js_divergence_hand_computed(ray_session):
+    """Two-token corpus: side0={a,a}, side1={b,b}.
+    p(a)=1, q(b)=1 -> each contributes 0.5*ln(2); disjoint supports."""
+    import math
+
+    import pyarrow as pa
+    import ray
+
+    from aida_ray.stages.textstats import vocab_js_divergence
+    t = pa.table({"side": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a a", "b b"], pa.string())})
+    got = vocab_js_divergence(ray.data.from_arrow(t), "side") \
+        .to_pandas().set_index("term")
+    half_ln2 = round(0.5 * math.log(2) * 1e9)
+    assert got.loc["a", "contrib_1e9"] == half_ln2
+    assert got.loc["b", "contrib_1e9"] == half_ln2
+    assert got.loc["a", "p_1e9"] == 1_000_000_000
+    assert got.loc["a", "q_1e9"] == 0
+
+
+def test_vocab_js_divergence_identical_sides(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from aida_ray.stages.textstats import vocab_js_divergence
+    t = pa.table({"side": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["x y z", "x y z"], pa.string())})
+    got = vocab_js_divergence(ray.data.from_arrow(t), "side").to_pandas()
+    assert (got.contrib_1e9 == 0).all()
