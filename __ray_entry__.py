@@ -7363,6 +7363,119 @@ _RM3_ORACLE = """
 """
 
 
+def q_leakage_split(sf_dir: str) -> pa.Table:
+    """Leakage-aware train/val/test split (sampling.leakage_aware_split):
+    the split key is the near-dup CLUSTER representative
+    (minhash-LSH label propagation), so duplicate pairs can never
+    straddle the boundary — vs the naive per-doc hash_split.  One row
+    per scheme with split sizes and the cross-split near-dup pair
+    count; the in-query assert pins aware == 0 (the whole point), and
+    the SQL twin re-derives clusters with the exact-Jaccard
+    reachability CTE."""
+    from aida_ray.stages.dedup import (label_propagation_clusters,
+                                       minhash_lsh_pairs)
+    from aida_ray.stages.sampling import (hash_split, leakage_aware_split,
+                                          leakage_count)
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16,
+                              jaccard_threshold=0.8).materialize()
+    clusters = label_propagation_clusters(pairs)
+    aware = leakage_aware_split(
+        docs.select_columns(["doc_id"]), clusters).materialize()
+    naive = hash_split(docs.select_columns(["doc_id"])).materialize()
+
+    def sizes(ds):
+        t = _collect(ds.groupby("split").count()).to_pandas()
+        return {r["split"]: int(r["count()"]) for _, r in t.iterrows()}
+
+    rows = []
+    for scheme, split_ds in (("aware", aware), ("naive", naive)):
+        sz = sizes(split_ds)
+        cross = leakage_count(split_ds, pairs)
+        rows.append((scheme, sz.get("train", 0), sz.get("val", 0),
+                     sz.get("test", 0), cross))
+    by = {r[0]: r for r in rows}
+    assert by["aware"][4] == 0, rows         # no leakage by construction
+    return pa.table({
+        "scheme": pa.array([r[0] for r in rows], pa.string()),
+        "n_train": pa.array([r[1] for r in rows], pa.int64()),
+        "n_val": pa.array([r[2] for r in rows], pa.int64()),
+        "n_test": pa.array([r[3] for r in rows], pa.int64()),
+        "cross_pairs": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+_LEAKAGE_SPLIT_ORACLE = """
+    WITH RECURSIVE d AS (SELECT doc_id,
+                      regexp_replace(trim(lower(text)),
+                                     '\\s+', ' ', 'g') AS t
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_distinct([t[i:i+4] FOR i IN
+                     range(1, greatest(length(t)-3, 2))]) AS grams
+          FROM d),
+    pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                  len(list_intersect(a.grams, b.grams)) AS inter,
+                  len(a.grams) AS la, len(b.grams) AS lb
+           FROM g a JOIN g b ON a.doc_id < b.doc_id),
+    e AS (SELECT a, b FROM pr
+          WHERE inter / (la + lb - inter) >= 0.8),
+    und AS (SELECT a AS s, b AS dd FROM e
+            UNION ALL SELECT b, a FROM e),
+    r(node, reach) AS (
+        SELECT s, s FROM und
+        UNION
+        SELECT r.node, u.dd
+        FROM r JOIN und u ON u.s = r.reach),
+    cl AS (SELECT node AS doc_id, MIN(reach) AS cluster
+           FROM r GROUP BY node),
+    aware AS (
+        SELECT d.doc_id,
+               CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     (COALESCE(cl.cluster, doc_id) * 2654435761)
+                         % 2147483648 AS h
+              FROM documents LEFT JOIN cl USING (doc_id)) d
+    ), naive AS (
+        SELECT doc_id,
+               CASE WHEN h % 10 < 8 THEN 'train'
+                    WHEN h % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     (doc_id * 2654435761) % 2147483648 AS h
+              FROM documents)
+    ), stats AS (
+        SELECT 'aware' AS scheme,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                   AS n_train,
+               SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val,
+               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test,
+               (SELECT COUNT(*) FROM e
+                JOIN aware sa ON sa.doc_id = e.a
+                JOIN aware sb ON sb.doc_id = e.b
+                WHERE sa.split <> sb.split) AS cross_pairs
+        FROM aware
+        UNION ALL
+        SELECT 'naive',
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END),
+               SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END),
+               (SELECT COUNT(*) FROM e
+                JOIN naive sa ON sa.doc_id = e.a
+                JOIN naive sb ON sb.doc_id = e.b
+                WHERE sa.split <> sb.split)
+        FROM naive
+    )
+    SELECT scheme, CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_val AS BIGINT) AS n_val,
+           CAST(n_test AS BIGINT) AS n_test,
+           CAST(cross_pairs AS BIGINT) AS cross_pairs
+    FROM stats
+"""
+
+
 def q_vocab_divergence(sf_dir: str) -> pa.Table:
     """Corpus-partition vocabulary divergence
     (textstats.vocab_js_divergence): per-term Jensen-Shannon
@@ -11024,6 +11137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snippets": q_snippets,
         "cluster_eval": q_cluster_eval,
         "vocab_divergence": q_vocab_divergence,
+        "leakage_split": q_leakage_split,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12689,6 +12803,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "snippets": _SNIPPETS_ORACLE,
         "cluster_eval": _CLUSTER_EVAL_ORACLE,
         "vocab_divergence": _VOCAB_DIVERGENCE_ORACLE,
+        "leakage_split": _LEAKAGE_SPLIT_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),

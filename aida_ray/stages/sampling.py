@@ -175,3 +175,74 @@ def global_shuffle(ds: ray.data.Dataset, seed: int = 7
     table) — plus determinism for a fixed seed AND block structure
     (blocking changes the permutation, not the multiset)."""
     return ds.random_shuffle(seed=seed)
+
+
+def leakage_aware_split(ds: ray.data.Dataset,
+                        clusters: ray.data.Dataset,
+                        id_col: str = "doc_id",
+                        cluster_col: str = "cluster",
+                        train: int = 8, val: int = 1, test: int = 1
+                        ) -> ray.data.Dataset:
+    """Deterministic split that can never leak near-duplicates across
+    sides: the split decision hashes the document's near-dup CLUSTER
+    representative, so every member of a cluster lands in the same
+    split (the standard guard against test-set contamination through
+    near-duplicate copies — a plain per-doc hash_split puts ~2·p·(1-p)
+    of dup pairs across the train/test boundary).
+
+    ``clusters`` holds (doc_id, cluster) rows for CLUSTERED docs only
+    (label_propagation_clusters output); unclustered docs are their
+    own singleton representative.  Returns (id, rep, split).
+
+    Scale shape: one hash join (left side the corpus ids, right side
+    the cluster map — both corpus-scale, no broadcast), then a
+    stateless split map.  Same integer Knuth-hash split rule as
+    hash_split, so the two schemes differ ONLY in the hashed key."""
+    from aida_ray.stages.shuffle_join import hash_join
+    total = train + val + test
+    ids = ds.select_columns([id_col])
+    cl = clusters.select_columns([id_col, cluster_col])
+    j = hash_join(ids, cl, on=(id_col,), join_type="left_outer")
+
+    def assign(b: pa.Table) -> pa.Table:
+        d = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b[cluster_col].to_pandas().fillna(-1).to_numpy(np.int64)
+        rep = np.where(c >= 0, c, d)
+        h = (rep * KNUTH) % MOD
+        bucket = h % total
+        split = np.where(bucket < train, "train",
+                         np.where(bucket < train + val, "val", "test"))
+        return pa.table({id_col: pa.array(d), "rep": pa.array(rep),
+                         "split": pa.array(split, pa.string())})
+
+    return j.map_batches(assign, batch_format="pyarrow")
+
+
+def leakage_count(split_ds: ray.data.Dataset, pairs: ray.data.Dataset,
+                  id_col: str = "doc_id") -> int:
+    """Number of near-dup pairs whose endpoints sit in DIFFERENT
+    splits (0 for a leakage-aware split by construction).  Two hash
+    joins of the pair list against the split table; only partial
+    counts reach the driver."""
+    from aida_ray.stages.shuffle_join import hash_join
+    s = split_ds.select_columns([id_col, "split"])
+
+    def left_key(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["a"], "b": b["b"]})
+
+    j1 = hash_join(pairs.map_batches(left_key, batch_format="pyarrow"),
+                   s, on=(id_col,))
+
+    def rekey(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["b"], "split_a": b["split"]})
+
+    j2 = hash_join(j1.map_batches(rekey, batch_format="pyarrow"),
+                   s, on=(id_col,))
+
+    def cnt(b: pa.Table) -> pa.Table:
+        n = int(pc.sum(pc.cast(pc.not_equal(
+            b["split_a"], b["split"]), pa.int64())).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = j2.map_batches(cnt, batch_format="pyarrow").to_pandas()
+    return int(parts["n"].sum()) if len(parts) else 0

@@ -81,3 +81,31 @@ def test_vocab_js_divergence_identical_sides(ray_session):
                   "text": pa.array(["x y z", "x y z"], pa.string())})
     got = vocab_js_divergence(ray.data.from_arrow(t), "side").to_pandas()
     assert (got.contrib_1e9 == 0).all()
+
+
+def test_leakage_aware_split(ray_session):
+    """Cluster members share a split; unclustered docs behave exactly
+    like hash_split (same Knuth rule on their own id)."""
+    import ray
+
+    from aida_ray.stages.sampling import (hash_split, leakage_aware_split,
+                                          leakage_count)
+    ids = pa.table({"doc_id": pa.array(range(100), pa.int64())})
+    # pairs chain 0-1-2 and 50-51 into clusters
+    pairs = ray.data.from_arrow(pa.table({
+        "a": pa.array([0, 1, 50], pa.int64()),
+        "b": pa.array([1, 2, 51], pa.int64())}))
+    clusters = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 50, 51], pa.int64()),
+        "cluster": pa.array([0, 0, 0, 50, 50], pa.int64())}))
+    aware = leakage_aware_split(ray.data.from_arrow(ids),
+                                clusters).materialize()
+    df = aware.to_pandas().set_index("doc_id")
+    assert len(set(df.loc[[0, 1, 2], "split"])) == 1
+    assert len(set(df.loc[[50, 51], "split"])) == 1
+    assert leakage_count(aware, pairs) == 0
+    naive = hash_split(ray.data.from_arrow(ids)).materialize()
+    ndf = naive.to_pandas().set_index("doc_id")
+    # unclustered docs: identical decision under both schemes
+    free = [i for i in range(100) if i not in (0, 1, 2, 50, 51)]
+    assert (df.loc[free, "split"] == ndf.loc[free, "split"]).all()
