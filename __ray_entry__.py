@@ -7363,6 +7363,87 @@ _RM3_ORACLE = """
 """
 
 
+def q_unicode_clean(sf_dir: str) -> pa.Table:
+    """Unicode hygiene (textstats.unicode_clean_batch): deterministic
+    dirt injected per doc_id (an NFD e+combining-acute prefix on %3,
+    a zero-width space on %2, a BEL control on %5), then NFC + strip;
+    the oracle injects the same bytes in SQL and cleans with
+    nfc_normalize + regexp (utf8proc and unicodedata both implement
+    standard NFC, so the comparison is exact)."""
+    from aida_ray.stages.textstats import unicode_clean_batch
+
+    def dirty(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txts = []
+        for i, t in zip(ids, b["text"].to_pylist()):
+            i = int(i)
+            if i % 2 == 0:
+                t = t[:5] + "​" + t[5:]
+            if i % 3 == 0:
+                t = "é " + t  # NFD pair; NFC composes
+            if i % 5 == 0:
+                t = t + "\x07"
+            txts.append(t)
+        return pa.table({"doc_id": pa.array(ids),
+                         "text": pa.array(txts, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    out = docs.map_batches(dirty, batch_format="pyarrow") \
+        .map_batches(unicode_clean_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "clean_len": _pc.utf8_length(b["clean_text"]),
+            "nfc_changed": b["nfc_changed"],
+            "n_zw": b["n_zw"], "n_ctrl": b["n_ctrl"]})
+
+    return _collect(out.map_batches(project, batch_format="pyarrow"))
+
+
+_UNICODE_CLEAN_ORACLE = """
+    WITH dirty AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0
+                     THEN 'e' || chr(769) || ' ' ELSE '' END)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN substr(t2, 1, 5) || chr(8203)
+                             || substr(t2, 6)
+                        ELSE t2 END)
+               || (CASE WHEN doc_id % 5 = 0 THEN chr(7) ELSE '' END)
+                   AS text
+        FROM (SELECT doc_id,
+                     text AS t2
+              FROM documents)
+    ), cleaned AS (
+        SELECT doc_id,
+               nfc_normalize(text) AS nfc,
+               (nfc_normalize(text) <> text) AS nfc_changed
+        FROM dirty
+    ), stripped AS (
+        SELECT doc_id, nfc_changed,
+               length(nfc) - length(regexp_replace(
+                   nfc, '[​‌‍﻿]', '', 'g')) AS n_zw,
+               regexp_replace(nfc, '[​‌‍﻿]', '',
+                              'g') AS no_zw
+        FROM cleaned
+    )
+    SELECT doc_id,
+           CAST(length(regexp_replace(
+               no_zw, '[\x01-\x08\x0B-\x1F' || chr(127) || '-'
+               || chr(159) || ']', '', 'g')) AS BIGINT) AS clean_len,
+           nfc_changed,
+           CAST(n_zw AS BIGINT) AS n_zw,
+           CAST(length(no_zw) - length(regexp_replace(
+               no_zw, '[\x01-\x08\x0B-\x1F' || chr(127) || '-'
+               || chr(159) || ']', '', 'g')) AS BIGINT) AS n_ctrl
+    FROM stripped
+"""
+
+
 def q_leakage_split(sf_dir: str) -> pa.Table:
     """Leakage-aware train/val/test split (sampling.leakage_aware_split):
     the split key is the near-dup CLUSTER representative
@@ -11138,6 +11219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_eval": q_cluster_eval,
         "vocab_divergence": q_vocab_divergence,
         "leakage_split": q_leakage_split,
+        "unicode_clean": q_unicode_clean,
         "bm25_index": q_bm25_index,
         "robots_rules": q_robots_rules,
         "page_meta": q_page_meta,
@@ -12804,6 +12886,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         "cluster_eval": _CLUSTER_EVAL_ORACLE,
         "vocab_divergence": _VOCAB_DIVERGENCE_ORACLE,
         "leakage_split": _LEAKAGE_SPLIT_ORACLE,
+        "unicode_clean": _UNICODE_CLEAN_ORACLE,
         "bm25_index": _BM25_ORACLE.replace(
             "SELECT query_id, \"rank\", doc_id, score",
             "SELECT query_id, \"rank\", doc_id, score, TRUE AS pruned"),

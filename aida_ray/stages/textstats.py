@@ -418,3 +418,46 @@ def vocab_js_divergence(ds: ray.data.Dataset, side_col: str,
         "q_1e9": pa.array(np.round(df.q * 1e9).astype(np.int64)),
         "contrib_1e9": pa.array(df.c_r.astype(np.int64)),
     })
+
+
+_CTRL_RE = None
+_ZW_RE = None
+
+
+def unicode_clean_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Unicode hygiene for crawled text (stateless map_batches): NFC
+    normalization (composes NFD sequences mojibake-prone pipelines
+    emit), zero-width character removal (ZWSP/ZWNJ/ZWJ/BOM — invisible
+    chars that break tokenizers and dedup), and C0/C1 control removal
+    (except tab/newline).  Emits the cleaned text plus per-doc change
+    counters so a cleaning run is auditable:
+
+        (id, clean_text, nfc_changed, n_zw, n_ctrl)
+
+    Python's unicodedata and DuckDB's utf8proc both implement standard
+    NFC, so the SQL twin is exact."""
+    import re as _re
+    import unicodedata
+
+    global _CTRL_RE, _ZW_RE
+    if _CTRL_RE is None:
+        _CTRL_RE = _re.compile("[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+        _ZW_RE = _re.compile("[​‌‍﻿]")
+    ids = batch[id_col]
+    out_t, nfc_ch, n_zw, n_ctrl = [], [], [], []
+    for t in batch[text_col].to_pylist():
+        nfc = unicodedata.normalize("NFC", t)
+        nfc_ch.append(nfc != t)
+        zw = _ZW_RE.subn("", nfc)
+        ct = _CTRL_RE.subn("", zw[0])
+        n_zw.append(zw[1])
+        n_ctrl.append(ct[1])
+        out_t.append(ct[0])
+    return pa.table({
+        id_col: ids,
+        "clean_text": pa.array(out_t, pa.string()),
+        "nfc_changed": pa.array(nfc_ch, pa.bool_()),
+        "n_zw": pa.array(n_zw, pa.int64()),
+        "n_ctrl": pa.array(n_ctrl, pa.int64()),
+    })

@@ -139,7 +139,8 @@ def run_bench() -> dict:
                  "png_decode", "ner_pr", "multilang_ned",
                  "german_compound_ned", "service_requests",
                  "nel_accuracy", "ir_eval", "rm3_expand", "snippets",
-                 "cluster_eval"]:
+                 "cluster_eval", "vocab_divergence", "leakage_split",
+                 "unicode_clean"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)

@@ -109,3 +109,21 @@ def test_leakage_aware_split(ray_session):
     # unclustered docs: identical decision under both schemes
     free = [i for i in range(100) if i not in (0, 1, 2, 50, 51)]
     assert (df.loc[free, "split"] == ndf.loc[free, "split"]).all()
+
+
+def test_unicode_clean_batch():
+    import pyarrow as pa
+
+    from aida_ray.stages.textstats import unicode_clean_batch
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["é nfd", "z​w\x07ctrl", "plain\tok\n"],
+                         pa.string())})
+    t = unicode_clean_batch(b).to_pandas().set_index("doc_id")
+    assert t.loc[1, "clean_text"] == "é nfd"      # composed
+    assert bool(t.loc[1, "nfc_changed"]) is True
+    assert t.loc[2, "clean_text"] == "zwctrl"
+    assert t.loc[2, "n_zw"] == 1 and t.loc[2, "n_ctrl"] == 1
+    # tab and newline survive the control strip
+    assert t.loc[3, "clean_text"] == "plain\tok\n"
+    assert not t.loc[3, "nfc_changed"]
