@@ -2509,6 +2509,66 @@ def q_png_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_jpeg_decode(sf_dir: str) -> pa.Table:
+    """REAL baseline-JPEG decode (stages/jpeg.py — pure numpy Huffman
+    + dequant + exact DCT-III + YCbCr, validated against
+    third-party-encoded files) through an actor-pool stage: gradient
+    images round-trip our independent Annex-K encoder; the in-query
+    assert bounds reconstruction error by the quantization step
+    (max |err| ≤ 8) and the VALUES oracle pins every measured
+    width/height/max-err/mean-err/pixel-sum exactly (deterministic
+    codec, the ner_pr pinning pattern)."""
+    from aida_ray.stages.jpeg import encode_jpeg
+    from aida_ray.stages.multimodal import StdlibDecodeBackend
+    H, W = 24, 32
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    ids = list(range(4))
+
+    def pattern(i: int) -> np.ndarray:
+        return np.stack([np.clip(2 * yy + 10 * i + 20, 0, 255),
+                         np.clip(3 * xx + 5 * i + 10, 0, 255),
+                         np.clip(yy + xx + 7 * i + 30, 0, 255)],
+                        axis=2).astype(np.uint8)
+
+    media = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([encode_jpeg(pattern(i)) for i in ids],
+                            pa.binary())})
+
+    class JpegStats:
+        def __init__(self):
+            self.backend = StdlibDecodeBackend()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mids, ws, hs, mxs, mns, sums = [], [], [], [], [], []
+            for mid, payload in zip(b["media_id"].to_pylist(),
+                                    b["payload"].to_pylist()):
+                dec = self.backend.decode_image(payload)
+                orig = pattern(int(mid)).astype(int)
+                err = np.abs(dec.astype(int) - orig)
+                assert err.max() <= 8, int(err.max())
+                mids.append(mid)
+                ws.append(dec.shape[1])
+                hs.append(dec.shape[0])
+                mxs.append(int(err.max()))
+                mns.append(int(round(float(err.mean()) * 1000)))
+                sums.append(int(dec.astype(np.int64).sum()))
+            return pa.table({
+                "media_id": pa.array(mids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "max_err": pa.array(mxs, pa.int64()),
+                "mean_err_1e3": pa.array(mns, pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64())})
+
+    ds = ray.data.from_arrow(media).map_batches(
+        JpegStats, batch_format="pyarrow", batch_size=2,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_audio_real(sf_dir: str) -> pa.Table:
     """REAL WAV decode (stdlib wave module) through the AudioFeatures
     actor stage; deterministic sine payloads → exact VALUES oracle."""
@@ -11179,6 +11239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xml_formats": q_xml_formats,
         "image_real": q_image_real,
         "png_decode": q_png_decode,
+        "jpeg_decode": q_jpeg_decode,
         "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
@@ -12430,6 +12491,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "jpeg_decode": """
+            SELECT * FROM (VALUES
+                (0, 32, 24, 7, 1597, 120700),
+                (1, 32, 24, 6, 1615, 137172),
+                (2, 32, 24, 6, 1595, 154246),
+                (3, 32, 24, 6, 1605, 170907)
+            ) AS t(media_id, width, height, max_err, mean_err_1e3,
+                   pix_sum)
         """,
         "png_decode": """
             WITH px AS (

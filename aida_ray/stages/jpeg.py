@@ -1,0 +1,441 @@
+"""Baseline JPEG codec, pure stdlib + numpy (no libjpeg).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+with arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), DQT (8- and
+16-bit tables), DHT Huffman tables, DRI/RSTn restart markers.  The
+IDCT is the exact separable orthonormal DCT-III (numpy matmul), and
+chroma upsampling is sample replication — pixel output therefore
+matches the spec's reference path, not any particular libjpeg
+smoothing variant (decoders legitimately differ at that step; the
+spec only fixes the coefficient pipeline).
+
+Encoder (test/fixture helper): 4:4:4 baseline with the Annex K
+example quantization and Huffman tables — enough to round-trip the
+decoder against independently-constructed streams and to bound
+reconstruction error by the quantization step.
+
+Used by StdlibDecodeBackend.decode_image for image/jpeg payloads
+(stages/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# orthonormal DCT-II basis; IDCT-III is its transpose
+_A = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        c = np.sqrt(0.125) if _u == 0 else 0.5
+        _A[_u, _x] = c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# Annex K.1/K.2 example quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+    99], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99],
+    dtype=np.int64)
+
+# Annex K.3 example Huffman specs: (bits[1..16], values)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _canonical_codes(bits, values):
+    """(code, length) per symbol in canonical order (B.2.4.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits, values):
+    """(length, code) -> symbol map for decoding."""
+    enc = _canonical_codes(bits, values)
+    return {(ln, cd): sym for sym, (cd, ln) in enc.items()}
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            return 0                      # spec: pad with 1s; 0 safe here
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """Table F.12 sign extension."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps = []                            # (cid, h, v, tq)
+    W = H = 0
+    restart_interval = 0
+    scan_data = None
+    scan_comps = []
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        ln, = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2:pos + ln]
+        if marker == 0xDB:                # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq:
+                    tab = np.frombuffer(seg, ">u2", 64, i).astype(np.int64)
+                    i += 128
+                else:
+                    tab = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
+                    i += 64
+                qt[tq] = tab
+        elif marker == 0xC0:              # SOF0 baseline
+            H, W = struct.unpack_from(">HH", seg, 1)
+            n = seg[5]
+            comps = []
+            for c in range(n):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker {marker:#x} "
+                             "(baseline sequential only)")
+        elif marker == 0xC4:              # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:              # DRI
+            restart_interval, = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:              # SOS
+            ns = seg[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_comps.append((cs, tables >> 4, tables & 15))
+            # entropy-coded data follows until next marker (skip
+            # stuffed FF00 and RSTn)
+            p = pos + ln
+            chunks, q = [], p
+            while q + 1 < len(payload):
+                if payload[q] == 0xFF and payload[q + 1] not in (0x00,):
+                    if 0xD0 <= payload[q + 1] <= 0xD7:
+                        q += 2
+                        continue
+                    break
+                q += 1
+            scan_data = payload[p:q + (0 if q + 1 < len(payload) else 2)]
+            pos = q
+            break
+        pos += ln
+    if scan_data is None or not comps:
+        raise ValueError("no scan data")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcx = -(-W // (8 * hmax))
+    mcy = -(-H // (8 * vmax))
+    planes = {}
+    for cid, h, v, _tq in comps:
+        planes[cid] = np.zeros((mcy * v * 8, mcx * h * 8), np.float64)
+
+    # restart segments: split on RST markers, unstuff each
+    segments = []
+    cur = bytearray()
+    i = 0
+    while i < len(scan_data):
+        b = scan_data[i]
+        if b == 0xFF and i + 1 < len(scan_data):
+            nxt = scan_data[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    comp_by_id = {c[0]: c for c in comps}
+    mcus_total = mcx * mcy
+    per_seg = restart_interval or mcus_total
+    mcu = 0
+    pred = {cid: 0 for cid, *_ in comps}
+    for seg_bytes in segments:
+        br = _BitReader(seg_bytes)
+        pred = {cid: 0 for cid, *_ in comps}
+        for _ in range(min(per_seg, mcus_total - mcu)):
+            my, mx = divmod(mcu, mcx)
+            for cs, td, ta in scan_comps:
+                cid, h, v, tq = comp_by_id[cs]
+                for by in range(v):
+                    for bx in range(h):
+                        s = br.read_huffman(huff_dc[td])
+                        diff = _extend(br.read_bits(s), s)
+                        pred[cid] += diff
+                        coef = np.zeros(64, np.int64)
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = br.read_huffman(huff_ac[ta])
+                            r, s2 = rs >> 4, rs & 15
+                            if s2 == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break     # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            coef[k] = _extend(br.read_bits(s2), s2)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[ZIGZAG] = coef * qt[tq]
+                        px = _A.T @ blk.reshape(8, 8) @ _A + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+            mcu += 1
+
+    out_planes = []
+    for cid, h, v, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, hmax // h, axis=1), vmax // v, axis=0)
+        out_planes.append(p[:H, :W])
+    if len(out_planes) == 1:
+        g = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[..., None], 3, axis=2)
+    y, cb, cr = out_planes[:3]
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2), 0, 255) \
+        .round().astype(np.uint8)
+
+
+# ------------------------------------------------------------- encoder
+
+def _encode_block(br_out, blk, qtab, dc_codes, ac_codes, pred):
+    coef = _A @ (blk - 128.0) @ _A.T
+    # zigzag order: q[k] = coef_natural[ZIGZAG[k]] / qt_natural[ZIGZAG[k]]
+    q = np.round(coef.flatten()[ZIGZAG]
+                 / qtab[ZIGZAG].astype(np.float64)).astype(np.int64)
+    diff = int(q[0]) - pred
+    pred = int(q[0])
+
+    def emit_val(v):
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if v < 0:
+            v = v + (1 << t) - 1
+        return t, int(v)
+
+    t, bitsv = emit_val(diff) if diff else (0, 0)
+    code, ln = dc_codes[t]
+    br_out.append((code, ln))
+    if t:
+        br_out.append((bitsv, t))
+    run = 0
+    last_nz = max([k for k in range(1, 64) if q[k] != 0], default=0)
+    for k in range(1, 64):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            br_out.append((code, ln))
+            run -= 16
+        t, bitsv = emit_val(v)
+        code, ln = ac_codes[(run << 4) | t]
+        br_out.append((code, ln))
+        br_out.append((bitsv, t))
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        br_out.append((code, ln))
+    return pred
+
+
+def _pack_bits(pairs) -> bytes:
+    out = bytearray()
+    acc, nbits = 0, 0
+    for val, ln in pairs:
+        acc = (acc << ln) | (val & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+    if nbits:
+        byte = ((acc << (8 - nbits)) & 0xFF) | ((1 << (8 - nbits)) - 1)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return bytes(out)
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → baseline 4:4:4 JPEG (Annex K tables)."""
+    H, W = img.shape[:2]
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = -0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] \
+        + 0.5 * rgb[..., 2] + 128.0
+    cr = 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] \
+        - 0.081312 * rgb[..., 2] + 128.0
+    ph = -(-H // 8) * 8
+    pw = -(-W // 8) * 8
+
+    def pad(p):
+        out = np.empty((ph, pw))
+        out[:H, :W] = p
+        out[H:, :W] = p[H - 1:H, :]
+        out[:, W:] = out[:, W - 1:W]
+        return out
+
+    y, cb, cr = pad(y), pad(cb), pad(cr)
+    dc_l = _canonical_codes(*DC_LUMA)
+    ac_l = _canonical_codes(*AC_LUMA)
+    dc_c = _canonical_codes(*DC_CHROMA)
+    ac_c = _canonical_codes(*AC_CHROMA)
+    pairs: list = []
+    preds = [0, 0, 0]
+    for my in range(ph // 8):
+        for mx in range(pw // 8):
+            for ci, (plane, qtab, dcc, acc_) in enumerate(
+                    [(y, QT_LUMA, dc_l, ac_l),
+                     (cb, QT_CHROMA, dc_c, ac_c),
+                     (cr, QT_CHROMA, dc_c, ac_c)]):
+                blk = plane[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8]
+                preds[ci] = _encode_block(pairs, blk, qtab, dcc, acc_,
+                                          preds[ci])
+    scan = _pack_bits(pairs)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def dqt(tq, tab):
+        return seg(0xDB, bytes([tq]) + bytes(int(v) for v in tab))
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits)
+                   + bytes(vals))
+
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", H, W) + bytes([3])
+              + bytes([1, 0x11, 0]) + bytes([2, 0x11, 1])
+              + bytes([3, 0x11, 1]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt(0, QT_LUMA) + dqt(1, QT_CHROMA)
+            + dht(0, 0, DC_LUMA) + dht(1, 0, AC_LUMA)
+            + dht(0, 1, DC_CHROMA) + dht(1, 1, AC_CHROMA)
+            + sof + sos + scan + b"\xff\xd9")

@@ -7,10 +7,12 @@ with SMALL batch sizes (payload bytes dominate memory).  Decode routes
 through ``DecodeBackend``: :class:`StdlibDecodeBackend` REALLY decodes
 PNG (zlib inflate + five-filter scanline reconstruction), BMP, binary
 PPM/PGM and PCM16 WAV with nothing beyond the stdlib + numpy; the
-deterministic fake backend remains for shape-contract tests, and
-JPEG/MP3/MP4 (patent-era entropy codecs with no stdlib decoder) stay
-stubbed — plug PIL/soundfile/torchaudio into ``DecodeBackend`` per
-actor in production.
+deterministic fake backend remains for shape-contract tests.
+Baseline-sequential JPEG decodes for real too (stages/jpeg.py — pure
+numpy Huffman + dequant + exact DCT-III, validated against
+third-party-encoded files); progressive JPEG and MP3/MP4 remain the
+documented codec seam — plug PIL/soundfile/torchaudio into
+``DecodeBackend`` per actor in production.
 """
 
 from __future__ import annotations
@@ -75,18 +77,27 @@ class StdlibDecodeBackend(DecodeBackend):
     None/Sub/Up/Average/Paeth scanline reconstruction; 8-bit gray/RGB/
     palette/alpha, verified against third-party-encoded files), BMP
     (24-bit uncompressed BI_RGB), binary PPM/PGM, and WAV (PCM16) via
-    the ``wave`` module.  JPEG/MP3/MP4 still need an external codec —
-    plug PIL/soundfile into :class:`DecodeBackend` in production;
-    video has no stdlib container and stays stubbed."""
+    the ``wave`` module, and baseline-sequential JPEG
+    (stages/jpeg.py: Huffman + dequant + exact DCT-III + YCbCr with
+    arbitrary sampling factors and restart markers, verified against
+    third-party-encoded files; our own Annex-K encoder bounds
+    round-trip error by the quantization step).  Progressive JPEG and
+    MP3/MP4 still need an external codec — plug PIL/soundfile into
+    :class:`DecodeBackend` in production; video has no stdlib
+    container and stays stubbed."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return self._decode_png(payload)
+        if payload[:2] == b"\xff\xd8":
+            from aida_ray.stages.jpeg import decode_jpeg
+            return decode_jpeg(payload)
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
         if payload[:2] in (b"P6", b"P5"):
             return self._decode_pnm(payload)
-        raise ValueError("unsupported image container (PNG/BMP/PPM/PGM only)")
+        raise ValueError(
+            "unsupported image container (PNG/JPEG/BMP/PPM/PGM only)")
 
     @staticmethod
     def _decode_png(payload: bytes) -> np.ndarray:

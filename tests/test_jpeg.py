@@ -1,0 +1,62 @@
+"""Baseline JPEG codec (stages/jpeg.py)."""
+
+import numpy as np
+import pytest
+
+from aida_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+
+def _gradient(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([np.clip(2 * yy + seed, 0, 255),
+                     np.clip(3 * xx + seed, 0, 255),
+                     np.clip(yy + xx + seed, 0, 255)],
+                    axis=2).astype(np.uint8)
+
+
+def test_roundtrip_error_bounded_by_quantization():
+    for h, w in [(8, 8), (24, 32), (17, 23)]:     # incl. non-multiples
+        img = _gradient(h, w, 20)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 8, (h, w, int(err.max()))
+
+
+def test_flat_image_near_exact():
+    img = np.full((16, 16, 3), 137, np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert np.abs(dec.astype(int) - 137).max() <= 2
+
+
+def test_third_party_baseline_jpeg():
+    """Decode a JPEG written by a real encoder (not our own inverse);
+    verify structural content, not just absence of crashes: the
+    flower-of-life figure is strongly mirror-symmetric."""
+    import os
+    path = ("/usr/lib/google-cloud-sdk/platform/gsutil/third_party/"
+            "requests/ext/flower-of-life.jpg")
+    if not os.path.exists(path):
+        pytest.skip("no third-party JPEG on this host")
+    with open(path, "rb") as f:
+        img = decode_jpeg(f.read())
+    assert img.shape == (161, 161, 3) and img.dtype.name == "uint8"
+    g = img.mean(axis=2)
+    lr = np.corrcoef(g.flatten(), g[:, ::-1].flatten())[0, 1]
+    assert lr > 0.7                       # noise would be ~0
+    assert (g > 200).mean() > 0.5         # mostly-white figure
+
+
+def test_progressive_rejected_cleanly():
+    import os
+    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if not os.path.exists(path):
+        pytest.skip("no progressive JPEG on this host")
+    with open(path, "rb") as f:
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(f.read())
+
+
+def test_not_a_jpeg():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG....")
