@@ -2569,6 +2569,38 @@ def q_jpeg_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_video_real(sf_dir: str) -> pa.Table:
+    """REAL video frame sampling: deterministic Motion-JPEG AVIs
+    (stages/jpeg.encode_mjpeg_avi) through the VideoFrameFeatures
+    actor stage with the stdlib backend — RIFF container walk →
+    uniform frame sample → baseline-JPEG decode per frame.  Features
+    pinned as a VALUES oracle (deterministic codec)."""
+    from aida_ray.stages.jpeg import encode_jpeg, encode_mjpeg_avi
+    from aida_ray.stages.multimodal import (StdlibDecodeBackend,
+                                            VideoFrameFeatures)
+    yy, xx = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+
+    def clip(m: int) -> list[bytes]:
+        return [encode_jpeg(np.stack(
+            [np.clip(2 * yy + 20 * j + 7 * m, 0, 255),
+             np.clip(3 * xx + 10 * j + 3 * m, 0, 255),
+             np.clip(yy + xx + 5 * j + m, 0, 255)],
+            axis=2).astype(np.uint8)) for j in range(4 + m)]
+
+    media = pa.table({
+        "media_id": pa.array(range(3), pa.int64()),
+        "payload": pa.array([encode_mjpeg_avi(clip(m), 32, 24)
+                             for m in range(3)], pa.binary())})
+    ds = ray.data.from_arrow(media).map_batches(
+        VideoFrameFeatures, batch_format="pyarrow", batch_size=2,
+        concurrency=min(2, _pool()), num_cpus=1,
+        fn_constructor_kwargs={"backend": StdlibDecodeBackend(),
+                               "n_frames": 3})
+    t = _collect(ds).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_audio_real(sf_dir: str) -> pa.Table:
     """REAL WAV decode (stdlib wave module) through the AudioFeatures
     actor stage; deterministic sine payloads → exact VALUES oracle."""
@@ -11240,6 +11272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_real": q_image_real,
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
+        "video_real": q_video_real,
         "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
@@ -12491,6 +12524,14 @@ def _oracle_sql_dict() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "video_real": """
+            SELECT * FROM (VALUES
+                (0, 3, 109075416925310879, 109075416925310879, 47824),
+                (1, 3, 109075434105180063, 109075434239397791, 59135),
+                (2, 3, 109075434239397791, 109075416925310879, 66595)
+            ) AS t(media_id, n_frames, first_phash, last_phash,
+                   mean_lum_1e3)
         """,
         "jpeg_decode": """
             SELECT * FROM (VALUES

@@ -382,6 +382,63 @@ def _pack_bits(pairs) -> bytes:
     return bytes(out)
 
 
+def extract_mjpeg_frames(payload: bytes) -> list[bytes]:
+    """Motion-JPEG AVI → list of JPEG frame payloads.
+
+    Minimal tolerant RIFF walk: 'RIFF....AVI ' → any 'LIST....movi'
+    → '##dc'/'##db' stream chunks whose body starts with the JPEG SOI
+    (frames of other codecs are skipped).  Word-aligned chunk sizes
+    per the RIFF spec."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF/AVI  header missing)")
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos:pos + 4]
+            size, = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                list_type = payload[body:body + 4]
+                if list_type in (b"movi", b"hdrl", b"strl"):
+                    walk(body + 4, min(body + size, end))
+            elif fourcc[2:4] in (b"dc", b"db"):
+                data = payload[body:body + size]
+                if data[:2] == b"\xff\xd8":
+                    frames.append(data)
+            pos = body + size + (size & 1)     # word alignment
+
+    walk(12, len(payload))
+    return frames
+
+
+def encode_mjpeg_avi(frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """JPEG frame payloads → minimal MJPEG AVI (test/fixture helper:
+    avih + one MJPG strl header + the movi LIST — the chunks
+    :func:`extract_mjpeg_frames` consumes, laid out per the RIFF
+    spec so any AVI parser can walk it)."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(list_type: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", list_type + body)
+
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10,
+                       len(frames), 0, 1, 0, width, height, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0,
+                       0, 0, 1, fps, 0, len(frames), 0, 0xFFFFFFFF, 0,
+                       0, 0, width, height)
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24,
+                       b"MJPG", width * height * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def encode_jpeg(img: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → baseline 4:4:4 JPEG (Annex K tables)."""
     H, W = img.shape[:2]

@@ -12,7 +12,9 @@ Baseline-sequential JPEG decodes for real too (stages/jpeg.py — pure
 numpy Huffman + dequant + exact DCT-III, validated against
 third-party-encoded files); progressive JPEG and MP3/MP4 remain the
 documented codec seam — plug PIL/soundfile/torchaudio into
-``DecodeBackend`` per actor in production.
+``DecodeBackend`` per actor in production.  Motion-JPEG AVI video
+frame-samples for real (RIFF walk + per-frame JPEG decode);
+inter-frame codecs (H.264/VP9) stay stubbed.
 """
 
 from __future__ import annotations
@@ -98,6 +100,19 @@ class StdlibDecodeBackend(DecodeBackend):
             return self._decode_pnm(payload)
         raise ValueError(
             "unsupported image container (PNG/JPEG/BMP/PPM/PGM only)")
+
+    def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
+        """REAL video frame sampling for Motion-JPEG AVI: RIFF walk →
+        JPEG frame chunks → uniform index sample → baseline-JPEG
+        decode per frame (stages/jpeg.py).  Inter-frame codecs
+        (H.264/VP9/…) still need an external decoder."""
+        from aida_ray.stages.jpeg import extract_mjpeg_frames
+        frames = extract_mjpeg_frames(payload)
+        if not frames:
+            raise ValueError("AVI contains no MJPEG frames")
+        idx = np.linspace(0, len(frames) - 1, min(n, len(frames)),
+                          dtype=int)
+        return [self.decode_image(frames[i]) for i in idx]
 
     @staticmethod
     def _decode_png(payload: bytes) -> np.ndarray:

@@ -140,7 +140,7 @@ def run_bench() -> dict:
                  "german_compound_ned", "service_requests",
                  "nel_accuracy", "ir_eval", "rm3_expand", "snippets",
                  "cluster_eval", "vocab_divergence", "leakage_split",
-                 "unicode_clean", "jpeg_decode"]:
+                 "unicode_clean", "jpeg_decode", "video_real"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)

@@ -60,3 +60,28 @@ def test_progressive_rejected_cleanly():
 def test_not_a_jpeg():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x89PNG....")
+
+
+def test_mjpeg_avi_roundtrip_and_sampling():
+    from aida_ray.stages.jpeg import (encode_mjpeg_avi,
+                                      extract_mjpeg_frames)
+    from aida_ray.stages.multimodal import StdlibDecodeBackend
+    frames = [encode_jpeg(_gradient(16, 16, 10 * i)) for i in range(5)]
+    avi = encode_mjpeg_avi(frames, 16, 16)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    got = extract_mjpeg_frames(avi)
+    assert got == frames
+    be = StdlibDecodeBackend()
+    sampled = be.sample_frames(avi, 3)
+    assert len(sampled) == 3
+    assert all(f.shape == (16, 16, 3) for f in sampled)
+    # uniform sampling picks first and last frames; brightness rises
+    assert sampled[0].mean() < sampled[-1].mean()
+    # n larger than frame count degrades gracefully
+    assert len(be.sample_frames(avi, 99)) == 5
+
+
+def test_avi_rejects_non_riff():
+    from aida_ray.stages.jpeg import extract_mjpeg_frames
+    with pytest.raises(ValueError, match="RIFF"):
+        extract_mjpeg_frames(b"nope")
