@@ -83,10 +83,11 @@ class StdlibDecodeBackend(DecodeBackend):
     (stages/jpeg.py: Huffman + dequant + exact DCT-III + YCbCr with
     arbitrary sampling factors and restart markers, verified against
     third-party-encoded files; our own Annex-K encoder bounds
-    round-trip error by the quantization step).  Progressive JPEG and
-    MP3/MP4 still need an external codec — plug PIL/soundfile into
-    :class:`DecodeBackend` in production; video has no stdlib
-    container and stays stubbed."""
+    round-trip error by the quantization step), with Motion-JPEG AVI
+    frame sampling on top (RIFF walk + per-frame JPEG decode).
+    Progressive JPEG, inter-frame video codecs and MP3/MP4 still need
+    an external codec — plug PIL/soundfile into
+    :class:`DecodeBackend` in production."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
