@@ -2569,6 +2569,59 @@ def q_jpeg_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_gif_decode(sf_dir: str) -> pa.Table:
+    """REAL GIF decode (stages/jpeg.decode_gif — variable-width LZW +
+    palette + interlace, validated against third-party-encoded files)
+    through an actor-pool stage: closed-form palette-index patterns
+    encoded with the valid 'uncompressed-LZW' writer decode exactly;
+    width/height/pixel-sum/weighted-sum pinned (deterministic)."""
+    from aida_ray.stages.jpeg import encode_gif
+    from aida_ray.stages.multimodal import StdlibDecodeBackend
+    H, W = 20, 30
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [255, 255, 0], [0, 255, 255], [255, 0, 255],
+                    [255, 255, 255]], np.uint8)
+    ids = list(range(4))
+    media = pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(
+            [encode_gif((yy + 2 * xx + i) % 8, pal) for i in ids],
+            pa.binary())})
+
+    class GifStats:
+        def __init__(self):
+            self.backend = StdlibDecodeBackend()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mids, ws, hs, sums, wsums = [], [], [], [], []
+            for mid, payload in zip(b["media_id"].to_pylist(),
+                                    b["payload"].to_pylist()):
+                img = self.backend.decode_image(payload) \
+                    .astype(np.int64)
+                h, w = img.shape[:2]
+                pos = (np.arange(h)[:, None, None] * w
+                       + np.arange(w)[None, :, None])
+                mids.append(mid)
+                ws.append(w)
+                hs.append(h)
+                sums.append(int(img.sum()))
+                wsums.append(int((img * pos).sum() % 1_000_000_007))
+            return pa.table({
+                "media_id": pa.array(mids, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "height": pa.array(hs, pa.int64()),
+                "pix_sum": pa.array(sums, pa.int64()),
+                "weighted_sum": pa.array(wsums, pa.int64())})
+
+    ds = ray.data.from_arrow(media).map_batches(
+        GifStats, batch_format="pyarrow", batch_size=2,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_video_real(sf_dir: str) -> pa.Table:
     """REAL video frame sampling: deterministic Motion-JPEG AVIs
     (stages/jpeg.encode_mjpeg_avi) through the VideoFrameFeatures
@@ -11273,6 +11326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "png_decode": q_png_decode,
         "jpeg_decode": q_jpeg_decode,
         "video_real": q_video_real,
+        "gif_decode": q_gif_decode,
         "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
@@ -12524,6 +12578,14 @@ def _oracle_sql_dict() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "gif_decode": """
+            SELECT * FROM (VALUES
+                (0, 30, 20, 228735, 69099390),
+                (1, 30, 20, 229500, 68192355),
+                (2, 30, 20, 230265, 69557625),
+                (3, 30, 20, 230010, 68314245)
+            ) AS t(media_id, width, height, pix_sum, weighted_sum)
         """,
         "video_real": """
             SELECT * FROM (VALUES

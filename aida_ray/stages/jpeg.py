@@ -382,6 +382,174 @@ def _pack_bits(pairs) -> bytes:
     return bytes(out)
 
 
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame → (H, W, 3) uint8 RGB, pure stdlib +
+    numpy: logical-screen/image descriptors, global/local color
+    tables, full variable-width LZW decompression (clear/EOI codes,
+    code-width growth), and interlace de-scrambling.  Transparency
+    resolves against the background color (single-frame semantics —
+    animation compositing is out of scope for feature extraction)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (missing GIF87a/89a signature)")
+    sw, sh = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:                     # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:   # GCE
+                if payload[pos + 1] & 1:
+                    transparent = payload[pos + 4]
+            while payload[pos]:           # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:                   # image descriptor
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+            iflags = payload[pos + 9]
+            pos += 10
+            ct = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                ct = np.frombuffer(payload, np.uint8, n * 3, pos) \
+                    .reshape(-1, 3)
+                pos += n * 3
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(data), min_code_size, iw * ih)
+            idx = np.array(indices[:iw * ih], np.int64)
+            if iflags & 0x40:             # interlaced: de-scramble rows
+                rows = np.zeros(ih, np.int64)
+                order = []
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    order += list(range(start, ih, step))
+                rows[np.array(order, np.int64)] = np.arange(ih)
+                idx = idx.reshape(ih, iw)[rows].reshape(-1)
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            rgb = ct[np.clip(idx, 0, len(ct) - 1)]
+            if transparent is not None and gct is not None:
+                bg = gct[min(bg_index, len(gct) - 1)]
+                rgb = np.where((idx == transparent)[:, None], bg, rgb)
+            frame = rgb.reshape(ih, iw, 3).astype(np.uint8)
+            out = np.zeros((sh, sw, 3), np.uint8)
+            if gct is not None:
+                out[:] = gct[min(bg_index, len(gct) - 1)]
+            out[iy:iy + ih, ix:ix + iw] = frame[:sh - iy, :sw - ix]
+            return out
+        elif b == 0x3B:                   # trailer
+            break
+        else:
+            pos += 1
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_pixels: int
+                ) -> list[int]:
+    """Variable-width GIF-flavor LZW (Appendix F of the spec)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    table: list[list[int]] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [[i] for i in range(clear)] + [[], []]
+        width = min_code_size + 1
+        next_code = eoi + 1
+
+    width = min_code_size + 1
+    next_code = eoi + 1
+    reset()
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits              # LSB-first packing
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + [entry[0]])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= max_pixels:
+                return out
+    return out
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """(H, W) palette indices + (N, 3) palette → GIF89a bytes
+    (test/fixture helper).  Uses the classic 'uncompressed GIF' LZW
+    stream: literal codes at min_code_size 7 with a clear code every
+    125 symbols so the code width never grows — a fully valid stream
+    any conformant LZW decoder must accept."""
+    h, w = indices.shape
+    n = len(palette)
+    assert n <= 128 and indices.max(initial=0) < n
+    pal = np.zeros((128, 3), np.uint8)
+    pal[:n] = palette
+    head = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | 6, 0, 0])     # GCT present, 2^7 entries
+            + pal.tobytes())
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = 7
+    clear, eoi = 128, 129
+    codes: list[int] = [clear]
+    for i, v in enumerate(indices.flatten().tolist()):
+        if i and i % 125 == 0:
+            codes.append(clear)
+        codes.append(int(v))
+    codes.append(eoi)
+    acc = nbits = 0
+    data = bytearray()
+    for c in codes:                       # LSB-first, fixed 8-bit width
+        acc |= c << nbits
+        nbits += 8
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    blocks = bytearray([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return head + desc + bytes(blocks) + b"\x3B"
+
+
 def extract_mjpeg_frames(payload: bytes) -> list[bytes]:
     """Motion-JPEG AVI → list of JPEG frame payloads.
 

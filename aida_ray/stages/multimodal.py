@@ -95,12 +95,15 @@ class StdlibDecodeBackend(DecodeBackend):
         if payload[:2] == b"\xff\xd8":
             from aida_ray.stages.jpeg import decode_jpeg
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from aida_ray.stages.jpeg import decode_gif
+            return decode_gif(payload)
         if payload[:2] == b"BM":
             return self._decode_bmp(payload)
         if payload[:2] in (b"P6", b"P5"):
             return self._decode_pnm(payload)
         raise ValueError(
-            "unsupported image container (PNG/JPEG/BMP/PPM/PGM only)")
+            "unsupported image container (PNG/JPEG/GIF/BMP/PPM/PGM only)")
 
     def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
         """REAL video frame sampling for Motion-JPEG AVI: RIFF walk →

@@ -140,7 +140,8 @@ def run_bench() -> dict:
                  "german_compound_ned", "service_requests",
                  "nel_accuracy", "ir_eval", "rm3_expand", "snippets",
                  "cluster_eval", "vocab_divergence", "leakage_split",
-                 "unicode_clean", "jpeg_decode", "video_real"]:
+                 "unicode_clean", "jpeg_decode", "video_real",
+                 "gif_decode"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)

@@ -85,3 +85,41 @@ def test_avi_rejects_non_riff():
     from aida_ray.stages.jpeg import extract_mjpeg_frames
     with pytest.raises(ValueError, match="RIFF"):
         extract_mjpeg_frames(b"nope")
+
+
+# --------------------------------------------------------------- GIF
+
+def test_gif_roundtrip():
+    from aida_ray.stages.jpeg import decode_gif, encode_gif
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, (17, 3)).astype(np.uint8)
+    idx = rng.integers(0, 17, (13, 29))
+    assert np.array_equal(decode_gif(encode_gif(idx, pal)), pal[idx])
+
+
+def test_gif_third_party_goldens():
+    """Real-encoder GIFs (true LZW with growing code widths, not our
+    uncompressed trick) decode with sane structure."""
+    import os
+
+    from aida_ray.stages.jpeg import decode_gif
+    cases = [("/usr/share/doc/libxslt1-dev/html/node.gif", (497, 460)),
+             ("/usr/share/doc/libxslt1-dev/html/smallfootonly.gif",
+              (60, 48))]
+    ran = False
+    for path, (h, w) in cases:
+        if not os.path.exists(path):
+            continue
+        ran = True
+        img = decode_gif(open(path, "rb").read())
+        assert img.shape == (h, w, 3)
+        # diagram/logo images are mostly light background
+        assert img.mean() > 150
+    if not ran:
+        pytest.skip("no third-party GIFs on this host")
+
+
+def test_gif_rejects_non_gif():
+    from aida_ray.stages.jpeg import decode_gif
+    with pytest.raises(ValueError, match="GIF87a"):
+        decode_gif(b"\x89PNG")
