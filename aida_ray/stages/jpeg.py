@@ -1,6 +1,6 @@
-"""Baseline JPEG codec, pure stdlib + numpy (no libjpeg).
+"""Image/video codecs, pure stdlib + numpy (no libjpeg/giflib).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
+JPEG decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
 with arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), DQT (8- and
 16-bit tables), DHT Huffman tables, DRI/RSTn restart markers.  The
 IDCT is the exact separable orthonormal DCT-III (numpy matmul), and
@@ -9,12 +9,16 @@ matches the spec's reference path, not any particular libjpeg
 smoothing variant (decoders legitimately differ at that step; the
 spec only fixes the coefficient pipeline).
 
-Encoder (test/fixture helper): 4:4:4 baseline with the Annex K
+JPEG encoder (test/fixture helper): 4:4:4 baseline with the Annex K
 example quantization and Huffman tables — enough to round-trip the
 decoder against independently-constructed streams and to bound
 reconstruction error by the quantization step.
 
-Used by StdlibDecodeBackend.decode_image for image/jpeg payloads
+Also here: GIF87a/89a decode (full variable-width LZW + palette +
+interlace) with an uncompressed-LZW fixture writer, and Motion-JPEG
+AVI frame extraction (RIFF walk) with a minimal AVI writer.
+
+Used by StdlibDecodeBackend.decode_image / sample_frames
 (stages/multimodal.py).
 """
 
