@@ -1,8 +1,10 @@
 """Image/video codecs, pure stdlib + numpy (no libjpeg/giflib).
 
-JPEG decoder: baseline sequential DCT (SOF0), 8-bit, grayscale or YCbCr
-with arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), DQT (8- and
-16-bit tables), DHT Huffman tables, DRI/RSTn restart markers.  The
+JPEG decoder: baseline sequential (SOF0/SOF1) AND progressive (SOF2
+— spectral selection + successive approximation with EOB runs, via
+one unified scan engine), 8-bit, grayscale or YCbCr with arbitrary
+sampling factors (4:4:4 / 4:2:0 / 4:2:2), DQT (8- and 16-bit tables),
+DHT Huffman tables, DRI/RSTn restart markers.  The
 IDCT is the exact separable orthonormal DCT-III (numpy matmul), and
 chroma upsampling is sample replication — pixel output therefore
 matches the spec's reference path, not any particular libjpeg
@@ -152,7 +154,12 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG → (H, W, 3) uint8 RGB."""
+    """Baseline (SOF0/SOF1) AND progressive (SOF2) JPEG → (H, W, 3)
+    uint8 RGB.  One unified scan engine: every scan carries spectral
+    selection [Ss, Se] and successive-approximation (Ah, Al) bounds
+    (G.1.1); a baseline image is simply the single scan
+    Ss=0/Se=63/Ah=Al=0.  DC first/refine, AC first/refine with EOB
+    runs, restart markers, arbitrary sampling factors."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -162,9 +169,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = []                            # (cid, h, v, tq)
     W = H = 0
     restart_interval = 0
-    scan_data = None
-    scan_comps = []
-    while pos + 4 <= len(payload):
+    scans = []                            # (scan_comps, Ss, Se, Ah, Al,
+    #                                        segments, dc_snap, ac_snap, dri)
+    progressive = False
+    sof_seen = False
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
@@ -173,6 +182,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            break
+        if pos + 2 > len(payload):
             break
         ln, = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + ln]
@@ -188,17 +199,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     tab = np.frombuffer(seg, np.uint8, 64, i).astype(np.int64)
                     i += 64
                 qt[tq] = tab
-        elif marker == 0xC0:              # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
+            sof_seen = True
             H, W = struct.unpack_from(">HH", seg, 1)
             n = seg[5]
             comps = []
             for c in range(n):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported SOF marker {marker:#x} "
-                             "(baseline sequential only)")
+                             "(baseline/progressive DCT only)")
         elif marker == 0xC4:              # DHT
             i = 0
             while i < len(seg):
@@ -216,94 +229,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_comps.append((cs, tables >> 4, tables & 15))
-            # entropy-coded data follows until next marker (skip
-            # stuffed FF00 and RSTn)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            # entropy bytes until the next non-RST/non-stuffed marker
             p = pos + ln
-            chunks, q = [], p
-            while q + 1 < len(payload):
-                if payload[q] == 0xFF and payload[q + 1] not in (0x00,):
-                    if 0xD0 <= payload[q + 1] <= 0xD7:
+            segments, cur = [], bytearray()
+            q = p
+            while q < len(payload):
+                b = payload[q]
+                if b == 0xFF and q + 1 < len(payload):
+                    nxt = payload[q + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        q += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
                         q += 2
                         continue
                     break
+                cur.append(b)
                 q += 1
-            scan_data = payload[p:q + (0 if q + 1 < len(payload) else 2)]
+            segments.append(bytes(cur))
+            scans.append((scan_comps, ss, se, ahal >> 4, ahal & 15,
+                          segments, dict(huff_dc), dict(huff_ac),
+                          restart_interval))
             pos = q
-            break
+            continue
         pos += ln
-    if scan_data is None or not comps:
-        raise ValueError("no scan data")
+    if not sof_seen or not scans:
+        raise ValueError("no frame/scan data")
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcx = -(-W // (8 * hmax))
     mcy = -(-H // (8 * vmax))
-    planes = {}
-    for cid, h, v, _tq in comps:
-        planes[cid] = np.zeros((mcy * v * 8, mcx * h * 8), np.float64)
-
-    # restart segments: split on RST markers, unstuff each
-    segments = []
-    cur = bytearray()
-    i = 0
-    while i < len(scan_data):
-        b = scan_data[i]
-        if b == 0xFF and i + 1 < len(scan_data):
-            nxt = scan_data[i + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break
-        cur.append(b)
-        i += 1
-    segments.append(bytes(cur))
-
     comp_by_id = {c[0]: c for c in comps}
-    mcus_total = mcx * mcy
-    per_seg = restart_interval or mcus_total
-    mcu = 0
-    pred = {cid: 0 for cid, *_ in comps}
-    for seg_bytes in segments:
-        br = _BitReader(seg_bytes)
-        pred = {cid: 0 for cid, *_ in comps}
-        for _ in range(min(per_seg, mcus_total - mcu)):
-            my, mx = divmod(mcu, mcx)
-            for cs, td, ta in scan_comps:
-                cid, h, v, tq = comp_by_id[cs]
-                for by in range(v):
-                    for bx in range(h):
-                        s = br.read_huffman(huff_dc[td])
-                        diff = _extend(br.read_bits(s), s)
-                        pred[cid] += diff
-                        coef = np.zeros(64, np.int64)
-                        coef[0] = pred[cid]
-                        k = 1
-                        while k < 64:
-                            rs = br.read_huffman(huff_ac[ta])
-                            r, s2 = rs >> 4, rs & 15
-                            if s2 == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break     # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            coef[k] = _extend(br.read_bits(s2), s2)
-                            k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[ZIGZAG] = coef * qt[tq]
-                        px = _A.T @ blk.reshape(8, 8) @ _A + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * h + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = px
-            mcu += 1
+    # per-component block grids (interleaved padding dimensions)
+    nblocks = {}
+    coef = {}
+    for cid, h, v, _tq in comps:
+        by, bx = mcy * v, mcx * h
+        nblocks[cid] = (by, bx)
+        coef[cid] = np.zeros((by, bx, 64), np.int64)
+
+    for (scan_comps, ss, se, ah, al, segments, hdc, hac,
+         dri) in scans:
+        _run_scan(scan_comps, ss, se, ah, al, segments, hdc, hac,
+                  dri, comp_by_id, coef, nblocks, mcx, mcy, W, H,
+                  hmax, vmax)
+
+    planes = {}
+    for cid, h, v, tq in comps:
+        by, bx = nblocks[cid]
+        plane = np.zeros((by * 8, bx * 8), np.float64)
+        dq = qt[tq]
+        cf = coef[cid]
+        for y in range(by):
+            for x in range(bx):
+                blk = np.zeros(64, np.float64)
+                blk[ZIGZAG] = cf[y, x] * dq
+                plane[y * 8:y * 8 + 8, x * 8:x * 8 + 8] = \
+                    _A.T @ blk.reshape(8, 8) @ _A + 128.0
+        planes[cid] = plane
 
     out_planes = []
     for cid, h, v, _tq in comps:
@@ -321,69 +309,118 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         .round().astype(np.uint8)
 
 
-# ------------------------------------------------------------- encoder
-
-def _encode_block(br_out, blk, qtab, dc_codes, ac_codes, pred):
-    coef = _A @ (blk - 128.0) @ _A.T
-    # zigzag order: q[k] = coef_natural[ZIGZAG[k]] / qt_natural[ZIGZAG[k]]
-    q = np.round(coef.flatten()[ZIGZAG]
-                 / qtab[ZIGZAG].astype(np.float64)).astype(np.int64)
-    diff = int(q[0]) - pred
-    pred = int(q[0])
-
-    def emit_val(v):
-        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
-        if v < 0:
-            v = v + (1 << t) - 1
-        return t, int(v)
-
-    t, bitsv = emit_val(diff) if diff else (0, 0)
-    code, ln = dc_codes[t]
-    br_out.append((code, ln))
-    if t:
-        br_out.append((bitsv, t))
-    run = 0
-    last_nz = max([k for k in range(1, 64) if q[k] != 0], default=0)
-    for k in range(1, 64):
-        v = int(q[k])
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, ln = ac_codes[0xF0]
-            br_out.append((code, ln))
-            run -= 16
-        t, bitsv = emit_val(v)
-        code, ln = ac_codes[(run << 4) | t]
-        br_out.append((code, ln))
-        br_out.append((bitsv, t))
-        run = 0
-        if k == last_nz:
-            break
-    if last_nz < 63:
-        code, ln = ac_codes[0x00]
-        br_out.append((code, ln))
-    return pred
+def _run_scan(scan_comps, ss, se, ah, al, segments, huff_dc, huff_ac,
+              restart_interval, comp_by_id, coef, nblocks, mcx, mcy,
+              W, H, hmax, vmax) -> None:
+    """Accumulate one scan into the coefficient store (G.1.1/G.1.2)."""
+    interleaved = len(scan_comps) > 1
+    if interleaved:
+        units_total = mcx * mcy
+    else:
+        cid0, h0, v0, _ = comp_by_id[scan_comps[0][0]]
+        cbx = -(-(W * h0) // (8 * hmax))
+        cby = -(-(H * v0) // (8 * vmax))
+        units_total = cbx * cby
+    per_seg = restart_interval or units_total
+    unit = 0
+    for seg_bytes in segments:
+        br = _BitReader(seg_bytes)
+        pred = {cs: 0 for cs, _, _ in scan_comps}
+        eobrun = 0
+        for _ in range(min(per_seg, units_total - unit)):
+            if interleaved:
+                my, mx = divmod(unit, mcx)
+                for cs, td, ta in scan_comps:
+                    cid, h, v, _tq = comp_by_id[cs]
+                    for by_ in range(v):
+                        for bx_ in range(h):
+                            eobrun = _decode_block_prog(
+                                br, coef[cid], my * v + by_,
+                                mx * h + bx_, ss, se, ah, al,
+                                huff_dc.get(td), huff_ac.get(ta),
+                                pred, cs, eobrun)
+            else:
+                cs, td, ta = scan_comps[0]
+                cid, h0, v0, _tq = comp_by_id[cs]
+                cbx = -(-(W * h0) // (8 * hmax))
+                by_, bx_ = divmod(unit, cbx)
+                eobrun = _decode_block_prog(
+                    br, coef[cid], by_, bx_, ss, se, ah, al,
+                    huff_dc.get(td), huff_ac.get(ta), pred, cs,
+                    eobrun)
+            unit += 1
 
 
-def _pack_bits(pairs) -> bytes:
-    out = bytearray()
-    acc, nbits = 0, 0
-    for val, ln in pairs:
-        acc = (acc << ln) | (val & ((1 << ln) - 1))
-        nbits += ln
-        while nbits >= 8:
-            nbits -= 8
-            byte = (acc >> nbits) & 0xFF
-            out.append(byte)
-            if byte == 0xFF:
-                out.append(0x00)
-    if nbits:
-        byte = ((acc << (8 - nbits)) & 0xFF) | ((1 << (8 - nbits)) - 1)
-        out.append(byte)
-        if byte == 0xFF:
-            out.append(0x00)
-    return bytes(out)
+def _decode_block_prog(br, cf, by, bx, ss, se, ah, al, dc_tab, ac_tab,
+                       pred, cs, eobrun) -> int:
+    """One block's slice of a scan; returns the running EOB count."""
+    blk = cf[by, bx]
+    if ss == 0:                           # DC band
+        if ah == 0:                       # first
+            s = br.read_huffman(dc_tab)
+            diff = _extend(br.read_bits(s), s)
+            pred[cs] += diff
+            blk[0] = pred[cs] << al
+        else:                             # refinement
+            if br.read_bit():
+                blk[0] |= 1 << al
+        if se == 0:
+            return eobrun
+        k0 = max(ss, 1)
+    else:
+        k0 = ss
+    if ah == 0:                           # AC first (G.1.2.2)
+        if eobrun > 0:
+            return eobrun - 1
+        k = k0
+        while k <= se:
+            rs = br.read_huffman(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                return (1 << r) - 1 + br.read_bits(r)
+            k += r
+            if k > se:
+                break
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+        return eobrun
+    # AC refinement (G.1.2.3)
+    p1, m1 = 1 << al, -1 << al
+    k = k0
+    if eobrun == 0:
+        while k <= se:
+            rs = br.read_huffman(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1 + br.read_bits(r)
+                    break
+                val = 0                   # ZRL: skip 16 zero-history
+            else:
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if br.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        if val:
+                            blk[k] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if br.read_bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
@@ -609,6 +646,72 @@ def encode_mjpeg_avi(frames: list[bytes], width: int, height: int,
     movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
     riff_body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+
+# ------------------------------------------------------------- encoder
+
+def _encode_block(br_out, blk, qtab, dc_codes, ac_codes, pred):
+    coef = _A @ (blk - 128.0) @ _A.T
+    # zigzag order: q[k] = coef_natural[ZIGZAG[k]] / qt_natural[ZIGZAG[k]]
+    q = np.round(coef.flatten()[ZIGZAG]
+                 / qtab[ZIGZAG].astype(np.float64)).astype(np.int64)
+    diff = int(q[0]) - pred
+    pred = int(q[0])
+
+    def emit_val(v):
+        t = int(v).bit_length() if v > 0 else int(-v).bit_length()
+        if v < 0:
+            v = v + (1 << t) - 1
+        return t, int(v)
+
+    t, bitsv = emit_val(diff) if diff else (0, 0)
+    code, ln = dc_codes[t]
+    br_out.append((code, ln))
+    if t:
+        br_out.append((bitsv, t))
+    run = 0
+    last_nz = max([k for k in range(1, 64) if q[k] != 0], default=0)
+    for k in range(1, 64):
+        v = int(q[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            br_out.append((code, ln))
+            run -= 16
+        t, bitsv = emit_val(v)
+        code, ln = ac_codes[(run << 4) | t]
+        br_out.append((code, ln))
+        br_out.append((bitsv, t))
+        run = 0
+        if k == last_nz:
+            break
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        br_out.append((code, ln))
+    return pred
+
+
+def _pack_bits(pairs) -> bytes:
+    out = bytearray()
+    acc, nbits = 0, 0
+    for val, ln in pairs:
+        acc = (acc << ln) | (val & ((1 << ln) - 1))
+        nbits += ln
+        while nbits >= 8:
+            nbits -= 8
+            byte = (acc >> nbits) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+    if nbits:
+        byte = ((acc << (8 - nbits)) & 0xFF) | ((1 << (8 - nbits)) - 1)
+        out.append(byte)
+        if byte == 0xFF:
+            out.append(0x00)
+    return bytes(out)
 
 
 def encode_jpeg(img: np.ndarray) -> bytes:

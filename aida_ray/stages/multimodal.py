@@ -8,10 +8,11 @@ through ``DecodeBackend``: :class:`StdlibDecodeBackend` REALLY decodes
 PNG (zlib inflate + five-filter scanline reconstruction), BMP, binary
 PPM/PGM and PCM16 WAV with nothing beyond the stdlib + numpy; the
 deterministic fake backend remains for shape-contract tests.
-Baseline-sequential JPEG decodes for real too (stages/jpeg.py — pure
-numpy Huffman + dequant + exact DCT-III, validated against
-third-party-encoded files); progressive JPEG and MP3/MP4 remain the
-documented codec seam — plug PIL/soundfile/torchaudio into
+Baseline AND progressive JPEG decode for real too (stages/jpeg.py —
+pure numpy Huffman + dequant + exact DCT-III, a unified
+spectral-selection/successive-approximation scan engine, validated
+against third-party-encoded files); MP3/MP4 remain the documented
+codec seam — plug PIL/soundfile/torchaudio into
 ``DecodeBackend`` per actor in production.  Motion-JPEG AVI video
 frame-samples for real (RIFF walk + per-frame JPEG decode);
 inter-frame codecs (H.264/VP9) stay stubbed.
@@ -83,10 +84,10 @@ class StdlibDecodeBackend(DecodeBackend):
     (stages/jpeg.py: Huffman + dequant + exact DCT-III + YCbCr with
     arbitrary sampling factors and restart markers, verified against
     third-party-encoded files; our own Annex-K encoder bounds
-    round-trip error by the quantization step), with Motion-JPEG AVI
-    frame sampling on top (RIFF walk + per-frame JPEG decode).
-    Progressive JPEG, inter-frame video codecs and MP3/MP4 still need
-    an external codec — plug PIL/soundfile into
+    round-trip error by the quantization step; progressive SOF2 decodes
+    through the same unified scan engine), with Motion-JPEG AVI frame
+    sampling on top (RIFF walk + per-frame JPEG decode).
+    Inter-frame video codecs and MP3/MP4 still need an external codec — plug PIL/soundfile into
     :class:`DecodeBackend` in production."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:

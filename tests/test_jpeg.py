@@ -47,14 +47,22 @@ def test_third_party_baseline_jpeg():
     assert (g > 200).mean() > 0.5         # mostly-white figure
 
 
-def test_progressive_rejected_cleanly():
+def test_progressive_third_party():
+    """SOF2 progressive JPEGs (spectral selection + successive
+    approximation) decode with natural-image structure: strong
+    adjacent-pixel correlation that a corrupted coefficient stream
+    would destroy."""
     import os
-    path = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    path = "/usr/share/doc/nodejs/full-white-stripe.jpg"
     if not os.path.exists(path):
         pytest.skip("no progressive JPEG on this host")
     with open(path, "rb") as f:
-        with pytest.raises(ValueError, match="baseline"):
-            decode_jpeg(f.read())
+        img = decode_jpeg(f.read())
+    assert img.shape == (312, 493, 3)
+    g = img.mean(axis=2)
+    h = np.corrcoef(g[:, :-1].flatten(), g[:, 1:].flatten())[0, 1]
+    assert h > 0.9
+    assert g.mean() > 200                 # mostly-white banner
 
 
 def test_not_a_jpeg():
