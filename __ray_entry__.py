@@ -2569,6 +2569,82 @@ def q_jpeg_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_media_pipeline(sf_dir: str) -> pa.Table:
+    """Composed multimodal ingest: mixed REAL payloads (PNG, baseline
+    JPEG, GIF, BMP-equivalent PPM, WAV) → magic-byte mime sniff →
+    per-mime decode route through the stdlib backend → per-mime
+    aggregate (count, decoded pixel/sample mass).  The end-to-end
+    crawl-ingest shape: sniff BEFORE trusting any header, route to the
+    right decode pool, die to features.  Deterministic payloads →
+    VALUES-pinned aggregates."""
+    from aida_ray.stages.jpeg import encode_gif, encode_jpeg
+    from aida_ray.stages.multimodal import (StdlibDecodeBackend,
+                                            encode_png, encode_ppm,
+                                            encode_wav)
+    H, W = 16, 24
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = np.stack([np.clip(3 * yy + 10, 0, 255),
+                    np.clip(2 * xx + 20, 0, 255),
+                    np.clip(yy + xx + 5, 0, 255)],
+                   axis=2).astype(np.uint8)
+    pal = np.array([[0, 0, 0], [80, 160, 240], [255, 255, 255],
+                    [200, 100, 50]], np.uint8)
+    wave = (np.sin(np.linspace(0, 30, 1500)) * 9000).astype(np.int16)
+    payloads = [encode_png(img), encode_jpeg(img),
+                encode_gif((yy + xx) % 4, pal), encode_ppm(img),
+                encode_wav(wave, 16000)]
+    n_rep = 3                              # several of each format
+    media = pa.table({
+        "media_id": pa.array(range(len(payloads) * n_rep), pa.int64()),
+        "payload": pa.array([payloads[i % len(payloads)]
+                             for i in range(len(payloads) * n_rep)],
+                            pa.binary())})
+
+    class Route:
+        def __init__(self):
+            self.backend = StdlibDecodeBackend()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mimes, masses = [], []
+            from aida_ray.stages.multimodal import MAGIC_SIGNATURES
+            for payload in b["payload"].to_pylist():
+                mime = "application/octet-stream"
+                for sig, m in MAGIC_SIGNATURES:
+                    if payload[:len(sig)] == sig:
+                        mime = m
+                        break
+                if mime == "application/octet-stream" and \
+                        payload[:2] in (b"P6", b"P5"):
+                    mime = "image/x-portable-pixmap"
+                if mime.startswith("image/"):
+                    mass = int(self.backend.decode_image(payload)
+                               .astype(np.int64).sum())
+                elif mime == "audio/wav":
+                    _sr, w = self.backend.decode_audio(payload)
+                    mass = int(np.abs(w.astype(np.int64)).sum())
+                else:
+                    mass = 0
+                mimes.append(mime)
+                masses.append(mass)
+            import pandas as pd
+            g = pd.DataFrame({"mime": mimes, "mass": masses, "n": 1}) \
+                .groupby("mime", sort=False).agg(
+                    n=("n", "sum"), mass=("mass", "sum")).reset_index()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _coalesce(ray.data.from_arrow(media).map_batches(
+        Route, batch_format="pyarrow", batch_size=4,
+        concurrency=min(2, _pool()), num_cpus=1)) \
+        .groupby("mime").sum(["n", "mass"])
+    t = _collect(agg).to_pandas().rename(
+        columns={"sum(n)": "n", "sum(mass)": "mass"}) \
+        .sort_values("mime").reset_index(drop=True)
+    t["n"] = t["n"].astype("int64")
+    t["mass"] = t["mass"].astype("int64")
+    return pa.Table.from_pandas(t[["mime", "n", "mass"]],
+                                preserve_index=False)
+
+
 def q_gif_decode(sf_dir: str) -> pa.Table:
     """REAL GIF decode (stages/jpeg.decode_gif — variable-width LZW +
     palette + interlace, validated against third-party-encoded files)
@@ -11327,6 +11403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_decode": q_jpeg_decode,
         "video_real": q_video_real,
         "gif_decode": q_gif_decode,
+        "media_pipeline": q_media_pipeline,
         "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
@@ -12578,6 +12655,15 @@ def _oracle_sql_dict() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "media_pipeline": """
+            SELECT * FROM (VALUES
+                ('audio/wav', 3, 25851825),
+                ('image/gif', 3, 459360),
+                ('image/jpeg', 3, 115419),
+                ('image/png', 3, 114624),
+                ('image/x-portable-pixmap', 3, 114624)
+            ) AS t(mime, n, mass)
         """,
         "gif_decode": """
             SELECT * FROM (VALUES
