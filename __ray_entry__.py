@@ -2569,6 +2569,56 @@ def q_jpeg_decode(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(t, preserve_index=False)
 
 
+def q_audio_codecs(sf_dir: str) -> pa.Table:
+    """REAL audio codec matrix (multimodal.StdlibDecodeBackend): one
+    deterministic sine rendered as PCM16, PCM8, G.711 μ-law and
+    mono IMA-ADPCM WAV, decoded through the RIFF parser's four format
+    paths; per-codec (sample_rate, n_samples, rms, peak) pinned —
+    the three lossy codecs land within their format's quantization
+    distance of the PCM16 truth (rms 7758-7796 vs 7796)."""
+    from aida_ray.stages.multimodal import (StdlibDecodeBackend,
+                                            encode_ima_adpcm_wav,
+                                            encode_mulaw_wav,
+                                            encode_pcm8_wav, encode_wav)
+    w = (np.sin(np.linspace(0, 25, 2000)) * 11000).astype(np.int16)
+    payloads = [("pcm16", encode_wav(w, 16000)),
+                ("pcm8", encode_pcm8_wav(w, 8000)),
+                ("mulaw", encode_mulaw_wav(w, 8000)),
+                ("adpcm", encode_ima_adpcm_wav(w, 8000))]
+    media = pa.table({
+        "codec": pa.array([c for c, _ in payloads], pa.string()),
+        "payload": pa.array([p for _, p in payloads], pa.binary())})
+
+    class AudioStats:
+        def __init__(self):
+            self.backend = StdlibDecodeBackend()
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            cs, srs, ns, rms, peaks = [], [], [], [], []
+            for codec, payload in zip(b["codec"].to_pylist(),
+                                      b["payload"].to_pylist()):
+                sr, d = self.backend.decode_audio(payload)
+                dd = d.astype(np.float64)
+                cs.append(codec)
+                srs.append(sr)
+                ns.append(len(d))
+                rms.append(int(round(float(np.sqrt(np.mean(dd * dd))))))
+                peaks.append(int(np.abs(d.astype(np.int64)).max()))
+            return pa.table({
+                "codec": pa.array(cs, pa.string()),
+                "sample_rate": pa.array(srs, pa.int64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "rms": pa.array(rms, pa.int64()),
+                "peak": pa.array(peaks, pa.int64())})
+
+    ds = ray.data.from_arrow(media).map_batches(
+        AudioStats, batch_format="pyarrow", batch_size=2,
+        concurrency=min(2, _pool()), num_cpus=1)
+    t = _collect(ds).to_pandas().sort_values("codec") \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
 def q_media_pipeline(sf_dir: str) -> pa.Table:
     """Composed multimodal ingest: mixed REAL payloads (PNG, baseline
     JPEG, GIF, BMP-equivalent PPM, WAV) → magic-byte mime sniff →
@@ -11404,6 +11454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_real": q_video_real,
         "gif_decode": q_gif_decode,
         "media_pipeline": q_media_pipeline,
+        "audio_codecs": q_audio_codecs,
         "audio_real": q_audio_real,
         "preset_matrix": q_preset_matrix,
         "result_json": q_result_json,
@@ -12655,6 +12706,14 @@ def _oracle_sql_dict() -> dict[str, str]:
                 (4, 4, 7675681100254303255, 3878597380237989624, 128004),
                 (5, 4, 3541436858148475762, 6241572324557112504, 127084)
             ) AS t(media_id, n_frames, first_phash, last_phash, mean_lum_1e3)
+        """,
+        "audio_codecs": """
+            SELECT * FROM (VALUES
+                ('adpcm', 8000, 2020, 7758, 11000),
+                ('mulaw', 8000, 2000, 7793, 10876),
+                ('pcm16', 16000, 2000, 7796, 10999),
+                ('pcm8', 8000, 2000, 7789, 11008)
+            ) AS t(codec, sample_rate, n_samples, rms, peak)
         """,
         "media_pipeline": """
             SELECT * FROM (VALUES

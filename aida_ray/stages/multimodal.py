@@ -6,7 +6,9 @@ frame-sample / feature-extract run as actor-pool ``map_batches`` stages
 with SMALL batch sizes (payload bytes dominate memory).  Decode routes
 through ``DecodeBackend``: :class:`StdlibDecodeBackend` REALLY decodes
 PNG (zlib inflate + five-filter scanline reconstruction), BMP, binary
-PPM/PGM and PCM16 WAV with nothing beyond the stdlib + numpy; the
+PPM/PGM images and WAV audio in four formats (PCM16/PCM8, G.711
+μ-law/A-law expansion, mono IMA-ADPCM) with nothing beyond the stdlib
++ numpy; the
 deterministic fake backend remains for shape-contract tests.
 Baseline AND progressive JPEG decode for real too (stages/jpeg.py —
 pure numpy Huffman + dequant + exact DCT-III, a unified
@@ -242,17 +244,190 @@ class StdlibDecodeBackend(DecodeBackend):
         return np.repeat(gray[..., None], 3, axis=2).copy()
 
     def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
-        import io
-        import wave as _wave
-        with _wave.open(io.BytesIO(payload), "rb") as f:
-            if f.getsampwidth() != 2:
-                raise ValueError("only PCM16 WAV supported")
-            sr = f.getframerate()
-            raw = np.frombuffer(f.readframes(f.getnframes()), np.int16)
-            ch = f.getnchannels()
+        """RIFF-WAVE → (sample_rate, int16 mono): PCM 16/8-bit, G.711
+        μ-law and A-law expansion, and IMA-ADPCM block decode — the
+        format tags a web/telephony crawl actually meets.  Own chunk
+        parser (the stdlib ``wave`` module rejects everything but
+        PCM); multi-channel takes the first channel."""
+        import struct as _struct
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            sz, = _struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8:pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt = _struct.unpack_from("<HHIIHH", body, 0)
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if fmt is None or data is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        tag, ch, sr, _brate, block_align, bits = fmt
+        if tag == 1 and bits == 16:
+            raw = np.frombuffer(data, "<i2").astype(np.int16)
+        elif tag == 1 and bits == 8:
+            raw = ((np.frombuffer(data, np.uint8).astype(np.int16)
+                    - 128) << 8)
+        elif tag == 7:                     # G.711 μ-law
+            raw = _MULAW_TABLE[np.frombuffer(data, np.uint8)]
+        elif tag == 6:                     # G.711 A-law
+            raw = _ALAW_TABLE[np.frombuffer(data, np.uint8)]
+        elif tag == 0x11:                  # IMA ADPCM
+            if ch != 1:
+                raise ValueError("IMA-ADPCM: mono only")
+            raw = _ima_adpcm_decode(data, block_align)
+            return sr, raw
+        else:
+            raise ValueError(f"unsupported WAV format tag {tag}")
         if ch > 1:
             raw = raw.reshape(-1, ch)[:, 0].copy()  # first channel
         return sr, raw
+
+
+def _build_mulaw_table() -> np.ndarray:
+    """G.711 μ-law byte → linear int16 (standard expansion)."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    """G.711 A-law byte → linear int16 (standard expansion)."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+_MULAW_TABLE = _build_mulaw_table()
+_ALAW_TABLE = _build_alaw_table()
+
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, np.int64)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], np.int64)
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> np.ndarray:
+    """Mono IMA-ADPCM block decode (4-bit nibbles, per-block header)."""
+    out: list[int] = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off:off + block_align]
+        pred = int(np.frombuffer(block, "<i2", 1, 0)[0])
+        index = min(max(block[2], 0), 88)
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = min(max(index + int(_IMA_INDEX_ADJ[nib]), 0), 88)
+                out.append(pred)
+    return np.array(out, np.int16)
+
+
+def encode_mulaw_wav(wave_i16: np.ndarray, sr: int = 8000) -> bytes:
+    """int16 mono → G.711 μ-law WAV (test/fixture helper; standard
+    segment-search compression, BIAS 0x84)."""
+    x = wave_i16.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x) + 0x84, 0x7FFF)
+    exp = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    u = (~(sign | (exp << 4) | mant)) & 0xFF
+    body = u.astype(np.uint8).tobytes()
+    return _wav_container(body, sr, tag=7, bits=8)
+
+
+def _wav_container(body: bytes, sr: int, tag: int, bits: int,
+                   block_align: int | None = None) -> bytes:
+    import struct as _struct
+    ba = block_align if block_align is not None else bits // 8
+    fmt = _struct.pack("<HHIIHH", tag, 1, sr, sr * ba, ba, bits)
+    chunks = (b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+              + b"data" + _struct.pack("<I", len(body)) + body
+              + (b"\x00" if len(body) & 1 else b""))
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_ima_adpcm_wav(wave_i16: np.ndarray, sr: int = 8000,
+                         block_samples: int = 505) -> bytes:
+    """int16 mono → mono IMA-ADPCM WAV (test/fixture helper)."""
+    block_align = 4 + (block_samples - 1 + 1) // 2
+    out = bytearray()
+    x = wave_i16.astype(np.int64)
+    i = 0
+    index = 0
+    while i < len(x):
+        blk = x[i:i + block_samples]
+        pred = int(blk[0])
+        out += int(pred).to_bytes(2, "little", signed=True)
+        out += bytes([index, 0])
+        nibs = []
+        for s in blk[1:]:
+            step = int(_IMA_STEPS[index])
+            delta = int(s) - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            # reconstruct like the decoder to keep predictor in sync
+            diff = step >> 3
+            if nib & 1:
+                diff += step >> 2
+            if nib & 2:
+                diff += step >> 1
+            if nib & 4:
+                diff += step
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = min(max(index + int(_IMA_INDEX_ADJ[nib]), 0), 88)
+            nibs.append(nib)
+        if len(nibs) & 1:
+            nibs.append(0)
+        for a, b in zip(nibs[::2], nibs[1::2]):
+            out.append(a | (b << 4))
+        pad = block_align - (4 + len(nibs) // 2)
+        out += b"\x00" * max(0, pad)
+        i += block_samples
+    return _wav_container(bytes(out), sr, tag=0x11, bits=4,
+                          block_align=block_align)
+
+
+def encode_pcm8_wav(wave_i16: np.ndarray, sr: int = 8000) -> bytes:
+    """int16 mono → unsigned 8-bit PCM WAV (test/fixture helper)."""
+    body = ((wave_i16.astype(np.int64) >> 8) + 128) \
+        .astype(np.uint8).tobytes()
+    return _wav_container(body, sr, tag=1, bits=8)
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

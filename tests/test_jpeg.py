@@ -131,3 +131,50 @@ def test_gif_rejects_non_gif():
     from aida_ray.stages.jpeg import decode_gif
     with pytest.raises(ValueError, match="GIF87a"):
         decode_gif(b"\x89PNG")
+
+
+# ------------------------------------------------------- audio codecs
+
+def test_g711_tables_spec_anchors():
+    from aida_ray.stages.multimodal import _ALAW_TABLE, _MULAW_TABLE
+    # mu-law: 0xFF is zero, 0x80/0x00 are the +/- extremes (32124)
+    assert _MULAW_TABLE[0xFF] == 0
+    assert _MULAW_TABLE[0x80] == 32124
+    assert _MULAW_TABLE[0x00] == -32124
+    # A-law: 0x55/0xD5 are the smallest +/- magnitudes (8)
+    assert _ALAW_TABLE[0x55] == 8 and _ALAW_TABLE[0xD5] == -8
+    # both tables are odd-symmetric
+    import numpy as np
+    assert set(np.abs(_MULAW_TABLE)) == set(np.abs(-_MULAW_TABLE))
+
+
+def test_wav_format_matrix_roundtrip():
+    import numpy as np
+
+    from aida_ray.stages.multimodal import (StdlibDecodeBackend,
+                                            encode_ima_adpcm_wav,
+                                            encode_mulaw_wav,
+                                            encode_pcm8_wav, encode_wav)
+    be = StdlibDecodeBackend()
+    w = (np.sin(np.linspace(0, 25, 2000)) * 11000).astype(np.int16)
+    sr, d = be.decode_audio(encode_wav(w, 16000))
+    assert sr == 16000 and np.array_equal(d, w)      # PCM16 exact
+    _, d8 = be.decode_audio(encode_pcm8_wav(w))
+    assert np.abs(d8.astype(int) - w.astype(int)).max() <= 256
+    _, dm = be.decode_audio(encode_mulaw_wav(w))
+    rel = np.abs(dm.astype(int) - w.astype(int)) \
+        / np.maximum(np.abs(w.astype(int)), 64)
+    assert rel.max() < 0.08                          # segment quantizer
+    _, da = be.decode_audio(encode_ima_adpcm_wav(w))
+    n = min(len(da), len(w))
+    assert np.abs(da[:n].astype(int)
+                  - w[:n].astype(int)).mean() < 100
+
+
+def test_wav_rejects_unknown():
+    import pytest as _pytest
+
+    from aida_ray.stages.multimodal import StdlibDecodeBackend
+    be = StdlibDecodeBackend()
+    with _pytest.raises(ValueError, match="RIFF"):
+        be.decode_audio(b"nope")
