@@ -304,7 +304,10 @@ def _build_alaw_table() -> np.ndarray:
     mant = a & 0x0F
     mag = np.where(exp == 0, (mant << 4) + 8,
                    ((mant << 4) + 0x108) << (exp - 1))
-    return np.where(sign, -mag, mag).astype(np.int16)
+    # A-law sign convention is INVERTED vs mu-law: a set sign bit
+    # (before the 0x55 toggle) marks the POSITIVE half (G.711 Table
+    # 1a; matches CPython audioop exactly, table-verified in tests)
+    return np.where(sign, mag, -mag).astype(np.int16)
 
 
 _MULAW_TABLE = _build_mulaw_table()

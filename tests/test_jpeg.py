@@ -141,11 +141,18 @@ def test_g711_tables_spec_anchors():
     assert _MULAW_TABLE[0xFF] == 0
     assert _MULAW_TABLE[0x80] == 32124
     assert _MULAW_TABLE[0x00] == -32124
-    # A-law: 0x55/0xD5 are the smallest +/- magnitudes (8)
-    assert _ALAW_TABLE[0x55] == 8 and _ALAW_TABLE[0xD5] == -8
-    # both tables are odd-symmetric
+    # A-law: inverted sign convention — 0x55 is -8, 0xD5 is +8
+    assert _ALAW_TABLE[0x55] == -8 and _ALAW_TABLE[0xD5] == 8
+    # both tables byte-exact vs CPython's audioop reference decoder
+    import audioop
+
     import numpy as np
-    assert set(np.abs(_MULAW_TABLE)) == set(np.abs(-_MULAW_TABLE))
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), "<i2"),
+        _MULAW_TABLE)
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), "<i2"),
+        _ALAW_TABLE)
 
 
 def test_wav_format_matrix_roundtrip():
