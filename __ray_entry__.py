@@ -384,6 +384,37 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     return t.rename_columns(["text", "rep_doc_id", "n_dups"])
 
 
+def q_warc_gz_ingest(sf_dir: str) -> pa.Table:
+    """Gzipped WARC ingest (the Common-Crawl .warc.gz layout: each
+    record its own gzip member so byte ranges decompress
+    independently) — same byte-fidelity oracle as warc_ingest, through
+    the per-member gunzip path (sources/warc._gunzip_members)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from aida_ray.sources.warc import (read_warc, warc_record,
+                                       write_warc_gz_file)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = os.path.join("/tmp/aida_ray_cache", f"warcgz_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    base = 1767225600
+    shards: dict[int, list[bytes]] = {}
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        shards.setdefault(int(i) % 8, []).append(warc_record(
+            f"http://crawl.test/w/{i}", base + int(i), t.encode()))
+    for s, recs in shards.items():
+        write_warc_gz_file(os.path.join(tmp, f"shard-{s}.warc.gz"), recs)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"url": b["url"], "ts_s": b["ts_s"],
+                         "text": pc.cast(b["payload"], pa.string())})
+
+    return _collect(read_warc(tmp, rec_types=("conversion",))
+                    .map_batches(project, batch_format="pyarrow"))
+
+
 def q_warc_ingest(sf_dir: str) -> pa.Table:
     """WARC container ingest (sources/warc.py): documents round-trip
     through WET-style conversion records in sharded WARC files, read
@@ -11354,6 +11385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": q_line_dedup,
         "anchor_priors": q_anchor_priors,
         "warc_ingest": q_warc_ingest,
+        "warc_gz_ingest": q_warc_gz_ingest,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "domain_stats": q_domain_stats,
@@ -12395,6 +12427,13 @@ def _oracle_sql_dict() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "warc_gz_ingest": """
+            SELECT 'http://crawl.test/w/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   1767225600 + doc_id AS ts_s,
+                   text
+            FROM documents
         """,
         "warc_ingest": """
             SELECT 'http://crawl.test/w/' || CAST(doc_id AS VARCHAR)

@@ -49,6 +49,8 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
     Truncated trailing records are dropped, records without a
     Content-Length or WARC-Target-URI are skipped — the lenient
     posture a crawl reader needs."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
     urls: list[str] = []
     tss: list[int] = []
     types: list[str] = []
@@ -95,6 +97,35 @@ def parse_warc_bytes(data: bytes) -> pa.Table:
         "ts_s": pa.array(tss, pa.int64()),
         "rec_type": pa.array(types, pa.string()),
         "payload": pa.array(payloads, pa.binary())})
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated per-record gzip members → plain bytes — the
+    Common-Crawl .warc.gz layout (each record its own member so byte
+    ranges can be fetched and decompressed independently).  A plain
+    single-member gzip stream decodes through the same loop."""
+    import zlib
+    out = []
+    pos = 0
+    while pos < len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        out.append(d.decompress(data[pos:]))
+        consumed = len(data) - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
+def write_warc_gz_file(path: str, records: list[bytes]) -> None:
+    """Per-record gzip members (the .warc.gz convention)."""
+    import gzip
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for r in records:
+            f.write(gzip.compress(r, mtime=0))
+    os.replace(tmp, path)
 
 
 def read_warc(path: str, rec_types: tuple[str, ...] = ("response",),

@@ -141,7 +141,8 @@ def run_bench() -> dict:
                  "nel_accuracy", "ir_eval", "rm3_expand", "snippets",
                  "cluster_eval", "vocab_divergence", "leakage_split",
                  "unicode_clean", "jpeg_decode", "video_real",
-                 "gif_decode", "media_pipeline", "audio_codecs"]:
+                 "gif_decode", "media_pipeline", "audio_codecs",
+                 "warc_gz_ingest"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)

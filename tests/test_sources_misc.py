@@ -206,3 +206,26 @@ def test_run_kg_sharded_chain(ray_session, tmp_path):
     single = run("single", 0)
     sharded = run("sharded", 3)
     assert single.equals(sharded)
+
+
+def test_warc_gz_members_roundtrip(ray_session, tmp_path):
+    """Per-record gzip members (the .warc.gz convention) parse to the
+    same rows as the plain container; a single-member stream over the
+    whole file decodes through the same path."""
+    import gzip
+
+    from aida_ray.sources.warc import (parse_warc_bytes, read_warc,
+                                       warc_record, write_warc_file,
+                                       write_warc_gz_file)
+    recs = [warc_record(f"http://x/{i}", 1767225600 + i,
+                        f"body {i}".encode()) for i in range(7)]
+    write_warc_file(str(tmp_path / "a" / "p.warc"), recs)
+    write_warc_gz_file(str(tmp_path / "b" / "p.warc.gz"), recs)
+    plain = read_warc(str(tmp_path / "a"),
+                      rec_types=("conversion",)).to_pandas()
+    gz = read_warc(str(tmp_path / "b"),
+                   rec_types=("conversion",)).to_pandas()
+    assert plain.equals(gz) and len(gz) == 7
+    single = gzip.compress(b"".join(recs))
+    t = parse_warc_bytes(single)
+    assert t.num_rows == 7
