@@ -415,6 +415,83 @@ def q_warc_gz_ingest(sf_dir: str) -> pa.Table:
                     .map_batches(project, batch_format="pyarrow"))
 
 
+def q_warc_cdx_fetch(sf_dir: str) -> pa.Table:
+    """CDX-indexed random access over gzipped WARC shards
+    (sources/warc.write_warc_gz_with_index / fetch_warc_record): the
+    CDX sidecars stream as a Dataset, the wanted subset (doc_id % 7
+    == 0) filters BEFORE any archive byte is touched, and each hit
+    fetches exactly its member's byte range — record-level pruning,
+    the same structural story as the IVF/BM25 persisted indexes.  The
+    in-query assert proves fetched bytes << archive bytes; byte
+    fidelity against the parquet truth is the oracle."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from aida_ray.sources.warc import (fetch_warc_record, warc_record,
+                                       write_warc_gz_with_index)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tmp = os.path.join("/tmp/aida_ray_cache", f"warccdx_{tag}")
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    base = 1767225600
+    shards: dict[int, list[bytes]] = {}
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        shards.setdefault(int(i) % 8, []).append(warc_record(
+            f"http://crawl.test/w/{i}", base + int(i), t.encode()))
+    total_bytes = 0
+    for s, recs in shards.items():
+        p = os.path.join(tmp, f"shard-{s}.warc.gz")
+        write_warc_gz_with_index(p, recs)
+        total_bytes += os.path.getsize(p)
+
+    def parse_cdx(b: pa.Table) -> pa.Table:
+        urls, paths, offs, lens = [], [], [], []
+        for path, raw in zip(b["path"].to_pylist(),
+                             b["bytes"].to_pylist()):
+            warc_path = path[:-4]         # strip .cdx
+            for line in raw.decode().splitlines():
+                url, _ts, off, ln = line.rsplit(" ", 3)
+                urls.append(url)
+                paths.append(warc_path)
+                offs.append(int(off))
+                lens.append(int(ln))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "path": pa.array(paths, pa.string()),
+                         "offset": pa.array(offs, pa.int64()),
+                         "length": pa.array(lens, pa.int64())})
+
+    cdx = ray.data.read_binary_files(
+        tmp, file_extensions=["cdx"], include_paths=True) \
+        .map_batches(parse_cdx, batch_format="pyarrow")
+
+    def want(b: pa.Table) -> pa.Table:
+        ids = np.array([int(u.rsplit("/", 1)[1])
+                        for u in b["url"].to_pylist()], np.int64)
+        return b.filter(pa.array(ids % 7 == 0))
+
+    def fetch(b: pa.Table) -> pa.Table:
+        urls, tss, texts, nbytes = [], [], [], []
+        for path, off, ln in zip(b["path"].to_pylist(),
+                                 b["offset"].to_pylist(),
+                                 b["length"].to_pylist()):
+            t = fetch_warc_record(path, off, ln)
+            urls.append(t["url"][0].as_py())
+            tss.append(t["ts_s"][0].as_py())
+            texts.append(t["payload"][0].as_py().decode())
+            nbytes.append(ln)
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "ts_s": pa.array(tss, pa.int64()),
+                         "text": pa.array(texts, pa.string()),
+                         "member_bytes": pa.array(nbytes, pa.int64())})
+
+    out = _collect(cdx.map_batches(want, batch_format="pyarrow")
+                   .map_batches(fetch, batch_format="pyarrow"))
+    fetched = sum(out["member_bytes"].to_pylist())
+    assert 0 < fetched < total_bytes // 3, (fetched, total_bytes)
+    return out.drop_columns(["member_bytes"])
+
+
 def q_warc_ingest(sf_dir: str) -> pa.Table:
     """WARC container ingest (sources/warc.py): documents round-trip
     through WET-style conversion records in sharded WARC files, read
@@ -11386,6 +11463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_priors": q_anchor_priors,
         "warc_ingest": q_warc_ingest,
         "warc_gz_ingest": q_warc_gz_ingest,
+        "warc_cdx_fetch": q_warc_cdx_fetch,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "domain_stats": q_domain_stats,
@@ -12427,6 +12505,13 @@ def _oracle_sql_dict() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "warc_cdx_fetch": """
+            SELECT 'http://crawl.test/w/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   1767225600 + doc_id AS ts_s,
+                   text
+            FROM documents WHERE doc_id % 7 = 0
         """,
         "warc_gz_ingest": """
             SELECT 'http://crawl.test/w/' || CAST(doc_id AS VARCHAR)

@@ -128,6 +128,51 @@ def write_warc_gz_file(path: str, records: list[bytes]) -> None:
     os.replace(tmp, path)
 
 
+def write_warc_gz_with_index(path: str, records: list[bytes]
+                             ) -> list[dict]:
+    """Per-record gzip members PLUS a CDX-style sidecar index
+    (``<path>.cdx``): one line per record — ``url ts offset length``
+    — the Common-Crawl pattern that lets a consumer fetch and
+    decompress ONE record by byte range without touching the rest of
+    the shard.  Returns the index rows."""
+    import gzip
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    rows = []
+    with open(tmp, "wb") as f:
+        for r in records:
+            member = gzip.compress(r, mtime=0)
+            off = f.tell()
+            f.write(member)
+            # url + ts from the record head (cheap header scan)
+            head = r.split(b"\r\n\r\n", 1)[0].decode("latin-1")
+            url = ts = ""
+            for line in head.split("\r\n"):
+                if line.startswith("WARC-Target-URI:"):
+                    url = line.split(":", 1)[1].strip()
+                elif line.startswith("WARC-Date:"):
+                    ts = line.split(":", 1)[1].strip()
+            rows.append({"url": url, "ts": ts, "offset": off,
+                         "length": len(member)})
+    os.replace(tmp, path)
+    with open(path + ".cdx.tmp", "w") as f:
+        for r in rows:
+            f.write(f"{r['url']} {r['ts']} {r['offset']} "
+                    f"{r['length']}\n")
+    os.replace(path + ".cdx.tmp", path + ".cdx")
+    return rows
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> pa.Table:
+    """Random access: read ONE gzip member by byte range and parse it
+    — the record-level pruning a 100-TB archive consumer relies on
+    (never the whole shard)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    return parse_warc_bytes(member)
+
+
 def read_warc(path: str, rec_types: tuple[str, ...] = ("response",),
               ) -> ray.data.Dataset:
     """Directory (or single file) of WARC shards → Dataset of

@@ -229,3 +229,26 @@ def test_warc_gz_members_roundtrip(ray_session, tmp_path):
     single = gzip.compress(b"".join(recs))
     t = parse_warc_bytes(single)
     assert t.num_rows == 7
+
+
+def test_warc_cdx_random_access(tmp_path):
+    from aida_ray.sources.warc import (fetch_warc_record, warc_record,
+                                       write_warc_gz_with_index)
+    recs = [warc_record(f"http://x/{i}", 1767225600 + i,
+                        f"payload number {i}".encode())
+            for i in range(9)]
+    p = str(tmp_path / "s.warc.gz")
+    rows = write_warc_gz_with_index(p, recs)
+    assert len(rows) == 9
+    # sidecar exists, one line per record
+    with open(p + ".cdx") as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 9
+    url, ts, off, ln = lines[4].rsplit(" ", 3)
+    assert url == "http://x/4"
+    t = fetch_warc_record(p, int(off), int(ln))
+    assert t.num_rows == 1
+    assert t["payload"][0].as_py() == b"payload number 4"
+    # offsets are disjoint and cover the file
+    import os as _os
+    assert rows[-1]["offset"] + rows[-1]["length"] == _os.path.getsize(p)
