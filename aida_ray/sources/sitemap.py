@@ -54,6 +54,9 @@ def _parse_lastmod(s: str | None) -> int:
 def parse_sitemap_bytes(data: bytes, source: str = "") -> pa.Table:
     """One urlset/sitemapindex document → (url, lastmod_s, priority,
     is_index, source) rows; malformed XML yields 0 rows."""
+    if data[:2] == b"\x1f\x8b":          # .xml.gz sitemaps
+        import gzip
+        data = gzip.decompress(data)
     urls: list[str] = []
     lastmods: list[int] = []
     prios: list[float] = []

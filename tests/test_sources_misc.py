@@ -252,3 +252,24 @@ def test_warc_cdx_random_access(tmp_path):
     # offsets are disjoint and cover the file
     import os as _os
     assert rows[-1]["offset"] + rows[-1]["length"] == _os.path.getsize(p)
+
+
+def test_sitemap_gz(ray_session, tmp_path):
+    """Gzipped sitemaps (.xml.gz, the standard for large sites) parse
+    identically to plain XML."""
+    import gzip
+    import os
+
+    from aida_ray.sources.sitemap import read_sitemaps, write_sitemap_file
+    a, b = tmp_path / "a", tmp_path / "b"
+    os.makedirs(a)
+    os.makedirs(b)
+    write_sitemap_file(str(a / "s.xml"),
+                       [f"http://h/{i}" for i in range(5)])
+    with open(a / "s.xml", "rb") as f:
+        raw = f.read()
+    with open(b / "s.xml.gz", "wb") as f:
+        f.write(gzip.compress(raw, mtime=0))
+    pa_ = read_sitemaps(str(a)).to_pandas().drop(columns=["source"])
+    pb = read_sitemaps(str(b)).to_pandas().drop(columns=["source"])
+    assert pa_.equals(pb)
