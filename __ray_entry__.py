@@ -415,6 +415,37 @@ def q_warc_gz_ingest(sf_dir: str) -> pa.Table:
                     .map_batches(project, batch_format="pyarrow"))
 
 
+def q_pdf_text(sf_dir: str) -> pa.Table:
+    """PDF text extraction (sources/pdftext.py — pure stdlib stream
+    walk: Flate inflate, BT/ET text operators, literal-string escapes,
+    TJ kerning-gap spacing; validated against third-party TeX/docbook
+    PDFs in tests).  Every document renders into a real single-page
+    PDF (12-word lines, alternating compressed/raw streams) through an
+    actor-pool stage and must extract byte-identically — the
+    extract_text invariant, for the PDF ingest path."""
+    from aida_ray.sources.pdftext import extract_pdf_text, make_simple_pdf
+
+    class PdfRoundtrip:
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_pylist()
+            out = []
+            for i, t in zip(ids, b["text"].to_pylist()):
+                words = t.split(" ")
+                lines = [" ".join(words[j:j + 12])
+                         for j in range(0, len(words), 12)]
+                pdf = make_simple_pdf(lines, compress=int(i) % 2 == 0)
+                out.append(" ".join(extract_pdf_text(pdf).split("\n")))
+            return pa.table({"doc_id": pa.array(ids),
+                             "text": pa.array(out, pa.string())})
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    return _collect(docs.map_batches(
+        PdfRoundtrip, batch_format="pyarrow", batch_size=128,
+        concurrency=min(2, _pool()), num_cpus=1))
+
+
 def q_warc_cdx_fetch(sf_dir: str) -> pa.Table:
     """CDX-indexed random access over gzipped WARC shards
     (sources/warc.write_warc_gz_with_index / fetch_warc_record): the
@@ -11464,6 +11495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_ingest": q_warc_ingest,
         "warc_gz_ingest": q_warc_gz_ingest,
         "warc_cdx_fetch": q_warc_cdx_fetch,
+        "pdf_text": q_pdf_text,
         "token_stats": q_token_stats,
         "bpe_tokens": q_bpe_tokens,
         "domain_stats": q_domain_stats,
@@ -12505,6 +12537,9 @@ def _oracle_sql_dict() -> dict[str, str]:
         "dedup_exact": """
             SELECT text, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        "pdf_text": """
+            SELECT doc_id, text FROM documents
         """,
         "warc_cdx_fetch": """
             SELECT 'http://crawl.test/w/' || CAST(doc_id AS VARCHAR)

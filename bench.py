@@ -142,7 +142,7 @@ def run_bench() -> dict:
                  "cluster_eval", "vocab_divergence", "leakage_split",
                  "unicode_clean", "jpeg_decode", "video_real",
                  "gif_decode", "media_pipeline", "audio_codecs",
-                 "warc_gz_ingest", "warc_cdx_fetch"]:
+                 "warc_gz_ingest", "warc_cdx_fetch", "pdf_text"]:
         fn = E.queries()[name]
         t0 = time.time()
         fn(sf_dir)

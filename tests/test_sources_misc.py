@@ -273,3 +273,39 @@ def test_sitemap_gz(ray_session, tmp_path):
     pa_ = read_sitemaps(str(a)).to_pandas().drop(columns=["source"])
     pb = read_sitemaps(str(b)).to_pandas().drop(columns=["source"])
     assert pa_.equals(pb)
+
+
+def test_pdf_text_roundtrip():
+    from aida_ray.sources.pdftext import extract_pdf_text, make_simple_pdf
+    lines = ["hello world of pdf", "second line here",
+             "third (with) parens \\ backslash"]
+    for compress in (True, False):
+        pdf = make_simple_pdf(lines, compress)
+        assert pdf[:5] == b"%PDF-"
+        assert extract_pdf_text(pdf) == "\n".join(lines)
+
+
+def test_pdf_text_third_party_goldens():
+    """Real TeX/docbook PDFs extract readable text (stream walk +
+    Flate + TJ kerning-gap spacing)."""
+    import os
+
+    import pytest as _pytest
+
+    from aida_ray.sources.pdftext import extract_pdf_text
+    path = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+    if not os.path.exists(path):
+        _pytest.skip("no third-party PDF on this host")
+    with open(path, "rb") as f:
+        txt = extract_pdf_text(f.read())
+    assert len(txt) > 10_000
+    assert "Shared MIME-info Database" in txt
+    assert "Thomas Leonard" in txt
+
+
+def test_pdf_rejects_non_pdf():
+    import pytest as _pytest
+
+    from aida_ray.sources.pdftext import extract_pdf_text
+    with _pytest.raises(ValueError, match="PDF"):
+        extract_pdf_text(b"not a pdf")
