@@ -11547,7 +11547,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "inverted_index": q_inverted_index,
         "tfidf_terms": q_tfidf_terms,
-        "mixture_sample": q_mixture_sample,
         "full_join": q_full_join,
         "triangles": q_triangles,
         "gap_fill": q_gap_fill,
@@ -12251,19 +12250,6 @@ def _oracle_sql_dict() -> dict[str, str]:
                    COALESCE(ev.n_events, 0) AS n_events,
                    COALESCE(od.n_orders, 0) AS n_orders
             FROM ev FULL OUTER JOIN od ON ev.k = od.k
-        """,
-        "mixture_sample": """
-            WITH cnt AS (
-                SELECT source, COUNT(*) AS n,
-                       1 + (CAST(SUBSTR(source, 4) AS BIGINT) % 4) AS w
-                FROM documents GROUP BY source),
-            best AS (SELECT n AS nb, w AS wb FROM cnt
-                     ORDER BY w * 1.0 / n DESC, source LIMIT 1),
-            th AS (SELECT source, (2147483648 * w * nb) // (n * wb) AS t
-                   FROM cnt, best)
-            SELECT d.doc_id, d.source
-            FROM documents d JOIN th USING (source)
-            WHERE (d.doc_id * 2654435761) % 2147483648 < th.t
         """,
         "inverted_index": """
             WITH terms AS (

