@@ -13983,15 +13983,18 @@ def _oracle_sql_dict() -> dict[str, str]:
             GROUP BY doc_id % 3
         """,
         "multilang_ned": """
+            -- one page per doc in its own lang, plus one companion
+            -- 'ar' page per es doc; grouped AFTER the union so a
+            -- future corpus that emits real lang='ar' docs folds into
+            -- the same single 'ar' row the engine produces
+            WITH pages AS (
+                SELECT lang FROM documents
+                UNION ALL
+                SELECT 'ar' AS lang FROM documents WHERE lang = 'es')
             SELECT lang,
                    CAST(2 * COUNT(*) AS BIGINT) AS n_mentioned_in,
                    CAST(COUNT(*) AS BIGINT) AS n_cooccur
-            FROM documents GROUP BY lang
-            UNION ALL
-            SELECT 'ar',
-                   CAST(2 * COUNT(*) AS BIGINT),
-                   CAST(COUNT(*) AS BIGINT)
-            FROM documents WHERE lang = 'es'
+            FROM pages GROUP BY lang
         """,
         "sketch_stats": """
             SELECT 'custkeys_distinct' AS stat,

@@ -170,7 +170,8 @@ def process_request(params: dict, kb: KB) -> dict:
     cleaned, _ = manual_filter(text)
     out = json.loads(to_result_json(doc_id, cleaned, results, kb))
 
-    max_results = int(params.get("maxResults") or 15)
+    mr = params.get("maxResults")
+    max_results = 15 if mr in (None, "") else int(mr)  # explicit 0 means 0
     for m in out.get("mentions", []):
         m["allEntities"] = m["allEntities"][:max_results]
     out["docId"] = doc_id

@@ -47,8 +47,14 @@ def _content_streams(data: bytes) -> list[bytes]:
         end = data.find(b"endstream", start)
         if end < 0:
             break
-        # the object dictionary sits just before 'stream'
-        dict_start = data.rfind(b"<<", max(0, m.start() - 600), m.start())
+        # the object dictionary sits between the enclosing 'N 0 obj'
+        # token and 'stream'; bound the scan by the preceding 'obj'
+        # (matches the 'obj' in a prior 'endobj' too, which bounds
+        # equally well) instead of a fixed window so arbitrarily large
+        # dictionaries keep their /Length and /Filter detection
+        obj_pos = data.rfind(b"obj", 0, m.start())
+        lo = obj_pos + 3 if obj_pos >= 0 else 0
+        dict_start = data.find(b"<<", lo, m.start())
         head = data[dict_start:m.start()] if dict_start >= 0 else b""
         lm = _LENGTH_RE.search(head)
         if lm and start + int(lm.group(1)) <= end:
@@ -187,7 +193,15 @@ def _stream_text(s: bytes) -> str:
                 elif in_text and op in (b"Td", b"TD", b"T*"):
                     flush_line()
                 elif in_text and op in (b"'", b'"'):
+                    # ' and " move to the NEXT line BEFORE showing
+                    # their operand (T* then Tj); the operand string
+                    # was already parsed into pending, so carry it
+                    # over the line break instead of flushing it with
+                    # the previous line
+                    operand = pending.pop() if pending else None
                     flush_line()
+                    if operand is not None:
+                        pending.append(operand)
                 i = m.end()
                 continue
         i += 1

@@ -106,14 +106,25 @@ def _gunzip_members(data: bytes) -> bytes:
     single-member gzip stream decodes through the same loop."""
     import zlib
     out = []
-    pos = 0
-    while pos < len(data) and data[pos:pos + 2] == b"\x1f\x8b":
+    mv = memoryview(data)
+    pos, n = 0, len(data)
+    chunk = 1 << 20
+    # feed bounded chunks from a memoryview so each member costs
+    # O(member_size): no data[pos:] slice copy, and unused_data is at
+    # most one chunk instead of the whole remaining file
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data[pos:]))
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
+        fed_end = pos
+        while not d.eof and fed_end < n:
+            take = min(chunk, n - fed_end)
+            out.append(d.decompress(mv[fed_end:fed_end + take]))
+            fed_end += take
+        if not d.eof:
+            break                       # truncated final member
+        nxt = fed_end - len(d.unused_data)
+        if nxt <= pos:
             break
-        pos += consumed
+        pos = nxt
     return b"".join(out)
 
 

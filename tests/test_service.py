@@ -205,3 +205,18 @@ def test_entity_kbid_to_id(kb):
     assert entity_kbid_to_id("Jimmy_Page", kb) == \
         kb.entity2id["Jimmy_Page"]
     assert entity_kbid_to_id("YAGO:Nope", kb) == -1
+
+
+def test_max_results_zero_and_multimember_gunzip(kb):
+    """ADVICE r4: an explicit maxResults of 0 (int or "0") means zero
+    candidates, not the silent default of 15."""
+    for zero in (0, "0"):
+        r = process_request({"text": TEXT, "technique": "PRIOR",
+                             "maxResults": zero}, kb)
+        assert r["mentions"], "sanity: mentions still emitted"
+        for m in r["mentions"]:
+            assert m["allEntities"] == []
+    # "" and absent still mean the default
+    dflt = process_request({"text": TEXT, "technique": "PRIOR",
+                            "maxResults": ""}, kb)
+    assert any(m["allEntities"] for m in dflt["mentions"])

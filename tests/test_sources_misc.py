@@ -309,3 +309,40 @@ def test_pdf_rejects_non_pdf():
     from aida_ray.sources.pdftext import extract_pdf_text
     with _pytest.raises(ValueError, match="PDF"):
         extract_pdf_text(b"not a pdf")
+
+
+def test_pdf_quote_ops_line_attribution():
+    """ADVICE r4: ' and " move to the next line BEFORE showing their
+    operand — the shown string must land on the NEW line."""
+    import zlib as _z
+
+    from aida_ray.sources.pdftext import extract_pdf_text
+    content = (b"BT /F1 12 Tf 72 720 Td (first line) Tj "
+               b"(second line) ' "
+               b"3 0 (third line) \" ET")
+    body = _z.compress(content)
+    obj4 = (b"<< /Filter /FlateDecode /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream")
+    pdf = (b"%PDF-1.4\n4 0 obj\n" + obj4 + b"\nendobj\n"
+           b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "first line\nsecond line\nthird line"
+
+
+def test_pdf_large_stream_dictionary():
+    """ADVICE r4: a stream dictionary larger than the old 600-byte
+    lookback window must still get /Length + /FlateDecode detection
+    (the scan now bounds at the enclosing 'obj' token)."""
+    import zlib as _z
+
+    from aida_ray.sources.pdftext import extract_pdf_text
+    content = b"BT /F1 12 Tf 72 720 Td (big dict text) Tj ET"
+    # compressed payload ending in EOL bytes: the EOL-trim fallback
+    # would corrupt it, so extraction only works if /Length is seen
+    body = _z.compress(content)
+    assert len(body) < 600
+    pad = b"/Metadata (" + b"x" * 900 + b") "
+    obj = (b"<< " + pad + b"/Filter /FlateDecode /Length "
+           + str(len(body)).encode() + b" >>\nstream\n" + body
+           + b"\nendstream")
+    pdf = (b"%PDF-1.4\n4 0 obj\n" + obj + b"\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "big dict text"

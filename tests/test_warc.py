@@ -60,3 +60,24 @@ def test_payload_binary_fidelity():
     body = bytes(range(256)) * 3
     t = parse_warc_bytes(warc_record("http://x/b", TS, body))
     assert t["payload"].to_pylist() == [body]
+
+
+def test_gunzip_members_linear_and_correct():
+    """ADVICE r4: _gunzip_members must cost O(member_size) per member
+    (chunked memoryview feed), not O(file_size) — pinned here by a
+    many-member round-trip with a generous wall guard that the old
+    quadratic code (~minutes at this size) cannot meet."""
+    import gzip
+    import time
+
+    from aida_ray.sources.warc import _gunzip_members
+    plain = [bytes([i % 251]) * 4096 for i in range(3000)]
+    data = b"".join(gzip.compress(p, mtime=0) for p in plain)
+    t0 = time.time()
+    out = _gunzip_members(data)
+    assert out == b"".join(plain)
+    assert time.time() - t0 < 10.0
+    # truncated final member: keep the complete prefix, no raise
+    trunc = data[: len(data) - 20]
+    prefix = _gunzip_members(trunc)
+    assert b"".join(plain).startswith(prefix) and len(prefix) > 0
