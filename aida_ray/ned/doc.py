@@ -102,6 +102,44 @@ def align_mentions_to_tokens(mentions: list[Mention], tokens: list[Token]) -> li
     return kept
 
 
+def trim_surface_len(surface: str) -> int:
+    """Length of the mention surface after trimming attachments the
+    tokenizer glues onto a name (M9 mention-normalizer family):
+
+    * trailing possessive ``'s`` / ``’s`` — ``Pfizer's`` → ``Pfizer``;
+    * a trailing lowercase adjectival hyphen compound from a small
+      closed list — ``Munich-based`` → ``Munich`` (legitimately
+      hyphenated names like ``Jean-Pierre`` keep their capital tail
+      and are untouched).
+
+    Returns the (possibly unchanged) surface length."""
+    n = len(surface)
+    if n >= 3 and surface[n - 2] in "'’" and surface[n - 1] in "sS":
+        return n - 2
+    h = surface.rfind("-")
+    if 0 < h < n - 1:
+        from aida_ray.ned.ner_train import HYPHEN_TAILS
+        if surface[h + 1:] in HYPHEN_TAILS:
+            return h
+    return n
+
+
+def kb_cjk_lexicon(kb) -> frozenset[str]:
+    """CJK dictionary surfaces of a KB, for zh greedy segmentation
+    (tokenize_zh).  Derived once per KB instance and cached on it —
+    the per-actor cost is one dictionary scan, not one per document."""
+    lex = getattr(kb, "_cjk_lexicon", None)
+    if lex is None:
+        import re as _re
+        cjk = _re.compile(r"^[㐀-鿿豈-﫿]{2,}$")
+        lex = frozenset(s for s in kb.dictionary if cjk.match(s))
+        try:
+            kb._cjk_lexicon = lex
+        except AttributeError:            # frozen/slots KB views
+            pass
+    return lex
+
+
 def _looks_like_name(tok: Token) -> bool:
     # upper/digit initial, or a CASELESS script (Arabic/CJK — no
     # capitalization signal exists, so the dictionary decides alone)
@@ -170,6 +208,15 @@ def dictionary_tag(text: str, tokens: list[Token], kb: KB,
             if conflated in kb.dictionary:
                 match = (L, surface)
                 break
+            # possessive / hyphen-compound attachment on the last
+            # token: probe the trimmed name (``Pfizer's`` → PFIZER)
+            tl = trim_surface_len(surface)
+            if tl != len(surface):
+                trimmed = surface[:tl]
+                if conflate_token(normalize_whitespace(trimmed)) \
+                        in kb.dictionary:
+                    match = (L, trimmed)
+                    break
         if match is None:
             if language == "de":
                 head = _german_compound_head(tokens[i].text, kb)
@@ -188,7 +235,7 @@ def dictionary_tag(text: str, tokens: list[Token], kb: KB,
         found.append(Mention(
             mention=surface,
             char_offset=tokens[i].begin,
-            char_length=tokens[i + L - 1].end - tokens[i].begin,
+            char_length=len(surface),
             start_token=tokens[i].token_id,
             end_token=tokens[i + L - 1].token_id,
             sentence=tokens[i].sentence,
@@ -207,8 +254,14 @@ def capitalized_tag(text: str, tokens: list[Token],
         (filterAnnotationsBySingleChar, MENTION_FILTER_REMOVESINGLECHAR);
       - mentions whose first token starts a sentence dropped
         (filterAnnotationsIfBeginningOfSentence) — sentence-case noise;
+      - runs consisting entirely of weekday/month names dropped
+        (temporal expressions are not named entities for NED; the
+        closed-class analog of the sentence-case filter);
+      - possessive / adjectival-hyphen attachments on the last token
+        trimmed to the name proper (trim_surface_len).
     Deterministic; gives the pipeline recall on surfaces absent from the
     KB dictionary (they surface as --OOKBE-- rows downstream)."""
+    from aida_ray.ned.ner_train import DAYMONTH
 
     def cap(tok: Token) -> bool:
         t = tok.text
@@ -233,11 +286,14 @@ def capitalized_tag(text: str, tokens: list[Token],
             if i > j:
                 continue
         surface = text[tokens[i].begin:tokens[j].end]
-        if len(surface) > 1 and "\n" not in surface:
+        ln = trim_surface_len(surface)
+        all_temporal = all(tokens[k].text in DAYMONTH
+                           for k in range(i, j + 1))
+        if ln > 1 and "\n" not in surface and not all_temporal:
             found.append(Mention(
-                mention=surface,
+                mention=surface[:ln],
                 char_offset=tokens[i].begin,
-                char_length=tokens[j].end - tokens[i].begin,
+                char_length=ln,
                 start_token=tokens[i].token_id,
                 end_token=tokens[j].token_id,
                 sentence=tokens[i].sentence,
@@ -279,9 +335,11 @@ def prepare(doc_id: str, raw_text: str, kb: KB, detection: str = "hybrid",
         tokens = tokenize(cleaned)
     else:
         # M2 language routing (TokenizerManager.java dispatch): de gets
-        # German sentence rules, anything else the multilingual fallback
+        # German sentence rules, zh greedy dictionary segmentation over
+        # the KB's CJK surfaces, anything else the multilingual fallback
         from aida_ray.text.multilingual import tokenize_for_lang
-        tokens = tokenize_for_lang(cleaned, language)
+        lex = kb_cjk_lexicon(kb) if language[:2] == "zh" else None
+        tokens = tokenize_for_lang(cleaned, language, lexicon=lex)
     manual = align_mentions_to_tokens(manual, tokens)
     if detection == "manual":
         mentions = manual

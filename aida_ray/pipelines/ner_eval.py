@@ -103,10 +103,43 @@ DICT_SURFACES = [
 ]
 
 
-def build_docs() -> list[tuple[str, str, list[tuple[int, int]]]]:
-    """(doc_id, text, gold spans as (begin, length)) per document."""
+# Structurally-distinct generalization probe (r5): sentence shapes the
+# TRAINING template bank does not contain — passive voice, datelines,
+# conjunction lists, age appositives, participial openers, quote-first
+# attribution, parentheticals, name particles.  The training corpus
+# (ned/ner_train.py) deliberately covers the same REGISTER as
+# DOC_SPECS above; this second corpus checks the tagger did not merely
+# memorize that template bank.  Text freshly authored, like DOC_SPECS.
+OOD_DOC_SPECS: list[list[tuple[str, bool]]] = [
+    [("", False), ("Henri Okonkwo", True), (" was arrested in ", False),
+     ("Casablanca", True), (" on Friday.", False)],
+    [("OSLO — ", False), ("Norsk Hydro", True),
+     (" posted a record quarterly loss.", False)],
+    [("", False), ("Renault", True), (", ", False), ("Fiat", True),
+     (" and ", False), ("Peugeot", True),
+     (" all cut production forecasts.", False)],
+    [("", False), ("Ingrid Bergqvist", True), (", 54, was appointed "
+     "chief executive of ", False), ("Telenor", True), (".", False)],
+    [("Born in ", False), ("Rotterdam", True), (", ", False),
+     ("Willem de Vries", True), (" studied at ", False),
+     ("Leiden University", True), (".", False)],
+    [("The deal gives ", False), ("Vodafone", True),
+     (" control of ", False), ("Telecom Italia", True), (".", False)],
+    [("“We cannot wait,” said ", False), ("Fatima al-Rashid", True),
+     (", the mayor of ", False), ("Marrakesh", True), (".", False)],
+    [("The order, placed with ", False), ("Airbus", True),
+     (" in March, was cancelled without penalty.", False)],
+    [("Talks between ", False), ("Ghana", True), (" and ", False),
+     ("Ivory Coast", True), (" collapsed late on Thursday.", False)],
+    [("A fire at the ", False), ("Gdansk", True),
+     (" shipyard injured three welders, the mayor's office said.",
+      False)],
+]
+
+
+def _build(specs) -> list[tuple[str, str, list[tuple[int, int]]]]:
     out = []
-    for d, spec in enumerate(DOC_SPECS):
+    for d, spec in enumerate(specs):
         pos, text, gold = 0, [], []
         for piece, is_ent in spec:
             if is_ent:
@@ -115,6 +148,11 @@ def build_docs() -> list[tuple[str, str, list[tuple[int, int]]]]:
             pos += len(piece)
         out.append((f"ner://{d}", "".join(text), gold))
     return out
+
+
+def build_docs() -> list[tuple[str, str, list[tuple[int, int]]]]:
+    """(doc_id, text, gold spans as (begin, length)) per document."""
+    return _build(DOC_SPECS)
 
 
 def _trie_kb():
@@ -132,9 +170,8 @@ def evaluate_routes(model=None) -> list[dict]:
     synthetic corpus when omitted (the production configuration)."""
     if model is None:
         from aida_ray.kb.synth import synth_kb
-        from aida_ray.ned.perceptron import train_from_conll
-        model = train_from_conll(synth_kb(200, seed=42), n_docs=300,
-                                 seed=42)
+        from aida_ray.ned.perceptron import train_production
+        model = train_production(synth_kb(200, seed=42))
     kb = _trie_kb()
     counts = {r: [0, 0, 0] for r in ("trie", "ensemble", "perceptron")}
     for _doc_id, text, gold_list in build_docs():
@@ -162,3 +199,31 @@ def evaluate_routes(model=None) -> list[dict]:
                      "precision_1e6": round(prec * 1e6),
                      "recall_1e6": round(rec * 1e6)})
     return rows
+
+
+def evaluate_generalization(model=None) -> list[dict]:
+    """Span-exact P/R of the statistical tagger ALONE over the
+    structurally-distinct probe corpus (OOD_DOC_SPECS) — sentence
+    shapes absent from the training template bank.  This is the
+    honest number guarding against "the tagger merely memorized its
+    template grammar"; pinned by the ``ner_generalization`` oracle."""
+    if model is None:
+        from aida_ray.kb.synth import synth_kb
+        from aida_ray.ned.perceptron import train_production
+        model = train_production(synth_kb(200, seed=42))
+    tp = fp = fn = 0
+    misses: list[str] = []
+    for _doc_id, text, gold_list in _build(OOD_DOC_SPECS):
+        gold = set(gold_list)
+        pred = {(m.char_offset, m.char_length)
+                for m in model.find_mentions(text)}
+        tp += len(pred & gold)
+        fp += len(pred - gold)
+        fn += len(gold - pred)
+        misses.extend(sorted(text[b:b + ln] for b, ln in gold - pred))
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return [{"corpus": "ood_structures", "tp": tp, "fp": fp, "fn": fn,
+             "precision_1e6": round(prec * 1e6),
+             "recall_1e6": round(rec * 1e6),
+             "missed": "|".join(misses)}]

@@ -161,6 +161,62 @@ def tokenize_multilingual(text: str) -> list[Token]:
             for i, m in enumerate(_WORD_RE.finditer(text))]
 
 
+# ------------------------------------------------------------------ zh
+_CJK_RE = re.compile(r"[㐀-鿿豈-﫿]+")
+_ZH_SENT_END = frozenset("。！？!?")
+
+
+def tokenize_zh(text: str, lexicon: frozenset[str] | set[str] | None
+                = None, max_word: int = 8) -> list[Token]:
+    """Chinese tokenizer: greedy forward maximum-match dictionary
+    segmentation (the standard MM algorithm) over CJK runs, single
+    characters where the lexicon has no match, and sentence splits on
+    CJK terminators (。！？).
+
+    The multilingual fallback emits each unbroken CJK run as ONE token
+    (``\\w+`` — Lucene-StandardTokenizer semantics), so a dictionary
+    surface INSIDE a longer run can never match; with a lexicon (the
+    KB's CJK surfaces, see ned.doc.kb_cjk_lexicon) the run is split at
+    known-word boundaries and multi-char surfaces become taggable
+    tokens.  Deterministic; longest match wins, ties impossible."""
+    tokens: list[Token] = []
+    tid = 0
+    sentence = 0
+    last_end = 0
+    lex = lexicon or frozenset()
+    for m in _WORD_RE.finditer(text):
+        # sentence enders between the previous token and this one
+        sentence += sum(c in _ZH_SENT_END
+                        for c in text[last_end:m.start()])
+        last_end = m.end()
+        run, base = m.group(), m.start()
+        pos = 0
+        for cm in _CJK_RE.finditer(run):
+            # non-CJK prefix (latin digits etc.) → one token
+            if cm.start() > pos:
+                tokens.append(Token(run[pos:cm.start()], base + pos,
+                                    base + cm.start(), tid, sentence))
+                tid += 1
+            seg, off = cm.group(), base + cm.start()
+            i, n = 0, len(seg)
+            while i < n:
+                ln = 1
+                for cand in range(min(max_word, n - i), 1, -1):
+                    if seg[i:i + cand] in lex:
+                        ln = cand
+                        break
+                tokens.append(Token(seg[i:i + ln], off + i,
+                                    off + i + ln, tid, sentence))
+                tid += 1
+                i += ln
+            pos = cm.end()
+        if pos < len(run):
+            tokens.append(Token(run[pos:], base + pos, base + len(run),
+                                tid, sentence))
+            tid += 1
+    return tokens
+
+
 TOKENIZERS = {
     "en": tokenize,
     "de": tokenize_de,
@@ -168,8 +224,15 @@ TOKENIZERS = {
 }
 
 
-def tokenize_for_lang(text: str, lang: str | None) -> list[Token]:
+def tokenize_for_lang(text: str, lang: str | None,
+                      lexicon=None) -> list[Token]:
     """Route by language code; unknown/missing codes take the
-    multilingual fallback (TokenizerManager dispatch semantics)."""
-    fn = TOKENIZERS.get((lang or "").lower()[:2], tokenize_multilingual)
+    multilingual fallback (TokenizerManager dispatch semantics).
+    ``zh`` additionally takes a segmentation lexicon (the KB's CJK
+    surfaces) — without one it degrades to the fallback's run-level
+    tokens."""
+    code = (lang or "").lower()[:2]
+    if code == "zh":
+        return tokenize_zh(text, lexicon)
+    fn = TOKENIZERS.get(code, tokenize_multilingual)
     return fn(text)

@@ -194,3 +194,34 @@ def test_german_compound_route_gated(ray_session):
     kn = next(m for m in de.mentions if m.mention == "Knebworth")
     assert text[kn.char_offset:kn.char_offset + kn.char_length] == \
         "Knebworth"
+
+
+def test_zh_greedy_segmentation():
+    """M2 zh route (r5 item 6): greedy forward maximum-match over CJK
+    runs — longest lexicon word wins, unknown chars become single
+    tokens, CJK terminators split sentences."""
+    from aida_ray.text.multilingual import tokenize_zh
+    lex = {"南京市", "长江大桥", "大桥", "北京大学"}
+    toks = tokenize_zh("他在南京市长江大桥散步。北京大学很好", lex)
+    assert [t.text for t in toks] == [
+        "他", "在", "南京市", "长江大桥", "散", "步", "北京大学", "很", "好"]
+    assert toks[3].sentence == 0 and toks[6].sentence == 1
+    # offsets are exact char spans
+    assert all(t.end - t.begin == len(t.text) for t in toks)
+
+
+def test_zh_mention_needs_segmentation():
+    """Negative control: a KB surface INSIDE an unbroken CJK run is
+    invisible to the multilingual fallback (whole run = one token) and
+    resolvable only under the zh dictionary-segmentation route."""
+    from aida_ray.kb.fixture import build_fixture_kb
+    from aida_ray.ned.doc import prepare
+    kb = build_fixture_kb()
+    kb.dictionary["克奈布沃思"] = list(kb.dictionary["KNEBWORTH"])
+    kb.dictionary["克什米尔"] = list(kb.dictionary["KASHMIR"])
+    text = "在克奈布沃思聆听克什米尔。"
+    fallback = prepare("d", text, kb, language="fr")
+    assert fallback.mentions == []
+    zh = prepare("d", text, kb, language="zh")
+    assert sorted(m.mention for m in zh.mentions) == ["克什米尔", "克奈布沃思"]
+    assert all(m.sentence == 0 for m in zh.mentions)

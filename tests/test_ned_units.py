@@ -113,3 +113,49 @@ def test_java_random_parity():
     assert [r.next_int(100) for _ in range(5)] == [30, 63, 48, 84, 70]
     r = JavaRandom(1337)
     assert [r.next_int(10) for _ in range(5)] == [1, 4, 9, 2, 9]
+
+
+def test_trim_surface_len():
+    """M9 mention normalizer additions (r5): possessive + adjectival
+    hyphen-compound trims; legitimate hyphenated names untouched."""
+    from aida_ray.ned.doc import trim_surface_len
+    assert trim_surface_len("Pfizer's") == 6
+    assert trim_surface_len("Page’s") == 4
+    assert trim_surface_len("Munich-based") == 6
+    assert trim_surface_len("state-owned") == 5
+    assert trim_surface_len("Jean-Pierre") == 11     # cap tail kept
+    assert trim_surface_len("Coca-Cola") == 9
+    assert trim_surface_len("Tel Aviv") == 8         # no-op
+    assert trim_surface_len("'s") == 2               # too short to trim
+
+
+def test_capitalized_tag_temporal_filter():
+    """Weekday/month runs are temporal expressions, not names; runs
+    merely CONTAINING one keep it (e.g. 'May Department Stores')."""
+    from aida_ray.ned.doc import capitalized_tag
+    from aida_ray.text.tokenizer import tokenize
+    text = "They met Tuesday in Geneva and again in June at the May Department Stores building."
+    tokens = tokenize(text)
+    got = {m.mention for m in capitalized_tag(text, tokens)}
+    assert "Tuesday" not in got and "June" not in got
+    assert "Geneva" in got
+    assert "May Department Stores" in got
+
+
+def test_dictionary_tag_trimmed_probe():
+    """A dictionary surface glued to a possessive/hyphen tail still
+    matches, with the emitted span covering only the name."""
+    from types import SimpleNamespace
+
+    from aida_ray.ned.doc import dictionary_tag
+    from aida_ray.text.tokenizer import conflate_token, tokenize
+    kb = SimpleNamespace(
+        dictionary={conflate_token("Pfizer"): [(1, 1.0)],
+                    conflate_token("Munich"): [(2, 1.0)]},
+        mention_max_tokens=2)
+    text = "It beat Pfizer's drug near the Munich-based lab."
+    tokens = tokenize(text)
+    got = {(m.mention, m.char_offset, m.char_length)
+           for m in dictionary_tag(text, tokens, kb)}
+    assert ("Pfizer", 8, 6) in got
+    assert ("Munich", 31, 6) in got

