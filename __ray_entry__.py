@@ -89,7 +89,7 @@ def _kg_cache(sf_dir: str):
     pages_dir = os.path.join(cache, "pages")
     stamp_path = os.path.join(cache, "_GENERATOR.json")
     import json
-    stamp = {"version": 3, "seed": 42, "n_docs": n_docs, "n_entities": n_entities}
+    stamp = {"version": 4, "seed": 42, "n_docs": n_docs, "n_entities": n_entities}
     have = None
     if os.path.exists(stamp_path):
         with open(stamp_path) as f:

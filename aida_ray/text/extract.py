@@ -4,9 +4,29 @@ The north rule requires byte-identical extracted text per url.  We define
 the extraction contract ourselves (the reference has no HTML input; its
 closest analogue is the XML input-format dispatch at
 src/mpi/aida/preparator/Preparator.java:73-95): a small, fully
-deterministic rule set — strip <script>/<style>, drop tags, unescape the
-five standard XML entities, collapse runs of whitespace around block
-tags into single newlines, and trim.
+deterministic rule set.  Handled HTML constructs (r5 item 5 — each one
+exercised by the synthetic corpus generator and/or a unit test):
+
+* ``<!-- comments -->`` (multiline, may contain tags/entities) — dropped;
+* ``<![CDATA[...]]>`` — wrapper dropped, content then processed like
+  ordinary text (entities unescape, any embedded tags strip);
+* ``<script>``/``<style>`` elements — dropped with their bodies,
+  including an UNCLOSED script/style running to end-of-input (HTML5
+  swallows to EOF);
+* block tags (p/div/br/h1-6/li/…​) → newline; other well-formed tags
+  (incl. ``<!DOCTYPE …>``) dropped in place;
+* malformed tags: a tag broken by a second ``<`` (``<a href="x"
+  <b>``) strips through the first ``>``; an unclosed ELEMENT
+  (``<b>word`` without ``</b>``) strips the tag and keeps the word; a
+  stray ``<`` NOT followed by a letter / ``/`` / ``!`` / ``?``
+  (``1 < 2``) is literal text, not a tag;
+* entities: the five XML ones (``&amp; &lt; &gt; &quot; &apos;``),
+  numeric character references (``&#65;`` and ``&#x41;``), and a
+  documented set of common named entities (nbsp/dashes/quotes/…​ — see
+  ``_NAMED_ENTITIES``); ``&amp;`` decodes LAST so double-escaped text
+  (``&amp;#65;``) survives as the literal ``&#65;``;
+* whitespace: horizontal runs collapse to one space, blank-line runs
+  drop, lines trim.
 
 ``aida_ray.pipelines.corpus`` generates pages whose ``text`` column is
 exactly ``extract_text(html)``, and the invariant is tested per url.
@@ -18,25 +38,65 @@ import hashlib
 import re
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.S | re.I)
+_SCRIPT_OPEN_RE = re.compile(r"<(?:script|style)\b[^>]*>.*\Z", re.S | re.I)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_CDATA_RE = re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.S)
 _BLOCK_TAG_RE = re.compile(
     r"</?(?:p|div|br|h[1-6]|li|ul|ol|tr|td|th|table|title|head|body|html|article|section|header|footer)\b[^>]*>",
     re.I,
 )
-_TAG_RE = re.compile(r"<[^>]*>")
+# a '<' opens a tag only when followed by a letter, '/', '!' or '?'
+# (the HTML5 tag-open rule) — '1 < 2' stays literal text
+_TAG_RE = re.compile(r"<[/!?]?[A-Za-z][^>]*>")
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
+_NAMED_ENTITIES = [
+    ("&nbsp;", " "), ("&mdash;", "—"), ("&ndash;", "–"),
+    ("&hellip;", "…"), ("&lsquo;", "‘"), ("&rsquo;", "’"),
+    ("&ldquo;", "“"), ("&rdquo;", "”"), ("&middot;", "·"),
+    ("&copy;", "©"), ("&reg;", "®"), ("&trade;", "™"),
+    ("&deg;", "°"), ("&euro;", "€"), ("&pound;", "£"),
+    ("&laquo;", "«"), ("&raquo;", "»"), ("&times;", "×"),
+]
+_NUMREF_RE = re.compile(r"&#(?:x([0-9A-Fa-f]{1,6})|([0-9]{1,7}));")
+
+
+def _decode_numref(m: re.Match) -> str:
+    cp = int(m.group(1), 16) if m.group(1) else int(m.group(2))
+    # control chars / out-of-range refs stay literal (deterministic,
+    # never raises)
+    if 0x20 <= cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
+        return chr(cp)
+    return m.group(0)
+
+
+def _unescape_all(s: str) -> str:
+    """Entity pipeline: numeric refs, named set, the five XML entities
+    with ``&amp;`` strictly last (double-escape safety)."""
+    s = _NUMREF_RE.sub(_decode_numref, s)
+    for ent, ch in _NAMED_ENTITIES:
+        s = s.replace(ent, ch)
+    for ent, ch in _ENTITIES:
+        s = s.replace(ent, ch)
+    return s
+
+
+def _strip_hidden(s: str) -> str:
+    """Comments, CDATA wrappers, script/style bodies (incl. unclosed)."""
+    s = _COMMENT_RE.sub("", s)
+    s = _CDATA_RE.sub(r"\1", s)
+    s = _SCRIPT_RE.sub("", s)
+    s = _SCRIPT_OPEN_RE.sub("", s)
+    return s
 
 
 def extract_text(html: bytes | str) -> str:
     """Deterministic text extraction. html bytes are decoded as UTF-8 (strict)."""
     if isinstance(html, bytes):
         html = html.decode("utf-8")
-    s = _COMMENT_RE.sub("", html)
-    s = _SCRIPT_RE.sub("", s)
+    s = _strip_hidden(html)
     s = _BLOCK_TAG_RE.sub("\n", s)
     s = _TAG_RE.sub("", s)
-    for ent, ch in _ENTITIES:
-        s = s.replace(ent, ch)
+    s = _unescape_all(s)
     # Collapse horizontal whitespace; collapse blank-line runs to one \n.
     lines = [re.sub(r"[ \t\r\f\v]+", " ", ln).strip() for ln in s.split("\n")]
     return "\n".join(ln for ln in lines if ln)
@@ -44,10 +104,13 @@ def extract_text(html: bytes | str) -> str:
 
 def _inline_wrap(esc_para: str) -> str:
     """Deterministically wrap words of an escaped paragraph in INLINE
-    tags (anchor/bold/span/nested) so the synthetic corpus exercises
-    the full tag grammar, not just block tags — extract_text strips
-    inline tags without inserting whitespace, so the round-trip stays
-    byte-identical.  Keyed by crc32 of the paragraph (no RNG)."""
+    constructs so the synthetic corpus exercises the full messy-HTML
+    grammar, not just block tags (r5 item 5): inline/nested tags,
+    comments carrying tags+entities, CDATA wrappers, script bodies
+    with raw ``<``, numeric character references, ``&nbsp;``
+    separators, broken-attribute tags and unclosed elements — every
+    one strips/decodes back to the original word, so the round-trip
+    stays byte-identical.  Keyed by crc32 of the paragraph (no RNG)."""
     import zlib
     words = esc_para.split(" ")
     if len(words) < 4:
@@ -55,15 +118,29 @@ def _inline_wrap(esc_para: str) -> str:
     h = zlib.crc32(esc_para.encode("utf-8"))
     i = h % (len(words) - 1)          # never the last word
     j = (i + 1 + (h >> 8) % (len(words) - 1 - i)) if i + 1 < len(words) else i
+
+    def numref(w: str) -> str:
+        # first letter becomes a decimal character reference
+        if w and w[0].isalpha():
+            return f"&#{ord(w[0])};" + w[1:]
+        return w
+
     styles = [
         lambda w: f'<a href="/w/{h & 0xffff}">{w}</a>',
         lambda w: f"<b>{w}</b>",
         lambda w: f'<span class="kw">{w}</span>',
         lambda w: f"<b><i>{w}</i></b>",
+        lambda w: f"{w}<!-- nav <b>x</b> &amp; -->",
+        lambda w: f"<![CDATA[{w}]]>",
+        lambda w: f"{w}<script>var q = 1 < 2;</script>",
+        numref,
+        lambda w: f"{w}&nbsp;<wbr>",   # nbsp + void inline tag
+        lambda w: f'<a href="/x" <b>{w}</a>',   # broken-attribute tag
+        lambda w: f"<b>{w}",           # unclosed element
     ]
-    words[i] = styles[(h >> 16) & 3](words[i])
+    words[i] = styles[(h >> 16) % len(styles)](words[i])
     if j != i:
-        words[j] = styles[(h >> 18) & 3](words[j])
+        words[j] = styles[(h >> 20) % len(styles)](words[j])
     return " ".join(words)
 
 
@@ -87,9 +164,7 @@ _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
 
 
 def _unescape(s: str) -> str:
-    for ent, ch in _ENTITIES:
-        s = s.replace(ent, ch)
-    return s
+    return _unescape_all(s)
 
 
 def main_content(html: bytes | str, min_block_chars: int = 30,
@@ -107,8 +182,7 @@ def main_content(html: bytes | str, min_block_chars: int = 30,
     """
     if isinstance(html, bytes):
         html = html.decode("utf-8")
-    s = _COMMENT_RE.sub("", html)
-    s = _SCRIPT_RE.sub("", s)
+    s = _strip_hidden(html)
     out = []
     for blk in _BLOCK_TAG_RE.split(s):
         text = _unescape(_TAG_RE.sub("", blk))

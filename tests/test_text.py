@@ -209,3 +209,43 @@ def test_main_content_script_and_comment_stripped():
          b'<p>real content of respectable length for the filter</p>')
     assert main_content(h) == \
         "real content of respectable length for the filter"
+
+
+def test_messy_html_constructs():
+    """r5 item 5: the documented construct list in text/extract.py —
+    each rule pinned directly."""
+    from aida_ray.text.extract import extract_text
+    assert extract_text(b"a 1 < 2 and 3 > 2 b") == "a 1 < 2 and 3 > 2 b"
+    assert extract_text(b"x<script>if (a<b) {}</script>y") == "xy"
+    assert extract_text(b"x<style>.c{}</style>y<script>to eof") == "xy"
+    assert extract_text(b"<![CDATA[keep &amp; this]]>") == "keep & this"
+    assert extract_text(b"<!-- <p>tags &amp; ents</p> -->z") == "z"
+    assert extract_text(b"&#72;i &#x21;") == "Hi !"
+    assert extract_text(b"&amp;#72;") == "&#72;"      # double-escape
+    assert extract_text(b"&#2;bad &#xD800;refs") == "&#2;bad &#xD800;refs"
+    assert extract_text(b'<a href="/x" <b>w</a>') == "w"
+    assert extract_text(b"<b>unclosed word") == "unclosed word"
+    assert extract_text(b"a&nbsp;b &mdash; c &rsquo;") == "a b — c ’"
+    assert extract_text(b"<!DOCTYPE html><p>d</p>") == "d"
+
+
+def test_inline_wrap_emits_messy_constructs():
+    """The generator must actually exercise the new grammar: over many
+    paragraphs every style (comment/CDATA/script/numref/nbsp/broken/
+    unclosed) appears at least once, and each wrapped paragraph still
+    round-trips."""
+    from aida_ray.text.extract import _inline_wrap, extract_text
+    seen = set()
+    for k in range(400):
+        para = " ".join(f"w{k}x{i}" for i in range(8))
+        esc = para      # plain words need no escaping
+        wrapped = _inline_wrap(esc)
+        assert extract_text(f"<p>{wrapped}</p>") == para
+        for marker, name in [("<!--", "comment"), ("CDATA", "cdata"),
+                             ("<script>", "script"), ("&#", "numref"),
+                             ("&nbsp;", "nbsp"), ('<a href="/x" <b>', "broken"),
+                             ("<a href=\"/w/", "anchor"), ("<span", "span")]:
+            if marker in wrapped:
+                seen.add(name)
+    assert {"comment", "cdata", "script", "numref", "nbsp", "broken",
+            "anchor", "span"} <= seen, seen
