@@ -127,6 +127,8 @@ class NedActor:
         return got
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from aida_ray.state.faults import maybe_die
+        maybe_die()          # fault-injection seam (no-op unless armed)
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [None] * len(urls)
