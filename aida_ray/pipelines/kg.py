@@ -233,12 +233,19 @@ def normalize_entity_key(name: str) -> str:
     return unicodedata.normalize("NFC", name).strip().replace(" ", "_")
 
 
-def _salt_of(key_arr: pa.Array, n_salts: int) -> np.ndarray:
-    # deterministic vectorized hash → salt bucket (no per-key Python;
-    # the salt only routes phase-1 reducers, so the hash family is
-    # free to change without affecting canonicalization output)
+def _salt_of(key_arr: pa.Array, n_salts: int,
+             block_disc: int = 0) -> np.ndarray:
+    # deterministic vectorized hash → salt bucket (no per-key Python).
+    # ``block_disc`` varies PER BLOCK (hash of the block's first page
+    # url): without it the salt is a pure function of the entity and a
+    # head entity's per-block partials still converge on ONE phase-1
+    # reducer — at cluster scale (100k blocks) that reducer gets 100k
+    # rows while salted peers get ~100k/n_salts.  The salt only routes
+    # phase-1; phase-2 merges, so the FINAL output is invariant to the
+    # salt values (r5 item 3 pins this by equality test).
     from aida_ray.stages.dedup import hash_strings62
-    return (hash_strings62(key_arr) % n_salts).astype(np.int32)
+    return ((hash_strings62(key_arr) + block_disc) % n_salts) \
+        .astype(np.int32)
 
 
 def canonicalize_entities(triples: ray.data.Dataset,
@@ -268,7 +275,11 @@ def canonicalize_entities(triples: ray.data.Dataset,
             mention_count=("obj", "size"),
             page_count=("obj", "nunique"),
             score_sum=("score", "sum")).reset_index()
-        salts = _salt_of(pa.array(grouped["subj"], pa.string()), n_salts)
+        from aida_ray.stages.dedup import hash_strings62
+        disc = int(hash_strings62(
+            pa.array([t["obj"][0].as_py()], pa.string()))[0])
+        salts = _salt_of(pa.array(grouped["subj"], pa.string()), n_salts,
+                         block_disc=disc)
         # pack (entity, salt) into one key — Ray's sort shuffle is far
         # faster on a single column than on multi-column string keys
         skey = grouped["subj"] + "\x1f" + salts.astype(str)

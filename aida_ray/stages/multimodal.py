@@ -286,6 +286,52 @@ class StdlibDecodeBackend(DecodeBackend):
         return sr, raw
 
 
+try:                                     # import-guarded (r5 item 8):
+    from PIL import Image as _PILImage   # the container ships no PIL —
+    HAVE_PIL = True                      # this proves the seam is
+except ImportError:                      # pluggable, not hypothetical
+    _PILImage = None
+    HAVE_PIL = False
+
+
+class PILDecodeBackend(DecodeBackend):
+    """The production image backend a real deployment plugs in: PIL/
+    Pillow for every raster format it knows (JPEG incl. progressive,
+    PNG incl. interlace, GIF, WebP, TIFF, BMP, …).  Frame sampling
+    covers PIL's multi-frame containers (animated GIF/WebP, multi-page
+    TIFF); MJPEG-AVI falls through to the stdlib RIFF walk, and audio
+    delegates to the stdlib WAV decoder (PIL has no audio).  Skipped
+    (not stubbed) when Pillow is absent — the conditional test in
+    tests/test_multimodal_backends.py runs iff the lib exists."""
+
+    def __init__(self):
+        if not HAVE_PIL:
+            raise ImportError("Pillow not installed — use "
+                              "StdlibDecodeBackend or pip install pillow")
+        self._stdlib = StdlibDecodeBackend()
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        import io
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+    def sample_frames(self, payload: bytes, n: int) -> list[np.ndarray]:
+        import io
+        if payload[:4] == b"RIFF":       # MJPEG AVI: PIL can't, we can
+            return self._stdlib.sample_frames(payload, n)
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            total = getattr(im, "n_frames", 1)
+            idx = np.linspace(0, total - 1, min(n, total), dtype=int)
+            out = []
+            for i in idx:
+                im.seek(int(i))
+                out.append(np.asarray(im.convert("RGB"), dtype=np.uint8))
+            return out
+
+    def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
+        return self._stdlib.decode_audio(payload)
+
+
 def _build_mulaw_table() -> np.ndarray:
     """G.711 μ-law byte → linear int16 (standard expansion)."""
     u = np.arange(256, dtype=np.int64) ^ 0xFF

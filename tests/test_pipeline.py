@@ -225,3 +225,20 @@ def test_actor_death_determinism(ray_session, corpus):
     # hash equality, the north-rule phrasing
     h = lambda d: pd.util.hash_pandas_object(d, index=False).sum()
     assert h(disturbed) == h(clean)
+
+
+def test_skew_salted_equals_naive(ray_session):
+    """r5 item 3: salted canonicalization output is invariant to the
+    (block-varying) salt routing — equal row-for-row to a naive direct
+    groupby on a planted 40%-head-entity corpus."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import skew_check as sk
+    a = sk.run("salted", 64000, 0.4)["df"]
+    b = sk.run("naive", 64000, 0.4)["df"]
+    for d in (a, b):
+        d["score_sum"] = d["score_sum"].round(6)
+    assert a.equals(b)
+    assert a.loc[a["entity"] == "Head_Entity", "mention_count"].iloc[0] \
+        == 25600
