@@ -7,9 +7,12 @@ The reference's primary user entry point is a JAX-RS endpoint
 re-implements the REQUEST SEMANTICS — parameter parsing, the
 technique/algorithm/coherence dispatch onto the 17-preset registry,
 per-request setting overrides, external entity context, result-JSON
-shaping — as a pure function plus a Ray actor-pool stage, without an
-HTTP server (none belongs in a data-plane library; any web framework
-can wrap ``process_request`` in a dozen lines).
+shaping — as a pure function plus a Ray actor-pool stage.  The
+reference's Jetty/JAX-RS wrapper and HTML demo form are covered too
+(r5): :func:`make_http_server` binds the endpoint with the stdlib
+``http.server`` (JSON and form-urlencoded bodies, the demo page on
+``GET /``) — proving the promised "any web framework wraps
+``process_request`` in a dozen lines" claim with zero dependencies.
 
 Parameter → behavior parity (RequestProcessor.java line refs):
 
@@ -305,3 +308,83 @@ def serve_requests(requests, kb, concurrency: int = 2,
         RequestStage, batch_format="pyarrow", batch_size=batch_size,
         fn_constructor_kwargs={"kb_ref": ref},
         concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------- HTTP
+_DEMO_HTML = """<!DOCTYPE html>
+<html><head><title>aida_ray disambiguation demo</title></head>
+<body>
+<h1>aida_ray /service/disambiguate</h1>
+<form method="post" action="/service/disambiguate">
+<p><textarea name="text" rows="6" cols="80"
+placeholder="Paste text; [[bracketed]] spans are manual mentions."
+></textarea></p>
+<p>technique <select name="technique">
+<option>GRAPH</option><option>PRIOR</option><option>LOCAL</option>
+<option>GRAPH-KORE</option><option>GRAPH-JACCARD</option></select>
+jsonType <select name="jsonType"><option>DEFAULT</option>
+<option>COMPACT</option><option>ANNOTATED_TEXT</option>
+<option>WEB</option></select>
+maxResults <input name="maxResults" size="3" value="15">
+<input type="submit" value="Disambiguate"></p>
+</form></body></html>
+"""
+
+
+def make_http_server(kb: KB, host: str = "127.0.0.1", port: int = 0):
+    """The reference's Jetty/JAX-RS wrapper, stdlib-only (the dozen
+    lines SURVEY §2.11 promised a framework needs around
+    :func:`process_request`): ``POST /service/disambiguate`` accepts a
+    JSON body or an HTML-form urlencoded body (the two content types
+    RequestProcessor.java:463-517 serves) and returns the result JSON;
+    ``GET /`` serves the demo form.  Returns an ``http.server``
+    ``ThreadingHTTPServer`` bound to an OS-assigned port — call
+    ``serve_forever()`` (or ``handle_request()`` in tests) and
+    ``server_close()`` yourself; one KB, shared across requests, as in
+    the reference service."""
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):        # quiet: tests own stdout
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path in ("/", "/index.html"):
+                self._send(200, _DEMO_HTML.encode(), "text/html")
+            else:
+                self._send(404, b'{"ERROR": "not found"}',
+                           "application/json")
+
+        def do_POST(self):
+            if self.path != "/service/disambiguate":
+                self._send(404, b'{"ERROR": "not found"}',
+                           "application/json")
+                return
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n)
+            ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+            try:
+                if ctype == "application/json":
+                    params = json.loads(raw.decode("utf-8"))
+                else:                     # HTML form post
+                    params = {k: v[0] for k, v in urllib.parse.parse_qs(
+                        raw.decode("utf-8")).items()}
+            except (ValueError, UnicodeDecodeError) as e:
+                self._send(400, json.dumps(
+                    {"ERROR": f"bad request body: {e}"}).encode(),
+                    "application/json")
+                return
+            resp = process_request(params, kb)
+            code = 400 if "ERROR" in resp else 200
+            self._send(code, json.dumps(resp, sort_keys=True).encode(),
+                       "application/json")
+
+    return ThreadingHTTPServer((host, port), Handler)

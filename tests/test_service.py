@@ -220,3 +220,62 @@ def test_max_results_zero_and_multimember_gunzip(kb):
     dflt = process_request({"text": TEXT, "technique": "PRIOR",
                             "maxResults": ""}, kb)
     assert any(m["allEntities"] for m in dflt["mentions"])
+
+
+def test_http_listener_roundtrip(kb):
+    """r4 'missing' item 3 closed: the stdlib HTTP wrapper serves the
+    demo form, accepts BOTH body encodings the reference's endpoint
+    does (JSON + form-urlencoded), enforces error codes, and returns
+    byte-identical payloads to the pure function."""
+    import json as _json
+    import threading
+    import urllib.parse
+    import urllib.request
+
+    from aida_ray.service import make_http_server, process_request
+    srv = make_http_server(kb)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(base + "/") as r:
+            assert r.status == 200
+            assert b"/service/disambiguate" in r.read()
+        params = {"text": TEXT, "technique": "PRIOR", "maxResults": 3}
+        want = _json.dumps(process_request(params, kb), sort_keys=True)
+        # JSON body
+        req = urllib.request.Request(
+            base + "/service/disambiguate",
+            data=_json.dumps(params).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200 and r.read().decode() == want
+        # HTML-form body (numbers arrive as strings, like a browser)
+        form = urllib.parse.urlencode(
+            {"text": TEXT, "technique": "PRIOR", "maxResults": "3"}).encode()
+        req = urllib.request.Request(
+            base + "/service/disambiguate", data=form,
+            headers={"Content-Type": "application/x-www-form-urlencoded"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200 and r.read().decode() == want
+        # unknown technique -> 400 with the reference's ERROR payload
+        req = urllib.request.Request(
+            base + "/service/disambiguate",
+            data=_json.dumps({"text": "x", "technique": "BOGUS"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "valid technique" in e.read().decode()
+        # 404 on unknown path
+        try:
+            urllib.request.urlopen(base + "/nope")
+            raise AssertionError("expected HTTP 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+        srv.server_close()
