@@ -248,8 +248,25 @@ def _salt_of(key_arr: pa.Array, n_salts: int,
         .astype(np.int32)
 
 
+def _default_salts() -> int:
+    """Salt count sized to what the salt actually bounds: a head key's
+    phase-1 input is at most n_blocks rows, and blocks scale with
+    cluster width — so salts should too.  The r5 skew A/B
+    (BENCH_skew_r5.json) measured a fixed n_salts=16 costing ~2× wall
+    on one node (16× the phase-2 keys) for reducer-row headroom a
+    32-CPU run never uses; 1 salt per ~16 CPUs keeps single-node cost
+    flat and reaches 64+ salts on a 1000-CPU cluster, where 100k-block
+    runs need the spreading.  Output is invariant to the salt count
+    (phase-2 merges; pinned by test_skew_salted_equals_naive)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:                      # not initialized yet
+        cpus = 32
+    return max(2, min(64, cpus // 16))
+
+
 def canonicalize_entities(triples: ray.data.Dataset,
-                          n_salts: int = 16) -> ray.data.Dataset:
+                          n_salts: int | None = None) -> ray.data.Dataset:
     """G11: cross-document entity canonicalization.
 
     Two-phase salted aggregation over ``mentionedIn`` triples:
@@ -261,6 +278,8 @@ def canonicalize_entities(triples: ray.data.Dataset,
 
     Returns (entity, mention_count, page_count, score_sum).
     """
+    if n_salts is None:
+        n_salts = _default_salts()
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch["pred"], "mentionedIn"))
