@@ -12791,8 +12791,7 @@ def _oracle_sql_dict() -> dict[str, str]:
         """,
         "ner_generalization": """
             SELECT * FROM (VALUES
-                ('ood_structures', 17, 2, 2, 894737, 894737,
-                 'Fiat|Renault')
+                ('ood_structures', 19, 1, 0, 950000, 1000000, '')
             ) AS t(corpus, tp, fp, fn, precision_1e6, recall_1e6,
                    missed)
         """,

@@ -45,7 +45,8 @@ here up down out off into onto about around per via
 COMMON_WORDS = FUNCTION_WORDS | frozenset("""
 later also earlier meanwhile however still yet once twice soon
 already again often never always reports reported reporting born
-raised named known seen held given taken placed
+raised named known seen held given taken placed gives give gave
+control posted quarterly says said saying makes make made
 government shares market police people officials report court bank
 group company companies rain wheat voters strike union ministry
 drought futures airport flights weekend prize physics work trial drug

@@ -37,6 +37,16 @@ from aida_ray.text.tokenizer import Token, tokenize
 TAGS = ("O", "B", "I")
 _NEG = -1e30
 
+# Sentence-delimiting punctuation never occurs INSIDE a name, so the
+# lattice forbids B/I on these tokens outright (same status as the
+# O→I ban).  Deliberately narrow: '&', '-', '.' -in-abbreviations and
+# apostrophes stay free — "Johnson & Johnson", "D.C.", "L'Oreal" are
+# legitimate name internals, while a bare comma/semicolon/quote is
+# not (fixes the conjunction-list merge the r5 generalization probe
+# caught: "Renault, Fiat" must split at the comma).
+_NEVER_ENTITY = frozenset([",", ";", ":", ".", "!", "?", "(", ")",
+                           "\"", "“", "”", "‘", "’", "—", "–"])
+
 
 def _shape(w: str) -> str:
     """Collapsed shape: runs of a char class become one symbol —
@@ -156,6 +166,8 @@ class PerceptronNER:
             s = emit[t] + trans_cache["O"][t]
             if t == "I":                    # start → I invalid
                 s = _NEG
+            if t != "O" and words[0] in _NEVER_ENTITY:
+                s = _NEG
             delta[t] = s
         back: list[dict[str, str]] = []
         for i in range(1, n):
@@ -163,6 +175,7 @@ class PerceptronNER:
             for p in TAGS:
                 trans_cache[p] = self._feat_scores(
                     _transition_features(words, i, p))
+            never = words[i] in _NEVER_ENTITY
             nd: dict[str, float] = {}
             bk: dict[str, str] = {}
             for t in TAGS:
@@ -173,6 +186,8 @@ class PerceptronNER:
                     s = delta[p] + trans_cache[p][t] + emit[t]
                     if best_s is None or s > best_s:
                         best_p, best_s = p, s
+                if t != "O" and never:
+                    best_s = _NEG
                 nd[t] = best_s if best_s is not None else _NEG
                 bk[t] = best_p if best_p is not None else "O"
             delta, _ = nd, back.append(bk)

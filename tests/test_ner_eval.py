@@ -69,7 +69,11 @@ def test_generalization_pinned():
     deterministic, so pinned exactly — residual misses documented."""
     from aida_ray.pipelines.ner_eval import evaluate_generalization
     row = evaluate_generalization()[0]
-    assert (row["tp"], row["fp"], row["fn"]) == (17, 2, 2)
-    assert row["missed"] == "Fiat|Renault"   # conjunction-list merge
+    # r5 final: the punctuation lattice constraint split the
+    # conjunction-list merge ("Renault, Fiat") and the dateline dash;
+    # the one residual fp is "OSLO" — a dateline city that IS a
+    # location mention, just not counted by this gold
+    assert (row["tp"], row["fp"], row["fn"]) == (19, 1, 0)
+    assert row["missed"] == ""
     assert row["precision_1e6"] >= 850_000
     assert row["recall_1e6"] >= 850_000
