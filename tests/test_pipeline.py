@@ -242,3 +242,37 @@ def test_skew_salted_equals_naive(ray_session):
     assert a.equals(b)
     assert a.loc[a["entity"] == "Head_Entity", "mention_count"].iloc[0] \
         == 25600
+
+
+def test_actor_death_during_run_kg_sink(ray_session, corpus, tmp_path):
+    """Fault × sink composition (r5): an actor killed DURING the
+    partitioned run_kg write must leave the final on-disk triple
+    tables byte-identical to an undisturbed run — the retry happens
+    inside the streaming execution, the atomic partition commit never
+    sees it."""
+    from aida_ray.state import faults
+    kb, dirs, _ = corpus
+
+    def sorted_parts(out):
+        tbls = []
+        for part in sorted(os.listdir(out)):
+            pdir = os.path.join(out, part)
+            if os.path.isdir(pdir):
+                tbls.append((part, pq.read_table(pdir).sort_by(
+                    [("subj", "ascending"), ("pred", "ascending"),
+                     ("obj", "ascending"), ("url", "ascending")])))
+        return tbls
+
+    clean_out = str(tmp_path / "clean")
+    run_kg(dirs["pages"], kb, clean_out, concurrency=2)
+    hurt_out = str(tmp_path / "hurt")
+    faults.arm()
+    try:
+        run_kg(dirs["pages"], kb, hurt_out, concurrency=2)
+        assert faults.was_claimed(), "fault never fired"
+    finally:
+        faults.disarm()
+    a, b = sorted_parts(clean_out), sorted_parts(hurt_out)
+    assert [p for p, _ in a] == [p for p, _ in b]
+    for (pa, ta), (_, tb) in zip(a, b):
+        assert ta.equals(tb), f"partition {pa} differs after actor death"
