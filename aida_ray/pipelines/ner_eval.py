@@ -164,14 +164,27 @@ def _trie_kb():
         mention_max_tokens=max(s.count(" ") + 1 for s in DICT_SURFACES))
 
 
+_DEFAULT_MODEL = None
+
+
+def _default_model():
+    """The production-configuration model (deterministic training on
+    the fixed synthetic corpora), trained once per process — the
+    ner_pr and ner_generalization queries share it."""
+    global _DEFAULT_MODEL
+    if _DEFAULT_MODEL is None:
+        from aida_ray.kb.synth import synth_kb
+        from aida_ray.ned.perceptron import train_production
+        _DEFAULT_MODEL = train_production(synth_kb(200, seed=42))
+    return _DEFAULT_MODEL
+
+
 def evaluate_routes(model=None) -> list[dict]:
     """tp/fp/fn (span-exact) per detector route over the natural-text
     corpus.  ``model``: a trained PerceptronNER; trained on the default
     synthetic corpus when omitted (the production configuration)."""
     if model is None:
-        from aida_ray.kb.synth import synth_kb
-        from aida_ray.ned.perceptron import train_production
-        model = train_production(synth_kb(200, seed=42))
+        model = _default_model()
     kb = _trie_kb()
     counts = {r: [0, 0, 0] for r in ("trie", "ensemble", "perceptron")}
     for _doc_id, text, gold_list in build_docs():
@@ -208,9 +221,7 @@ def evaluate_generalization(model=None) -> list[dict]:
     honest number guarding against "the tagger merely memorized its
     template grammar"; pinned by the ``ner_generalization`` oracle."""
     if model is None:
-        from aida_ray.kb.synth import synth_kb
-        from aida_ray.ned.perceptron import train_production
-        model = train_production(synth_kb(200, seed=42))
+        model = _default_model()
     tp = fp = fn = 0
     misses: list[str] = []
     for _doc_id, text, gold_list in _build(OOD_DOC_SPECS):
