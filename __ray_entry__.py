@@ -1013,6 +1013,24 @@ def q_simhash(sf_dir: str) -> pa.Table:
     return _collect(ds).select(["doc_id", "simhash"])
 
 
+def q_bitext_mine(sf_dir: str) -> pa.Table:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019 ratio
+    margin, stages/bitext.py): even vec_ids are the streamed source
+    side, odd vec_ids the broadcast target index; each source pairs
+    with its best-margin target where margin = cos / (mean of both
+    sides' k-NN cosines), accepted above 1.05.  Per-target k-NN means
+    reduce distributively (k candidate rows per target per batch into
+    a groupby top-k merge — never the full cosine matrix).  Oracle:
+    the same definition in SQL via list_cosine_similarity + two
+    ROW_NUMBER windows."""
+    from aida_ray.stages.bitext import mine_bitext
+    emb = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"])
+    return _collect(mine_bitext(emb, k=4, threshold=1.05)) \
+        .sort_by([("src_id", "ascending")])
+
+
 def q_embed_neardup(sf_dir: str) -> pa.Table:
     """Embedding-cosine near-duplicate pairs over the sf embeddings with
     PLANTED exact duplicates (the raw table's max off-diagonal cosine is
@@ -11555,6 +11573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": q_minhash_clusters,
         "simhash": q_simhash,
         "embed_neardup": q_embed_neardup,
+        "bitext_mine": q_bitext_mine,
         "fingerprint": q_fingerprint,
         "compression_ratio": q_compression_ratio,
         "char_jaccard": q_char_jaccard,
@@ -12029,6 +12048,38 @@ def _oracle_sql_dict() -> dict[str, str]:
                    (s + GREATEST(n_tokens, 1) - 1) // 512 AS seq_end,
                    s % 512 AS tok_offset
             FROM w
+        """,
+        "bitext_mine": """
+            WITH src AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE vec_id % 2 = 0),
+                 tgt AS (SELECT vec_id, embedding FROM embeddings
+                         WHERE vec_id % 2 = 1),
+                 sims AS (
+                    SELECT s.vec_id AS sid, t.vec_id AS tid,
+                           list_cosine_similarity(s.embedding,
+                                                  t.embedding) AS cos
+                    FROM src s CROSS JOIN tgt t),
+                 kx AS (SELECT sid, AVG(cos) AS km FROM (
+                        SELECT sid, cos, ROW_NUMBER() OVER (
+                            PARTITION BY sid
+                            ORDER BY cos DESC, tid) AS r
+                        FROM sims) WHERE r <= 4 GROUP BY sid),
+                 ky AS (SELECT tid, AVG(cos) AS km FROM (
+                        SELECT tid, cos, ROW_NUMBER() OVER (
+                            PARTITION BY tid
+                            ORDER BY cos DESC, sid) AS r
+                        FROM sims) WHERE r <= 4 GROUP BY tid),
+                 m AS (SELECT sid, tid,
+                              cos / ((kx.km + ky.km) / 2) AS margin
+                       FROM sims JOIN kx USING (sid)
+                                 JOIN ky USING (tid)),
+                 best AS (SELECT sid, tid, margin, ROW_NUMBER() OVER (
+                            PARTITION BY sid
+                            ORDER BY margin DESC, tid) AS r FROM m)
+            SELECT sid AS src_id, tid AS tgt_id,
+                   ROUND(margin, 4) AS margin
+            FROM best WHERE r = 1 AND margin > 1.05
+            ORDER BY src_id
         """,
         "embed_neardup": """
             SELECT vec_id AS a, vec_id + 100000 AS b, 1.0 AS cosine

@@ -58,7 +58,7 @@ def test_query_names_unique():
     assert duplicate_literal_keys("queries") == []
     assert duplicate_literal_keys("oracle_sql") == []
     import __ray_entry__ as E
-    assert len(E.queries()) == 354
+    assert len(E.queries()) == 355
 
 
 def test_duplicate_key_detector_catches_a_dup(tmp_path, monkeypatch):

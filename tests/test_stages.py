@@ -581,3 +581,37 @@ def test_png_decode_third_party_golden():
         img = StdlibDecodeBackend().decode_image(f.read())
     assert img.ndim == 3 and img.shape[2] == 3 and img.size > 0
     assert img.dtype.name == "uint8"
+
+
+def test_bitext_margin_semantics(ray_session):
+    """Ratio-margin mining (stages/bitext.py): a planted near-parallel
+    pair must win with margin > threshold; an isolated source must not
+    emit a pair.  4 fixed 3-d vectors per side, hand-checkable."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray as _ray
+    from aida_ray.stages.bitext import mine_bitext
+    vecs = {
+        0: [1.0, 0.0, 0.0],    # src: aligned with tgt 1
+        1: [0.99, 0.14, 0.0],  # tgt: the true pair
+        2: [0.0, 1.0, 0.0],    # src: isolated (no standout tgt)
+        3: [0.5, 0.5, 0.7],    # tgt: generic
+        4: [0.0, 0.0, 1.0],    # src: aligned with tgt 5
+        5: [0.0, 0.1, 0.99],   # tgt: the true pair
+        6: [0.6, 0.4, 0.69],   # src
+        7: [0.55, 0.45, 0.7],  # tgt: near 3 AND 6
+    }
+    t = pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float32()))})
+    out = pa.concat_tables([x for x in _ray.get(
+        mine_bitext(_ray.data.from_arrow(t), k=2, threshold=1.05)
+        .to_arrow_refs()) if x.num_columns]).to_pandas()
+    got = dict(zip(out["src_id"], out["tgt_id"]))
+    assert got.get(0) == 1
+    assert got.get(4) == 5
+    assert 2 not in got          # nothing stands out from its knn mean
+    for m in out["margin"]:
+        assert m > 1.05
